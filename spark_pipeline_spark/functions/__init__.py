@@ -1,0 +1,93 @@
+"""Engine-wide column expression helpers.
+
+The load-bearing primitive here is :func:`md5_bucket` / :func:`md5_int`:
+a *cross-engine deterministic* hash. Spark and DuckDB both implement
+standard MD5 over UTF-8 bytes, so an operator whose randomness is derived
+from ``md5(key)`` produces bit-identical choices in both engines — which is
+what makes hash-sampling, stratified sampling, and histogram bucketing
+verifiable against a DuckDB oracle, and reproducible across cluster reruns
+(unlike ``rand()``, whose draw depends on partitioning).
+
+The reference uses ``crc32(cast(col as string)) % max_bins`` for the same
+purpose (``sparktools/datadiff.py:5``); md5 keeps the semantics (stable
+content hash → bucket) with a stronger, engine-portable hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_hex8",
+    "md5_int",
+    "md5_bucket",
+    "md5_unit",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+]
+
+# 2^32 — md5_int yields a uniform draw in [0, 2^32).
+_HASH_SPACE = float(1 << 32)
+
+
+def md5_hex8(col: Column | str) -> Column:
+    """First 8 hex chars of md5(string(col)) — portable across engines."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.substring(F.md5(c.cast("string")), 1, 8)
+
+
+def md5_int(col: Column | str) -> Column:
+    """Deterministic uniform bigint in [0, 2^32) derived from the value.
+
+    DuckDB equivalent: ``('0x' || substr(md5(CAST(x AS VARCHAR)),1,8))::BIGINT``.
+    """
+    return F.conv(md5_hex8(col), 16, 10).cast("bigint")
+
+
+def md5_bucket(col: Column | str, n_buckets: int) -> Column:
+    """Stable content-hash bucket in [0, n_buckets)."""
+    return F.pmod(md5_int(col), F.lit(n_buckets)).cast("bigint")
+
+
+def md5_unit(col: Column | str) -> Column:
+    """Deterministic uniform double in [0, 1) derived from the value.
+
+    The engine's replacement for seeded ``rand()``: reproducible across
+    reruns, partitionings, and engines. Used by hash-sampling (the
+    reference's seeded Bernoulli sample, ``sparktools/core.py:162-163``).
+    """
+    return md5_int(col) / F.lit(_HASH_SPACE)
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array<numeric> columns, JVM-side.
+
+    ``zip_with`` + ``aggregate`` stay inside Catalyst (no Python), fold
+    left-to-right in doubles — deterministic accumulation order.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of an array<numeric> column, JVM-side."""
+    ca = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            ca,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity of two array<numeric> columns, JVM-side."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

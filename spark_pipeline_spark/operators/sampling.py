@@ -1,0 +1,136 @@
+"""Sampling, limits, and grouped top-k.
+
+Parity targets (SURVEY.md §2.7): deterministic limit (``sparktools/
+core.py:23-27``), seeded Bernoulli sample (``core.py:162-163``),
+stratified quota sampling ``proportion_samples`` (``core.py:525-547``).
+
+Determinism strategy: the reference's randomness (fixed seed 4233, and a
+``row_number`` window with *no* orderBy — nondeterministic row choice,
+``core.py:543``) is replaced by **content-hash randomness** (md5 of key
+columns). That gives: (a) identical results on reruns regardless of
+partitioning or cluster size, (b) oracle-verifiable sampling (DuckDB
+computes the same md5), (c) no shuffle for Bernoulli sampling — it is a
+pure filter, pushed to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.functions import md5_int, md5_unit
+
+
+def _key_hash(df: DataFrame, key_cols: list[str] | None) -> Column:
+    """Uniform [0,1) draw per row from the md5 of the key columns."""
+    cols = key_cols if key_cols else list(df.columns)
+    if len(cols) == 1:
+        basis = F.col(cols[0]).cast("string")
+    else:
+        # '|'-joined string form of the key tuple; concat_ws skips nulls,
+        # which is fine for a sampling draw (stable either way).
+        basis = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return md5_unit(basis)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_cols: list[str] | None = None) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows whose key-hash < fraction.
+
+    Replaces ``df.sample(False, fraction, seed=4233)`` (``core.py:162-163``)
+    with a content-keyed filter. Unlike ``sample()`` — whose draw depends on
+    partition layout — this is stable under repartitioning and across
+    engines, and it is a plain predicate: no shuffle, pushable, and
+    consistent between two datasets sharing the same keys (useful for
+    joining sampled fact tables).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return df.filter(_key_hash(df, key_cols) < F.lit(fraction))
+
+
+def deterministic_limit(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
+    """First-n rows, stable across reruns.
+
+    The reference implements this with ``rdd.zipWithIndex`` (``core.py:
+    23-27``) — an RDD hop that kills column pruning. With an explicit
+    ``order_by`` this is a global top-n: Spark executes it as per-partition
+    TakeOrdered + merge on the driver — no full sort, no full shuffle.
+    Without ``order_by`` it falls back to ``limit`` (partition-order
+    first-n, which is what zipWithIndex gave).
+    """
+    if order_by:
+        return df.orderBy(*order_by).limit(n)
+    return df.limit(n)
+
+
+def grouped_top_k(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_by: list[Column | str] | None = None,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """At most k rows per group (SURVEY.md §2.7 L5 / W1 pattern).
+
+    ``order_by=None`` reproduces the reference's "arbitrary k rows"
+    semantics but deterministically: rows are ranked by md5 of the
+    tie-break columns (default: all non-group columns). One shuffle on
+    ``group_cols``; with AQE, skewed groups split automatically.
+    """
+    if order_by is None:
+        basis = tie_break if tie_break else [c for c in df.columns if c not in group_cols]
+        order_by = [md5_int(F.concat_ws("|", *[F.col(c).cast("string") for c in basis]))]
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def proportion_samples(
+    df: DataFrame,
+    proportions: DataFrame,
+    count_column: str = "rows_count",
+    order_by: list[Column | str] | None = None,
+) -> DataFrame:
+    """Stratified quota sampling (``proportion_samples`` parity,
+    ``sparktools/core.py:525-547``).
+
+    ``proportions`` holds the stratification key columns plus a
+    ``count_column`` quota. Semantics: inner-join fact rows to their
+    stratum quota, take at most ``quota`` rows per stratum.
+
+    Spark-first shape: the quota table is tiny → **broadcast** join (no
+    fact-table shuffle for the join); the per-stratum pick is one window
+    shuffle on the strata keys. The reference's window has no orderBy
+    (nondeterministic pick, ``core.py:543`` — SURVEY.md §2.13.4); default
+    ordering here is the content-hash of the full row key, i.e. a
+    deterministic uniform pick per stratum.
+    """
+    groupers = [c for c in proportions.columns if c != count_column]
+    joined = df.join(F.broadcast(proportions), on=groupers, how="inner")
+    if order_by is None:
+        basis = [c for c in df.columns if c not in groupers]
+        order_by = [md5_int(F.concat_ws("|", *[F.col(c).cast("string") for c in basis]))]
+    w = Window.partitionBy(*groupers).orderBy(*order_by)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col(count_column))
+        .drop("__rn", count_column)
+    )
+
+
+def stratified_fraction_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float]
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling with per-key fractions.
+
+    The fraction-quota sibling of :func:`proportion_samples` (Spark's
+    ``sampleBy``, made deterministic): keep a row iff its content hash is
+    under its stratum's fraction. Pure filter — no shuffle at all.
+    """
+    frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
+    draw = _key_hash(df, None)
+    stratum_frac = frac.getItem(F.col(strata_col).cast("string"))
+    return df.filter(draw < F.coalesce(stratum_frac, F.lit(0.0)))

@@ -1,0 +1,455 @@
+"""Query registry: every operator exposed as a (spark_fn, oracle_sql) pair.
+
+This is the engine's correctness surface (SURVEY.md §5.2): each entry runs
+as a DataFrame plan AND as ANSI SQL in DuckDB over the same parquet; the
+driver hash-compares row counts, schemas, and values at sf0.01.
+
+Conventions that make cross-engine hashing exact:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded (sums→2dp, ratios/avgs→6dp) on both sides,
+  so last-bit accumulation-order differences can't flip the hash;
+- "random" choices (samples, arbitrary top-k) derive from md5 content
+  hashes, which both engines compute identically;
+- timestamps that must be grouped on are projected as epoch seconds
+  (bigint) to sidestep timezone representation differences.
+
+Each callable takes ``(spark, sf_dir)`` and returns a DataFrame; tables are
+read straight from ``{sf_dir}/{table}.parquet``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    fn: QueryFn
+    oracle: str | None  # None → driver does rows-only check
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None, tags: tuple[str, ...] = (), bench: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        REGISTRY[name] = Query(fn=fn, oracle=oracle, tags=tags, bench=bench)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Relational core: scan → filter → join → aggregate (SURVEY.md §7 M0)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2)                                   AS sum_qty,
+               round(sum(l_extendedprice), 2)                              AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6)                                   AS avg_qty,
+               round(avg(l_extendedprice), 6)                              AS avg_price,
+               round(avg(l_discount), 6)                                   AS avg_disc,
+               count(*)                                                    AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "filter", "scan"),
+    bench=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: the flagship scan→filter→agg.
+
+    Scale notes: filter + all aggregates are Catalyst expressions → one
+    pass, partial aggregation map-side, shuffle carries only
+    (flag,status)-grouped partials (~6 groups), predicate pushed to
+    parquet.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q3_unshipped_revenue",
+    oracle="""
+        SELECT l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               epoch(o_orderdate)::BIGINT AS o_orderdate_epoch,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate_epoch, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("join", "agg", "topk"),
+    bench=True,
+)
+def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: selective dim filter → fact joins → grouped top-k.
+
+    Scale notes: the filtered customer side is small → broadcast hint, so
+    the orders⋈customer join never shuffles orders; lineitem⋈orders is the
+    one big shuffle; top-10 runs as TakeOrdered (no global sort
+    materialization).
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate_epoch", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    tags=("join", "agg", "broadcast"),
+    bench=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: star join with small dims broadcast.
+
+    Scale notes: region/nation/supplier/customer are dims — all broadcast
+    (no shuffle of lineitem for them); only lineitem⋈orders shuffles.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@register(
+    "agg_orders_by_status",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price,
+               round(avg(o_totalprice), 6) AS avg_price,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate groupBy (sum/avg/min/max/count in one pass)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "semi_anti_join_customers",
+    oracle="""
+        SELECT
+          (SELECT count(*) FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders))      AS n_with_orders,
+          (SELECT count(*) FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))  AS n_without_orders
+    """,
+    tags=("join", "semi", "anti"),
+)
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti-join semantics in one plan (SURVEY.md §2.4: exposed natively).
+
+    Expressed as a single left join + conditional aggregation so both
+    counts come from one job with no driver-side collect; the deduplicated
+    keys side broadcasts.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
+    joined = c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left")
+    return joined.agg(
+        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_orders"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_without_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampling / limits / top-k (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hash_sample_lineitem",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE ('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < 0.1
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("sample",),
+)
+def hash_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% Bernoulli sample keyed on (l_orderkey, l_linenumber).
+
+    Engine-portable determinism: the draw is md5(key), not rand(seed) —
+    same rows chosen regardless of partitioning, rerun, or engine
+    (``operators/sampling.hash_sample``; replaces sparktools/core.py:162-163).
+    Pure filter: no shuffle.
+    """
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    return hash_sample(l, 0.1, ["l_orderkey", "l_linenumber"]).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@register(
+    "grouped_topk_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders
+        ) WHERE rn <= 3
+        ORDER BY o_custkey, o_totalprice DESC, o_orderkey
+    """,
+    tags=("window", "topk"),
+    bench=True,
+)
+def grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (grouped top-k, W1/L5 pattern).
+
+    Deterministic ordering with an explicit key tie-break — fixing the
+    reference's orderBy-less window (sparktools/core.py:543). One shuffle
+    on o_custkey.
+    """
+    from spark_pipeline_spark.operators.sampling import grouped_top_k
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    top = grouped_top_k(
+        o, ["o_custkey"], 3, order_by=[F.desc("o_totalprice"), F.asc("o_orderkey")]
+    )
+    return top.select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    ).orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
+
+
+@register(
+    "stratified_quota_sample",
+    oracle="""
+        WITH quotas AS (
+          SELECT n_nationkey AS c_nationkey, (n_nationkey % 5 + 1)::BIGINT AS rows_count
+          FROM nation
+        ),
+        ranked AS (
+          SELECT c.c_nationkey, c.c_custkey, c.c_name, q.rows_count,
+                 row_number() OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY ('0x' || substr(md5(c.c_custkey::VARCHAR || '|' || c.c_name), 1, 8))::BIGINT,
+                            c.c_custkey
+                 ) AS rn
+          FROM customer c JOIN quotas q USING (c_nationkey)
+        )
+        SELECT c_nationkey, c_custkey, c_name
+        FROM ranked WHERE rn <= rows_count
+        ORDER BY c_nationkey, c_custkey
+    """,
+    tags=("sample", "window", "join"),
+)
+def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling (proportion_samples parity,
+    sparktools/core.py:525-547): per-nation customer quotas from a small
+    quota table; quota side broadcasts; deterministic md5-ordered pick."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.sampling import proportion_samples
+
+    c = t(spark, sf_dir, "customer").select("c_nationkey", "c_custkey", "c_name")
+    quotas = (
+        t(spark, sf_dir, "nation")
+        .select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            (F.col("n_nationkey") % 5 + 1).cast("bigint").alias("rows_count"),
+        )
+    )
+    picked = proportion_samples(
+        c,
+        quotas,
+        count_column="rows_count",
+        order_by=[
+            md5_int(F.concat_ws("|", F.col("c_custkey").cast("string"), F.col("c_name"))),
+            F.col("c_custkey"),
+        ],
+    )
+    return picked.select("c_nationkey", "c_custkey", "c_name").orderBy(
+        "c_nationkey", "c_custkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model scoring via mapInPandas (SURVEY.md §2.10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "score_callable_model",
+    oracle="""
+        SELECT l_orderkey::VARCHAR AS uid,
+               round(l_quantity * l_discount, 6) AS pred
+        FROM lineitem
+        WHERE l_linenumber = 1
+        ORDER BY uid
+    """,
+    tags=("scoring", "mapInPandas"),
+    bench=True,
+)
+def score_callable_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed inference of a callable model (simple_model parity:
+    sparktools/simple_model.py + core.py:30-44) over Arrow batches.
+
+    The model computes f1*f2 on executors via mapInPandas; the oracle
+    states the same arithmetic in SQL — verifying the whole
+    schema/batch/dispatch plumbing end-to-end.
+    """
+    from spark_pipeline_spark.models import simple_model
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("uid"),
+            F.col("l_quantity").alias("f1"),
+            F.col("l_discount").alias("f2"),
+        )
+    )
+    scored = score(require_key(l, "uid"), simple_model, cols_to_save=["uid"])
+    return scored.select("uid", F.round("pred", 6).alias("pred")).orderBy("uid")
+
+
+@register(
+    "score_logistic_model",
+    oracle="""
+        SELECT c_custkey::VARCHAR AS uid,
+               round(1.0 / (1.0 + exp(-(0.001 * c_acctbal - 2.0))), 6) AS target_proba
+        FROM customer
+        ORDER BY uid
+    """,
+    tags=("scoring", "mapInPandas"),
+)
+def score_logistic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier dispatch branch (predict_proba → target_proba,
+    sparktools/core.py:57-61) with a deterministic numpy logistic model."""
+    from spark_pipeline_spark.models import LogisticModel
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), F.col("c_acctbal")
+    )
+    mdl = LogisticModel({"c_acctbal": 0.001}, intercept=-2.0)
+    scored = score(require_key(c, "uid"), mdl, cols_to_save=["uid"])
+    return scored.select("uid", F.round("target_proba", 6).alias("target_proba")).orderBy(
+        "uid"
+    )

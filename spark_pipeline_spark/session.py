@@ -1,0 +1,97 @@
+"""SparkSession bootstrap.
+
+Replaces the reference's 90-line environment-juggling ``init_spark``
+(``sparktools/core.py:277-366``: SPARK_HOME/YARN env vars, PYSPARK_SUBMIT_ARGS
+assembly, legacy SparkContext branch) with a single declarative builder.
+Config is data, not env mutation; the legacy ``SQLContext``/``HiveContext``
+split (``sparktools/core.py:369-411``) collapses into one ``SparkSession``.
+
+Defaults are chosen for large-cluster behavior (AQE, Arrow, shuffle sizing)
+while remaining correct on ``local[*]``.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Mapping
+
+from pyspark.sql import SparkSession
+
+# Scale-oriented defaults. Every one of these is a cluster-wide win that is
+# also harmless locally:
+# - AQE re-plans at runtime: coalesces small shuffle partitions, converts
+#   sort-merge joins to broadcast when the built side turns out small, and
+#   splits skewed partitions (skew-join handling) — critical at 100 TB where
+#   static planning guesses wrong.
+# - Arrow makes every pandas interchange (mapInPandas / toPandas) columnar
+#   and vectorized instead of row-pickled.
+# - UTC session timezone pins timestamp semantics so results are identical
+#   across engines and cluster nodes.
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.parquet.compression.codec": "zstd",
+    # Quiet progress bars in CI logs.
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def session_builder(
+    app_name: str = "spark_pipeline_spark",
+    master: str | None = None,
+    conf: Mapping[str, str] | None = None,
+    shuffle_partitions: int | None = None,
+    hive: bool = False,
+) -> SparkSession.Builder:
+    """Return a configured ``SparkSession.Builder`` (not yet built).
+
+    ``master`` defaults to ``$SPARK_GRAFT_MASTER`` or ``local[N]`` with N =
+    ``$SPARK_GRAFT_CPUS`` (else all cores). On a real cluster, leave
+    ``master`` unset and let spark-submit provide it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+
+    merged = dict(DEFAULT_CONF)
+    if shuffle_partitions is None:
+        # Local default: match core count. On a cluster, pass an explicit
+        # value sized to ~128 MB per shuffle partition at the target SF, or
+        # rely on AQE's coalescing with a high initial partition number.
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+    merged["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    if hive:
+        builder = builder.enableHiveSupport()
+    return builder
+
+
+def get_session(
+    app_name: str = "spark_pipeline_spark",
+    master: str | None = None,
+    conf: Mapping[str, str] | None = None,
+    shuffle_partitions: int | None = None,
+    hive: bool = False,
+) -> SparkSession:
+    """Build (or reuse) the process-wide SparkSession."""
+    return session_builder(
+        app_name=app_name,
+        master=master,
+        conf=conf,
+        shuffle_partitions=shuffle_partitions,
+        hive=hive,
+    ).getOrCreate()

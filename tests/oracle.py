@@ -1,0 +1,78 @@
+"""Local re-implementation of the driver's DuckDB-oracle compare.
+
+Mirrors the driver contract (BASELINE.md): row count + schema + order-
+insensitive value comparison between a Spark DataFrame and DuckDB running
+the oracle SQL on the same parquet tables.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(con: Any, sf_dir: str) -> None:
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {tbl} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')"
+        )
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out = out[sorted(out.columns)]
+    for c in out.columns:
+        s = out[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            out[c] = s.astype("int64") // 10**9  # epoch seconds
+        elif pd.api.types.is_float_dtype(s):
+            out[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            out[c] = s.astype("int64")
+        else:
+            out[c] = s.astype("string")
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def compare(spark_df: Any, con: Any, sql: str, atol: float = 1e-9) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match)."""
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(con.execute(sql).fetchdf())
+    problems: list[str] = []
+    if len(got) != len(want):
+        problems.append(f"row count: spark={len(got)} duckdb={len(want)}")
+    if list(got.columns) != list(want.columns):
+        problems.append(f"columns: spark={list(got.columns)} duckdb={list(want.columns)}")
+    if problems:
+        return problems
+    for c in got.columns:
+        a, b = got[c], want[c]
+        if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            aa = a.astype("float64").to_numpy()
+            bb = b.astype("float64").to_numpy()
+            bad = 0
+            for x, y in zip(aa, bb):
+                both_nan = math.isnan(x) and math.isnan(y)
+                if not both_nan and not math.isclose(x, y, rel_tol=0, abs_tol=atol):
+                    bad += 1
+            if bad:
+                problems.append(f"column {c}: {bad}/{len(aa)} float mismatches")
+        else:
+            neq = (a.fillna("\0") != b.fillna("\0")).sum()
+            if neq:
+                ex = [
+                    (str(x), str(y))
+                    for x, y in zip(a.tolist(), b.tolist())
+                    if str(x) != str(y)
+                ][:3]
+                problems.append(f"column {c}: {neq}/{len(a)} mismatches, e.g. {ex}")
+    return problems
