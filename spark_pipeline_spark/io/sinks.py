@@ -134,14 +134,24 @@ def save(df: DataFrame, conf: Mapping[str, Any]) -> None:
     """
     if conf.get("disabled", False):
         return
-    dist_key = conf.get("distribute-by")
-    if dist_key:
-        df = df.repartition(dist_key)
+    dist = conf.get("distribute-by")
+    if dist:
+        # Same mapping shape as sources.load: {num-partitions, key?} — or a
+        # bare string key for convenience. Keeps load/save contracts
+        # symmetric (reference core.py:177-178 is repartition(n, key)).
+        if isinstance(dist, str):
+            df = df.repartition(dist)
+        else:
+            n = int(dist["num-partitions"])
+            key = dist.get("key")
+            df = df.repartition(n, key) if key else df.repartition(n)
     n_parts = conf.get("n-partitions")
     if n_parts:
-        # coalesce, not repartition: controlling output file count does not
-        # need a full shuffle.
-        df = df.coalesce(int(n_parts))
+        # repartition, not coalesce: coalesce cannot increase the count and
+        # collapses upstream stage parallelism (n-partitions=1 would run the
+        # whole upstream computation in a single task). The shuffle is the
+        # price of preserving parallelism (reference core.py:180-181).
+        df = df.repartition(int(n_parts))
 
     storage = conf.get("storage", "file")
     if storage in ("file", "hdfs", "local"):

@@ -15,6 +15,8 @@ pure filter, pushed to the scan.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -22,7 +24,20 @@ from spark_pipeline_spark.functions import md5_int, md5_unit
 
 
 def _key_hash(df: DataFrame, key_cols: list[str] | None) -> Column:
-    """Uniform [0,1) draw per row from the md5 of the key columns."""
+    """Uniform [0,1) draw per row from the md5 of the key columns.
+
+    ``key_cols=None`` hashes *every* column — that forces the scan to read
+    all columns (defeats pruning) and changes sample membership whenever an
+    unrelated column is added, so it warns. Pass explicit keys in real
+    pipelines.
+    """
+    if not key_cols:
+        warnings.warn(
+            "sampling without explicit key_cols hashes all columns: the scan "
+            "cannot prune columns and sample membership changes if any column "
+            "is added — pass key_cols",
+            stacklevel=3,
+        )
     cols = key_cols if key_cols else list(df.columns)
     if len(cols) == 1:
         basis = F.col(cols[0]).cast("string")
@@ -49,14 +64,15 @@ def hash_sample(df: DataFrame, fraction: float, key_cols: list[str] | None = Non
 
 
 def deterministic_limit(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
-    """First-n rows, stable across reruns.
+    """First-n rows; stable across reruns ONLY when ``order_by`` is given.
 
     The reference implements this with ``rdd.zipWithIndex`` (``core.py:
     23-27``) — an RDD hop that kills column pruning. With an explicit
     ``order_by`` this is a global top-n: Spark executes it as per-partition
     TakeOrdered + merge on the driver — no full sort, no full shuffle.
-    Without ``order_by`` it falls back to ``limit`` (partition-order
-    first-n, which is what zipWithIndex gave).
+    Without ``order_by`` it falls back to plain ``limit``, which (like the
+    reference's zipWithIndex after a shuffle) is NOT guaranteed stable
+    across reruns — pass ``order_by`` whenever determinism matters.
     """
     if order_by:
         return df.orderBy(*order_by).limit(n)
@@ -122,15 +138,20 @@ def proportion_samples(
 
 
 def stratified_fraction_sample(
-    df: DataFrame, strata_col: str, fractions: dict[str, float]
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling with per-key fractions.
 
     The fraction-quota sibling of :func:`proportion_samples` (Spark's
     ``sampleBy``, made deterministic): keep a row iff its content hash is
     under its stratum's fraction. Pure filter — no shuffle at all.
+    Pass ``key_cols`` (the row-identity columns) so the draw doesn't hash
+    every column.
     """
     frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
-    draw = _key_hash(df, None)
+    draw = _key_hash(df, key_cols)
     stratum_frac = frac.getItem(F.col(strata_col).cast("string"))
     return df.filter(draw < F.coalesce(stratum_frac, F.lit(0.0)))

@@ -74,11 +74,28 @@ def _output_schema(
     cols_to_save: list[str] | None,
 ) -> str:
     """Explicit output DDL (``sparktools/core.py:31-36`` approach) — nothing
-    schema-inferred, so floats stay floats and nulls stay typed."""
+    schema-inferred, so floats stay floats and nulls stay typed.
+
+    The class count is never guessed: a ``predict_proba`` model must carry
+    ``classes_`` or the caller must pass ``target_class_names`` — otherwise
+    the declared schema could disagree with the runtime batch width, which
+    would only surface as an Arrow error deep inside an executor
+    (SURVEY.md §2.13.9 — the schema-inference class of bug this engine
+    rejects).
+    """
     saved = [c for c in (cols_to_save or []) if c in df.columns]
     parts = [f"`{name}` {dtype}" for name, dtype in df.select(*saved).dtypes] if saved else []
     if hasattr(mdl, "predict_proba"):
-        n_classes = len(getattr(mdl, "classes_", [0, 1]))
+        if target_class_names is not None:
+            n_classes = len(target_class_names)
+        elif hasattr(mdl, "classes_"):
+            n_classes = len(mdl.classes_)
+        else:
+            raise ValueError(
+                "model has predict_proba but no classes_ attribute; pass "
+                "target_class_names so the output schema is explicit "
+                "(binary models: pass ['neg','pos'] or expose classes_)"
+            )
         if n_classes <= 2:
             parts.append("target_proba double")
         else:

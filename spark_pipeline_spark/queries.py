@@ -102,7 +102,6 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -128,10 +127,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped: selective dim filter → fact joins → grouped top-k.
 
-    Scale notes: the filtered customer side is small → broadcast hint, so
-    the orders⋈customer join never shuffles orders; lineitem⋈orders is the
-    one big shuffle; top-10 runs as TakeOrdered (no global sort
-    materialization).
+    Scale notes: the filtered customer side is selective but proportional
+    to fact size — no forced broadcast hint; AQE converts the join to
+    broadcast at runtime when the built side is actually small (safe at
+    any SF). lineitem⋈orders is the one big shuffle; top-10 runs as
+    TakeOrdered (no global sort materialization).
     """
     c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = t(spark, sf_dir, "orders").filter(
@@ -142,7 +142,7 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.unix_timestamp("o_orderdate").alias("o_orderdate_epoch"),
@@ -178,10 +178,13 @@ def q3_unshipped_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped: star join with small dims broadcast.
+    """TPC-H-Q5-shaped: star join with genuinely-small dims broadcast.
 
-    Scale notes: region/nation/supplier/customer are dims — all broadcast
-    (no shuffle of lineitem for them); only lineitem⋈orders shuffles.
+    Scale notes: region/nation are tiny (≤25 rows at any SF) → explicit
+    broadcast hints. customer/supplier grow with the fact tables — forcing
+    their broadcast would OOM the build side at large SF, so AQE owns that
+    call (runtime conversion when actually small). Only lineitem⋈orders is
+    an unavoidable big shuffle.
     """
     l = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -191,9 +194,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -204,7 +207,6 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "revenue"
             )
         )
-        .orderBy(F.desc("revenue"), "n_name")
     )
 
 
@@ -235,7 +237,6 @@ def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("o_totalprice"), 2).alias("min_price"),
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
-        .orderBy("o_orderstatus", "o_orderpriority")
     )
 
 
@@ -297,9 +298,7 @@ def hash_sample_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pipeline_spark.operators.sampling import hash_sample
 
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
-    return hash_sample(l, 0.1, ["l_orderkey", "l_linenumber"]).orderBy(
-        "l_orderkey", "l_linenumber"
-    )
+    return hash_sample(l, 0.1, ["l_orderkey", "l_linenumber"])
 
 
 @register(
@@ -332,7 +331,7 @@ def grouped_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.select(
         "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
-    ).orderBy("o_custkey", F.desc("o_totalprice"), "o_orderkey")
+    )
 
 
 @register(
@@ -381,9 +380,7 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey"),
         ],
     )
-    return picked.select("c_nationkey", "c_custkey", "c_name").orderBy(
-        "c_nationkey", "c_custkey"
-    )
+    return picked.select("c_nationkey", "c_custkey", "c_name")
 
 
 # ---------------------------------------------------------------------------
@@ -425,7 +422,7 @@ def score_callable_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     scored = score(require_key(l, "uid"), simple_model, cols_to_save=["uid"])
-    return scored.select("uid", F.round("pred", 6).alias("pred")).orderBy("uid")
+    return scored.select("uid", F.round("pred", 6).alias("pred"))
 
 
 @register(
@@ -450,6 +447,4 @@ def score_logistic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mdl = LogisticModel({"c_acctbal": 0.001}, intercept=-2.0)
     scored = score(require_key(c, "uid"), mdl, cols_to_save=["uid"])
-    return scored.select("uid", F.round("target_proba", 6).alias("target_proba")).orderBy(
-        "uid"
-    )
+    return scored.select("uid", F.round("target_proba", 6).alias("target_proba"))
