@@ -1,0 +1,161 @@
+"""Text analysis operators for LLM-data pipelines.
+
+North-star capability (SURVEY.md §2.11 — absent from the reference, which
+has no text functions at all; its closest hook is the ``transform-sql``
+SQL passthrough, ``sparktools/core.py:158-160``): language-ID, quality
+scoring, token counting, and document fingerprinting over a ``documents``
+table.
+
+Every operator here is a **pure Catalyst column expression** — no Python
+UDFs, no RDDs. At 100 TB that means: whole-stage codegen, column pruning
+down to the one ``text`` column, predicate pushdown through the derived
+columns, and zero Python-worker serialization. A row-at-a-time Python
+tokenizer would be 10-100× slower and is never needed for these
+statistics.
+
+Determinism/oracle note: the engine's cross-engine correctness gate
+hash-compares results with DuckDB, so all expressions are chosen from the
+portable subset (regex counts, string splits, md5 hashing) that both
+engines evaluate identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.functions import md5_int
+
+__all__ = [
+    "TOKEN_REGEX",
+    "STOPWORDS",
+    "LANG_PRIORITY",
+    "tokens_ws",
+    "token_count_ws",
+    "token_count_regex",
+    "punct_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "detect_language",
+    "minhash_fingerprint",
+    "content_fingerprint",
+]
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# The same pattern (RE2/Java-regex compatible) counts "tokens a BPE would
+# split further" — a cheap, deterministic proxy for tokenizer cost used to
+# budget LLM training data.
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+# Minimal function-word sets per language (public, frequency-list top
+# words). Deliberately tiny: the operator demonstrates the n-gram/stopword
+# LID mechanism; swapping in bigger lists is data, not code.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "zu", "den", "von", "ist"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "una"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "这"),
+}
+
+# Deterministic argmax order: earlier language wins score ties.
+LANG_PRIORITY: tuple[str, ...] = ("en", "de", "es", "fr", "zh")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens_ws(col: Column | str) -> Column:
+    """Whitespace tokens of a text column (array<string>, lowercased)."""
+    return F.split(F.lower(F.trim(_c(col))), "\\s+")
+
+
+def token_count_ws(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens_ws(col))
+
+
+def token_count_regex(col: Column | str, pattern: str = TOKEN_REGEX) -> Column:
+    """BPE-ish token count: matches of the pre-tokenizer regex."""
+    return F.regexp_count(_c(col), F.lit(pattern))
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are punctuation/symbols (not
+    alphanumeric, not whitespace)."""
+    c = _c(col)
+    n_punct = F.regexp_count(c, F.lit("[^A-Za-z0-9 \\t\\n\\r]"))
+    return n_punct / F.greatest(F.length(c), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens_ws(col)
+    words = STOPWORDS[lang]
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return hits / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic document quality heuristic in [0, 1].
+
+    Components (each clamped): length credit (saturates at 100 tokens),
+    low-punctuation credit, stopword-presence credit (real prose contains
+    function words; word-salad and boilerplate mostly don't). The exact
+    weights are a convention — the operator contract is "deterministic,
+    engine-portable, monotone in the obvious directions".
+    """
+    c = _c(col)
+    len_credit = F.least(token_count_ws(c) / F.lit(100.0), F.lit(1.0))
+    punct_credit = F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
+    stop_credit = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
+    return len_credit * 0.4 + punct_credit * 0.3 + stop_credit * 0.3
+
+
+def detect_language(col: Column | str, langs: tuple[str, ...] = LANG_PRIORITY) -> Column:
+    """Stopword-vote language ID: the language whose function words appear
+    most often in the text (ties resolved by ``langs`` priority order).
+
+    The classic cheap LID heuristic (an n-gram model distilled to its
+    highest-signal features). One pass, pure expressions — at 100 TB this
+    runs inside the scan's codegen stage.
+    """
+    toks = tokens_ws(col)
+
+    def hits(words: tuple[str, ...]) -> Column:
+        # single-arg lambda: F.filter dispatches on arity, so the word set
+        # must be closed over, not a defaulted second parameter.
+        return F.size(F.filter(toks, lambda tok: tok.isin(*words)))
+
+    scores = {lang: hits(STOPWORDS[lang]) for lang in langs}
+    # Priority-ordered argmax as nested CASE: lang_i wins iff its score is
+    # >= every later language's score.
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(i + 1, len(langs)):
+            c = scores[langs[i]] >= scores[langs[j]]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    return expr
+
+
+def minhash_fingerprint(col: Column | str, shingle_len: int = 8) -> Column:
+    """Rolling-hash document fingerprint: min md5 over all character
+    ``shingle_len``-grams (winnowing with window = whole document).
+
+    Near-identical documents share their minimum shingle hash with high
+    probability, so equal fingerprints are cheap near-dup candidates —
+    grouping by this column is a shuffle on a bigint, never on text.
+    Texts shorter than ``shingle_len`` hash whole.
+    """
+    c = _c(col)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(c) - (shingle_len - 1), F.lit(1)))
+    hashes = F.transform(positions, lambda i: md5_int(c.substr(i, F.lit(shingle_len))))
+    return F.array_min(hashes)
+
+
+def content_fingerprint(col: Column | str) -> Column:
+    """Exact-content fingerprint: md5 hex of the raw text."""
+    return F.md5(_c(col))

@@ -384,6 +384,152 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Text analysis over `documents` (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+# The oracle SQL is generated from the SAME constants the Spark operators
+# use (spark_pipeline_spark/operators/text.py), so both sides stay in
+# lock-step by construction.
+
+from spark_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS, TOKEN_REGEX
+
+# DuckDB fragments mirroring operators/text.py expressions exactly.
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKS}, tk -> tk IN ({words})))"
+
+
+def _sql_langid_case() -> str:
+    """Priority-ordered argmax over stopword votes as a CASE expression —
+    the same nested-when shape as text.detect_language."""
+    score = {lang: f"s_{lang}" for lang in LANG_PRIORITY}
+    clauses = []
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        conds = " AND ".join(
+            f"{score[lang]} >= {score[later]}" for later in LANG_PRIORITY[i + 1 :]
+        )
+        clauses.append(f"WHEN {conds} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+
+
+@register(
+    "text_stats_documents",
+    oracle=f"""
+        SELECT doc_id,
+               len({_SQL_TOKS}) AS n_tokens,
+               len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens_bpe,
+               length(text) AS n_chars_calc,
+               round(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round({_sql_stop_hits("en")}::DOUBLE
+                     / greatest(len({_SQL_TOKS}), 1), 6) AS stopword_ratio_en
+        FROM documents
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token/char/punctuation statistics — the LLM-pipeline
+    budgeting pass (tokens ≈ cost). Pure Catalyst expressions: one scan of
+    the single `text` column, no Python, fully codegen'd."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count_ws("text").alias("n_tokens"),
+        T.token_count_regex("text").alias("n_tokens_bpe"),
+        F.length("text").alias("n_chars_calc"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text", "en"), 6).alias("stopword_ratio_en"),
+    )
+
+
+@register(
+    "text_quality_documents",
+    oracle=f"""
+        SELECT doc_id,
+               round(
+                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({_sql_stop_hits("en")}::DOUBLE
+                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3,
+               6) AS quality
+        FROM documents
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality heuristic per document (length, punctuation,
+    stopword-presence credits) — the score a filter pass would threshold
+    on. Kept unfiltered here so the oracle verifies the whole score
+    surface, not just the survivors."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+        WITH scored AS (
+          SELECT lang,
+                 {", ".join(f"{_sql_stop_hits(lang)} AS s_{lang}" for lang in LANG_PRIORITY)}
+          FROM documents
+        )
+        SELECT lang, {_sql_langid_case()} AS pred_lang, count(*) AS n_docs
+        FROM scored
+        GROUP BY lang, pred_lang
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID, aggregated as a (labeled, predicted)
+    confusion matrix. The vote and the priority-ordered argmax are single
+    expressions — language-ID at 100 TB is a scan, not a model service."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", T.detect_language("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "text_fingerprint_documents",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS fp_md5,
+               list_min(list_transform(
+                 generate_series(1, greatest(length(text) - 7, 1)),
+                 i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+               )) AS fp_minhash
+        FROM documents
+    """,
+    tags=("text", "fingerprint", "llm-pipeline"),
+)
+def text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact (md5 of content) and rolling-hash
+    (min md5 over char 8-grams — winnowing with window = document). The
+    minhash column is the cheap near-dup blocking key: grouping on it
+    shuffles a bigint, never the text."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.content_fingerprint("text").alias("fp_md5"),
+        T.minhash_fingerprint("text", 8).alias("fp_minhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model scoring via mapInPandas (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
