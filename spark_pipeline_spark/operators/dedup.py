@@ -1,0 +1,304 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash-LSH,
+SimHash, n-gram Jaccard.
+
+North-star capability (SURVEY.md §2.11 — absent from the reference; its
+only uniqueness tool is the SQL passthrough, ``sparktools/core.py:158-160``).
+
+100 TB design rules baked in:
+
+- **Never all-pairs.** Candidate generation is always a *bucketed
+  equi-join* (LSH band keys, SimHash byte blocks) — the only pairs ever
+  materialized are hash-collision candidates. A cartesian similarity pass
+  over N documents is O(N²) and unrunnable at corpus scale.
+- **Shuffle hashes, not text.** Banding tables carry (id, band, key)
+  only; shingle sets are re-joined for the verify pass, so the wide text
+  payload crosses the wire once, not bands× times.
+- **Pure Catalyst expressions.** Shingling, MinHash signatures, band
+  keys, SimHash bit votes, Jaccard — all JVM-side column expressions
+  (``transform``/``aggregate``/``array_*``), no Python workers.
+- **Deterministic hashing.** All randomness derives from md5 content
+  hashes (`spark_pipeline_spark.functions.md5_int`), so dedup decisions
+  are reproducible across reruns, partitionings, and engines — and
+  verifiable against a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.functions import md5_int
+
+__all__ = [
+    "dedup_exact",
+    "dedup_exact_content",
+    "word_shingles",
+    "jaccard_similarity",
+    "minhash_band_keys",
+    "minhash_near_dup_pairs",
+    "simhash",
+    "simhash_near_dup_pairs",
+]
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep exactly one row per ``key_cols`` group: the one with the
+    minimum ``order_col`` (must be unique per group, e.g. a primary key —
+    with ties, per-column ``min_by`` picks could disagree).
+
+    Spark-first shape: ``groupBy().agg(min_by(...))`` instead of a
+    ``row_number`` window — aggregation gets map-side partial combine, so
+    the shuffle carries one candidate row per (partition × key) instead of
+    every row. At 100 TB with few duplicates that is ~no reduction, but
+    with heavy duplication (the common crawl case) it is the difference
+    between shuffling the corpus and shuffling the distinct set.
+    """
+    rest = [c for c in df.columns if c not in key_cols and c != order_col]
+    aggs = [F.min(order_col).alias(order_col)]
+    aggs += [F.min_by(c, _c(order_col)).alias(c) for c in rest]
+    deduped = df.groupBy(*key_cols).agg(*aggs)
+    return deduped.select(*df.columns)  # original column order
+
+
+def dedup_exact_content(df: DataFrame, content_col: str, order_col: str) -> DataFrame:
+    """Exact-content dedup: one surviving row per distinct md5(content).
+
+    The grouping key is the 32-char digest, not the document — the shuffle
+    carries fixed-width hashes regardless of document size.
+    """
+    hashed = df.withColumn("__fp", F.md5(_c(content_col).cast("string")))
+    return dedup_exact(hashed, ["__fp"], order_col).drop("__fp")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + Jaccard (the fuzzy-dedup verify kernel)
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word ``n``-grams of a text column (array<string>).
+
+    Lowercased, whitespace-tokenized. Documents with fewer than ``n``
+    words yield an empty array (callers filter those out of fuzzy dedup).
+    """
+    w = F.split(F.lower(F.trim(_c(col))), "\\s+")
+    count = F.size(w) - (n - 1)
+    grams = F.when(
+        count >= 1,
+        F.transform(
+            # guard: Spark's sequence(1, stop) turns DESCENDING for stop<1,
+            # which would index element 0 — the when() keeps stop >= 1.
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def jaccard_similarity(a: Column | str, b: Column | str) -> Column:
+    """Jaccard similarity of two array columns: |A∩B| / |A∪B|."""
+    ca, cb = _c(a), _c(b)
+    inter = F.size(F.array_intersect(ca, cb))
+    union = F.size(ca) + F.size(cb) - inter
+    return inter / F.greatest(union, F.lit(1)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_sig(shingles: Column, seed: int) -> Column:
+    """One MinHash signature value: min over shingles of a seeded md5.
+
+    Seeding by string prefix (``"{seed}|" + shingle``) keeps the hash
+    family engine-portable — any engine with md5 reproduces it.
+    """
+    return F.array_min(
+        F.transform(shingles, lambda s: md5_int(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def minhash_band_keys(
+    shingles: Column | str, num_hashes: int = 16, bands: int = 4
+) -> Column:
+    """Array of LSH band keys for a shingle-set column.
+
+    ``num_hashes`` MinHash values split into ``bands`` equal bands; each
+    band key is the '|'-joined signature slice. Two documents get the
+    same key for a band iff that signature slice matches exactly — the
+    standard banding construction: P(candidate) = 1-(1-J^r)^b for
+    Jaccard J, r = rows per band.
+    """
+    sh = _c(shingles)
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    r = num_hashes // bands
+    sig = [_minhash_sig(sh, j) for j in range(num_hashes)]
+    keys = [
+        F.concat_ws("|", *[s.cast("string") for s in sig[b * r : (b + 1) * r]])
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
+
+    Returns ``(id_a, id_b, jaccard)`` with ``id_a < id_b`` and
+    ``jaccard >= threshold`` over word ``n``-gram shingle sets.
+
+    Plan shape (the part that must survive 100 TB):
+
+    1. shingle + band — one scan, expressions only;
+    2. explode to (id, band, key) — fixed-width rows, b per document;
+    3. self-equi-join on (band, key) + distinct — candidates only ever
+       meet inside a bucket; no cartesian anywhere;
+    4. join candidates back to the shingle table (twice) and verify with
+       exact Jaccard — the wide shingle payload moves only for candidate
+       ids, not for every banded copy.
+    """
+    base = (
+        df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    banded = base.select(
+        "__id",
+        F.posexplode(minhash_band_keys(F.col("__sh"), num_hashes, bands)).alias(
+            "__band", "__key"
+        ),
+    )
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_similarity("__sh_a", "__sh_b").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash of a text column over whitespace tokens (bigint).
+
+    Classic construction (Charikar 2002): each token votes ±1 on every
+    bit of its md5 hash; the fingerprint sets bits with positive vote
+    sums. Near-identical token multisets differ in few bits, so hamming
+    distance approximates similarity. Pure expressions: one ``transform``
+    to hash tokens, ``aggregate`` folds per bit.
+    """
+    toks = F.split(F.lower(F.trim(_c(col))), "\\s+")
+    hashes = F.transform(toks, lambda tk: md5_int(tk))
+
+    def bit_votes(b: int) -> Column:
+        # two-arg merge lambda: F.aggregate dispatches on arity, so the
+        # bit index must be closed over, not a defaulted third parameter.
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    out = F.lit(0).cast("bigint")
+    for b in range(bits):
+        out = out + F.when(bit_votes(b) >= 0, F.lit(1 << b).cast("bigint")).otherwise(
+            F.lit(0)
+        )
+    return out
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash byte-block candidates + hamming verify.
+
+    Returns ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
+    Blocking: split the fingerprint into ``blocks`` equal bit-blocks; by
+    pigeonhole, any pair within hamming distance < ``blocks`` shares at
+    least one exact block, so candidates are an equi-join on (block idx,
+    block value) — same never-all-pairs discipline as MinHash-LSH. For
+    ``max_hamming >= blocks`` the guarantee weakens to a recall heuristic
+    (standard practice; raise ``blocks`` for exact recall).
+    """
+    if bits % blocks:
+        raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
+    width = bits // blocks
+    mask = (1 << width) - 1
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
+    )
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("__simhash"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ]
+    )
+    blocked = sh.select(
+        "__id", "__simhash", F.posexplode(block_vals).alias("__block", "__val")
+    )
+    left, right = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__simhash").alias("__h_a"),
+            F.col("b.__simhash").alias("__h_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__h_a").bitwiseXOR(F.col("__h_b")))
+    return (
+        cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -530,6 +530,182 @@ def text_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Deduplication over `documents` (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+# Oracle SQL is generated to mirror operators/dedup.py hash-for-hash: both
+# engines derive every hash from md5, so LSH banding and SimHash votes are
+# bit-identical — the oracle replays the full pipeline, not a proxy.
+
+_SQL_MD5INT = "('0x' || substr(md5({x}), 1, 8))::BIGINT"
+_SQL_WORDS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_SHINGLES3 = (
+    "list_distinct(list_transform(range(1, len(w) - 1),"
+    " i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))"
+)
+
+
+def _sql_minhash_cte(num_hashes: int, bands: int) -> str:
+    """CTEs: shingled docs → per-doc MinHash signature → exploded bands."""
+    r = num_hashes // bands
+    sig_cols = ", ".join(
+        "list_min(list_transform(sh, s -> "
+        + _SQL_MD5INT.format(x=f"'{j}|' || s")
+        + f")) AS h{j}"
+        for j in range(num_hashes)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * r + k}::VARCHAR" for k in range(r))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+        shingled AS (
+          SELECT doc_id, {_SQL_SHINGLES3} AS sh
+          FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+        ),
+        nonempty AS (SELECT * FROM shingled WHERE len(sh) > 0),
+        sig AS (SELECT doc_id, sh, {sig_cols} FROM nonempty),
+        banded AS ({band_selects})
+    """
+
+
+def _sql_simhash_expr(bits: int) -> str:
+    """Per-document SimHash from token-hash bit votes (mirrors
+    dedup.simhash: vote = Σ ±1 per bit of each token's md5 hash)."""
+    h = "list_transform(" + _SQL_WORDS + ", tk -> " + _SQL_MD5INT.format(x="tk") + ")"
+    terms = " + ".join(
+        f"(CASE WHEN coalesce(list_sum(list_transform({h}, "
+        f"hh -> ((hh >> {b}) & 1) * 2 - 1)), 0) >= 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits)
+    )
+    return f"({terms})::BIGINT"
+
+
+@register(
+    "dedup_exact_documents",
+    oracle="""
+        SELECT lang, source,
+               min(doc_id) AS doc_id,
+               min_by(n_chars, doc_id) AS n_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by key: one surviving document per (lang, source),
+    deterministic min-doc_id representative. groupBy + min_by keeps
+    map-side partial aggregation — the shuffle shrinks with duplication
+    (a window/rank formulation would shuffle every row)."""
+    from spark_pipeline_spark.operators.dedup import dedup_exact
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    kept = dedup_exact(d, ["lang", "source"], "doc_id")
+    return kept.select("lang", "source", "doc_id", "n_chars")
+
+
+@register(
+    "dedup_minhash_lsh_documents",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                     / greatest(len(sa.sh) + len(sb.sh)
+                                - len(list_intersect(sa.sh, sb.sh)), 1),
+                     6) AS jaccard
+        FROM cand
+          JOIN nonempty sa ON sa.doc_id = id_a
+          JOIN nonempty sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                    / greatest(len(sa.sh) + len(sb.sh)
+                               - len(list_intersect(sa.sh, sb.sh)), 1),
+                    6) >= 0.7
+    """,
+    tags=("dedup", "minhash", "lsh", "llm-pipeline"),
+    bench=True,
+)
+def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by MinHash banded LSH (16 hashes × 4 bands)
+    with exact 3-gram-Jaccard verification at ≥ 0.7.
+
+    The scale-critical property: candidates come from an equi-join on
+    band keys — hash collisions only, never an all-pairs comparison. All
+    hashing is md5-derived Catalyst expressions, so the oracle replays
+    the identical LSH decisions."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.7)
+
+
+@register(
+    "dedup_simhash_documents",
+    oracle=f"""
+        SELECT doc_id, {_sql_simhash_expr(32)} AS simhash
+        FROM documents
+    """,
+    tags=("dedup", "simhash", "llm-pipeline"),
+)
+def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprint per document (Charikar bit-vote
+    construction over whitespace tokens) — the compact similarity sketch:
+    near-identical documents land within a few bits."""
+    from spark_pipeline_spark.operators.dedup import simhash
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash("text").alias("simhash"))
+
+
+@register(
+    "dedup_simhash_pairs_documents",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id, {_sql_simhash_expr(32)} AS simhash FROM documents
+        ),
+        blocked AS (
+          SELECT doc_id, simhash, 0 AS block, (simhash >> 0) & 255 AS val FROM sh
+          UNION ALL
+          SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sh
+          UNION ALL
+          SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sh
+          UNION ALL
+          SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sh
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.simhash AS h_a, b.simhash AS h_b
+          FROM blocked a JOIN blocked b
+            ON a.block = b.block AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
+        FROM cand
+        WHERE bit_count(xor(h_a, h_b)) <= 3
+    """,
+    tags=("dedup", "simhash", "lsh", "llm-pipeline"),
+)
+def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: byte-block candidate join (pigeonhole
+    blocking — pairs within hamming < 4 always share a block, so recall
+    is exact here) + hamming verify ≤ 3. Same never-all-pairs discipline
+    as MinHash-LSH."""
+    from spark_pipeline_spark.operators.dedup import simhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
 # Model scoring via mapInPandas (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
