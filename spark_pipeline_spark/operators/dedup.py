@@ -174,10 +174,18 @@ def minhash_near_dup_pairs(
     4. join candidates back to the shingle table (twice) and verify with
        exact Jaccard — the wide shingle payload moves only for candidate
        ids, not for every banded copy.
+
+    The shingle table feeds three plan branches (banding + both verify
+    sides), so it is persisted (memory-and-disk) for the job's duration —
+    shingling the corpus once instead of three times. Callers running
+    inside a larger pipeline can ``unpersist`` after the action.
     """
+    from pyspark.storagelevel import StorageLevel
+
     base = (
         df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
         .filter(F.size("__sh") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     banded = base.select(
         "__id",

@@ -706,6 +706,120 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+
+# Shared oracle CTE: embeddings as double vectors; IVF assignment with the
+# same deterministic tie-break as similarity.ivf_assign (cos desc, cell asc).
+_SQL_EMB = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+_SQL_IVF_ASSIGN = """
+        e AS ({emb}),
+        cen AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 4),
+        assign AS (
+          SELECT e.vec_id, e.v, c.cell
+          FROM e CROSS JOIN cen c
+          QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC
+          ) = 1
+        )
+""".format(emb=_SQL_EMB)
+
+
+@register(
+    "embedding_topk_bruteforce",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        q AS (SELECT * FROM e WHERE vec_id < 10)
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS rank
+        FROM q JOIN e c ON q.vec_id != c.vec_id
+        QUALIFY rank <= 5
+    """,
+    tags=("similarity", "topk", "llm-pipeline"),
+    bench=True,
+)
+def embedding_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 10 query vectors — the ANN
+    baseline. Queries broadcast; the corpus streams through a nested-loop
+    join without shuffling vectors; cosine is the JVM-side zip_with/
+    aggregate expression (no Python)."""
+    from spark_pipeline_spark.operators.similarity import cosine_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    top = cosine_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, exclude_self=True
+    )
+    return top.select(
+        "query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "embedding_ann_ivf",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        q AS (SELECT * FROM assign WHERE vec_id < 20)
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.cell AS cell,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS rank
+        FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id != c.vec_id
+        QUALIFY rank <= 3
+    """,
+    tags=("similarity", "ann", "ivf", "llm-pipeline"),
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-3 for 20 queries (nprobe=1, 4 seed
+    centroids = vectors 0..3). Each query scores only its cell's ~N/4
+    candidates — the scale path: assignment is one broadcast + max_by
+    aggregation, search is an equi-join on the cell id."""
+    from spark_pipeline_spark.operators.similarity import ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    top = ivf_topk(
+        e, e.filter(F.col("vec_id") < 20), centroids, k=3, exclude_self=True
+    )
+    return top.select(
+        "query_id", "neighbor_id", "cell", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+@register(
+    "embedding_near_dup_ivf",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN}
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥ 0.4), compared only
+    within IVF cells — the embedding-space member of the dedup family,
+    same never-all-pairs blocking discipline."""
+    from spark_pipeline_spark.operators.similarity import embedding_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    pairs = embedding_near_dup_pairs(e, centroids, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
 # Model scoring via mapInPandas (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
