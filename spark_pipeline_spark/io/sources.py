@@ -20,6 +20,7 @@ from collections.abc import Mapping
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from spark_pipeline_spark.operators.sampling import hash_sample
 
@@ -48,6 +49,27 @@ def read_file(
     if opts:
         reader = reader.options(**opts)
     return reader.load(path)
+
+
+def read_parquet_nanos(
+    spark: SparkSession, path: str, nanos_cols: list[str]
+) -> DataFrame:
+    """Parquet scan for files with TIMESTAMP(NANOS) columns, which Spark's
+    reader rejects outright (PARQUET_TYPE_ILLEGAL).
+
+    The legacy conf maps nano columns to bigint at the scan; the named
+    columns are then truncated to microsecond timestamps — truncation,
+    not rounding (``div 1000``), matching how engines with native µs
+    timestamps (DuckDB, Arrow casts) coerce nanos. Conversion is a
+    codegen expression on the scan output; everything else about the scan
+    (pushdown on other columns, pruning) is unchanged.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def read_jdbc(

@@ -1,0 +1,124 @@
+"""Event-time window analytics: tumbling / sliding / session windows and
+JSON-props extraction over an events stream table.
+
+North-star capability (SURVEY.md §2.11 — the reference has no time
+operators at all; time appears only as string audit columns,
+``sparktools/scorer.py:51-57``).
+
+Batch-first, stream-ready: every operator here is expressed with
+``F.window`` / ``F.session_window`` / ``from_json``, which run
+identically under Structured Streaming (``readStream`` +
+``withWatermark`` + the same groupBy) — see
+`spark_pipeline_spark.streaming`. At 100 TB the batch shapes matter:
+
+- tumbling/sliding windows are plain groupBy aggregations on a derived
+  bucket — partial map-side combine applies, the shuffle carries one row
+  per (window × key) per partition;
+- session windows shuffle once on the session keys (Spark merges
+  overlapping sessions inside the aggregation — no self-join, no window
+  function over the full event stream);
+- ``from_json`` parses inside codegen; parse once, then prune — never
+  regex a JSON string per field.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_window",
+    "sliding_window",
+    "session_windows",
+    "with_json_props",
+]
+
+
+def _windowed(
+    df: DataFrame,
+    window_col: Column,
+    keys: Sequence[str],
+    aggs: Sequence[Column],
+) -> DataFrame:
+    out = df.groupBy(window_col.alias("window"), *keys).agg(*aggs)
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("window", *keys)],
+    )
+
+
+def tumbling_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Non-overlapping event-time buckets (``F.window(ts, duration)``).
+
+    Buckets align to the epoch in the session timezone (engine default
+    UTC) — ``window_start = floor(epoch/d)*d`` for second-granularity
+    durations, which is what makes results engine-portable.
+    """
+    return _windowed(df, F.window(F.col(ts_col), duration), keys, aggs)
+
+
+def sliding_window(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Overlapping event-time buckets (``F.window(ts, duration, slide)``).
+
+    Each event lands in ``duration/slide`` windows; the fan-out happens
+    inside the window expression (no explode + self-join).
+    """
+    return _windowed(df, F.window(F.col(ts_col), duration, slide), keys, aggs)
+
+
+def session_windows(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Activity sessions per key: a session extends while consecutive
+    events arrive within ``gap`` (``F.session_window``).
+
+    Semantics (shared with the SQL gaps-and-islands formulation the
+    oracle uses): an event exactly ``gap`` after its predecessor starts a
+    NEW session — session windows are half-open ``[start, last+gap)``.
+    One shuffle on ``keys``; Spark merges overlapping session fragments
+    inside the aggregation, so there is no per-event window function over
+    the whole stream.
+    """
+    out = df.groupBy(F.session_window(F.col(ts_col), gap), *keys).agg(*aggs)
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *keys,
+        *[c for c in out.columns if c not in ("session_window", *keys)],
+    )
+
+
+def with_json_props(df: DataFrame, json_col: str, schema_ddl: str) -> DataFrame:
+    """Parse a JSON-string column into typed fields (``from_json``) and
+    flatten them alongside the original columns.
+
+    The explicit DDL schema keeps parsing inside codegen and lets
+    Catalyst prune unreferenced fields; schema inference over JSON at
+    100 TB would cost an extra full pass.
+    """
+    parsed = df.withColumn("__props", F.from_json(F.col(json_col), schema_ddl))
+    field_names = [f.name for f in parsed.schema["__props"].dataType.fields]
+    return parsed.select(
+        *df.columns, *[F.col(f"__props.{n}").alias(n) for n in field_names]
+    ).drop("__props")

@@ -51,6 +51,12 @@ def register(
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
+        # rejects; read nanos as long and truncate to µs (DuckDB parity).
+        from spark_pipeline_spark.io.sources import read_parquet_nanos
+
+        return read_parquet_nanos(spark, f"{sf_dir}/events.parquet", ["ts"])
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -817,6 +823,182 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = embedding_near_dup_pairs(e, centroids, threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows over `events` (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+# Window starts are projected as epoch seconds (bigint): Spark's F.window
+# aligns buckets to the UTC epoch, so floor(epoch/d)*d reproduces them in
+# any engine.
+
+
+@register(
+    "events_tumbling_daily",
+    oracle="""
+        SELECT (floor(epoch(ts))::BIGINT // 86400) * 86400 AS window_start_epoch,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY window_start_epoch, event_type
+    """,
+    tags=("window", "events", "llm-pipeline"),
+    bench=True,
+)
+def events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window counts/sums per event type (F.window).
+    A plain groupBy on the derived bucket — map-side partial aggregation,
+    shuffle carries one row per (day × type) per partition. The same
+    expression runs under Structured Streaming with a watermark."""
+    from spark_pipeline_spark.operators.windows import tumbling_window
+
+    e = t(spark, sf_dir, "events")
+    w = tumbling_window(
+        e,
+        "ts",
+        "1 day",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return w.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sliding_daily_12h",
+    oracle="""
+        WITH b AS (
+          SELECT (floor(epoch(ts))::BIGINT // 43200) * 43200 AS k,
+                 event_type, value
+          FROM events
+        ),
+        w AS (
+          SELECT k AS ws, event_type, value FROM b
+          UNION ALL
+          SELECT k - 43200 AS ws, event_type, value FROM b
+        )
+        SELECT ws AS window_start_epoch, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM w
+        GROUP BY window_start_epoch, event_type
+    """,
+    tags=("window", "events", "llm-pipeline"),
+)
+def events_sliding_daily_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 12h: each event lands in exactly two
+    windows, fanned out inside the window expression (no explode +
+    self-join). The oracle reproduces the fan-out as a two-way UNION."""
+    from spark_pipeline_spark.operators.windows import sliding_window
+
+    e = t(spark, sf_dir, "events")
+    w = sliding_window(
+        e,
+        "ts",
+        "1 day",
+        "12 hours",
+        keys=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return w.select(
+        F.unix_timestamp("window_start").alias("window_start_epoch"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_sessions_30m",
+    oracle="""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        s AS (
+          SELECT *, sum(new_sess) OVER (
+            PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+          ) AS sess_id
+          FROM x
+        )
+        SELECT floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+               user_id,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM s
+        GROUP BY user_id, sess_id
+    """,
+    tags=("window", "session", "events", "llm-pipeline"),
+)
+def events_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions with a 30-minute inactivity gap
+    (F.session_window). One shuffle on user_id; Spark merges session
+    fragments inside the aggregation — no per-event window function over
+    the full stream. The oracle is the classic gaps-and-islands SQL with
+    the same half-open [start, last+gap) semantics."""
+    from spark_pipeline_spark.operators.windows import session_windows
+
+    e = t(spark, sf_dir, "events")
+    s = session_windows(
+        e,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+    )
+    return s.select(
+        F.unix_timestamp("session_start").alias("session_start_epoch"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "events_props_by_type",
+    oracle="""
+        SELECT event_type,
+               count(*) AS n_events,
+               round(avg(json_extract_string(props, '$.k')::INT), 6) AS avg_k,
+               min(json_extract_string(props, '$.k')::INT) AS min_k,
+               max(json_extract_string(props, '$.k')::INT) AS max_k
+        FROM events
+        GROUP BY event_type
+    """,
+    tags=("json", "multimodal", "events", "llm-pipeline"),
+)
+def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from the JSON props column (from_json with an
+    explicit DDL schema — parsed in codegen, fields pruned by Catalyst;
+    never schema-inferred, never regexed) + per-type aggregation."""
+    from spark_pipeline_spark.operators.windows import with_json_props
+
+    e = t(spark, sf_dir, "events")
+    p = with_json_props(e, "props", "k INT")
+    return p.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
 
 
 # ---------------------------------------------------------------------------

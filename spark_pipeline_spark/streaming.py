@@ -1,0 +1,110 @@
+"""Structured Streaming surface: the batch window operators, streaming.
+
+The reference has zero streaming (SURVEY.md §2.11); this module is the
+north-star addition. Design rule: **batch and stream share expressions** —
+`operators/windows.py` builds the same ``F.window`` / ``session_window``
+aggregations used here, so a pipeline validated in batch runs as a stream
+by swapping ``read`` for ``readStream`` and adding a watermark.
+
+Scale notes (1000-executor posture):
+
+- watermarks bound state: without one, a windowed aggregation keeps every
+  window open forever; ``withWatermark`` lets Spark drop state for
+  windows older than (max event time - delay);
+- file-source streams discover new files per micro-batch — partition the
+  landing directory by arrival time so discovery doesn't list the world;
+- ``Trigger.AvailableNow`` drains a backlog with bounded batches and
+  stops — the batch-parity mode used in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_parquet_stream",
+    "stream_tumbling_agg",
+    "stream_session_agg",
+    "run_available_now_to_memory",
+]
+
+
+def read_parquet_stream(
+    spark: SparkSession, path: str, schema_ddl: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a parquet directory (explicit schema —
+    streaming sources cannot infer, and inference would be a full pass)."""
+    reader = spark.readStream.schema(schema_ddl)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def stream_tumbling_agg(
+    stream: DataFrame,
+    ts_col: str,
+    duration: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation with bounded state.
+
+    Identical grouping expression to ``windows.tumbling_window``; the
+    watermark is what makes it runnable forever (state for windows older
+    than the watermark is finalized and dropped).
+    """
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), duration).alias("window"), *keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "*",
+    ).drop("window")
+
+
+def stream_session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming session windows (same semantics as
+    ``windows.session_windows``); the watermark finalizes sessions whose
+    close time has passed."""
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(*aggs)
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        "*",
+    ).drop("session_window")
+
+
+def run_available_now_to_memory(
+    df: DataFrame, query_name: str, output_mode: str = "complete", timeout_sec: int = 120
+) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into an in-memory table
+    and return it as a DataFrame (test/debug sink — bounded run, exact
+    batch parity)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    spark = df.sparkSession
+    return spark.table(query_name)

@@ -1,0 +1,49 @@
+"""Structured Streaming e2e: file source → windowed agg → memory sink,
+asserting exact batch/stream parity (the module's design contract: batch
+and stream share the window expressions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.queries import t
+from tests.conftest import SF_SMALL
+
+
+def test_stream_tumbling_matches_batch(spark, tmp_path):
+    from spark_pipeline_spark.operators.windows import tumbling_window
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_tumbling_agg,
+    )
+
+    # Land the events table (µs timestamps) as a streaming source dir.
+    events = t(spark, SF_SMALL, "events")
+    src = str(tmp_path / "events_stream")
+    events.write.mode("overwrite").parquet(src)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stream = read_parquet_stream(spark, src, schema, max_files_per_trigger=2)
+    assert stream.isStreaming
+
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    ]
+    streamed = run_available_now_to_memory(
+        stream_tumbling_agg(stream, "ts", "1 day", keys=["event_type"], aggs=aggs),
+        "stream_tumbling_test",
+    )
+    batch = tumbling_window(events, "ts", "1 day", keys=["event_type"], aggs=aggs)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in streamed.collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 0
