@@ -1002,6 +1002,146 @@ def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Drift detection / datadiff (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+_SQL_SAMP50 = (
+    "('0x' || substr(md5(l_orderkey::VARCHAR || '|' || l_linenumber::VARCHAR), 1, 8))::BIGINT"
+    " / 4294967296.0 < 0.5"
+)
+
+
+def _sql_hash_hist_union(cols: list[str], bins: int, src: str) -> str:
+    """UNION ALL mirroring datadiff._histograms' explode: one branch per
+    column producing (col_name, bucket)."""
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CASE WHEN {c} IS NULL THEN -1 ELSE "
+        f"('0x' || substr(md5({c}::VARCHAR), 1, 8))::BIGINT % {bins} END AS bucket "
+        f"FROM {src}"
+        for c in cols
+    )
+
+
+@register(
+    "datadiff_hash_histogram_orders",
+    oracle=f"""
+        WITH ex AS ({_sql_hash_hist_union(["o_orderstatus", "o_orderpriority"], 64, "orders")})
+        SELECT col_name, bucket, count(*) AS n_rows,
+               round(count(*)::DOUBLE
+                     / sum(count(*)) OVER (PARTITION BY col_name), 6) AS freq
+        FROM ex GROUP BY col_name, bucket
+    """,
+    tags=("datadiff", "histogram"),
+)
+def datadiff_hash_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column hash-bucket histogram in ONE pass: both orders columns
+    explode to (col_name, bucket) and aggregate in a single shuffle;
+    frequencies derive from the histogram frame itself (window sum over
+    ≤ cols × bins rows) — no count() job anywhere."""
+    from spark_pipeline_spark.operators.datadiff import hash_histograms
+
+    o = t(spark, sf_dir, "orders")
+    h = hash_histograms(o, ["o_orderstatus", "o_orderpriority"], max_bins=64)
+    return h.select("col_name", "bucket", "n_rows", F.round("freq", 6).alias("freq"))
+
+
+@register(
+    "datadiff_tvd_lineitem_sample",
+    oracle=f"""
+        WITH samp AS (SELECT * FROM lineitem WHERE {_SQL_SAMP50}),
+        h1 AS (
+          SELECT col_name, bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY col_name) AS f1
+          FROM ({_sql_hash_hist_union(["l_quantity", "l_discount"], 128, "lineitem")})
+          GROUP BY col_name, bucket
+        ),
+        h2 AS (
+          SELECT col_name, bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY col_name) AS f2
+          FROM ({_sql_hash_hist_union(["l_quantity", "l_discount"], 128, "samp")})
+          GROUP BY col_name, bucket
+        ),
+        j AS (
+          SELECT coalesce(h1.col_name, h2.col_name) AS col_name,
+                 coalesce(f1, 0) AS f1, coalesce(f2, 0) AS f2
+          FROM h1 FULL OUTER JOIN h2
+            ON h1.col_name = h2.col_name AND h1.bucket = h2.bucket
+        )
+        SELECT col_name, round(sum(abs(f1 - f2)) / 2, 6) AS tvd
+        FROM j GROUP BY col_name
+    """,
+    tags=("datadiff", "tvd"),
+)
+def datadiff_tvd_lineitem_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-comparator TVD between lineitem and its deterministic 50%
+    hash sample, two columns at once. An unbiased sample drifts little —
+    the TVD is small but nonzero, and the oracle reproduces it exactly
+    (the sample and every bucket are md5-derived). Whole report: 2
+    histogram passes + 1 join — column count doesn't add jobs."""
+    from spark_pipeline_spark.operators.datadiff import (
+        hash_histograms,
+        histogram_distance_df,
+    )
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    cols = ["l_quantity", "l_discount"]
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", *cols)
+    s = hash_sample(l, 0.5, ["l_orderkey", "l_linenumber"])
+    d = histogram_distance_df(
+        hash_histograms(l, cols, 128), hash_histograms(s, cols, 128), "tvd"
+    )
+    return d.select("col_name", F.round("distance", 6).alias("tvd"))
+
+
+@register(
+    "datadiff_continuous_lineitem",
+    oracle=f"""
+        WITH b AS (
+          SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem
+        ),
+        samp AS (SELECT * FROM lineitem WHERE {_SQL_SAMP50}),
+        h1 AS (
+          SELECT least(greatest(floor((l_extendedprice - mn) / ((mx - mn) / 100.0)), 0), 99)::BIGINT AS bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER () AS f1
+          FROM lineitem, b GROUP BY bucket
+        ),
+        h2 AS (
+          SELECT least(greatest(floor((l_extendedprice - mn) / ((mx - mn) / 100.0)), 0), 99)::BIGINT AS bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER () AS f2
+          FROM samp, b GROUP BY bucket
+        )
+        SELECT round(sum(abs(coalesce(f1, 0) - coalesce(f2, 0))) / 2, 6) AS tvd
+        FROM h1 FULL OUTER JOIN h2 ON h1.bucket = h2.bucket
+    """,
+    tags=("datadiff", "tvd", "continuous"),
+)
+def datadiff_continuous_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous comparator: equal-width 100-bin TVD on l_extendedprice
+    between lineitem and its 50% hash sample, with the shared-bounds
+    contract (sample binned with the full dataset's bounds). Bounds are
+    one tiny agg job; IEEE float arithmetic makes the bucket edges
+    bit-identical across engines."""
+    from spark_pipeline_spark.operators.datadiff import (
+        column_bounds_multi,
+        continuous_histograms,
+        histogram_distance_df,
+    )
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    s = hash_sample(l, 0.5, ["l_orderkey", "l_linenumber"])
+    bounds = column_bounds_multi(l, ["l_extendedprice"])
+    d = histogram_distance_df(
+        continuous_histograms(l, ["l_extendedprice"], 100, bounds),
+        continuous_histograms(s, ["l_extendedprice"], 100, bounds),
+        "tvd",
+    )
+    return d.select(F.round("distance", 6).alias("tvd"))
+
+
+# ---------------------------------------------------------------------------
 # Model scoring via mapInPandas (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
