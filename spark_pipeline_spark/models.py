@@ -51,6 +51,41 @@ class LogisticModel:
         return (self.predict_proba(x)[:, 1] >= 0.5).astype("int64")
 
 
+class OLSModel:
+    """Fittable ordinary-least-squares regressor (numpy closed form).
+
+    The engine's deterministic stand-in for an sklearn pipeline in the
+    trainer verb: ``fit(X, y)`` solves the centered normal equations —
+    for a single feature that is exactly ``covar_pop(y,x)/var_pop(x)``
+    (the ANSI ``regr_slope``/``regr_intercept`` definition, which is what
+    makes trained coefficients oracle-verifiable in SQL).
+    """
+
+    def __init__(self, feature_cols: list[str] | None = None) -> None:
+        self.feature_cols = list(feature_cols) if feature_cols else None
+        self.coef_: np.ndarray | None = None
+        self.intercept_: float = 0.0
+
+    def fit(self, x: pd.DataFrame, y: pd.Series) -> "OLSModel":
+        cols = self.feature_cols or list(x.columns)
+        self.feature_cols = cols
+        xm = x[cols].to_numpy(dtype="float64")
+        ym = np.asarray(y, dtype="float64")
+        x_mean = xm.mean(axis=0)
+        y_mean = ym.mean()
+        xc = xm - x_mean
+        yc = ym - y_mean
+        self.coef_ = np.linalg.solve(xc.T @ xc, xc.T @ yc)
+        self.intercept_ = float(y_mean - x_mean @ self.coef_)
+        return self
+
+    def predict(self, x: pd.DataFrame) -> np.ndarray:
+        if self.coef_ is None:
+            raise RuntimeError("OLSModel is not fitted")
+        xm = x[self.feature_cols].to_numpy(dtype="float64")
+        return xm @ self.coef_ + self.intercept_
+
+
 class MulticlassModel:
     """Deterministic softmax classifier over per-class linear scores."""
 

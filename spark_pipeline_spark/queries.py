@@ -1184,6 +1184,140 @@ def score_callable_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_ols_score_lineitem",
+    oracle="""
+        WITH m AS (
+          SELECT regr_slope(l_extendedprice, l_quantity) AS b,
+                 regr_intercept(l_extendedprice, l_quantity) AS a
+          FROM lineitem WHERE l_linenumber = 1
+        )
+        SELECT l_orderkey::VARCHAR AS uid,
+               round(a + b * l_quantity, 4) AS pred
+        FROM lineitem, m
+        WHERE l_linenumber = 1
+    """,
+    tags=("training", "scoring", "regression"),
+)
+def train_ols_score_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer verb end-to-end (sparktools/trainer.py:29-65 parity):
+    collect the training frame to the driver (Arrow), fit a closed-form
+    OLS regressor, then score DISTRIBUTED via mapInPandas (regressor
+    dispatch branch). The fitted slope/intercept equal ANSI
+    regr_slope/regr_intercept, so the whole train→score loop is
+    oracle-verifiable in SQL."""
+    from spark_pipeline_spark.models import OLSModel
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+    from spark_pipeline_spark.operators.training import train
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 1)
+        .select(
+            F.col("l_orderkey").alias("uid"),
+            F.col("l_quantity"),
+            F.col("l_extendedprice"),
+        )
+    )
+    model = train(
+        base.select("l_quantity", "l_extendedprice"),
+        target_col="l_extendedprice",
+        new_model=lambda: OLSModel(["l_quantity"]),
+    )
+    scored = score(
+        require_key(base, "uid"),
+        model,
+        cols_to_save=["uid"],
+        feature_cols=["l_quantity"],
+    )
+    return scored.select("uid", F.round("pred", 4).alias("pred"))
+
+
+@register(
+    "score_regressor_model",
+    oracle="""
+        SELECT l_orderkey::VARCHAR AS uid,
+               round(100.0 + 2.0 * l_quantity - 50.0 * l_discount, 6) AS pred
+        FROM lineitem
+        WHERE l_linenumber = 2
+    """,
+    tags=("scoring", "regression", "mapInPandas"),
+)
+def score_regressor_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regressor dispatch branch (predict → pred, sparktools/core.py:68-69)
+    with a fixed-coefficient linear model."""
+    from spark_pipeline_spark.models import LinearModel
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") == 2)
+        .select(F.col("l_orderkey").alias("uid"), "l_quantity", "l_discount")
+    )
+    mdl = LinearModel({"l_quantity": 2.0, "l_discount": -50.0}, intercept=100.0)
+    scored = score(require_key(l, "uid"), mdl, cols_to_save=["uid"])
+    return scored.select("uid", F.round("pred", 6).alias("pred"))
+
+
+@register(
+    "score_multiclass_model",
+    oracle="""
+        WITH s AS (
+          SELECT c_custkey::VARCHAR AS uid,
+                 -0.0005 * c_acctbal AS s_low,
+                 0.0 AS s_mid,
+                 0.0005 * c_acctbal AS s_high
+          FROM customer
+        ),
+        n AS (
+          SELECT uid,
+                 s_low - greatest(s_low, s_mid, s_high) AS a,
+                 s_mid - greatest(s_low, s_mid, s_high) AS b,
+                 s_high - greatest(s_low, s_mid, s_high) AS c
+          FROM s
+        )
+        SELECT uid,
+               round(exp(a) / (exp(a) + exp(b) + exp(c)), 6) AS bal_low,
+               round(exp(b) / (exp(a) + exp(b) + exp(c)), 6) AS bal_mid,
+               round(exp(c) / (exp(a) + exp(b) + exp(c)), 6) AS bal_high
+        FROM n
+    """,
+    tags=("scoring", "multiclass", "mapInPandas"),
+)
+def score_multiclass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass dispatch branch (≥3 classes → one probability column per
+    class name, sparktools/core.py:63-67) with a deterministic softmax
+    model; class names supplied explicitly — the schema is never guessed."""
+    from spark_pipeline_spark.models import MulticlassModel
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("uid"), "c_acctbal"
+    )
+    mdl = MulticlassModel(
+        {
+            "bal_low": {"c_acctbal": -0.0005},
+            "bal_mid": {},
+            "bal_high": {"c_acctbal": 0.0005},
+        }
+    )
+    scored = score(
+        require_key(c, "uid"),
+        mdl,
+        cols_to_save=["uid"],
+        target_class_names=["bal_low", "bal_mid", "bal_high"],
+    )
+    return scored.select(
+        "uid",
+        F.round("bal_low", 6).alias("bal_low"),
+        F.round("bal_mid", 6).alias("bal_mid"),
+        F.round("bal_high", 6).alias("bal_high"),
+    )
+
+
+@register(
     "score_logistic_model",
     oracle="""
         SELECT c_custkey::VARCHAR AS uid,
