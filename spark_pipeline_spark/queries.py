@@ -1329,7 +1329,10 @@ def score_multiclass_model(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def score_logistic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-classifier dispatch branch (predict_proba → target_proba,
-    sparktools/core.py:57-61) with a deterministic numpy logistic model."""
+    sparktools/core.py:57-61) with a deterministic numpy logistic model.
+    Exercises ``broadcast_model=True`` — the model ships to executors via
+    a Spark broadcast (sparktools/core.py:93-95 parity) instead of the
+    task closure, which is how multi-GB sklearn payloads must travel."""
     from spark_pipeline_spark.models import LogisticModel
     from spark_pipeline_spark.operators.columns import require_key
     from spark_pipeline_spark.operators.scoring import score
@@ -1338,5 +1341,5 @@ def score_logistic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("uid"), F.col("c_acctbal")
     )
     mdl = LogisticModel({"c_acctbal": 0.001}, intercept=-2.0)
-    scored = score(require_key(c, "uid"), mdl, cols_to_save=["uid"])
+    scored = score(require_key(c, "uid"), mdl, cols_to_save=["uid"], broadcast_model=True)
     return scored.select("uid", F.round("target_proba", 6).alias("target_proba"))
