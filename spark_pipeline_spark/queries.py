@@ -1142,6 +1142,120 @@ def datadiff_continuous_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary columns (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+# Binary payloads are synthesized from document text (utf-8 bytes, plus
+# real file magic headers keyed by lang) — so the md5-derived fake decode
+# is reproducible in SQL: hashlib.md5(content) == md5(text) when content
+# is exactly the utf-8 encoding.
+
+_MAGIC_BY_LANG = {
+    "en": ("png", "89504E470D0A1A0A"),
+    "de": ("jpeg", "FFD8FFE0"),
+    "es": ("gif", "47494638"),
+    "fr": ("riff", "52494646"),
+}
+
+
+@register(
+    "multimodal_media_metadata",
+    oracle=f"""
+        SELECT doc_id, lang,
+               octet_length(encode(text))
+                 + CASE lang {" ".join(f"WHEN '{lg}' THEN {len(hx) // 2}" for lg, (_, hx) in _MAGIC_BY_LANG.items())} ELSE 0 END
+                 AS byte_size,
+               CASE lang {" ".join(f"WHEN '{lg}' THEN '{fmt}'" for lg, (fmt, _) in _MAGIC_BY_LANG.items())} ELSE 'unknown' END
+                 AS media_format
+        FROM documents
+    """,
+    tags=("multimodal", "binary", "llm-pipeline"),
+)
+def multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side media inventory: binary payloads (utf-8 text bytes behind
+    real PNG/JPEG/GIF/RIFF magic headers, keyed by lang) get byte_size +
+    magic-sniffed format as pure expressions — a 100 TB corpus is
+    inventoried by format without one Python worker or decode."""
+    from spark_pipeline_spark.operators.multimodal import attach_media_metadata
+
+    d = t(spark, sf_dir, "documents")
+    header = F.lit(b"")
+    for lg, (_, hx) in _MAGIC_BY_LANG.items():
+        header = F.when(F.col("lang") == lg, F.lit(bytes.fromhex(hx))).otherwise(header)
+    with_content = d.withColumn(
+        "content", F.concat(header, F.encode(F.col("text"), "UTF-8"))
+    )
+    return attach_media_metadata(with_content, "content").select(
+        "doc_id", "lang", "byte_size", "media_format"
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+        SELECT doc_id,
+               (('0x' || substr(md5(text), 1, 8))::BIGINT % 512 + 1)::INT AS width,
+               (('0x' || substr(md5(text), 9, 8))::BIGINT % 512 + 1)::INT AS height,
+               3 AS n_channels,
+               round(('0x' || substr(md5(text), 17, 8))::BIGINT / 4294967296.0, 6)
+                 AS mean_intensity
+        FROM documents
+    """,
+    tags=("multimodal", "mapInPandas", "llm-pipeline"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched decode plumbing end-to-end: binary content crosses Arrow
+    into pandas, the (deterministic fake) decoder derives metadata from
+    the raw bytes, and the explicit-schema output comes back. Because
+    content is exactly the utf-8 text, the oracle reproduces the decode
+    from md5(text) — verifying the whole binary/Arrow/schema path."""
+    from spark_pipeline_spark.operators.multimodal import decode_media
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    out = decode_media(d, "doc_id", "content")
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+        WITH d AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+        SELECT doc_id, frame_idx::INT AS frame_idx,
+               least(64, n - frame_idx * 64)::INT AS frame_len
+        FROM (
+          SELECT doc_id, n,
+                 unnest(generate_series(0, ((n + 63) // 64) - 1)) AS frame_idx
+          FROM d
+        )
+        WHERE frame_idx % 2 = 0
+    """,
+    tags=("multimodal", "video", "mapInPandas", "llm-pipeline"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out: each payload splits into 64-byte "frames",
+    keeping every 2nd — one input row becomes (id, frame_idx, frame)
+    rows through mapInPandas, the production shape for keyframe
+    extraction. The oracle checks the fan-out arithmetic (indices and
+    frame byte lengths) per document."""
+    from spark_pipeline_spark.operators.multimodal import sample_frames
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    frames = sample_frames(d, "doc_id", "content", frame_bytes=64, every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.length("frame").cast("int").alias("frame_len")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model scoring via mapInPandas (SURVEY.md §2.10)
 # ---------------------------------------------------------------------------
 
