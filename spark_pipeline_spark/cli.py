@@ -1,0 +1,184 @@
+"""CLI entry points: ``mover`` / ``scorer`` / ``trainer``.
+
+Parity with the reference's console scripts (``pyproject.toml:56-59``;
+``sparktools/mover.py:11-38``, ``scorer.py:12-65``, ``trainer.py:12-69``),
+with the reference's bugs fixed by construction:
+
+- ``main()`` is guarded — the reference executes it at *import* time
+  (``mover.py:41``, ``scorer.py:83``, ``trainer.py:72``; SURVEY.md
+  §2.13.7);
+- config overrides are parsed once, in ``main``'s scope — the
+  reference's ``run_scorer`` reads ``args`` from the wrong scope and
+  NameErrors when ``pipeline-file`` is set (``scorer.py:20-25``;
+  SURVEY.md §2.13.5).
+
+Config files: JSON natively; HOCON when ``pyhocon`` is installed
+(import-try — it is not a hard dependency). ``key=value`` CLI extras
+override file values with dotted-path addressing
+(``spark.conf.x=y``), reproducing ``overrides.with_fallback(base)``
+semantics (``scorer.py:69-76``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from collections.abc import Mapping
+from typing import Any
+
+__all__ = [
+    "load_config",
+    "apply_overrides",
+    "main_mover",
+    "main_scorer",
+    "main_trainer",
+]
+
+
+def load_config(path: str) -> dict[str, Any]:
+    """Parse a config file: HOCON via pyhocon when available, else JSON."""
+    try:
+        from pyhocon import ConfigFactory  # optional dependency
+
+        return ConfigFactory.parse_file(path).as_plain_ordered_dict()
+    except ImportError:
+        with open(path, encoding="utf-8") as fh:
+            return json.load(fh)
+
+
+def _parse_scalar(text: str) -> Any:
+    try:
+        return json.loads(text)
+    except (json.JSONDecodeError, ValueError):
+        return text
+
+
+def apply_overrides(conf: dict[str, Any], overrides: list[str]) -> dict[str, Any]:
+    """Apply ``a.b.c=value`` CLI overrides onto a nested config dict —
+    override wins (``with_fallback`` orientation, ``scorer.py:74-76``)."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not key=value")
+        key, value = item.split("=", 1)
+        node = conf
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"override {key!r} descends through a non-dict")
+        node[parts[-1]] = _parse_scalar(value)
+    return conf
+
+
+def _parse_args(argv: list[str] | None, prog: str) -> tuple[dict[str, Any], Any]:
+    parser = argparse.ArgumentParser(prog=prog)
+    parser.add_argument("--conf", required=True, help="config file (JSON; HOCON if pyhocon present)")
+    args, extras = parser.parse_known_args(argv)
+    conf = apply_overrides(load_config(args.conf), extras)
+    return conf, args
+
+
+def _session(conf: Mapping[str, Any], app_name: str):
+    from spark_pipeline_spark.session import get_session
+
+    spark_conf = conf.get("spark", {})
+    return get_session(
+        app_name=spark_conf.get("app-name", app_name),
+        master=spark_conf.get("master"),
+        conf=spark_conf.get("conf"),
+    )
+
+
+def main_mover(argv: list[str] | None = None) -> int:
+    """Declarative ETL: config source → config sink (``mover.py:11-38``).
+
+    Unlike the reference — which writes, then ``count()``s the *source
+    plan again* (a second full scan, ``mover.py:33-35``) — the moved
+    DataFrame is cached across write+count when counting is requested.
+    """
+    conf, _ = _parse_args(argv, "mover")
+    t0 = time.time()
+    spark = _session(conf, "mover")
+    from spark_pipeline_spark.io.sinks import save
+    from spark_pipeline_spark.io.sources import load
+
+    df = load(spark, conf["source"])
+    if conf.get("log-count", False):
+        df = df.cache()
+    save(df, conf["target"])
+    if conf.get("log-count", False):
+        print(f"moved rows: {df.count()}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
+def main_scorer(argv: list[str] | None = None) -> int:
+    """Distributed batch inference (``scorer.py:12-65``): load → key
+    hygiene → pandify → score via mapInPandas → audit columns → sink."""
+    conf, _ = _parse_args(argv, "scorer")
+    t0 = time.time()
+    spark = _session(conf, "scorer")
+    from spark_pipeline_spark.io.sinks import save
+    from spark_pipeline_spark.io.sources import load
+    from spark_pipeline_spark.operators.columns import (
+        pandify,
+        require_key,
+        with_audit_columns,
+    )
+    from spark_pipeline_spark.operators.scoring import score
+    from spark_pipeline_spark.operators.training import load_model
+
+    mconf = conf["model"]
+    model = load_model(mconf["path"])
+    df = pandify(require_key(load(spark, conf["source"]), mconf.get("uid-column", "uid")))
+    scored = score(
+        df,
+        model,
+        cols_to_save=mconf.get("cols-to-save", ["uid", "true_target", "business_dt"]),
+        target_class_names=mconf.get("target-class-names"),
+        feature_cols=mconf.get("feature-columns"),
+        broadcast_model=bool(mconf.get("broadcast-model", False)),
+    )
+    scored = with_audit_columns(scored, model_name=mconf.get("name", "model"))
+    scored = scored.cache()
+    print(f"scored rows: {scored.count()}")
+    save(scored, conf["target"])
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
+def main_trainer(argv: list[str] | None = None) -> int:
+    """Collect-fit-persist (``trainer.py:12-69``): the model factory is an
+    importable ``module:function`` path in config (the reference loads a
+    ``pipeline.py`` next to the conf; an import path is the
+    spark-submit-friendly equivalent)."""
+    conf, _ = _parse_args(argv, "trainer")
+    t0 = time.time()
+    spark = _session(conf, "trainer")
+    import importlib
+
+    from spark_pipeline_spark.io.sources import load
+    from spark_pipeline_spark.operators.training import train
+
+    mconf = conf["model-definition"]
+    mod_name, _, fn_name = mconf["factory"].partition(":")
+    factory = getattr(importlib.import_module(mod_name), fn_name or "new_pipeline")
+    df = load(spark, mconf["dataset"])
+    train(
+        df,
+        target_col=mconf["target-column"],
+        new_model=factory,
+        model_path=mconf["path"],
+        max_rows=mconf.get("max-rows", 10_000_000),
+    )
+    print(f"model saved: {mconf['path']}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    raise SystemExit(
+        "invoke via the mover/scorer/trainer console scripts or call "
+        "main_mover/main_scorer/main_trainer directly"
+    )

@@ -86,6 +86,13 @@ class OLSModel:
         return xm @ self.coef_ + self.intercept_
 
 
+def new_ols() -> "OLSModel":
+    """Model factory for the trainer CLI (``model-definition.factory =
+    "spark_pipeline_spark.models:new_ols"``) — the reference's
+    ``pipeline.new_pipeline`` contract (``sparktools/trainer.py:58``)."""
+    return OLSModel()
+
+
 class MulticlassModel:
     """Deterministic softmax classifier over per-class linear scores."""
 
