@@ -153,5 +153,5 @@ def stratified_fraction_sample(
     """
     frac = F.create_map(*[F.lit(x) for kv in fractions.items() for x in kv])
     draw = _key_hash(df, key_cols)
-    stratum_frac = frac.getItem(F.col(strata_col).cast("string"))
+    stratum_frac = F.element_at(frac, F.col(strata_col).cast("string"))
     return df.filter(draw < F.coalesce(stratum_frac, F.lit(0.0)))

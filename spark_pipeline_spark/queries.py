@@ -390,6 +390,149 @@ def stratified_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column ops, limits, set ops (SURVEY.md §2.3 / §2.7 / §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pandify_decimal_orders",
+    oracle="""
+        SELECT o_orderkey,
+               (o_totalprice::DECIMAL(12,2))::DOUBLE AS price__amount
+        FROM orders
+    """,
+    tags=("columns", "pandify"),
+)
+def pandify_decimal_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pandify parity (sparktools/core.py:1-20): a decimal column with a
+    dotted name comes out as a double with `__`-joined name — the
+    pandas/sklearn handoff contract, as one projection."""
+    from spark_pipeline_spark.operators.columns import pandify
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("price.amount"),
+    )
+    return pandify(o)
+
+
+@register(
+    "audit_literals_customer",
+    oracle="""
+        SELECT 'churn-v2' AS model_name,
+               '2026-01-01 00:00:00' AS current_dt,
+               'pipeline' AS author,
+               c_custkey
+        FROM customer
+    """,
+    tags=("columns", "audit"),
+)
+def audit_literals_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal audit columns prepended to a scoring output
+    (sparktools/scorer.py:50-57 parity, including the README-promised
+    author column the reference never emits)."""
+    from spark_pipeline_spark.operators.columns import with_audit_columns
+
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    return with_audit_columns(
+        c, model_name="churn-v2", current_dt="2026-01-01 00:00:00", author="pipeline"
+    )
+
+
+@register(
+    "deterministic_limit_orders",
+    oracle="""
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders
+        ORDER BY o_orderkey
+        LIMIT 20
+    """,
+    tags=("limit", "topk"),
+)
+def deterministic_limit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic limit with an explicit order (sparktools/core.py:23-27
+    parity, minus the RDD hop): executes as per-partition TakeOrdered +
+    driver merge — no global sort materialization."""
+    from spark_pipeline_spark.operators.sampling import deterministic_limit
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    return deterministic_limit(o, 20, order_by=["o_orderkey"])
+
+
+@register(
+    "stratified_fraction_documents",
+    oracle="""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT / 4294967296.0
+              < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'zh' THEN 0.1 ELSE 0.0 END
+    """,
+    tags=("sample", "stratified"),
+)
+def stratified_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum Bernoulli fractions (deterministic sampleBy): keep a
+    document iff its key hash falls under its language's fraction — a
+    pure pushable filter, no shuffle; absent strata default to 0."""
+    from spark_pipeline_spark.operators.sampling import stratified_fraction_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_fraction_sample(
+        d, "lang", {"en": 0.5, "de": 0.25, "zh": 0.1}, key_cols=["doc_id"]
+    )
+
+
+@register(
+    "setops_nation_keys",
+    oracle="""
+        SELECT 'intersect' AS op, count(*) AS n FROM (
+          SELECT DISTINCT c_nationkey FROM customer
+          INTERSECT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except', count(*) FROM (
+          SELECT DISTINCT c_nationkey FROM customer
+          EXCEPT SELECT DISTINCT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'union_all', count(*) FROM (
+          SELECT c_nationkey FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'intersect_all', count(*) FROM (
+          SELECT c_nationkey FROM customer
+          INTERSECT ALL SELECT s_nationkey FROM supplier)
+        UNION ALL
+        SELECT 'except_all', count(*) FROM (
+          SELECT c_nationkey FROM customer
+          EXCEPT ALL SELECT s_nationkey FROM supplier)
+    """,
+    tags=("setops",),
+)
+def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native set-operation API (SURVEY.md §2.8 — the reference only had
+    SQL passthrough): set and bag variants of intersect/except plus
+    positional union, each counted; the per-op frames combine via
+    union_by_name (name-resolved columns)."""
+    from spark_pipeline_spark.operators import setops
+
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+
+    def counted(op: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    frames = [
+        counted("intersect", setops.intersect(c.distinct(), s.distinct())),
+        counted("except", setops.except_(c.distinct(), s.distinct())),
+        counted("union_all", setops.union_all(c, s)),
+        counted("intersect_all", setops.intersect_all(c, s)),
+        counted("except_all", setops.except_all(c, s)),
+    ]
+    return setops.union_by_name(*frames)
+
+
+# ---------------------------------------------------------------------------
 # Text analysis over `documents` (SURVEY.md §2.11 north star)
 # ---------------------------------------------------------------------------
 # The oracle SQL is generated from the SAME constants the Spark operators
