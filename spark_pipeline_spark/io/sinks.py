@@ -95,6 +95,36 @@ def write_table(
         writer.saveAsTable(table)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str] | str,
+    num_buckets: int,
+    sort_cols: list[str] | str | None = None,
+    path: str | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink (``bucketBy`` + ``saveAsTable``) — the
+    co-located-join lever.
+
+    Two tables bucketed on the same keys with the same bucket count join
+    WITHOUT a shuffle: each task reads matching buckets from both sides
+    (``sortBy`` additionally removes the sort from sort-merge joins).
+    At 100 TB, pre-bucketing the fact tables on their join keys turns
+    every subsequent join on those keys into a scan-side merge — the
+    single biggest repeated-shuffle eliminator a lakehouse layout offers.
+    """
+    bcols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+    writer = df.write.mode(mode).format(fmt).bucketBy(num_buckets, *bcols)
+    if sort_cols:
+        scols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+        writer = writer.sortBy(*scols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def write_single_csv(
     df: DataFrame,
     path: str,

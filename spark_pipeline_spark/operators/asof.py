@@ -1,0 +1,83 @@
+"""As-of (time-travel) join: for each left row, the most recent right row
+at-or-before its timestamp, per key.
+
+Spark has no native ASOF JOIN (SPARK-22947 is open); the naive
+formulations are disastrous at scale — a range θ-join explodes to
+cartesian-per-key, and a correlated subquery re-scans the right side per
+row. This operator uses the **union + ordered carry-forward** shape,
+which is the sort-merge as-of:
+
+1. tag and union both inputs on (key, ts) — no join at all;
+2. one shuffle on the key, one in-partition sort on (ts, tag);
+3. ``last(right_payload, ignorenulls=True)`` over rows-unbounded-
+   preceding carries the latest right payload forward;
+4. keep the left rows.
+
+Cost: one shuffle + sort per side — identical asymptotics to a regular
+sort-merge join, independent of time-gap sizes. Ties (left.ts ==
+right.ts) match, because right rows sort before left rows at equal
+timestamps — the standard inclusive as-of semantics (DuckDB ASOF JOIN,
+pandas merge_asof defaults).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str,
+    right_ts: str | None = None,
+    right_prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the columns of the latest
+    right row with ``right_ts <= left_ts`` for the same key(s) (nulls
+    when no prior right row exists).
+
+    Right columns (except keys/timestamp) come back prefixed with
+    ``right_prefix``. Keys must be equality keys; the timestamp is the
+    as-of ordering column.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+
+    payload_cols = [c for c in right.columns if c not in keys]
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+
+    # both union sides need identical schemas: derive each side's struct
+    # type once and null-cast it on the other side
+    r_struct_type = right.select(payload.alias("__r")).schema["__r"].dataType
+    l_tagged = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),  # left sorts AFTER right at equal ts
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
+    )
+    r_tagged = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        F.lit(None).cast(l_tagged.schema["__l"].dataType).alias("__l"),
+        payload.alias("__r"),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts"), F.col("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols += [
+        F.col(f"__match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols
+    ]
+    return carried.filter(F.col("__tag") == 1).select(*out_cols)

@@ -485,6 +485,72 @@ def stratified_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "zscore_orders_by_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(CASE WHEN stddev_pop(o_totalprice) OVER w = 0 THEN 0.0
+                          ELSE (o_totalprice - avg(o_totalprice) OVER w)
+                               / stddev_pop(o_totalprice) OVER w END, 6) AS z
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey)
+    """,
+    tags=("grouped", "applyInPandas"),
+)
+def zscore_orders_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer z-score of order totals via applyInPandas — the
+    grouped-pandas escape hatch (arbitrary per-group logic; one shuffle
+    on the key, each group one Arrow frame). The oracle re-expresses the
+    same normalization with SQL window aggregates, pinning the pandas
+    kernel to relational semantics."""
+    import pandas as pd
+
+    from spark_pipeline_spark.operators.grouped import grouped_apply
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = pdf["o_totalprice"].std(ddof=0)
+        m = pdf["o_totalprice"].mean()
+        pdf = pdf.copy()
+        pdf["z"] = 0.0 if s == 0 else (pdf["o_totalprice"] - m) / s
+        return pdf[["o_custkey", "o_orderkey", "z"]]
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    out = grouped_apply(
+        o, ["o_custkey"], zscore, "o_custkey bigint, o_orderkey bigint, z double"
+    )
+    return out.select("o_custkey", "o_orderkey", F.round("z", 6).alias("z"))
+
+
+@register(
+    "salted_agg_orders",
+    oracle="""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(*) AS n_rows,
+               round(sum(o_totalprice) / count(*), 6) AS avg_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: sums/counts first group by
+    (key, crc32-salt) — a hot key splits across 16 reducers — then merge.
+    Result identical to the plain groupBy (the oracle), which is the
+    point: salting changes the shuffle distribution, never the answer.
+    avg derives as sum/count AFTER the merge (algebraic composition)."""
+    from spark_pipeline_spark.operators.grouped import salted_agg
+
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    merged = salted_agg(o, ["o_orderstatus"], sums=["o_totalprice"], salt=16)
+    return merged.select(
+        "o_orderstatus",
+        F.round("sum_o_totalprice", 2).alias("total_price"),
+        "n_rows",
+        F.round(F.col("sum_o_totalprice") / F.col("n_rows"), 6).alias("avg_price"),
+    )
+
+
+@register(
     "setops_nation_keys",
     oracle="""
         SELECT 'intersect' AS op, count(*) AS n FROM (
@@ -1112,6 +1178,47 @@ def events_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "n_events",
         "sum_value",
+    )
+
+
+@register(
+    "events_asof_last_purchase",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT e.event_id,
+               floor(epoch(e.ts))::BIGINT AS ts_epoch,
+               e.user_id,
+               p.event_id AS asof_event_id,
+               round(p.value, 2) AS asof_value
+        FROM events e ASOF LEFT JOIN p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    tags=("asof", "join", "events", "llm-pipeline"),
+    bench=True,
+)
+def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event annotated with the user's most recent
+    purchase at-or-before it (nulls when none). Spark has no native ASOF
+    JOIN; the operator is the union + ordered carry-forward sort-merge
+    shape — one shuffle per side, no per-key range explosion. The oracle
+    is DuckDB's native ASOF LEFT JOIN, so the semantics (inclusive ties,
+    left-join nulls) are checked against a reference implementation."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(e, purchases, on="user_id", left_ts="ts")
+    return j.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
     )
 
 
