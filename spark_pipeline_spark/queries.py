@@ -1252,6 +1252,86 @@ def events_props_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Range join + sketches
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "range_join_price_bands",
+    oracle="""
+        WITH bands AS (
+          SELECT i AS band_id,
+                 (i * 50000)::DOUBLE AS lo,
+                 (i * 50000 + 100000)::DOUBLE AS hi
+          FROM (SELECT unnest(generate_series(0, 11)) AS i)
+        )
+        SELECT band_id, count(*) AS n_orders
+        FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        GROUP BY band_id
+    """,
+    tags=("rangejoin", "join"),
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bucketization: orders matched into OVERLAPPING
+    100k-wide price bands (every 50k), then counted per band. The
+    operator explodes intervals to covered buckets and equi-joins on the
+    bucket id — a hash join, never the nested-loop θ-join Spark would
+    otherwise pick. Overlap means most orders legitimately match two
+    bands; each pair is produced exactly once."""
+    from spark_pipeline_spark.operators.rangejoin import interval_join
+
+    bands = spark.range(0, 12).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 50000).cast("double").alias("lo"),
+        (F.col("id") * 50000 + 100000).cast("double").alias("hi"),
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    j = interval_join(o, bands, "o_totalprice", bucket_width=50000.0)
+    return j.groupBy("band_id").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@register(
+    "sketch_cardinality_users",
+    oracle="""
+        WITH occ AS (
+          SELECT count(DISTINCT
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096)
+                 AS occupied
+          FROM events
+        )
+        SELECT occupied,
+               round(-4096.0 * ln(1 - occupied / 4096.0), 4) AS estimate
+        FROM occ
+    """,
+    tags=("sketch", "cardinality"),
+)
+def sketch_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic linear-counting cardinality sketch: md5-bucket
+    occupancy → -B·ln(1-m/B). One bit per bucket of state (4 KB), one
+    pass, and — unlike HLL — bit-reproducible in any engine with md5, so
+    this sketch query carries a full value oracle."""
+    from spark_pipeline_spark.operators.sketches import md5_bucket_cardinality
+
+    e = t(spark, sf_dir, "events")
+    return md5_bucket_cardinality(e, "user_id", 4096)
+
+
+@register(
+    "sketch_distinct_users_by_type",
+    oracle=None,  # HLL internals are engine-specific — bounds asserted in tests
+    tags=("sketch", "hll"),
+)
+def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type (one pass,
+    mergeable ~KB state per group; rows-only driver check — the 5% rsd
+    error bound is asserted against exact counts in tests)."""
+    from spark_pipeline_spark.operators.sketches import approx_distinct
+
+    e = t(spark, sf_dir, "events")
+    return approx_distinct(e, "user_id", keys=["event_type"], rsd=0.05)
+
+
+# ---------------------------------------------------------------------------
 # Drift detection / datadiff (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
 

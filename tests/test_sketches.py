@@ -1,0 +1,62 @@
+"""Sketch error bounds vs exact answers (operators/sketches.py) — the
+honest sketch contract: bounded error, not bit equality."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+    frequent_items,
+    md5_bucket_cardinality,
+)
+from spark_pipeline_spark.queries import t
+from tests.conftest import SF_SMALL
+
+
+def test_hll_within_rsd_bound(spark):
+    e = t(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r["event_type"]: r["approx_distinct_user_id"]
+        for r in approx_distinct(e, "user_id", keys=["event_type"], rsd=0.05).collect()
+    }
+    for k, n in exact.items():
+        assert abs(approx[k] - n) <= max(0.15 * n, 3), (k, approx[k], n)
+
+
+def test_linear_counting_close_to_exact(spark):
+    e = t(spark, SF_SMALL, "events")
+    exact = e.agg(F.countDistinct("user_id").alias("n")).collect()[0]["n"]
+    row = md5_bucket_cardinality(e, "user_id", 4096).collect()[0]
+    assert not math.isnan(row["estimate"])
+    assert abs(row["estimate"] - exact) <= 0.1 * exact
+
+
+def test_gk_quantiles_bracket_exact(spark):
+    l = t(spark, SF_SMALL, "lineitem").select("l_extendedprice")
+    qs = approx_quantiles(l, "l_extendedprice", [0.25, 0.5, 0.75]).collect()[0][0]
+    pdf = l.toPandas()["l_extendedprice"]
+    for p, got in zip([0.25, 0.5, 0.75], qs):
+        exact = pdf.quantile(p)
+        assert abs(got - exact) <= 0.05 * abs(exact) + 1.0, (p, got, exact)
+    assert qs == sorted(qs)
+
+
+def test_freq_items_contains_true_heavy_hitter(spark):
+    e = t(spark, SF_SMALL, "events")
+    top = (
+        e.groupBy("event_type").count().orderBy(F.desc("count")).limit(1).collect()[0][
+            "event_type"
+        ]
+    )
+    items = frequent_items(e, ["event_type"], support=0.1).collect()[0][0]
+    assert top in items
