@@ -92,6 +92,50 @@ def stream_session_agg(
     ).drop("session_window")
 
 
+def stream_stateful_running_totals(
+    stream: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-key event count and value sum, maintained across micro-batches.
+
+    The state (one ``(n, total)`` pair per key) lives in the state store;
+    each micro-batch folds its Arrow batches into it and emits the
+    updated totals ("update" output mode). This is the escape hatch for
+    stateful logic that windows/aggregations can't express (custom
+    decay, per-key ML state, CEP-ish logic) — bounded state per key,
+    executor-side, no driver involvement.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_cols = list(keys)
+    in_types = dict(stream.dtypes)
+    out_schema = ", ".join(
+        [f"{k} {in_types[k]}" for k in key_cols]
+        + ["n_events bigint", "total_value double"]
+    )
+    state_schema = "n bigint, total double"
+
+    def fn(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        row = dict(zip(key_cols, key))
+        row["n_events"] = n
+        row["total_value"] = total
+        yield pd.DataFrame([row])
+
+    return stream.groupBy(*key_cols).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

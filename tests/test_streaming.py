@@ -47,3 +47,43 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(want) > 0
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state survives micro-batch boundaries —
+    the final update per key equals the batch aggregate."""
+    from pyspark.sql import functions as F2
+
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_stateful_running_totals,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("user_id", "value")
+    src = str(tmp_path / "events_stateful")
+    # 4 files + maxFilesPerTrigger=1 -> 4 micro-batches, so state MUST
+    # carry across batches for totals to come out right
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "user_id bigint, value double", max_files_per_trigger=1
+    )
+    updates = run_available_now_to_memory(
+        stream_stateful_running_totals(stream, ["user_id"], "value"),
+        "stateful_totals_test",
+        output_mode="update",
+    )
+    # multiple updates per user (one per micro-batch it appeared in);
+    # the final one is the running total = max n_events
+    final = (
+        updates.groupBy("user_id")
+        .agg(F2.max("n_events").alias("n_events"))
+        .collect()
+    )
+    got = {r["user_id"]: r["n_events"] for r in final}
+    want = {
+        r["user_id"]: r["n"]
+        for r in events.groupBy("user_id").agg(F2.count(F2.lit(1)).alias("n")).collect()
+    }
+    assert got == want
