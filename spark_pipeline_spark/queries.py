@@ -247,6 +247,104 @@ def agg_orders_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q10_returned_revenue",
+    oracle="""
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+          JOIN orders   ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("join", "agg", "topk"),
+)
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: top-20 customers by returned-item revenue in a
+    year window. Selective filters push to both fact scans; nation
+    broadcasts; the top-20 executes as TakeOrdered after the aggregation
+    (no global sort materialization)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "rollup_orders",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "rollup", "grouping-sets"),
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical grouping sets via native rollup (SURVEY.md §2.5 —
+    the reference reached cube/rollup only through SQL passthrough):
+    per-(status, priority), per-status, and grand-total rows in one
+    aggregation pass."""
+    return (
+        t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "flatten_struct_orders",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderstatus AS info__status,
+               round(o_totalprice, 2) AS info__price
+        FROM orders
+    """,
+    tags=("columns", "struct"),
+)
+def flatten_struct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested data stays first-class; flattening to parent__child is the
+    explicit opt-in before a pandas/sklearn handoff
+    (columns.flatten_struct — the modern form of pandify's dotted-name
+    handling)."""
+    from spark_pipeline_spark.operators.columns import flatten_struct
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("info"),
+    )
+    return flatten_struct(o)
+
+
+@register(
     "semi_anti_join_customers",
     oracle="""
         SELECT

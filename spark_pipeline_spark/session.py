@@ -13,9 +13,15 @@ while remaining correct on ``local[*]``.
 from __future__ import annotations
 
 import os
-from collections.abc import Mapping
+from collections.abc import Iterator, Mapping
+from contextlib import contextmanager
+from typing import TYPE_CHECKING
 
 from pyspark.sql import SparkSession
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+    from pyspark.storagelevel import StorageLevel
 
 # Scale-oriented defaults. Every one of these is a cluster-wide win that is
 # also harmless locally:
@@ -78,6 +84,26 @@ def session_builder(
     if hive:
         builder = builder.enableHiveSupport()
     return builder
+
+
+@contextmanager
+def cached(df: "DataFrame", storage_level: "StorageLevel | None" = None) -> "Iterator[DataFrame]":
+    """Persist a DataFrame for a multi-action scope, then release it.
+
+    The reference caches ad-hoc and never unpersists (``scorer.py:48``;
+    the mover forgets entirely and recomputes the source for its count,
+    ``mover.py:33-35``). This makes the cache lifetime explicit::
+
+        with cached(scored) as s:
+            s.count(); save(s, conf)   # one materialization, two actions
+    """
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    df = df.persist(storage_level or _SL.MEMORY_AND_DISK)
+    try:
+        yield df
+    finally:
+        df.unpersist()
 
 
 def get_session(

@@ -1,0 +1,149 @@
+"""Cross-cutting invariants: partitioning-independence of deterministic
+sampling, LSH-vs-brute-force containment, bucketed range join vs θ-join,
+and property tests (hypothesis) for the pure-Python kernels."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.queries import t
+from tests.conftest import SF_SMALL
+
+
+def test_hash_sample_invariant_under_repartition(spark):
+    """The content-hash draw must pick the SAME rows under any physical
+    layout — the property seeded rand() does not have."""
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey")
+    a = hash_sample(o, 0.3, ["o_orderkey"])
+    b = hash_sample(o.repartition(13), 0.3, ["o_orderkey"])
+    ka = {r["o_orderkey"] for r in a.collect()}
+    kb = {r["o_orderkey"] for r in b.collect()}
+    assert ka == kb and 0 < len(ka) < o.count()
+
+
+def test_minhash_candidates_subset_of_bruteforce_and_find_planted(spark):
+    """LSH never invents pairs: every verified pair must also pass
+    brute-force Jaccard; and the planted near-identical documents
+    (J≈0.99) must be recalled (banding catches high-J pairs w.h.p.)."""
+    from spark_pipeline_spark.operators.dedup import (
+        jaccard_similarity,
+        minhash_near_dup_pairs,
+        word_shingles,
+    )
+
+    d = t(spark, SF_SMALL, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+
+    sh = d.select(F.col("doc_id").alias("id"), word_shingles("text").alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard_similarity("sa", "sb").alias("j"))
+        .filter(F.col("j") >= 0.9)
+    )
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert got <= want          # no false positives after verify
+    assert len(want) > 0        # planted dups exist at this threshold
+    assert len(got) >= 0.8 * len(want)  # banding recall on high-J pairs
+
+
+def test_dedup_exact_content_drops_constructed_duplicates(spark):
+    from spark_pipeline_spark.operators.dedup import dedup_exact_content
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    kept = dedup_exact_content(doubled, "text", "doc_id")
+    assert kept.count() == d.count()
+    # min-id representative: all survivors are the original ids
+    assert kept.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_interval_join_equals_theta_join(spark):
+    from spark_pipeline_spark.operators.rangejoin import interval_join
+
+    points = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    bands = spark.range(0, 9).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 70000).cast("double").alias("lo"),
+        (F.col("id") * 70000 + 150000).cast("double").alias("hi"),
+    )
+    fast = interval_join(points, bands, "o_totalprice", bucket_width=70000.0)
+    slow = points.join(
+        bands,
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    fk = {(r["o_orderkey"], r["band_id"]) for r in fast.collect()}
+    sk = {(r["o_orderkey"], r["band_id"]) for r in slow.collect()}
+    assert fk == sk and len(fk) > 0
+
+
+def test_salted_agg_equals_plain_agg_any_salt(spark):
+    from spark_pipeline_spark.operators.grouped import salted_agg
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderstatus", "o_totalprice")
+    plain = {
+        r["o_orderstatus"]: (r["n"], round(r["s"], 2))
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("s"))
+        .collect()
+    }
+    for salt in (1, 7, 64):
+        got = {
+            r["o_orderstatus"]: (r["n_rows"], round(r["sum_o_totalprice"], 2))
+            for r in salted_agg(o, ["o_orderstatus"], sums=["o_totalprice"], salt=salt).collect()
+        }
+        assert got == plain, f"salt={salt}"
+
+
+# ---------------------------------------------------------------------------
+# pure-Python kernels: property-based
+# ---------------------------------------------------------------------------
+
+
+@given(st.binary(min_size=0, max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_deterministic_and_bounded(content):
+    from spark_pipeline_spark.operators.multimodal import fake_decode
+
+    a, b = fake_decode(content), fake_decode(content)
+    assert a == b
+    assert 1 <= a["width"] <= 512 and 1 <= a["height"] <= 512
+    assert 0.0 <= a["mean_intensity"] < 1.0
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z]{1,8}", fullmatch=True),
+        st.integers(-1000, 1000),
+        max_size=5,
+    ),
+    st.lists(st.from_regex(r"[a-z]{1,6}", fullmatch=True), min_size=1, max_size=3, unique=True),
+    st.integers(-10_000, 10_000),
+)
+@settings(max_examples=100, deadline=None)
+def test_apply_overrides_single_override_lands(base, path, value):
+    """Any single dotted override on any flat base dict must be readable
+    back at exactly that path with the JSON-parsed value, and must not
+    disturb unrelated keys."""
+    from spark_pipeline_spark.cli import apply_overrides
+
+    key = ".".join(path)
+    untouched = {k: v for k, v in base.items() if k != path[0]}
+    try:
+        out = apply_overrides(dict(base), [f"{key}={value}"])
+    except ValueError:
+        # only legitimate when the path descends through a scalar
+        assert len(path) > 1 and path[0] in base
+        return
+    node = out
+    for p in path[:-1]:
+        node = node[p]
+    assert node[path[-1]] == value
+    for k, v in untouched.items():
+        assert out[k] == v
