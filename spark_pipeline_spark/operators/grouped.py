@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["grouped_apply", "salted_agg"]
+__all__ = ["grouped_apply", "salted_agg", "salted_join"]
 
 
 def grouped_apply(
@@ -77,3 +77,40 @@ def salted_agg(
     if counts:
         stage2_aggs.append(F.sum("n_rows").alias("n_rows"))
     return partial.groupBy(*list(keys)).agg(*stage2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    salt: int = 16,
+    salt_source: str | Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the big (skewed) side gets a deterministic
+    salt bucket, the small side is replicated ``salt``× with every
+    bucket, and the join key becomes (keys, salt) — a hot key's rows
+    spread over ``salt`` reducers instead of one.
+
+    Semantically identical to ``big.join(small, on, how)`` for
+    inner/left joins. Use when one key dominates and the small side is
+    too large to broadcast but cheap to replicate ``salt``× (otherwise
+    prefer ``F.broadcast`` or AQE's skew-join, which only handles SORTED
+    merge joins it can detect). The salt derives from ``salt_source``
+    (default: the first non-key column of ``big``) via crc32 —
+    deterministic across reruns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    keys = list(on)
+    if salt_source is None:
+        non_keys = [c for c in big.columns if c not in keys]
+        salt_source = non_keys[0] if non_keys else keys[0]
+    src_col = F.col(salt_source) if isinstance(salt_source, str) else salt_source
+    # null-safe: a null salt source must not change join semantics
+    basis = F.coalesce(src_col.cast("string"), F.lit(""))
+    big_s = big.withColumn("__salt", F.pmod(F.crc32(basis), F.lit(salt)))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return big_s.join(small_s, on=[*keys, "__salt"], how=how).drop("__salt")

@@ -50,6 +50,21 @@ def register(
     return deco
 
 
+# DuckDB oracle fragments mirroring operators/text.py expressions exactly;
+# generated from the SAME constants the Spark operators use so both sides
+# stay in lock-step by construction. (Defined up here because several query
+# sections compose them.)
+from spark_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS, TOKEN_REGEX
+
+_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
+_SQL_PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def _sql_stop_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKS}, tk -> tk IN ({words})))"
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
@@ -649,6 +664,115 @@ def salted_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_lag_rolling_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               round(o_totalprice - lag(o_totalprice) OVER w, 2) AS price_delta,
+               round(avg(o_totalprice) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_avg_3
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "lag", "rolling"),
+)
+def window_lag_rolling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window surface beyond ranking (SURVEY.md §2.6): per
+    customer, order-over-order price delta (lag) and a 3-order rolling
+    average (rowsBetween frame). One shuffle on the partition key serves
+    both window expressions."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("price_delta"),
+        F.round(
+            F.avg("o_totalprice").over(w.rowsBetween(-2, Window.currentRow)), 6
+        ).alias("rolling_avg_3"),
+    )
+
+
+@register(
+    "salted_join_lineitem_nation",
+    oracle="""
+        SELECT n_name, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    tags=("join", "skew", "salted"),
+)
+def salted_join_lineitem_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: lineitem⋈supplier runs salted — the fact side gets
+    a crc32 salt bucket, the supplier side replicates 8×, and the hot
+    suppkey's rows spread over 8 reducers. The oracle is the plain join:
+    salting must never change the answer."""
+    from spark_pipeline_spark.operators.grouped import salted_join
+
+    l = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = salted_join(
+        l.withColumnRenamed("l_suppkey", "s_suppkey"), s, on=["s_suppkey"], salt=8
+    )
+    return (
+        j.join(F.broadcast(n), j.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "pipeline_documents_clean",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id, lang, text,
+                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({_sql_stop_hits("en")}::DOUBLE
+                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3 AS q
+          FROM documents
+        ),
+        kept AS (SELECT * FROM scored WHERE q >= 0.45),
+        dedup AS (
+          SELECT md5(text) AS fp, min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang
+          FROM kept GROUP BY fp
+        )
+        SELECT doc_id, lang
+        FROM dedup
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < 0.5
+    """,
+    tags=("pipeline", "llm-pipeline", "composition"),
+)
+def pipeline_documents_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A composed LLM-data cleaning pipeline — quality filter → exact
+    content dedup → deterministic 50% sample — exercising operator
+    COMPOSITION as one lazy Catalyst plan (one scan; the filter and
+    projection push through all three stages). This is the operating
+    mode the engine is for: operators chain without materialization."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import dedup_exact_content
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = d.filter(T.quality_score("text") >= 0.45)
+    deduped = dedup_exact_content(kept, "text", "doc_id")
+    sampled = hash_sample(deduped, 0.5, ["doc_id"])
+    return sampled.select("doc_id", "lang")
+
+
+@register(
     "setops_nation_keys",
     oracle="""
         SELECT 'intersect' AS op, count(*) AS n FROM (
@@ -699,20 +823,8 @@ def setops_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Text analysis over `documents` (SURVEY.md §2.11 north star)
 # ---------------------------------------------------------------------------
-# The oracle SQL is generated from the SAME constants the Spark operators
-# use (spark_pipeline_spark/operators/text.py), so both sides stay in
-# lock-step by construction.
-
-from spark_pipeline_spark.operators.text import LANG_PRIORITY, STOPWORDS, TOKEN_REGEX
-
-# DuckDB fragments mirroring operators/text.py expressions exactly.
-_SQL_TOKS = r"string_split_regex(lower(trim(text)), '\s+')"
-_SQL_PUNCT_RE = "[^A-Za-z0-9 \\t\\n\\r]"
-
-
-def _sql_stop_hits(lang: str) -> str:
-    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
-    return f"len(list_filter({_SQL_TOKS}, tk -> tk IN ({words})))"
+# Oracle SQL generated from the same operators/text.py constants (see the
+# fragment helpers at the top of this module).
 
 
 def _sql_langid_case() -> str:

@@ -101,6 +101,44 @@ def test_salted_agg_equals_plain_agg_any_salt(spark):
         assert got == plain, f"salt={salt}"
 
 
+def test_datadiff_self_distance_is_zero(spark):
+    """TVD(df, df) = 0 per column, discrete and continuous — the
+    identity every drift metric must satisfy."""
+    from spark_pipeline_spark.operators.datadiff import (
+        diff_datasets_continuous,
+        diff_datasets_discrete,
+    )
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderstatus", "o_totalprice")
+    for dist in diff_datasets_discrete(o, o, max_bins=64).values():
+        assert abs(dist) < 1e-12
+    for dist in diff_datasets_continuous(o, o, columns=["o_totalprice"], bins=50).values():
+        assert abs(dist) < 1e-12
+
+
+def test_datadiff_detects_injected_shift(spark):
+    """A real distribution shift must register: doubling prices moves
+    mass across continuous bins (TVD well above noise)."""
+    from spark_pipeline_spark.operators.datadiff import diff_datasets_continuous
+
+    o = t(spark, SF_SMALL, "orders").select("o_totalprice")
+    shifted = o.select((F.col("o_totalprice") * 2).alias("o_totalprice"))
+    d = diff_datasets_continuous(o, shifted, columns=["o_totalprice"], bins=100)
+    assert d["o_totalprice"] > 0.3
+
+
+def test_quantile_bins_monotone_and_bracketing(spark):
+    from spark_pipeline_spark.operators.datadiff import quantile_bins
+
+    l = t(spark, SF_SMALL, "lineitem")
+    edges = quantile_bins(l, "l_extendedprice", bins=10)
+    assert edges == sorted(edges) and len(edges) == 11
+    lo, hi = (
+        l.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).collect()[0]
+    )
+    assert edges[0] <= lo and edges[-1] >= hi
+
+
 # ---------------------------------------------------------------------------
 # pure-Python kernels: property-based
 # ---------------------------------------------------------------------------
