@@ -5,13 +5,21 @@ Each module maps to a SURVEY.md §2 operator family:
 - ``columns``   — projections / renames / casts / audit columns (§2.3)
 - ``sampling``  — limits, hash sampling, stratified quotas, grouped top-k (§2.7)
 - ``scoring``   — distributed model inference via mapInPandas (§2.10)
-- ``datadiff``  — drift histograms + distribution distances (§2.5)
+- ``training``  — collect-fit-persist trainer verb (§3.3)
+- ``datadiff``  — one-pass drift histograms + TVD/PSI distances (§2.5)
+- ``setops``    — union/intersect/except, set and bag variants (§2.8)
+- ``partitions``— partition-id tagging, skew report, batched toPandas (§2.12)
+- ``grouped``   — applyInPandas + salted (skew-safe) agg and join
+- ``asof``      — sort-merge as-of join
+- ``rangejoin`` — bucketed interval join
+- ``sketches``  — HLL / GK quantiles / linear-counting cardinality
 - ``windows``   — event-time window analytics (§2.11)
 - ``dedup``     — exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup (§2.11)
 - ``similarity``— embedding top-k, IVF ANN, embedding near-dup (§2.11)
 - ``text``      — language-ID, quality scoring, token counts, fingerprints (§2.11)
+- ``multimodal``— binary media columns + batched decode plumbing (§2.11)
 
-Streaming variants of the window operators live in
-``spark_pipeline_spark.streaming`` (same expressions, ``readStream`` +
-watermark).
+Streaming variants of the window operators plus a custom stateful
+operator live in ``spark_pipeline_spark.streaming`` (same expressions,
+``readStream`` + watermark + ``applyInPandasWithState``).
 """

@@ -1130,6 +1130,118 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
+@register(
+    "dedup_ngram_jaccard_fingerprint",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id,
+                 list_min(list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+                 )) AS fp_minhash,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM (SELECT doc_id, text, {_SQL_TOKS} AS w FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / greatest(len(a.sh) + len(b.sh)
+                                - len(list_intersect(a.sh, b.sh)), 1), 6) AS jaccard
+        FROM fp a JOIN fp b
+          ON a.fp_minhash = b.fp_minhash AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / greatest(len(a.sh) + len(b.sh)
+                         - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
+    """,
+    tags=("dedup", "jaccard", "fingerprint", "llm-pipeline"),
+)
+def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-Jaccard near-dup with FINGERPRINT blocking: candidate pairs
+    share their rolling-hash minimum (text.minhash_fingerprint — equal
+    min-shingle-hash w.h.p. for near-identical texts), then verify with
+    exact 3-gram Jaccard ≥ 0.5. A one-column bigint blocking key — the
+    cheapest of the dedup family's candidate generators (single
+    equi-join, no banding explode)."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import jaccard_similarity, word_shingles
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.minhash_fingerprint("text", 8).alias("fp_minhash"),
+        word_shingles("text", 3).alias("sh"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("fp_minhash"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("fp_minhash"),
+        F.col("sh").alias("sh_b"),
+    )
+    return (
+        a.join(b, on="fp_minhash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", jaccard_similarity("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_SEARCH_TERMS = ("spark", "window", "join", "stream")
+
+
+@register(
+    "keyword_search_documents",
+    oracle=f"""
+        WITH scored AS (
+          SELECT doc_id,
+                 len(list_filter({_SQL_TOKS},
+                     tk -> tk IN ({", ".join(f"'{w}'" for w in _SEARCH_TERMS)})))
+                 AS hits,
+                 len({_SQL_TOKS}) AS n_toks
+          FROM documents
+        )
+        SELECT doc_id, hits,
+               round(hits / (hits + 1.2 * (0.25 + 0.75 * n_toks / 120.0)), 6)
+                 AS score,
+               row_number() OVER (
+                 ORDER BY hits / (hits + 1.2 * (0.25 + 0.75 * n_toks / 120.0)) DESC,
+                          doc_id
+               ) AS rank
+        FROM scored
+        WHERE hits > 0
+        QUALIFY rank <= 25
+    """,
+    tags=("text", "search", "retrieval", "llm-pipeline"),
+)
+def keyword_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-flavored keyword retrieval as a scan: term-hit count with
+    saturation and length normalization (k1=1.2, b=0.75, avgdl=120),
+    global top-25. Scoring is pure expressions (retrieval over 100 TB of
+    docs = one codegen'd scan + a TakeOrdered-style rank limit — no
+    inverted index service needed for batch mining)."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    hits = F.size(F.filter(toks, lambda tk: tk.isin(*_SEARCH_TERMS)))
+    n_toks = F.size(toks)
+    score = hits / (hits + 1.2 * (0.25 + 0.75 * n_toks / 120.0))
+
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", hits.alias("hits"), score.alias("score_raw"))
+        .filter(F.col("hits") > 0)
+    )
+    w = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", "hits", F.round("score_raw", 6).alias("score"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over `embeddings` (SURVEY.md §2.11 north star)
 # ---------------------------------------------------------------------------
