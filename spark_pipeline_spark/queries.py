@@ -1189,6 +1189,56 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "dedup_components_documents",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        )
+        SELECT n.id AS doc_id, least(n.id, min(r.d)) AS component
+        FROM (SELECT DISTINCT s AS id FROM sym) n
+        JOIN reach r ON r.s = n.id
+        GROUP BY n.id
+    """,
+    tags=("dedup", "graph", "iterative", "llm-pipeline"),
+)
+def dedup_components_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: connected components over the MinHash-LSH
+    pair graph (if A≈B and B≈C, {A,B,C} is one duplicate group even
+    though A-C never collided). Iterative min-label propagation — one
+    join + one agg per round, lineage truncated between rounds — with
+    component id = min doc_id, an engine-independent value the DuckDB
+    oracle reproduces via a recursive-CTE transitive closure."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
 _SEARCH_TERMS = ("spark", "window", "join", "stream")
 
 

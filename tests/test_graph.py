@@ -1,0 +1,47 @@
+"""Connected components + representative resolution (operators/graph.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.operators.graph import (
+    connected_components,
+    dedup_representatives,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src bigint, dst bigint")
+
+
+def test_components_chain_triangle_and_isolated_pair(spark):
+    # chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    e = _edges(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+    )
+    got = {r["id"]: r["component"] for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_components_long_chain_needs_iterations(spark):
+    n = 12
+    e = _edges(spark, [(i, i + 1) for i in range(n)])
+    got = {r["id"]: r["component"] for r in connected_components(e, max_iter=30).collect()}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_components_max_iter_rail(spark):
+    e = _edges(spark, [(i, i + 1) for i in range(10)])
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(e, max_iter=1)
+
+
+def test_dedup_representatives_keeps_min_and_singletons(spark):
+    df = spark.createDataFrame(
+        [(i, f"row{i}") for i in (1, 2, 3, 10, 11, 99)], "doc_id bigint, payload string"
+    )
+    comp = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
+    kept = dedup_representatives(df, comp, "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
