@@ -1,0 +1,77 @@
+"""Operators must survive empty inputs with correct (empty) results and
+stable schemas — at 100 TB a filter legitimately empties a partition or
+an entire input."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.queries import t
+from tests.conftest import SF_SMALL
+
+
+def _empty_docs(spark):
+    return t(spark, SF_SMALL, "documents").filter(F.lit(False))
+
+
+def test_dedup_on_empty(spark):
+    from spark_pipeline_spark.operators.dedup import (
+        dedup_exact_content,
+        minhash_near_dup_pairs,
+        simhash_near_dup_pairs,
+    )
+
+    d = _empty_docs(spark)
+    assert dedup_exact_content(d, "text", "doc_id").count() == 0
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text")
+    assert pairs.columns == ["id_a", "id_b", "jaccard"] and pairs.count() == 0
+    assert simhash_near_dup_pairs(d, "doc_id", "text").count() == 0
+
+
+def test_windows_and_score_on_empty(spark):
+    from spark_pipeline_spark.models import LogisticModel
+    from spark_pipeline_spark.operators.scoring import score
+    from spark_pipeline_spark.operators.windows import tumbling_window
+
+    e = t(spark, SF_SMALL, "events").filter(F.lit(False))
+    w = tumbling_window(e, "ts", "1 day", keys=["event_type"], aggs=[F.count(F.lit(1)).alias("n")])
+    assert w.count() == 0 and w.columns == ["window_start", "window_end", "event_type", "n"]
+
+    c = t(spark, SF_SMALL, "customer").filter(F.lit(False)).select(
+        F.col("c_custkey").cast("string").alias("uid"), "c_acctbal"
+    )
+    scored = score(c, LogisticModel({"c_acctbal": 1.0}), cols_to_save=["uid"])
+    assert scored.count() == 0 and scored.columns == ["uid", "target_proba"]
+
+
+def test_short_text_shingles_and_fingerprint(spark):
+    """Texts shorter than the shingle width must not error (the
+    sequence-descending edge case)."""
+    from spark_pipeline_spark.operators.dedup import word_shingles
+    from spark_pipeline_spark.operators.text import minhash_fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "single"), (3, "abc"), (4, "a b c d")],
+        "doc_id bigint, text string",
+    )
+    rows = df.select(
+        "doc_id",
+        F.size(word_shingles("text", 3)).alias("n_shingles"),
+        minhash_fingerprint("text", 8).alias("fp"),
+    ).collect()
+    got = {r["doc_id"]: (r["n_shingles"], r["fp"]) for r in rows}
+    assert got[1][0] == 0 and got[2][0] == 0 and got[3][0] == 0
+    assert got[4][0] == 2
+    assert all(v[1] is not None for v in got.values())
+
+
+def test_interval_join_empty_sides(spark):
+    from spark_pipeline_spark.operators.rangejoin import interval_join
+
+    points = spark.createDataFrame([(1, 5.0)], "id bigint, x double").filter(F.lit(False))
+    bands = spark.range(3).select(
+        F.col("id").alias("band"),
+        (F.col("id") * 10).cast("double").alias("lo"),
+        (F.col("id") * 10 + 10).cast("double").alias("hi"),
+    )
+    assert interval_join(points, bands, "x", bucket_width=10.0).count() == 0

@@ -49,6 +49,36 @@ def test_stream_tumbling_matches_batch(spark, tmp_path):
     assert len(want) > 0
 
 
+def test_stream_sessions_match_batch(spark, tmp_path):
+    from spark_pipeline_spark.operators.windows import session_windows
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_session_agg,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "events_sessions")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "user_id bigint, ts timestamp, value double"
+    )
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    streamed = run_available_now_to_memory(
+        stream_session_agg(stream, "ts", "30 minutes", keys=["user_id"], aggs=aggs),
+        "stream_sessions_test",
+    )
+    batch = session_windows(events, "ts", "30 minutes", keys=["user_id"], aggs=aggs)
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in streamed.collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"]): r["n_events"] for r in batch.collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: state survives micro-batch boundaries —
     the final update per key equals the batch aggregate."""
