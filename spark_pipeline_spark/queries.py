@@ -614,7 +614,14 @@ def zscore_orders_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-pandas escape hatch (arbitrary per-group logic; one shuffle
     on the key, each group one Arrow frame). The oracle re-expresses the
     same normalization with SQL window aggregates, pinning the pandas
-    kernel to relational semantics."""
+    kernel to relational semantics.
+
+    Deliberately NOT in the bench set: this dataset has ~1.5 rows per
+    customer, and one-pandas-frame-per-group overhead (~1 ms/group) is
+    the known applyInPandas anti-pattern for many tiny groups — the
+    right tool there is the window-function form the oracle uses.
+    grouped_apply is for few/large groups with genuinely non-relational
+    kernels."""
     import pandas as pd
 
     from spark_pipeline_spark.operators.grouped import grouped_apply
@@ -754,6 +761,7 @@ def salted_join_lineitem_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
               / 4294967296.0 < 0.5
     """,
     tags=("pipeline", "llm-pipeline", "composition"),
+    bench=True,
 )
 def pipeline_documents_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A composed LLM-data cleaning pipeline — quality filter → exact
@@ -1525,6 +1533,7 @@ def events_sliding_daily_12h(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, sess_id
     """,
     tags=("window", "session", "events", "llm-pipeline"),
+    bench=True,
 )
 def events_sessions_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity sessions with a 30-minute inactivity gap
