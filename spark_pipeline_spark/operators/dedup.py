@@ -117,14 +117,35 @@ def jaccard_similarity(a: Column | str, b: Column | str) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_sig(shingles: Column, seed: int) -> Column:
-    """One MinHash signature value: min over shingles of a seeded md5.
+# Universal-hash family for MinHash signatures: ONE md5 per shingle, then
+# h_j(x) = (A_j·x + B_j) mod P per signature slot — the standard
+# construction (Broder's scheme with affine permutation approximations).
+# 16 multiply-adds replace 16 string-concat+md5 rounds per shingle.
+# P is a Mersenne prime > 2^32; A_j ≤ 2^30 keeps A·x < 2^62 (no bigint
+# overflow); coefficients derive from md5 so any engine reproduces them.
+MINHASH_P = (1 << 61) - 1
 
-    Seeding by string prefix (``"{seed}|" + shingle``) keeps the hash
-    family engine-portable — any engine with md5 reproduces it.
-    """
+
+def minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (A_j, B_j) affine coefficients, md5-derived."""
+    import hashlib
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    return [
+        ((h32(f"A{j}") % (1 << 30)) | 1, h32(f"B{j}"))  # A odd, 30-bit
+        for j in range(num_hashes)
+    ]
+
+
+def _minhash_sig(hashes: Column, a: int, b: int) -> Column:
+    """One MinHash signature value from the pre-hashed shingle array."""
     return F.array_min(
-        F.transform(shingles, lambda s: md5_int(F.concat(F.lit(f"{seed}|"), s)))
+        F.transform(
+            hashes,
+            lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MINHASH_P)),
+        )
     )
 
 
@@ -137,13 +158,17 @@ def minhash_band_keys(
     band key is the '|'-joined signature slice. Two documents get the
     same key for a band iff that signature slice matches exactly — the
     standard banding construction: P(candidate) = 1-(1-J^r)^b for
-    Jaccard J, r = rows per band.
+    Jaccard J, r = rows per band. Shingles are md5-hashed ONCE; the
+    per-slot values come from the affine family (Catalyst's
+    common-subexpression elimination evaluates the shared hash array a
+    single time).
     """
     sh = _c(shingles)
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     r = num_hashes // bands
-    sig = [_minhash_sig(sh, j) for j in range(num_hashes)]
+    hashes = F.transform(sh, lambda s: md5_int(s))
+    sig = [_minhash_sig(hashes, a, b) for a, b in minhash_coeffs(num_hashes)]
     keys = [
         F.concat_ws("|", *[s.cast("string") for s in sig[b * r : (b + 1) * r]])
         for b in range(bands)

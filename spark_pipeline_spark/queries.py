@@ -978,13 +978,16 @@ _SQL_SHINGLES3 = (
 
 
 def _sql_minhash_cte(num_hashes: int, bands: int) -> str:
-    """CTEs: shingled docs → per-doc MinHash signature → exploded bands."""
+    """CTEs: shingled docs → per-doc MinHash signature → exploded bands.
+    Mirrors dedup.minhash_band_keys: one md5 per shingle, then the
+    md5-derived affine family (A_j·h + B_j) mod P per signature slot."""
+    from spark_pipeline_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     r = num_hashes // bands
+    base_hash = _SQL_MD5INT.format(x="s")
     sig_cols = ", ".join(
-        "list_min(list_transform(sh, s -> "
-        + _SQL_MD5INT.format(x=f"'{j}|' || s")
-        + f")) AS h{j}"
-        for j in range(num_hashes)
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {MINHASH_P})) AS h{j}"
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes))
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, "
@@ -998,7 +1001,11 @@ def _sql_minhash_cte(num_hashes: int, bands: int) -> str:
           FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
         ),
         nonempty AS (SELECT * FROM shingled WHERE len(sh) > 0),
-        sig AS (SELECT doc_id, sh, {sig_cols} FROM nonempty),
+        hashed AS (
+          SELECT doc_id, sh, list_transform(sh, s -> {base_hash}) AS hs
+          FROM nonempty
+        ),
+        sig AS (SELECT doc_id, sh, {sig_cols} FROM hashed),
         banded AS ({band_selects})
     """
 
