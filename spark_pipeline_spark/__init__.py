@@ -17,6 +17,6 @@ Design stance (see SURVEY.md §7):
 
 from spark_pipeline_spark.session import get_session, session_builder
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = ["get_session", "session_builder", "__version__"]
