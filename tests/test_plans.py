@@ -1,0 +1,76 @@
+"""Physical-plan regression gates: the scale properties SCALE.md claims
+must stay true as queries evolve. Plan text is checked on the optimized
+physical plan at sf0.001 (shape, not timing)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.queries import REGISTRY, t
+from tests.conftest import SF_SMALL
+
+# The only queries allowed a nested-loop join: the deliberate brute-force
+# similarity baseline and the IVF variant are NOT in this set — their
+# joins are broadcast NLJ on the *tiny query side* by design.
+_NLJ_ALLOWED = {"embedding_topk_bruteforce", "embedding_ann_ivf", "embedding_near_dup_ivf"}
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product_anywhere(spark, name):
+    """CartesianProduct = both sides big with no join key — unrunnable at
+    scale; it must never appear in any registered query."""
+    plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} fell back to a nested-loop join"
+        )
+
+
+def test_q1_filter_pushed_and_pruned(spark):
+    plan = _plan(REGISTRY["q1_pricing_summary"].fn(spark, SF_SMALL))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_text_stats_scan_prunes_to_two_columns(spark):
+    plan = _plan(REGISTRY["text_stats_documents"].fn(spark, SF_SMALL))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "text" in read_schema
+    for unused in ("lang", "source", "n_chars"):
+        assert unused not in read_schema, f"scan reads unused column {unused}"
+
+
+def test_asof_join_is_single_window_no_join_node(spark):
+    """The as-of operator must stay union + window — no join node, one
+    Window over the unioned stream."""
+    plan = _plan(REGISTRY["events_asof_last_purchase"].fn(spark, SF_SMALL))
+    assert "Join" not in plan
+    assert plan.count("Window") >= 1
+
+
+def test_topk_window_gets_group_limit_pushdown(spark):
+    """Rank-limit queries must keep Spark's WindowGroupLimit (partial
+    top-k before the shuffle)."""
+    plan = _plan(REGISTRY["grouped_topk_orders"].fn(spark, SF_SMALL))
+    assert "WindowGroupLimit" in plan
+
+
+def test_scoring_projects_features_before_python(spark):
+    """The Python stage must see only cols_to_save + features — column
+    pruning reaching the scan is the 1%-of-bytes-read guarantee."""
+    plan = _plan(REGISTRY["score_callable_model"].fn(spark, SF_SMALL))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    for unused in ("l_partkey", "l_suppkey", "l_extendedprice", "l_shipdate"):
+        assert unused not in read_schema
