@@ -136,6 +136,44 @@ def stream_stateful_running_totals(
     )
 
 
+def stream_drift_monitor(
+    stream: DataFrame,
+    reference_hist: DataFrame,
+    columns: Sequence[str],
+    on_batch,
+    max_bins: int = 1000,
+    metric: str = "tvd",
+    available_now: bool = True,
+):
+    """Productized drift detection on a stream: every micro-batch is
+    histogrammed (one-pass, multi-column — `operators.datadiff`) and
+    compared against a precomputed reference histogram; per-column
+    distances go to ``on_batch(batch_id, {col: distance})``.
+
+    The reference histogram is a tiny static frame (≤ cols × bins rows)
+    computed ONCE from the baseline dataset — the stream side never
+    rescans the baseline. ``foreachBatch`` is the right hook: histogram +
+    join are ordinary batch plans per micro-batch, and the alert callback
+    runs on the driver with a ≤ one-row-per-column result.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    from spark_pipeline_spark.operators.datadiff import (
+        hash_histograms,
+        histogram_distance_df,
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        h = hash_histograms(batch_df, list(columns), max_bins)
+        d = histogram_distance_df(reference_hist, h, metric)
+        on_batch(batch_id, {r["col_name"]: float(r["distance"]) for r in d.collect()})
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def run_available_now_to_memory(
     df: DataFrame, query_name: str, output_mode: str = "complete", timeout_sec: int = 120
 ) -> DataFrame:

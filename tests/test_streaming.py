@@ -79,6 +79,40 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_stream_drift_monitor_flags_shift_not_noise(spark, tmp_path):
+    """Per-micro-batch TVD vs a reference histogram: near zero for
+    batches drawn from the same distribution, large for a shifted
+    reference."""
+    from spark_pipeline_spark.operators.datadiff import hash_histograms
+    from spark_pipeline_spark.streaming import read_parquet_stream, stream_drift_monitor
+
+    events = t(spark, SF_SMALL, "events").select("event_type", "value")
+    src = str(tmp_path / "events_drift")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    ref_same = hash_histograms(events, ["event_type"], max_bins=64)
+    shifted = events.withColumn("event_type", F.concat(F.lit("X_"), "event_type"))
+    ref_shifted = hash_histograms(shifted, ["event_type"], max_bins=64)
+
+    results: dict[str, list] = {"same": [], "shifted": []}
+    for tag, ref in (("same", ref_same), ("shifted", ref_shifted)):
+        stream = read_parquet_stream(
+            spark, src, "event_type string, value double", max_files_per_trigger=2
+        )
+        q = stream_drift_monitor(
+            stream,
+            ref,
+            ["event_type"],
+            on_batch=lambda bid, d, tag=tag: results[tag].append(d["event_type"]),
+            max_bins=64,
+        )
+        q.awaitTermination(120)
+
+    assert len(results["same"]) >= 2  # multiple micro-batches ran
+    assert all(d < 0.15 for d in results["same"]), results["same"]
+    assert all(d > 0.9 for d in results["shifted"]), results["shifted"]
+
+
 def test_stateful_running_totals_across_microbatches(spark, tmp_path):
     """applyInPandasWithState: state survives micro-batch boundaries —
     the final update per key equals the batch aggregate."""
