@@ -333,6 +333,67 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_orders_priority",
+    oracle="""
+        SELECT o_orderstatus,
+               count(*) FILTER (o_orderpriority = '1-URGENT') AS p1_urgent,
+               count(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3_medium,
+               count(*) FILTER (o_orderpriority = '5-LOW')    AS p5_low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_orders_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): order counts per status with one column per
+    priority. Explicit pivot values — without them Spark runs an extra
+    distinct-values job before planning, a full scan a 100 TB pipeline
+    shouldn't pay."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("p1_urgent"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("p3_medium"),
+            F.coalesce("5-LOW", F.lit(0)).alias("p5_low"),
+        )
+    )
+
+
+@register(
+    "unpivot_lineitem_charges",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_discount' AS charge_kind,
+               round(l_discount, 6) AS charge
+        FROM lineitem WHERE l_linenumber <= 2
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 6)
+        FROM lineitem WHERE l_linenumber <= 2
+    """,
+    tags=("unpivot", "melt"),
+)
+def unpivot_lineitem_charges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long, melt): charge-rate columns become
+    (kind, value) rows via the native unpivot operator — an expression-
+    level fan-out (no shuffle, no self-union scan of the input)."""
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_discount", "l_tax"],
+        "charge_kind",
+        "charge_raw",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "charge_kind",
+        F.round("charge_raw", 6).alias("charge"),
+    )
+
+
+@register(
     "flatten_struct_orders",
     oracle="""
         SELECT o_orderkey,
