@@ -109,6 +109,53 @@ def session_windows(
     )
 
 
+def resample_ffill(
+    df: DataFrame,
+    ts_col: str,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+    step_seconds: int,
+) -> DataFrame:
+    """Resample an event stream onto a regular per-key time grid with
+    forward-filled values (gap filling).
+
+    For every key, buckets run from floor(min ts) to floor(max ts) in
+    ``step_seconds``; each grid point carries the latest observation
+    at-or-before it (``ffill_`` columns; leading grid points before the
+    first observation are null — honest gaps, not fabricated data).
+
+    Composition, not a new engine primitive: per-key bounds are one
+    aggregation, the grid is an exploded ``sequence`` (rows = keys ×
+    buckets — size the step accordingly), and the fill is the engine's
+    sort-merge :func:`~spark_pipeline_spark.operators.asof.asof_join`.
+    Timestamps compare as epoch doubles (µs precision) so ties inside a
+    truncated second can't make the pick ambiguous.
+    """
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    step = int(step_seconds)
+    ep = F.floor(F.col(ts_col).cast("double") / step).cast("bigint") * step
+    bounds = df.groupBy(*keys).agg(
+        F.min(ep).alias("__lo"), F.max(ep).alias("__hi")
+    )
+    grid = bounds.select(
+        *keys,
+        F.explode(F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step))).alias(
+            "bucket_epoch"
+        ),
+    ).withColumn("__grid_ts", F.col("bucket_epoch").cast("double"))
+    right = df.select(
+        *keys,
+        F.col(ts_col).cast("double").alias("__obs_ts"),
+        *[F.col(c) for c in value_cols],
+    )
+    out = asof_join(
+        grid, right, on=list(keys), left_ts="__grid_ts", right_ts="__obs_ts",
+        right_prefix="ffill_",
+    )
+    return out.drop("__grid_ts", "ffill___obs_ts")
+
+
 def with_json_props(df: DataFrame, json_col: str, schema_ddl: str) -> DataFrame:
     """Parse a JSON-string column into typed fields (``from_json``) and
     flatten them alongside the original columns.

@@ -1672,6 +1672,42 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_6h_ffill",
+    oracle="""
+        WITH b AS (
+          SELECT user_id,
+                 (floor(epoch(min(ts)) / 21600)::BIGINT) * 21600 AS lo,
+                 (floor(epoch(max(ts)) / 21600)::BIGINT) * 21600 AS hi
+          FROM events GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(lo, hi, 21600)) AS bucket_epoch
+          FROM b
+        ),
+        e AS (SELECT user_id, epoch(ts) AS obs, value FROM events)
+        SELECT g.user_id, g.bucket_epoch,
+               round(e.value, 2) AS last_value
+        FROM grid g ASOF LEFT JOIN e
+          ON g.user_id = e.user_id AND g.bucket_epoch::DOUBLE >= e.obs
+    """,
+    tags=("resample", "gap-fill", "asof", "events", "llm-pipeline"),
+)
+def events_resample_6h_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap filling: every user's values resampled onto a 6-hour grid with
+    forward fill (latest observation at-or-before each grid point;
+    leading gaps stay null). Built by composition — bounds agg + exploded
+    sequence + the sort-merge as-of join — and verified against DuckDB's
+    generate_series + native ASOF LEFT JOIN."""
+    from spark_pipeline_spark.operators.windows import resample_ffill
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    r = resample_ffill(e, "ts", ["user_id"], ["value"], step_seconds=21600)
+    return r.select(
+        "user_id", "bucket_epoch", F.round("ffill_value", 2).alias("last_value")
+    )
+
+
+@register(
     "events_props_by_type",
     oracle="""
         SELECT event_type,
