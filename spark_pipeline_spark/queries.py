@@ -333,6 +333,62 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "median_price_by_status",
+    oracle="""
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+               round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    tags=("agg", "percentile"),
+)
+def median_price_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ANSI continuous-quantile
+    semantics — both engines interpolate linearly, so values match to
+    rounding). Exact percentiles sort within each group; for bounded
+    memory at scale use sketches.approx_quantiles instead."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        )
+    )
+
+
+@register(
+    "null_safe_join_status",
+    oracle="""
+        WITH k AS (
+          SELECT o_orderkey, nullif(o_orderstatus, 'O') AS k FROM orders
+        ),
+        d AS (SELECT DISTINCT k FROM k)
+        SELECT d.k AS status_key, count(*) AS n_orders
+        FROM k JOIN d ON k.k IS NOT DISTINCT FROM d.k
+        GROUP BY d.k
+    """,
+    tags=("join", "null-semantics"),
+)
+def null_safe_join_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (eqNullSafe / IS NOT DISTINCT FROM): null
+    keys MATCH null keys — the semantics an ordinary equi-join silently
+    drops. Still a hash join (null-safe equality is a valid hash key),
+    so the plan survives scale like any equi-join."""
+    k = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif("o_orderstatus", F.lit("O")).alias("k")
+    )
+    d = k.select("k").distinct().withColumnRenamed("k", "dk")
+    return (
+        k.join(F.broadcast(d), k.k.eqNullSafe(d.dk))
+        .groupBy("dk")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(F.col("dk").alias("status_key"), "n_orders")
+    )
+
+
+@register(
     "pivot_orders_priority",
     oracle="""
         SELECT o_orderstatus,
