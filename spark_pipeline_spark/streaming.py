@@ -136,6 +136,27 @@ def stream_stateful_running_totals(
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose ``keys`` were already seen
+    within the watermark window (``dropDuplicatesWithinWatermark``).
+
+    The streaming member of the dedup family: state holds one entry per
+    key seen inside the watermark horizon, and the watermark is what
+    BOUNDS that state — an unbounded ``dropDuplicates`` on a stream would
+    accumulate every key forever. Choose the delay as the maximum
+    duplicate-arrival skew (e.g. an at-least-once ingestion's redelivery
+    window), not the full stream history.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stream_drift_monitor(
     stream: DataFrame,
     reference_hist: DataFrame,

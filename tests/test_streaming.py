@@ -79,6 +79,34 @@ def test_stream_sessions_match_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Exact duplicates arriving in DIFFERENT micro-batches must be
+    dropped while the key is inside the watermark horizon."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_dedup,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("event_id", "ts", "user_id")
+    src = str(tmp_path / "events_dup")
+    # the same rows land twice, in separate files -> separate micro-batches
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    events.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "event_id bigint, ts timestamp, user_id bigint",
+        max_files_per_trigger=1,
+    )
+    deduped = run_available_now_to_memory(
+        stream_dedup(stream, ["event_id"], "ts", watermark="365 days"),
+        "stream_dedup_test",
+        output_mode="append",
+    )
+    assert deduped.count() == events.count()
+    assert deduped.select("event_id").distinct().count() == events.count()
+
+
 def test_stream_drift_monitor_flags_shift_not_noise(spark, tmp_path):
     """Per-micro-batch TVD vs a reference histogram: near zero for
     batches drawn from the same distribution, large for a shifted
