@@ -12,6 +12,7 @@ Each module maps to a SURVEY.md §2 operator family:
 - ``grouped``   — applyInPandas + salted (skew-safe) agg and join
 - ``asof``      — sort-merge as-of join
 - ``rangejoin`` — bucketed interval join
+- ``graph``     — connected components (near-dup clustering)
 - ``sketches``  — HLL / GK quantiles / linear-counting cardinality
 - ``windows``   — event-time window analytics (§2.11)
 - ``dedup``     — exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup (§2.11)
