@@ -137,6 +137,34 @@ def proportion_samples(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Weight-proportional sample of ``k`` rows without replacement
+    (Efraimidis-Spirakis A-ES): rank rows by ``u^(1/w)`` descending,
+    where ``u`` is the row's deterministic md5 draw and ``w`` its weight
+    — heavier rows win more often, exactly with probability ∝ w.
+
+    Deterministic (content-hash draw → same sample under any
+    partitioning, rerun, or engine) and scale-cheap: the ranking is a
+    global top-k, which Spark executes as per-partition TakeOrdered +
+    driver merge — no full sort. Rows with weight ≤ 0 never win.
+    """
+    u = _key_hash(df, key_cols)
+    w = F.col(weight_col).cast("double")
+    # u^(1/w) for w>0; -1 sorts non-positive weights last
+    priority = F.when(w > 0, F.pow(u, 1.0 / w)).otherwise(F.lit(-1.0))
+    return (
+        df.withColumn("__priority", priority)
+        .orderBy(F.desc("__priority"), *key_cols)
+        .limit(k)
+        .drop("__priority")
+    )
+
+
 def stratified_fraction_sample(
     df: DataFrame,
     strata_col: str,

@@ -898,6 +898,31 @@ def pipeline_documents_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weighted_sample_documents",
+    oracle="""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        ORDER BY CASE WHEN n_chars > 0
+                      THEN pow(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                               / 4294967296.0, 1.0 / n_chars)
+                      ELSE -1.0 END DESC,
+                 doc_id
+        LIMIT 40
+    """,
+    tags=("sample", "weighted"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional sampling (Efraimidis-Spirakis exponential
+    keys): 40 documents drawn ∝ length — the long-document oversampling
+    a training-mix builder needs. Deterministic md5 draw; executes as
+    TakeOrdered, not a global sort."""
+    from spark_pipeline_spark.operators.sampling import weighted_sample_topk
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample_topk(d, 40, "n_chars", ["doc_id"])
+
+
+@register(
     "setops_nation_keys",
     oracle="""
         SELECT 'intersect' AS op, count(*) AS n FROM (
