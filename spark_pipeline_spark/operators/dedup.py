@@ -33,6 +33,7 @@ __all__ = [
     "dedup_exact",
     "dedup_exact_content",
     "word_shingles",
+    "shingle_table",
     "jaccard_similarity",
     "minhash_band_keys",
     "minhash_near_dup_pairs",
@@ -89,6 +90,13 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
     Lowercased, whitespace-tokenized. Documents with fewer than ``n``
     words yield an empty array (callers filter those out of fuzzy dedup).
+
+    PERFORMANCE: do NOT follow this with ``filter(size(...) > 0)`` —
+    predicate pushdown substitutes the whole shingle expression into the
+    Filter node and evaluates it twice (with ``split`` re-inlined per
+    gram — measured 20× slower at sf0.1). Filter on the token count
+    *before* shingling instead; :func:`shingle_table` packages the fast
+    plan.
     """
     w = F.split(F.lower(F.trim(_c(col))), "\\s+")
     count = F.size(w) - (n - 1)
@@ -102,6 +110,30 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """``(__id, __sh)`` shingle table with the scale-correct plan shape.
+
+    Rows with fewer than ``n`` words are dropped by filtering on the
+    *token count* — equivalent to ``size(shingles) > 0`` (distinct of a
+    nonempty gram list is nonempty) but evaluated on the cheap token
+    array instead of re-deriving every n-gram inside the pushed-down
+    Filter. The token array is materialized in its own projection so the
+    gram lambda references a bound column, not an expression tree.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.trim(_c(text_col))), "\\s+").alias("__w"),
+    ).filter(F.size("__w") >= n)
+    w = F.col("__w")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+    )
+    return toks.select("__id", F.array_distinct(grams).alias("__sh"))
 
 
 def jaccard_similarity(a: Column | str, b: Column | str) -> Column:
@@ -166,8 +198,20 @@ def minhash_band_keys(
     sh = _c(shingles)
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    r = num_hashes // bands
     hashes = F.transform(sh, lambda s: md5_int(s))
+    return _band_keys_from_hashes(hashes, num_hashes, bands)
+
+
+def _band_keys_from_hashes(hashes: Column, num_hashes: int, bands: int) -> Column:
+    """Band keys from a pre-hashed shingle array.
+
+    Callers that fan one hash array into many signatures should
+    materialize ``hashes`` as its own projection column first: each of
+    the ``num_hashes`` signature slots references the array, and an
+    inlined expression tree is re-evaluated per slot (measured 2.5×
+    slower for 16 slots at sf0.1) — a bound column is evaluated once.
+    """
+    r = num_hashes // bands
     sig = [_minhash_sig(hashes, a, b) for a, b in minhash_coeffs(num_hashes)]
     keys = [
         F.concat_ws("|", *[s.cast("string") for s in sig[b * r : (b + 1) * r]])
@@ -192,7 +236,9 @@ def minhash_near_dup_pairs(
 
     Plan shape (the part that must survive 100 TB):
 
-    1. shingle + band — one scan, expressions only;
+    1. shingle (token-count pre-filter, see :func:`shingle_table`), hash
+       each shingle once into a materialized array, band — one scan,
+       expressions only;
     2. explode to (id, band, key) — fixed-width rows, b per document;
     3. self-equi-join on (band, key) + distinct — candidates only ever
        meet inside a bucket; no cartesian anywhere;
@@ -207,17 +253,23 @@ def minhash_near_dup_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
-    base = (
-        df.select(F.col(id_col).alias("__id"), word_shingles(text_col, n).alias("__sh"))
-        .filter(F.size("__sh") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    base = shingle_table(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    banded = base.select(
+    hashed = base.select(
+        "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+    )
+    # Persisted: feeds both sides of the candidate self-join, and AQE does
+    # not reliably reuse the exchange across the two branches — without it
+    # shingle-hashing and banding run twice. (id, band, key) rows only.
+    banded = hashed.select(
         "__id",
-        F.posexplode(minhash_band_keys(F.col("__sh"), num_hashes, bands)).alias(
-            "__band", "__key"
-        ),
-    )
+        F.posexplode(
+            _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
+        ).alias("__band", "__key"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -257,27 +309,39 @@ def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     Classic construction (Charikar 2002): each token votes ±1 on every
     bit of its md5 hash; the fingerprint sets bits with positive vote
     sums. Near-identical token multisets differ in few bits, so hamming
-    distance approximates similarity. Pure expressions: one ``transform``
-    to hash tokens, ``aggregate`` folds per bit.
+    distance approximates similarity.
+
+    Single-fold plan: ONE ``aggregate`` over the token-hash array with an
+    array-of-vote-counters accumulator, then one pass turning votes into
+    set bits. The per-bit formulation (``bits`` separate folds, each
+    re-inlining the md5 transform) hashes every token ``bits`` times and
+    traverses the array ``bits`` times — measured 15× slower at sf0.1.
     """
     toks = F.split(F.lower(F.trim(_c(col))), "\\s+")
     hashes = F.transform(toks, lambda tk: md5_int(tk))
-
-    def bit_votes(b: int) -> Column:
-        # two-arg merge lambda: F.aggregate dispatches on arity, so the
-        # bit index must be closed over, not a defaulted third parameter.
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
-        )
-
-    out = F.lit(0).cast("bigint")
-    for b in range(bits):
-        out = out + F.when(bit_votes(b) >= 0, F.lit(1 << b).cast("bigint")).otherwise(
-            F.lit(0)
-        )
-    return out
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    # votes[b] = Σ_tokens (bit b of md5(token) ? +1 : -1)
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1).cast("bigint")
+                    for b in range(bits)
+                ]
+            ),
+            lambda a, d: a + d,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    set_bits = F.zip_with(
+        votes,
+        powers,
+        lambda v, p: F.when(v >= 0, p).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(set_bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
 def simhash_near_dup_pairs(
@@ -298,13 +362,18 @@ def simhash_near_dup_pairs(
     ``max_hamming >= blocks`` the guarantee weakens to a recall heuristic
     (standard practice; raise ``blocks`` for exact recall).
     """
+    from pyspark.storagelevel import StorageLevel
+
     if bits % blocks:
         raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
     width = bits // blocks
     mask = (1 << width) - 1
+    # Persisted: the fingerprint table feeds both sides of the self-join;
+    # without it each side re-hashes every token of the corpus. Two
+    # fixed-width columns per row — the cache is tiny relative to text.
     sh = df.select(
         F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     block_vals = F.array(
         *[
             F.shiftright(F.col("__simhash"), i * width).bitwiseAND(F.lit(mask))

@@ -1319,14 +1319,19 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     exact 3-gram Jaccard ≥ 0.5. A one-column bigint blocking key — the
     cheapest of the dedup family's candidate generators (single
     equi-join, no banding explode)."""
+    from pyspark.storagelevel import StorageLevel
+
     from spark_pipeline_spark.operators import text as T
     from spark_pipeline_spark.operators.dedup import jaccard_similarity, word_shingles
 
+    # Persisted: the rolling-hash fingerprint (one md5 per character
+    # position) is the dominant cost and feeds BOTH sides of the
+    # self-join — without the persist each side recomputes it.
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         T.minhash_fingerprint("text", 8).alias("fp_minhash"),
         word_shingles("text", 3).alias("sh"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("fp_minhash"),
