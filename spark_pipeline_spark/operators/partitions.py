@@ -25,7 +25,27 @@ __all__ = [
     "with_partition_id",
     "partition_sizes",
     "iter_pandas_batches",
+    "ensure_min_partitions",
 ]
+
+
+def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Raise the partition count to at least ``min_partitions`` (default:
+    cluster default parallelism) ahead of a CPU-heavy per-row stage.
+
+    A small parquet file scans as ONE partition (`maxPartitionBytes`
+    windows), which serializes any expensive projection placed on top of
+    it — measured 4× on a 5000-doc fingerprint stage at sf0.1. The
+    round-robin shuffle this inserts moves only the raw input rows, which
+    is cheap exactly when the downstream per-row compute (hashing,
+    shingling, decoding) dominates. No-op when the scan is already
+    parallel enough — at 100 TB file splits provide the parallelism and
+    this helper does nothing.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def with_partition_id(df: DataFrame, col_name: str = "partition_id") -> DataFrame:

@@ -715,30 +715,33 @@ def stratified_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "zscore_orders_by_customer",
+    "zscore_orders_by_month",
     oracle="""
-        SELECT o_custkey, o_orderkey,
+        SELECT floor(epoch(date_trunc('month', o_orderdate)))::BIGINT AS month_epoch,
+               o_orderkey,
                round(CASE WHEN stddev_pop(o_totalprice) OVER w = 0 THEN 0.0
                           ELSE (o_totalprice - avg(o_totalprice) OVER w)
                                / stddev_pop(o_totalprice) OVER w END, 6) AS z
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey)
+        WINDOW w AS (PARTITION BY date_trunc('month', o_orderdate))
     """,
     tags=("grouped", "applyInPandas"),
 )
-def zscore_orders_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-customer z-score of order totals via applyInPandas — the
+def zscore_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month z-score of order totals via applyInPandas — the
     grouped-pandas escape hatch (arbitrary per-group logic; one shuffle
     on the key, each group one Arrow frame). The oracle re-expresses the
     same normalization with SQL window aggregates, pinning the pandas
     kernel to relational semantics.
 
-    Deliberately NOT in the bench set: this dataset has ~1.5 rows per
-    customer, and one-pandas-frame-per-group overhead (~1 ms/group) is
-    the known applyInPandas anti-pattern for many tiny groups — the
-    right tool there is the window-function form the oracle uses.
-    grouped_apply is for few/large groups with genuinely non-relational
-    kernels."""
+    Grouped by order MONTH (~80 groups of ~2k rows at sf0.1), the
+    few-large-groups regime grouped_apply is for. The by-customer
+    variant of this query (~15k groups of ~10 rows) measured 20s at
+    sf0.1 — one-pandas-frame-per-group overhead (~1 ms/group) is the
+    known applyInPandas anti-pattern for many tiny groups; the right
+    tool there is the window-function form the oracle uses. At 100 TB
+    the group count stays fixed (calendar months) while groups grow —
+    exactly when an Arrow frame per group amortizes."""
     import pandas as pd
 
     from spark_pipeline_spark.operators.grouped import grouped_apply
@@ -748,13 +751,17 @@ def zscore_orders_by_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         m = pdf["o_totalprice"].mean()
         pdf = pdf.copy()
         pdf["z"] = 0.0 if s == 0 else (pdf["o_totalprice"] - m) / s
-        return pdf[["o_custkey", "o_orderkey", "z"]]
+        return pdf[["month_epoch", "o_orderkey", "z"]]
 
-    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    out = grouped_apply(
-        o, ["o_custkey"], zscore, "o_custkey bigint, o_orderkey bigint, z double"
+    o = t(spark, sf_dir, "orders").select(
+        F.unix_timestamp(F.date_trunc("month", "o_orderdate")).alias("month_epoch"),
+        "o_orderkey",
+        "o_totalprice",
     )
-    return out.select("o_custkey", "o_orderkey", F.round("z", 6).alias("z"))
+    out = grouped_apply(
+        o, ["month_epoch"], zscore, "month_epoch bigint, o_orderkey bigint, z double"
+    )
+    return out.select("month_epoch", "o_orderkey", F.round("z", 6).alias("z"))
 
 
 @register(
@@ -1293,8 +1300,8 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         WITH fp AS (
           SELECT doc_id,
                  list_min(list_transform(
-                   generate_series(1, greatest(length(text) - 7, 1)),
-                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+                   generate_series(1, greatest(length(text) - 23, 1)),
+                   i -> ('0x' || substr(md5(substr(text, i, 24)), 1, 8))::BIGINT
                  )) AS fp_minhash,
                  list_distinct(list_transform(range(1, len(w) - 1),
                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
@@ -1318,7 +1325,14 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     min-shingle-hash w.h.p. for near-identical texts), then verify with
     exact 3-gram Jaccard ≥ 0.5. A one-column bigint blocking key — the
     cheapest of the dedup family's candidate generators (single
-    equi-join, no banding explode)."""
+    equi-join, no banding explode).
+
+    Shingle length 24 (not the 8 default): on template-generated
+    corpora short shingles are shared across unrelated documents, so
+    the global-min hash collides (measured at sf0.1: len=8 → 266
+    distinct fingerprints / 312k candidate pairs for 5000 docs;
+    len=24 → 4.7k distinct / 323 candidates). Blocking quality, not
+    hash cost, is what keeps the verify stage ~O(n)."""
     from pyspark.storagelevel import StorageLevel
 
     from spark_pipeline_spark.operators import text as T
@@ -1327,9 +1341,15 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     # Persisted: the rolling-hash fingerprint (one md5 per character
     # position) is the dominant cost and feeds BOTH sides of the
     # self-join — without the persist each side recomputes it.
-    d = t(spark, sf_dir, "documents").select(
+    # ensure_min_partitions: a small corpus scans as one partition,
+    # which would serialize the per-row hashing (measured 4× at sf0.1).
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select(
         "doc_id",
-        T.minhash_fingerprint("text", 8).alias("fp_minhash"),
+        T.minhash_fingerprint("text", 24).alias("fp_minhash"),
         word_shingles("text", 3).alias("sh"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     a = d.select(
