@@ -183,3 +183,114 @@ def stratified_fraction_sample(
     draw = _key_hash(df, key_cols)
     stratum_frac = F.element_at(frac, F.col(strata_col).cast("string"))
     return df.filter(draw < F.coalesce(stratum_frac, F.lit(0.0)))
+
+
+def _key_basis(df: DataFrame, key_cols: list[str]) -> Column:
+    """String basis of the key tuple ('|'-joined casts), the input every
+    deterministic draw hashes."""
+    if len(key_cols) == 1:
+        return F.col(key_cols[0]).cast("string")
+    return F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key_cols: list[str],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Deterministic prefix sample under a token budget.
+
+    Rows are ranked by their content-hash draw (a deterministic global
+    shuffle order); a row is kept iff the total of ``token_col`` over all
+    strictly-preceding rows is below ``budget`` — take documents in hash
+    order until the budget is spent. The row that crosses the budget
+    line is included, so the sample always reaches the budget. This is
+    the "cut an N-token training set out of the corpus" primitive.
+
+    Scale shape: the naive form is a global ORDER BY + running sum — a
+    single-partition window, dead at 100 TB. Instead the 2^32 hash space
+    is cut into ``n_buckets`` fixed ranges: one groupBy computes
+    per-bucket token totals (``n_buckets`` rows), a prefix sum over that
+    tiny frame classifies each bucket as fully-in / fully-out /
+    straddling, and only the ~1/n_buckets of rows in the straddling
+    bucket pay a within-bucket running-sum window. Everything else is a
+    broadcast join + filter. The result is bit-identical to the naive
+    global-window form (same (hash, key) order; bucket ranges are
+    order-compatible prefixes of it).
+    """
+    width = (1 << 32) // n_buckets
+    u = md5_int(_key_basis(df, key_cols))
+    tagged = df.withColumn("__u", u).withColumn(
+        "__bucket", F.floor(F.col("__u") / F.lit(width)).cast("bigint")
+    )
+    tok = F.col(token_col).cast("bigint")
+
+    totals = tagged.groupBy("__bucket").agg(F.sum(tok).alias("__btot"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_buckets rows: the single-partition window here is trivially small.
+    totals = totals.withColumn(
+        "__bprefix", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    )
+
+    joined = tagged.join(F.broadcast(totals), "__bucket")
+    bprefix, btot = F.col("__bprefix"), F.col("__btot")
+    helper = ["__u", "__bucket", "__btot", "__bprefix"]
+
+    fully_in = joined.filter(bprefix + btot < budget).drop(*helper)
+    straddle = joined.filter((bprefix < budget) & (bprefix + btot >= budget))
+    wrow = (
+        Window.partitionBy("__bucket")
+        .orderBy("__u", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strad_in = (
+        straddle.withColumn(
+            "__rprefix", bprefix + F.coalesce(F.sum(tok).over(wrow), F.lit(0))
+        )
+        .filter(F.col("__rprefix") < budget)
+        .drop("__rprefix", *helper)
+    )
+    return fully_in.unionByName(strad_in)
+
+
+def mixture_sample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget: float,
+    token_col: str,
+    key_cols: list[str],
+) -> DataFrame:
+    """Weight-targeted mixture sampling: subsample each stratum so the
+    *expected* token total is ``budget * w_s / Σw`` — the training-mix
+    primitive ("40% web, 30% code, …, capped at N tokens total").
+
+    Per-stratum availability ``T_s`` comes from one tiny aggregate
+    (broadcast back); the keep-fraction is ``min(1, target_s / T_s)`` —
+    strata that cannot fill their quota are taken whole (no upweighting;
+    resampling with replacement is a separate concern). Strata absent
+    from ``weights`` get fraction 0. The draw is the deterministic md5
+    content hash, so membership is stable across reruns, partitionings,
+    and engines, and the final sample is a pure broadcast-join + filter:
+    no shuffle of the fact table at any scale.
+    """
+    sumw = float(sum(weights.values()))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    tok = F.col(token_col).cast("bigint")
+
+    totals = df.groupBy(strata_col).agg(F.sum(tok).cast("double").alias("__stok"))
+    weight = F.element_at(wmap, F.col(strata_col).cast("string"))
+    frac = F.least(
+        F.lit(1.0),
+        F.coalesce(weight, F.lit(0.0)) * F.lit(float(budget)) / F.lit(sumw) / F.col("__stok"),
+    )
+    fractions = totals.withColumn("__frac", frac)
+
+    tagged = df.withColumn("__draw", _key_hash(df, key_cols))
+    return (
+        tagged.join(F.broadcast(fractions.select(strata_col, "__frac")), strata_col)
+        .filter(F.col("__draw") < F.col("__frac"))
+        .drop("__draw", "__frac")
+    )

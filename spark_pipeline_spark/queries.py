@@ -929,6 +929,95 @@ def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(d, 40, "n_chars", ["doc_id"])
 
 
+_TOKEN_BUDGET = 10_000
+
+@register(
+    "token_budget_sample_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS u
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, source, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                   ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM tok
+        )
+        SELECT doc_id, source, n_tok FROM c WHERE bef < {_TOKEN_BUDGET}
+    """,
+    tags=("sample", "token-budget", "llm-pipeline"),
+)
+def token_budget_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut a ~10k-token training slice out of the corpus: documents in
+    deterministic hash order until the token budget is spent. The oracle
+    is the naive global running-sum window; the operator's bucketed plan
+    (per-bucket totals → broadcast prefix → windowed straddle bucket
+    only) produces the identical set without a global sort — the
+    difference IS the 100 TB story."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import token_budget_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count_regex("text").cast("bigint").alias("n_tok"),
+    )
+    return token_budget_sample(d, _TOKEN_BUDGET, "n_tok", ["doc_id"])
+
+
+_MIX_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0, "src3": 0.5}
+_MIX_BUDGET = 5_000.0
+_MIX_SUMW = float(sum(_MIX_WEIGHTS.values()))
+_SQL_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w!r}" for s, w in _MIX_WEIGHTS.items()
+) + " END"
+
+@register(
+    "mixture_sample_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, sum(n_tok)::DOUBLE AS stok FROM tok GROUP BY source
+        ),
+        fr AS (
+          SELECT source,
+                 least(1.0, coalesce({_SQL_MIX_CASE}, 0.0)
+                            * {_MIX_BUDGET!r} / {_MIX_SUMW!r} / stok) AS frac
+          FROM tot
+        )
+        SELECT tok.doc_id, tok.source, tok.n_tok
+        FROM tok JOIN fr USING (source)
+        WHERE ('0x' || substr(md5(tok.doc_id::VARCHAR), 1, 8))::BIGINT
+              / 4294967296.0 < fr.frac
+    """,
+    tags=("sample", "mixture", "llm-pipeline"),
+)
+def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix sampling: per-source keep-fractions sized so the
+    expected token take is budget·w_s/Σw (capped at the whole stratum),
+    drawn with the deterministic md5 hash. One tiny aggregate broadcast
+    back onto the corpus — the fact table never shuffles."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import mixture_sample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count_regex("text").cast("bigint").alias("n_tok"),
+    )
+    return mixture_sample(
+        d, "source", _MIX_WEIGHTS, _MIX_BUDGET, "n_tok", ["doc_id"]
+    )
+
+
 @register(
     "setops_nation_keys",
     oracle="""

@@ -185,3 +185,51 @@ def test_apply_overrides_single_override_lands(base, path, value):
     assert node[path[-1]] == value
     for k, v in untouched.items():
         assert out[k] == v
+
+
+def test_token_budget_sample_bucketing_invariant_and_semantics(spark):
+    """The bucketed plan must equal the naive hash-order prefix for any
+    bucket count, and the kept set must cross the budget exactly once:
+    total >= budget (the crossing row is included) while dropping the
+    largest-hash kept row falls back under budget."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import token_budget_sample
+
+    budget = 3000
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    results = {
+        n: {r["doc_id"] for r in token_budget_sample(d, budget, "n_tok", ["doc_id"], n_buckets=n).collect()}
+        for n in (1, 16, 1024)
+    }
+    assert results[1] == results[16] == results[1024]
+
+    kept = token_budget_sample(d, budget, "n_tok", ["doc_id"], n_buckets=16)
+    total = kept.agg(F.sum("n_tok")).collect()[0][0]
+    assert total >= budget
+    # last kept row (max hash draw) is the budget-crossing one
+    from spark_pipeline_spark.functions import md5_int
+
+    last_tok = (
+        kept.orderBy(F.desc(md5_int(F.col("doc_id").cast("string"))))
+        .limit(1).collect()[0]["n_tok"]
+    )
+    assert total - last_tok < budget
+
+
+def test_mixture_sample_respects_weights_and_caps(spark):
+    """Strata absent from the weight map contribute nothing; present
+    strata keep at most their full token count; fraction-1 strata (cap)
+    are taken whole."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import mixture_sample
+
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id", "source", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    # src0 gets a quota far above its availability -> cap at 1.0, taken whole
+    weights = {"src0": 1.0}
+    out = mixture_sample(d, "source", weights, 10_000_000.0, "n_tok", ["doc_id"])
+    assert out.filter(F.col("source") != "src0").count() == 0
+    assert out.count() == d.filter(F.col("source") == "src0").count()
