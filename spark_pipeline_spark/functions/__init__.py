@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "md5_hex8",
     "md5_int",
+    "md5_int60",
     "md5_bucket",
     "md5_unit",
     "cosine_similarity",
@@ -44,6 +45,18 @@ def md5_int(col: Column | str) -> Column:
     DuckDB equivalent: ``('0x' || substr(md5(CAST(x AS VARCHAR)),1,8))::BIGINT``.
     """
     return F.conv(md5_hex8(col), 16, 10).cast("bigint")
+
+
+def md5_int60(col: Column | str) -> Column:
+    """Deterministic uniform bigint in [0, 2^60) — 15 md5 hex chars.
+
+    The wide variant for hashes whose individual BITS carry meaning
+    (SimHash votes): 60 bits keeps the value, and any sum of distinct
+    bit powers, inside signed-bigint range on both engines.
+    DuckDB equivalent: ``('0x' || substr(md5(CAST(x AS VARCHAR)),1,15))::BIGINT``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("bigint")
 
 
 def md5_bucket(col: Column | str, n_buckets: int) -> Column:

@@ -1250,8 +1250,12 @@ def _sql_minhash_cte(num_hashes: int, bands: int) -> str:
 
 def _sql_simhash_expr(bits: int) -> str:
     """Per-document SimHash from token-hash bit votes (mirrors
-    dedup.simhash: vote = Σ ±1 per bit of each token's md5 hash)."""
-    h = "list_transform(" + _SQL_WORDS + ", tk -> " + _SQL_MD5INT.format(x="tk") + ")"
+    dedup.simhash: vote = Σ ±1 per bit of each token's 60-bit md5 hash —
+    15 hex chars, matching functions.md5_int60)."""
+    h = (
+        "list_transform(" + _SQL_WORDS
+        + ", tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT)"
+    )
     terms = " + ".join(
         f"(CASE WHEN coalesce(list_sum(list_transform({h}, "
         f"hh -> ((hh >> {b}) & 1) * 2 - 1)), 0) >= 0 THEN {1 << b} ELSE 0 END)"
@@ -1330,13 +1334,13 @@ def dedup_minhash_lsh_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_documents",
     oracle=f"""
-        SELECT doc_id, {_sql_simhash_expr(32)} AS simhash
+        SELECT doc_id, {_sql_simhash_expr(60)} AS simhash
         FROM documents
     """,
     tags=("dedup", "simhash", "llm-pipeline"),
 )
 def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprint per document (Charikar bit-vote
+    """60-bit SimHash fingerprint per document (Charikar bit-vote
     construction over whitespace tokens) — the compact similarity sketch:
     near-identical documents land within a few bits."""
     from spark_pipeline_spark.operators.dedup import simhash
@@ -1349,16 +1353,16 @@ def dedup_simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs_documents",
     oracle=f"""
         WITH sh AS (
-          SELECT doc_id, {_sql_simhash_expr(32)} AS simhash FROM documents
+          SELECT doc_id, {_sql_simhash_expr(60)} AS simhash FROM documents
         ),
         blocked AS (
-          SELECT doc_id, simhash, 0 AS block, (simhash >> 0) & 255 AS val FROM sh
+          SELECT doc_id, simhash, 0 AS block, (simhash >> 0) & 32767 AS val FROM sh
           UNION ALL
-          SELECT doc_id, simhash, 1, (simhash >> 8) & 255 FROM sh
+          SELECT doc_id, simhash, 1, (simhash >> 15) & 32767 FROM sh
           UNION ALL
-          SELECT doc_id, simhash, 2, (simhash >> 16) & 255 FROM sh
+          SELECT doc_id, simhash, 2, (simhash >> 30) & 32767 FROM sh
           UNION ALL
-          SELECT doc_id, simhash, 3, (simhash >> 24) & 255 FROM sh
+          SELECT doc_id, simhash, 3, (simhash >> 45) & 32767 FROM sh
         ),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
