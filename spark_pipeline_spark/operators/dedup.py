@@ -255,9 +255,14 @@ def minhash_near_dup_pairs(
 
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    base = shingle_table(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    # Spread the CPU-heavy shingle+hash stage: a small corpus scans as a
+    # single partition, which would serialize it (no-op at real scale,
+    # where file splits already parallelize).
+    base = shingle_table(
+        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hashed = base.select(
         "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
     )
@@ -373,10 +378,14 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
     width = bits // blocks
     mask = (1 << width) - 1
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
     # Persisted: the fingerprint table feeds both sides of the self-join;
     # without it each side re-hashes every token of the corpus. Two
     # fixed-width columns per row — the cache is tiny relative to text.
-    sh = df.select(
+    # ensure_min_partitions spreads the token-vote hashing off a
+    # single-partition small-file scan (no-op when already parallel).
+    sh = ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     block_vals = F.array(
