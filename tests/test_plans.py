@@ -74,3 +74,28 @@ def test_scoring_projects_features_before_python(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     for unused in ("l_partkey", "l_suppkey", "l_extendedprice", "l_shipdate"):
         assert unused not in read_schema
+
+
+def test_token_budget_sample_no_global_sort(spark):
+    """The bucketed prefix plan must never fall back to a global
+    running-sum window: no single-partition Sort/Window over the corpus
+    (the tiny per-bucket window is partitioned by __bucket), and the
+    prefix-sum frame must come back via a broadcast join."""
+    plan = _plan(REGISTRY["token_budget_sample_documents"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # a global window shows as 'Window [...], []' partitioning on nothing
+    # over the full input; every Sort here must be bucket-partitioned
+    for line in plan.splitlines():
+        if "Sort [" in line and "__bucket" not in line:
+            raise AssertionError(f"unexpected non-bucket sort: {line.strip()}")
+
+
+def test_mixture_sample_fact_side_never_shuffles(spark):
+    """The corpus side of mixture sampling must reach the filter through
+    a broadcast join only — the single Exchange allowed is the tiny
+    per-stratum aggregate (plus its broadcast)."""
+    plan = _plan(REGISTRY["mixture_sample_documents"].fn(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # one hash exchange for the groupBy(source) aggregate; none for the corpus
+    assert len(shuffles) <= 1, f"fact table shuffled: {shuffles}"
