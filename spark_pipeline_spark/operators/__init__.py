@@ -3,7 +3,9 @@
 Each module maps to a SURVEY.md §2 operator family:
 
 - ``columns``   — projections / renames / casts / audit columns (§2.3)
-- ``sampling``  — limits, hash sampling, stratified quotas, grouped top-k (§2.7)
+- ``sampling``  — limits, hash sampling, stratified quotas, grouped top-k,
+  weighted / token-budget / training-mix sampling (§2.7)
+- ``packing``   — distributed prefix sums, fixed-token sequence packing
 - ``scoring``   — distributed model inference via mapInPandas (§2.10)
 - ``training``  — collect-fit-persist trainer verb (§3.3)
 - ``datadiff``  — one-pass drift histograms + TVD/PSI distances (§2.5)

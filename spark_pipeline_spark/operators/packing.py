@@ -1,0 +1,97 @@
+"""Distributed prefix sums and training-sequence packing.
+
+The LLM-training-data step after dedup/sampling: shuffle the corpus
+deterministically, then pack documents into fixed-token-length training
+sequences ("pack_id") by their running token offset. Both need an exact
+GLOBAL running total in a deterministic order — the textbook
+single-partition-window trap at scale.
+
+Scale shape (same discipline as ``sampling.token_budget_sample``): the
+deterministic order is the md5 content hash, whose 2^32 space is cut
+into fixed ranges. One groupBy computes per-bucket value totals
+(``n_buckets`` rows), a prefix sum over that tiny frame yields each
+bucket's global offset (broadcast back), and a window PARTITIONED BY
+bucket — parallel, never global — adds the within-bucket running sum.
+``global_prefix = bucket_offset + within_bucket_prefix`` is exact and
+bit-identical to the naive global window (which the DuckDB oracles run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.functions import md5_int
+from spark_pipeline_spark.operators.sampling import _key_basis
+
+__all__ = [
+    "running_total",
+    "pack_sequences",
+]
+
+
+def running_total(
+    df: DataFrame,
+    value_col: str,
+    key_cols: list[str],
+    out_col: str = "running_before",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exclusive global running total of ``value_col`` in deterministic
+    hash order (md5 of ``key_cols``): each row gets the exact sum of the
+    values of all strictly-preceding rows.
+
+    Executes as one small aggregate + a broadcast join + a
+    bucket-partitioned window — parallelism ``n_buckets``, no global
+    sort, no single-partition window.
+    """
+    width = (1 << 32) // n_buckets
+    u = md5_int(_key_basis(df, key_cols))
+    tagged = df.withColumn("__u", u).withColumn(
+        "__bucket", F.floor(F.col("__u") / F.lit(width)).cast("bigint")
+    )
+    val = F.col(value_col).cast("bigint")
+
+    totals = tagged.groupBy("__bucket").agg(F.sum(val).alias("__btot"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # ≤ n_buckets rows: the single-partition window here is trivially small.
+    offsets = totals.withColumn(
+        "__boffset", F.coalesce(F.sum("__btot").over(wb), F.lit(0))
+    ).select("__bucket", "__boffset")
+
+    wrow = (
+        Window.partitionBy("__bucket")
+        .orderBy("__u", *key_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "__bucket")
+        .withColumn(
+            out_col, F.col("__boffset") + F.coalesce(F.sum(val).over(wrow), F.lit(0))
+        )
+        .drop("__u", "__bucket", "__boffset")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str,
+    key_cols: list[str],
+    pack_col: str = "pack_id",
+) -> DataFrame:
+    """Assign each document to a fixed-length training sequence: shuffle
+    deterministically (hash order), lay documents end-to-end, and give
+    each a ``pack_col`` = its starting offset ÷ ``seq_len``.
+
+    This is offset packing (a document belongs to the sequence its first
+    token lands in) — the concat-and-chunk approximation used when
+    packing corpora for LLM training; boundary documents straddle into
+    the next sequence rather than being split, which downstream loaders
+    handle by truncation. Pack ids are dense, deterministic, and
+    reproducible across reruns/partitionings/engines.
+    """
+    out = running_total(df, token_col, key_cols, out_col="__before")
+    return out.withColumn(
+        pack_col, F.floor(F.col("__before") / F.lit(float(seq_len))).cast("bigint")
+    ).drop("__before")

@@ -1018,6 +1018,45 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_LEN = 2048
+
+@register(
+    "pack_sequences_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS u
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n_tok,
+                 coalesce(sum(n_tok) OVER (
+                   ORDER BY u, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bef
+          FROM tok
+        )
+        SELECT doc_id, n_tok, floor(bef / {_SEQ_LEN}.0)::BIGINT AS pack_id FROM c
+    """,
+    tags=("packing", "prefix-sum", "llm-pipeline"),
+)
+def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the deterministically-shuffled corpus into {seq_len}-token
+    training sequences: each document's pack_id = its global running
+    token offset ÷ 2048. The oracle is the naive global running-sum
+    window; the operator computes the identical offsets with a
+    bucket-partitioned prefix sum (one tiny aggregate + broadcast +
+    parallel window) — no global sort at any scale."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.packing import pack_sequences
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count_regex("text").cast("bigint").alias("n_tok"),
+    )
+    return pack_sequences(d, _SEQ_LEN, "n_tok", ["doc_id"])
+
+
 @register(
     "setops_nation_keys",
     oracle="""

@@ -233,3 +233,36 @@ def test_mixture_sample_respects_weights_and_caps(spark):
     out = mixture_sample(d, "source", weights, 10_000_000.0, "n_tok", ["doc_id"])
     assert out.filter(F.col("source") != "src0").count() == 0
     assert out.count() == d.filter(F.col("source") == "src0").count()
+
+
+def test_running_total_bucket_invariance_and_pack_density(spark):
+    """running_total must be independent of bucket count (exact global
+    prefix sum), and offset packing must produce dense pack ids whose
+    boundaries differ from seq_len by less than one document."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.packing import pack_sequences, running_total
+
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    frames = [
+        running_total(d, "n_tok", ["doc_id"], n_buckets=n).select("doc_id", "running_before")
+        for n in (1, 32, 1024)
+    ]
+    rows0 = {r["doc_id"]: r["running_before"] for r in frames[0].collect()}
+    for fr in frames[1:]:
+        assert {r["doc_id"]: r["running_before"] for r in fr.collect()} == rows0
+
+    seq_len = 1000
+    packed = pack_sequences(d, seq_len, "n_tok", ["doc_id"])
+    per_pack = {
+        r["pack_id"]: r["tot"]
+        for r in packed.groupBy("pack_id").agg(F.sum("n_tok").alias("tot")).collect()
+    }
+    max_doc = d.agg(F.max("n_tok")).collect()[0][0]
+    assert sorted(per_pack) == list(range(len(per_pack)))  # dense ids from 0
+    for pid, tot in per_pack.items():
+        if pid != max(per_pack):
+            # offset packing: a pack closes only when a doc crosses seq_len
+            assert tot > seq_len - max_doc
+            assert tot < seq_len + max_doc
