@@ -39,6 +39,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
+    "decontaminate",
 ]
 
 
@@ -417,4 +418,52 @@ def simhash_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Drop training documents that share any word ``n``-gram with a
+    benchmark/eval set — the standard train-test decontamination pass
+    (n-gram overlap, as used for LLM training corpora).
+
+    Scale shape: the benchmark side is tiny (eval sets are MBs), so its
+    distinct gram hashes BROADCAST; the corpus's exploded grams meet
+    them in a map-side broadcast semi-join — the corpus itself never
+    shuffles, and the n-gram explosion collapses immediately to the
+    (small) set of contaminated ids, which anti-joins back by broadcast.
+    Documents shorter than ``n`` words produce no grams and always
+    survive.
+    """
+    bench_hashes = (
+        benchmark.select(
+            F.explode(word_shingles(bench_text_col, n)).alias("__g")
+        )
+        .select(md5_int(F.col("__g")).alias("__h"))
+        .distinct()
+    )
+    doc_grams = df.select(
+        F.col(id_col).alias("__did"),
+        F.explode(word_shingles(text_col, n)).alias("__g"),
+    ).select("__did", md5_int(F.col("__g")).alias("__h"))
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_hashes), "__h")
+        .select("__did")
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(contaminated),
+        df[id_col] == contaminated["__did"],
+        "left_anti",
     )

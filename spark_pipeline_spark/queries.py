@@ -1503,6 +1503,57 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+_DECON_FRAC = 0.02
+_DECON_N = 8
+
+@register(
+    "decontaminate_documents",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(w) - {_DECON_N - 2}),
+                   i -> {" || ' ' || ".join(f"w[i+{k}]" for k in range(_DECON_N)).replace("w[i+0]", "w[i]")}
+                 ))) AS g
+          FROM w WHERE len(w) >= {_DECON_N}
+        ),
+        bench AS (
+          SELECT DISTINCT ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+          FROM grams
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < {_DECON_FRAC}
+        ),
+        bad AS (
+          SELECT DISTINCT doc_id FROM grams
+          JOIN bench ON ('0x' || substr(md5(g), 1, 8))::BIGINT = bench.h
+        )
+        SELECT d.doc_id, d.lang, d.source FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    tags=("dedup", "decontamination", "llm-pipeline"),
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-test decontamination: drop every document sharing any word
+    8-gram with a benchmark set (here: a deterministic 2% hash-sample of
+    the corpus standing in for an eval set, so contamination is
+    guaranteed and the oracle can replay the draw). The benchmark's
+    distinct gram hashes broadcast; the corpus meets them in a map-side
+    semi-join and the contaminated-id set anti-joins back by broadcast —
+    the corpus never shuffles."""
+    from spark_pipeline_spark.operators.dedup import decontaminate
+    from spark_pipeline_spark.operators.sampling import hash_sample
+
+    d = t(spark, sf_dir, "documents")
+    bench = hash_sample(d.select("doc_id", "text"), _DECON_FRAC, ["doc_id"])
+    return decontaminate(
+        d.select("doc_id", "lang", "source", "text"),
+        "doc_id", "text", bench, "text", n=_DECON_N,
+    ).select("doc_id", "lang", "source")
+
+
 @register(
     "dedup_components_documents",
     oracle=f"""
