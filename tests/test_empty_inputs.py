@@ -75,3 +75,26 @@ def test_interval_join_empty_sides(spark):
         (F.col("id") * 10 + 10).cast("double").alias("hi"),
     )
     assert interval_join(points, bands, "x", bucket_width=10.0).count() == 0
+
+
+def test_sampling_packing_decontaminate_on_empty(spark):
+    from spark_pipeline_spark.operators.dedup import decontaminate
+    from spark_pipeline_spark.operators.packing import pack_sequences, running_total
+    from spark_pipeline_spark.operators.sampling import (
+        mixture_sample,
+        token_budget_sample,
+    )
+
+    d = _empty_docs(spark).select(
+        "doc_id", "source", "text", F.lit(1).cast("bigint").alias("n_tok")
+    )
+    assert token_budget_sample(d, 1000, "n_tok", ["doc_id"]).count() == 0
+    assert mixture_sample(d, "source", {"src0": 1.0}, 100.0, "n_tok", ["doc_id"]).count() == 0
+    rt = running_total(d, "n_tok", ["doc_id"])
+    assert "running_before" in rt.columns and rt.count() == 0
+    assert pack_sequences(d, 100, "n_tok", ["doc_id"]).count() == 0
+    # empty benchmark: nothing is contaminated; empty corpus: empty out
+    full = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    empty = _empty_docs(spark).select("doc_id", "text")
+    assert decontaminate(full, "doc_id", "text", empty, "text").count() == full.count()
+    assert decontaminate(empty, "doc_id", "text", full, "text").count() == 0
