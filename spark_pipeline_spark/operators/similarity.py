@@ -36,6 +36,9 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "hyperplane_coeffs",
+    "hyperplane_signature",
+    "hyperplane_near_dup_pairs",
 ]
 
 
@@ -190,6 +193,111 @@ def embedding_near_dup_pairs(
     return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (sign-random-projection)
+# ---------------------------------------------------------------------------
+
+
+def hyperplane_coeffs(n_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic md5-derived hyperplane components in [-1, 1).
+
+    A symmetric component distribution is all sign-random-projection
+    needs; md5 derivation makes the planes reproducible in any engine
+    (the oracle embeds the identical literals), with no RNG state.
+    """
+    import hashlib
+
+    def unit(s: str) -> float:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) / 4294967296.0
+
+    return [
+        [unit(f"hp|{b}|{i}") * 2.0 - 1.0 for i in range(dim)]
+        for b in range(n_bits)
+    ]
+
+
+def hyperplane_signature(vec_col, n_bits: int, dim: int):
+    """``n_bits``-bit sign-random-projection signature (bigint): bit b is
+    set iff dot(v, plane_b) >= 0. Cosine-similar vectors agree on most
+    signs (Goemans-Williamson: P[bit differs] = angle/π), so hamming
+    distance on signatures approximates angular distance — the
+    embedding-space analogue of SimHash."""
+    from spark_pipeline_spark.functions import dot_product
+
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sig = F.lit(0).cast("bigint")
+    for b, plane in enumerate(hyperplane_coeffs(n_bits, dim)):
+        g = F.array(*[F.lit(x) for x in plane])
+        sig = sig + F.when(
+            dot_product(v, g) >= 0, F.lit(1 << b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return sig
+
+
+def hyperplane_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    n_bits: int = 16,
+    blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs via hyperplane-LSH blocking: pairs
+    sharing any signature bit-block are candidates (pigeonhole, as in
+    SimHash blocking), verified with exact cosine >= ``threshold``.
+
+    The centroid-free alternative to the IVF bucketing of
+    :func:`embedding_near_dup_pairs`: no training/centroids needed, and
+    candidate volume is controlled by n_bits/blocks instead of cell
+    count. Same never-all-pairs discipline — candidates come from an
+    equi-join on (block, value)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    if n_bits % blocks:
+        raise ValueError(f"n_bits={n_bits} not divisible by blocks={blocks}")
+    width = n_bits // blocks
+    mask = (1 << width) - 1
+    # ensure_min_partitions: the 16×dim multiply-adds per row serialize on
+    # a single-partition small-file scan (no-op at real scale).
+    sig = ensure_min_partitions(df.select(id_col, vec_col)).select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        hyperplane_signature(vec_col, n_bits, dim).alias("__sig"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("__sig"), i * width).bitwiseAND(F.lit(mask))
+            for i in range(blocks)
+        ]
+    )
+    # Candidates carry ids ONLY ("shuffle hashes, not payloads"): the
+    # distinct shuffles fixed-width id pairs; vectors re-join afterwards
+    # by candidate id — each vector crosses the wire once, not blocks×.
+    blocked = sig.select("__id", F.posexplode(block_vals).alias("__block", "__val"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -1779,6 +1779,67 @@ def embedding_near_dup_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # any engine.
 
 
+def _sql_hyperplane_sig(n_bits: int, dim: int) -> str:
+    """Signature expression replaying similarity.hyperplane_signature with
+    the identical md5-derived plane literals (same Python constants)."""
+    from spark_pipeline_spark.operators.similarity import hyperplane_coeffs
+
+    terms = []
+    for b, plane in enumerate(hyperplane_coeffs(n_bits, dim)):
+        arr = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {1 << b} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_HP_BITS, _HP_BLOCKS, _HP_DIM = 16, 4, 64
+
+@register(
+    "embedding_hyperplane_near_dup",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        sig AS (
+          SELECT vec_id, v, {_sql_hyperplane_sig(_HP_BITS, _HP_DIM)} AS sig FROM e
+        ),
+        blocked AS (
+          SELECT vec_id, v, sig, 0 AS block, (sig >> 0) & 15 AS val FROM sig
+          UNION ALL
+          SELECT vec_id, v, sig, 1, (sig >> 4) & 15 FROM sig
+          UNION ALL
+          SELECT vec_id, v, sig, 2, (sig >> 8) & 15 FROM sig
+          UNION ALL
+          SELECT vec_id, v, sig, 3, (sig >> 12) & 15 FROM sig
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+                 a.v AS va, b.v AS vb
+          FROM blocked a JOIN blocked b
+            ON a.block = b.block AND a.val = b.val AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b,
+               round(list_cosine_similarity(va, vb), 6) AS cosine
+        FROM cand
+        WHERE list_cosine_similarity(va, vb) >= 0.4
+    """,
+    tags=("similarity", "lsh", "dedup", "llm-pipeline"),
+)
+def embedding_hyperplane_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via random-hyperplane LSH (16 sign bits,
+    four 4-bit pigeonhole blocks) + exact cosine verify ≥ 0.4 — the
+    centroid-free ANN bucketing (vs the IVF variant): no training step,
+    candidate volume tuned by bits/blocks, candidates from an equi-join
+    on (block, value). Planes are md5-derived literals, so the oracle
+    replays the identical projection arithmetic."""
+    from spark_pipeline_spark.operators.similarity import hyperplane_near_dup_pairs
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = hyperplane_near_dup_pairs(
+        e, threshold=0.4, dim=_HP_DIM, n_bits=_HP_BITS, blocks=_HP_BLOCKS
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 @register(
     "events_tumbling_daily",
     oracle="""
