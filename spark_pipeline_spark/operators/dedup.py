@@ -446,17 +446,38 @@ def decontaminate(
     Documents shorter than ``n`` words produce no grams and always
     survive.
     """
-    bench_hashes = (
-        benchmark.select(
-            F.explode(word_shingles(bench_text_col, n)).alias("__g")
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    def gram_hashes(frame: DataFrame, keep: list[str], text: str) -> DataFrame:
+        # Two projections, NOT explode(word_shingles(...)): the token
+        # array must be a bound column before the gram lambda touches it,
+        # or Catalyst re-inlines the full-text split into every
+        # element_at (n splits per gram — measured 10× at sf0.1; same
+        # trap shingle_table documents).
+        toks = frame.select(
+            *keep, F.split(F.lower(F.trim(_c(text))), "\\s+").alias("__w")
+        ).filter(F.size("__w") >= n)
+        w = F.col("__w")
+        grams = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + k) for k in range(n)]
+                ),
+            )
         )
-        .select(md5_int(F.col("__g")).alias("__h"))
-        .distinct()
+        return toks.select(*keep, F.explode(grams).alias("__g")).select(
+            *keep, md5_int(F.col("__g")).alias("__h")
+        )
+
+    bench_hashes = gram_hashes(benchmark, [], bench_text_col).distinct()
+    doc_grams = gram_hashes(
+        ensure_min_partitions(
+            df.select(F.col(id_col).alias("__did"), F.col(text_col).alias("__t"))
+        ),
+        ["__did"],
+        "__t",
     )
-    doc_grams = df.select(
-        F.col(id_col).alias("__did"),
-        F.explode(word_shingles(text_col, n)).alias("__g"),
-    ).select("__did", md5_int(F.col("__g")).alias("__h"))
     contaminated = (
         doc_grams.join(F.broadcast(bench_hashes), "__h")
         .select("__did")

@@ -1039,6 +1039,7 @@ _SEQ_LEN = 2048
         SELECT doc_id, n_tok, floor(bef / {_SEQ_LEN}.0)::BIGINT AS pack_id FROM c
     """,
     tags=("packing", "prefix-sum", "llm-pipeline"),
+    bench=True,
 )
 def pack_sequences_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the deterministically-shuffled corpus into {seq_len}-token
@@ -1534,6 +1535,7 @@ _DECON_N = 8
         WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
     """,
     tags=("dedup", "decontamination", "llm-pipeline"),
+    bench=True,
 )
 def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-test decontamination: drop every document sharing any word

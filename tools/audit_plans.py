@@ -44,6 +44,8 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    # runnable as `python tools/audit_plans.py` without an install
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from spark_pipeline_spark import get_session
     from spark_pipeline_spark.queries import REGISTRY
 
