@@ -294,3 +294,59 @@ def mixture_sample(
         .filter(F.col("__draw") < F.col("__frac"))
         .drop("__draw", "__frac")
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict[str, float],
+    budget: float,
+    token_col: str,
+    key_cols: list[str],
+    copy_col: str = "copy_id",
+) -> DataFrame:
+    """Mixture sampling WITH replacement: the upsampling sibling of
+    :func:`mixture_sample`. Each stratum's rows are repeated so the
+    expected token total hits ``budget * w_s / Σw`` even when that
+    exceeds availability — epoch-style oversampling of scarce
+    high-weight sources in a training mix.
+
+    The per-stratum rate ``r = target_s / T_s`` (uncapped) yields
+    ``floor(r)`` guaranteed copies per row plus one more with
+    probability ``frac(r)``, drawn from the row's deterministic md5
+    hash — E[copies] = r exactly. Output rows carry ``copy_col``
+    (1..n) distinguishing the repeats. Same scale shape as
+    mixture_sample: one tiny aggregate broadcast back, then a pure
+    per-row explode — the corpus never shuffles. Strata absent from
+    ``weights`` produce no rows.
+    """
+    sumw = float(sum(weights.values()))
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    tok = F.col(token_col).cast("bigint")
+
+    totals = df.groupBy(strata_col).agg(F.sum(tok).cast("double").alias("__stok"))
+    weight = F.element_at(wmap, F.col(strata_col).cast("string"))
+    rate = (
+        F.coalesce(weight, F.lit(0.0)) * F.lit(float(budget)) / F.lit(sumw)
+        / F.col("__stok")
+    )
+    rates = totals.withColumn("__rate", rate).select(strata_col, "__rate")
+
+    tagged = df.withColumn("__draw", _key_hash(df, key_cols))
+    n_full = F.floor(F.col("__rate")).cast("bigint")
+    extra = (F.col("__draw") < (F.col("__rate") - n_full)).cast("bigint")
+    copies = (n_full + extra).alias("__copies")
+    return (
+        tagged.join(F.broadcast(rates), strata_col)
+        .withColumn("__copies", copies)
+        .withColumn(
+            copy_col,
+            F.explode(
+                F.when(
+                    F.col("__copies") >= 1,
+                    F.sequence(F.lit(1).cast("bigint"), F.col("__copies")),
+                ).otherwise(F.array().cast("array<bigint>"))
+            ),
+        )
+        .drop("__draw", "__rate", "__copies")
+    )

@@ -1018,6 +1018,65 @@ def mixture_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESAMPLE_WEIGHTS = {"src0": 5.0, "src1": 1.0}
+_RESAMPLE_BUDGET = 50_000.0
+_RESAMPLE_SUMW = float(sum(_RESAMPLE_WEIGHTS.values()))
+_SQL_RESAMPLE_CASE = "CASE source " + " ".join(
+    f"WHEN '{s}' THEN {w!r}" for s, w in _RESAMPLE_WEIGHTS.items()
+) + " END"
+
+@register(
+    "mixture_resample_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS draw
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, sum(n_tok)::DOUBLE AS stok FROM tok GROUP BY source
+        ),
+        fr AS (
+          SELECT source,
+                 coalesce({_SQL_RESAMPLE_CASE}, 0.0)
+                 * {_RESAMPLE_BUDGET!r} / {_RESAMPLE_SUMW!r} / stok AS rate
+          FROM tot
+        ),
+        cop AS (
+          SELECT t.doc_id, t.source, t.n_tok,
+                 (floor(fr.rate)
+                  + CASE WHEN t.draw < fr.rate - floor(fr.rate)
+                         THEN 1 ELSE 0 END)::BIGINT AS copies
+          FROM tok t JOIN fr USING (source)
+        )
+        SELECT doc_id, source, n_tok,
+               unnest(generate_series(1, copies))::BIGINT AS copy_id
+        FROM cop WHERE copies >= 1
+    """,
+    tags=("sample", "mixture", "resample", "llm-pipeline"),
+)
+def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture upsampling WITH replacement: src0's token quota
+    (5/6 of a 50k budget) far exceeds its availability, so its rows
+    repeat ~5-6× (floor(rate) copies plus one more on the md5 draw —
+    E[copies] = rate exactly); sources outside the mix produce nothing.
+    One tiny aggregate broadcast back, then a per-row explode — the
+    corpus never shuffles."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import mixture_resample
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        T.token_count_regex("text").cast("bigint").alias("n_tok"),
+    )
+    return mixture_resample(
+        d, "source", _RESAMPLE_WEIGHTS, _RESAMPLE_BUDGET, "n_tok", ["doc_id"]
+    )
+
+
 _SEQ_LEN = 2048
 
 @register(
