@@ -102,5 +102,14 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
-    """Cosine similarity of two array<numeric> columns, JVM-side."""
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine similarity of two array<numeric> columns, JVM-side.
+
+    A zero-norm vector (all-zero padding / corrupt row) yields NULL
+    rather than aborting the job with DIVIDE_BY_ZERO under the
+    session's ANSI mode; NULL similarity then fails any `>= threshold`
+    filter, so zero vectors silently drop out of top-k / near-dup
+    candidate sets (DuckDB's `list_cosine_similarity` NaN behaves the
+    same way in comparisons).
+    """
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0, dot_product(a, b) / denom)

@@ -63,9 +63,21 @@ def read_parquet_nanos(
     timestamps (DuckDB, Arrow casts) coerce nanos. Conversion is a
     codegen expression on the scan output; everything else about the scan
     (pushdown on other columns, pruning) is unchanged.
+
+    The legacy conf is captured at DataFrame definition (schema
+    resolution) time, so it is restored immediately afterwards — later
+    unrelated parquet reads in the same session still fail loudly on
+    nano columns instead of silently surfacing them as bigint.
     """
+    prior = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

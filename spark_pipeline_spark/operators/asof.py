@@ -69,9 +69,13 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
+    # md5 of the right payload as the final sort key: when the right side
+    # has several rows at the same (key, ts), the carried match is the
+    # max-md5 one — deterministic across partitionings and reruns instead
+    # of an arbitrary partition-dependent pick
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__tag"))
+        .orderBy(F.col("__ts"), F.col("__tag"), F.md5(F.to_json(F.col("__r"))))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))

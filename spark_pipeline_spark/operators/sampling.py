@@ -282,10 +282,16 @@ def mixture_sample(
 
     totals = df.groupBy(strata_col).agg(F.sum(tok).cast("double").alias("__stok"))
     weight = F.element_at(wmap, F.col(strata_col).cast("string"))
-    frac = F.least(
-        F.lit(1.0),
-        F.coalesce(weight, F.lit(0.0)) * F.lit(float(budget)) / F.lit(sumw) / F.col("__stok"),
-    )
+    # zero-token strata (all-null/empty token counts) keep no rows —
+    # guarded so ANSI mode doesn't abort the job with DIVIDE_BY_ZERO
+    frac = F.when(
+        F.col("__stok") > 0,
+        F.least(
+            F.lit(1.0),
+            F.coalesce(weight, F.lit(0.0))
+            * F.lit(float(budget)) / F.lit(sumw) / F.col("__stok"),
+        ),
+    ).otherwise(F.lit(0.0))
     fractions = totals.withColumn("__frac", frac)
 
     tagged = df.withColumn("__draw", _key_hash(df, key_cols))
@@ -326,10 +332,12 @@ def mixture_resample(
 
     totals = df.groupBy(strata_col).agg(F.sum(tok).cast("double").alias("__stok"))
     weight = F.element_at(wmap, F.col(strata_col).cast("string"))
-    rate = (
+    # zero-token strata produce no copies (same guard as mixture_sample)
+    rate = F.when(
+        F.col("__stok") > 0,
         F.coalesce(weight, F.lit(0.0)) * F.lit(float(budget)) / F.lit(sumw)
-        / F.col("__stok")
-    )
+        / F.col("__stok"),
+    ).otherwise(F.lit(0.0))
     rates = totals.withColumn("__rate", rate).select(strata_col, "__rate")
 
     tagged = df.withColumn("__draw", _key_hash(df, key_cols))

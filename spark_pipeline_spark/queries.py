@@ -989,8 +989,10 @@ _SQL_MIX_CASE = "CASE source " + " ".join(
         ),
         fr AS (
           SELECT source,
-                 least(1.0, coalesce({_SQL_MIX_CASE}, 0.0)
-                            * {_MIX_BUDGET!r} / {_MIX_SUMW!r} / stok) AS frac
+                 CASE WHEN stok > 0
+                      THEN least(1.0, coalesce({_SQL_MIX_CASE}, 0.0)
+                                 * {_MIX_BUDGET!r} / {_MIX_SUMW!r} / stok)
+                      ELSE 0.0 END AS frac
           FROM tot
         )
         SELECT tok.doc_id, tok.source, tok.n_tok
@@ -1040,8 +1042,10 @@ _SQL_RESAMPLE_CASE = "CASE source " + " ".join(
         ),
         fr AS (
           SELECT source,
-                 coalesce({_SQL_RESAMPLE_CASE}, 0.0)
-                 * {_RESAMPLE_BUDGET!r} / {_RESAMPLE_SUMW!r} / stok AS rate
+                 CASE WHEN stok > 0
+                      THEN coalesce({_SQL_RESAMPLE_CASE}, 0.0)
+                           * {_RESAMPLE_BUDGET!r} / {_RESAMPLE_SUMW!r} / stok
+                      ELSE 0.0 END AS rate
           FROM tot
         ),
         cop AS (

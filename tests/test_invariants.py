@@ -235,6 +235,42 @@ def test_mixture_sample_respects_weights_and_caps(spark):
     assert out.count() == d.filter(F.col("source") == "src0").count()
 
 
+def test_mixture_zero_token_stratum_keeps_none(spark):
+    """A stratum whose tokens sum to 0 (all-empty docs) must yield zero
+    rows from both mixture operators — not abort the job with
+    DIVIDE_BY_ZERO under the session's ANSI mode."""
+    from spark_pipeline_spark.operators.sampling import (
+        mixture_resample,
+        mixture_sample,
+    )
+
+    d = spark.createDataFrame(
+        [("a1", "srcA", 100), ("a2", "srcA", 50), ("z1", "srcZ", 0), ("z2", "srcZ", 0)],
+        "doc_id string, source string, n_tok bigint",
+    )
+    kept = mixture_sample(d, "source", {"srcA": 1.0, "srcZ": 1.0}, 1000.0, "n_tok", ["doc_id"])
+    assert kept.filter(F.col("source") == "srcZ").count() == 0
+    assert kept.filter(F.col("source") == "srcA").count() == 2  # capped at 1.0
+
+    rs = mixture_resample(d, "source", {"srcA": 1.0, "srcZ": 1.0}, 300.0, "n_tok", ["doc_id"])
+    assert rs.filter(F.col("source") == "srcZ").count() == 0
+    assert rs.filter(F.col("source") == "srcA").count() >= 2
+
+
+def test_cosine_similarity_zero_vector_is_null(spark):
+    """Zero-norm embeddings yield NULL cosine (dropped by threshold
+    filters), not an ANSI DIVIDE_BY_ZERO abort."""
+    from spark_pipeline_spark.functions import cosine_similarity
+
+    d = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 1.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    vals = [r[0] for r in d.select(cosine_similarity("a", "b")).collect()]
+    assert vals[0] is not None and abs(vals[0] - 0.7071067811865475) < 1e-12
+    assert vals[1] is None
+
+
 def test_running_total_bucket_invariance_and_pack_density(spark):
     """running_total must be independent of bucket count (exact global
     prefix sum), and offset packing must produce dense pack ids whose
