@@ -30,6 +30,7 @@ __all__ = [
     "TOKEN_REGEX",
     "STOPWORDS",
     "LANG_PRIORITY",
+    "PII_PATTERNS",
     "tokens_ws",
     "token_count_ws",
     "token_count_regex",
@@ -39,6 +40,10 @@ __all__ = [
     "detect_language",
     "minhash_fingerprint",
     "content_fingerprint",
+    "redact_pii",
+    "pii_count",
+    "normalize_text",
+    "dup_token_ratio",
 ]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
@@ -159,3 +164,60 @@ def minhash_fingerprint(col: Column | str, shingle_len: int = 8) -> Column:
 def content_fingerprint(col: Column | str) -> Column:
     """Exact-content fingerprint: md5 hex of the raw text."""
     return F.md5(_c(col))
+
+
+# PII redaction patterns, applied in ORDER (emails before phones so the
+# digits inside an address aren't half-eaten by the phone rule; URLs
+# before bare IPs). The regex subset is deliberately portable: no
+# backreferences or lookaround, so Java regex (Spark) and RE2 (DuckDB)
+# match identically.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[A-Za-z0-9./_%?=&#-]+", "<URL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(
+    col: Column | str, patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS
+) -> Column:
+    """Mask PII spans (emails, URLs, IPv4s, phone-like digit runs) with
+    typed placeholders — the standard scrub pass before LLM training
+    data leaves the pipeline.
+
+    A chain of ``regexp_replace`` expressions: pure Catalyst, codegen'd
+    into the scan stage, no Python. At 100 TB this is exactly as
+    expensive as reading the text column once.
+    """
+    out = _c(col)
+    for _, pattern, replacement in patterns:
+        out = F.regexp_replace(out, pattern, replacement)
+    return out
+
+
+def pii_count(col: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (by name in ``PII_PATTERNS``)."""
+    pattern = {name: p for name, p, _ in PII_PATTERNS}[kind]
+    return F.regexp_count(_c(col), F.lit(pattern))
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for normalization-robust exact dedup:
+    lowercase, punctuation/symbols → space, whitespace runs collapsed,
+    trimmed. Documents differing only in case/punctuation/spacing
+    normalize to identical strings (C4-style dedup keying)."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9\\s]", " ")
+    c = F.regexp_replace(c, "\\s+", " ")
+    return F.trim(c)
+
+
+def dup_token_ratio(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that are repeats of an earlier token
+    (1 − distinct/total) — the cheap within-document repetition signal
+    (Gopher-style quality rule) computable without a shuffle."""
+    toks = tokens_ws(col)
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")

@@ -2687,3 +2687,229 @@ def score_logistic_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     mdl = LogisticModel({"c_acctbal": 0.001}, intercept=-2.0)
     scored = score(require_key(c, "uid"), mdl, cols_to_save=["uid"], broadcast_model=True)
     return scored.select("uid", F.round("target_proba", 6).alias("target_proba"))
+
+
+# ---------------------------------------------------------------------------
+# Text cleaning for training corpora: PII scrub, normalization dedup,
+# repetition metrics, boilerplate detection (SURVEY.md §2.11 north star)
+# ---------------------------------------------------------------------------
+
+# PII oracle fragments, generated from the SAME pattern table the Spark
+# operator applies (operators/text.py:PII_PATTERNS) so both engines redact
+# in lock-step. A deterministic md5 draw plants a PII-bearing prefix on
+# ~20% of documents so the patterns actually fire on real matches.
+_PII_PREFIX = (
+    "contact u{id}@example.com or +1 (555) 010-4242 "
+    "see https://ex.example/a?b=1 from 10.0.0.7 "
+)
+_SQL_PII_PLANT = (
+    "CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    " / 4294967296.0 < 0.2 THEN "
+    + "'" + _PII_PREFIX.split("{id}")[0] + "' || doc_id::VARCHAR || '"
+    + _PII_PREFIX.split("{id}")[1] + "' || text ELSE text END"
+)
+
+
+def _sql_pii_redact(expr: str) -> str:
+    from spark_pipeline_spark.operators.text import PII_PATTERNS
+
+    for _, pattern, replacement in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pattern}', '{replacement}', 'g')"
+    return expr
+
+
+def _sql_pii_count(expr: str, kind: str) -> str:
+    from spark_pipeline_spark.operators.text import PII_PATTERNS
+
+    pattern = {name: p for name, p, _ in PII_PATTERNS}[kind]
+    return f"len(regexp_extract_all({expr}, '{pattern}'))"
+
+
+@register(
+    "pii_redact_documents",
+    oracle=f"""
+        WITH planted AS (SELECT doc_id, {_SQL_PII_PLANT} AS t FROM documents)
+        SELECT doc_id,
+               {_sql_pii_redact("t")} AS redacted,
+               {_sql_pii_count("t", "email")} AS n_emails,
+               {_sql_pii_count("t", "url")} AS n_urls,
+               {_sql_pii_count("t", "ipv4")} AS n_ips,
+               {_sql_pii_count("t", "phone")} AS n_phones
+        FROM planted
+    """,
+    tags=("text", "pii", "llm-pipeline"),
+)
+def pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the corpus: emails, URLs, IPv4s, and phone-like
+    digit runs masked with typed placeholders, plus per-kind match counts
+    (the audit trail a compliance pass needs). A deterministic 20% of
+    docs get a planted PII prefix so the oracle verifies real
+    redactions, not just pass-through. Chained regexp_replace — pure
+    codegen, one scan, no Python."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    ds = F.col("doc_id").cast("string")
+    head, tail = _PII_PREFIX.split("{id}")
+    planted = F.when(
+        md5_int(ds) / F.lit(4294967296.0) < 0.2,
+        F.concat(F.lit(head), ds, F.lit(tail), F.col("text")),
+    ).otherwise(F.col("text"))
+    p = d.select("doc_id", planted.alias("__t"))
+    return p.select(
+        "doc_id",
+        T.redact_pii(F.col("__t")).alias("redacted"),
+        T.pii_count("__t", "email").alias("n_emails"),
+        T.pii_count("__t", "url").alias("n_urls"),
+        T.pii_count("__t", "ipv4").alias("n_ips"),
+        T.pii_count("__t", "phone").alias("n_phones"),
+    )
+
+
+@register(
+    "dedup_normalized_documents",
+    oracle=r"""
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_fp,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY norm_fp
+    """,
+    tags=("dedup", "text", "llm-pipeline"),
+)
+def dedup_normalized_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-robust exact dedup (C4-style): documents differing
+    only in case, punctuation, or whitespace collapse to one canonical
+    md5 key; the min doc_id survives per group. The shuffle key is a
+    32-hex fingerprint, never the text — at 100 TB the wide column stays
+    columnar-pruned out of the exchange."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(T.normalize_text(F.col("text"))).alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "text_repetition_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ),
+        base AS (
+          SELECT doc_id, len(w) AS n_tok, len(list_distinct(w)) AS nd FROM tok
+        ),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i + 1])) AS g
+          FROM tok WHERE len(w) >= 2
+        ),
+        cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        top AS (SELECT doc_id, max(c) AS top_n FROM cnt GROUP BY doc_id)
+        SELECT b.doc_id,
+               n_tok,
+               round(1.0 - nd::DOUBLE / greatest(n_tok, 1), 6) AS dup_token_ratio,
+               coalesce(top_n, 0)::BIGINT AS top_bigram_n,
+               round(coalesce(top_n, 0)::DOUBLE
+                     / greatest(n_tok - 1, 1), 6) AS top_bigram_frac
+        FROM base b LEFT JOIN top USING (doc_id)
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def text_repetition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style quality rules):
+    duplicate-token ratio and the most-frequent-bigram share of bigram
+    positions. The bigram mode goes through explode → count — linear
+    work and a (doc_id, gram) shuffle, never the O(L²) per-row
+    self-comparison an array-only formulation would cost on long docs."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__w")
+    )
+    w = F.col("__w")
+    base = toks.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        F.size(F.array_distinct(w)).alias("__nd"),
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    bg = toks.filter(F.size(w) >= 2).select("doc_id", F.explode(grams).alias("g"))
+    top = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("__top"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(
+                F.lit(1.0)
+                - F.col("__nd") / F.greatest(F.col("n_tok"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_token_ratio"),
+            F.coalesce(F.col("__top"), F.lit(0)).cast("bigint").alias("top_bigram_n"),
+            F.round(
+                F.coalesce(F.col("__top"), F.lit(0)).cast("double")
+                / F.greatest(F.col("n_tok") - 1, F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+_BOILER_NGRAM = 5
+_BOILER_MIN_DOCS = 3
+
+
+@register(
+    "boilerplate_ngrams_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(w) - {_BOILER_NGRAM - 1}),
+                   i -> {" || ' ' || ".join(f"w[i + {k}]" for k in range(_BOILER_NGRAM))}
+                 ))) AS g
+          FROM tok WHERE len(w) >= {_BOILER_NGRAM}
+        )
+        SELECT g AS ngram, count(*) AS n_docs
+        FROM sh GROUP BY g HAVING count(*) >= {_BOILER_MIN_DOCS}
+    """,
+    tags=("text", "boilerplate", "llm-pipeline"),
+)
+def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate phrases: word 5-grams appearing in ≥3
+    distinct documents (header/footer/template detection — remove-lists
+    for corpus cleaning are built from exactly this table). Per-doc
+    distinct shingles explode into a (gram) count — one shuffle keyed on
+    the gram string; the doc-frequency cut keeps the output tiny."""
+    from spark_pipeline_spark.operators.dedup import shingle_table
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = shingle_table(d, "doc_id", "text", n=_BOILER_NGRAM)
+    return (
+        sh.select(F.explode("__sh").alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
+    )
