@@ -33,6 +33,7 @@ __all__ = [
     "sliding_window",
     "session_windows",
     "with_json_props",
+    "funnel_times",
 ]
 
 
@@ -169,3 +170,53 @@ def with_json_props(df: DataFrame, json_col: str, schema_ddl: str) -> DataFrame:
     return parsed.select(
         *df.columns, *[F.col(f"__props.{n}").alias(n) for n in field_names]
     ).drop("__props")
+
+
+def funnel_times(
+    df: DataFrame,
+    entity_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Sequential funnel: per entity, the earliest timestamp of each step
+    that occurs STRICTLY AFTER the previous step's matched timestamp
+    (``t_<step>`` null ⇒ the entity fell out of the funnel there).
+
+    One ``groupBy(entity)`` shuffle collects each entity's events, then a
+    single ``aggregate`` fold over the time-sorted event array advances
+    all stages in one O(n) pass — no join-per-step chain (k shuffles) and
+    no per-step array filter (which Catalyst would re-inline into every
+    element visit, going O(k·n²)). Per-entity event lists are bounded by
+    entity activity, not corpus size, so the arrays stay small at any
+    total scale; a pathological hot entity is an AQE skew split, not a
+    plan change.
+
+    Equivalent closed form (the oracle's join-chain): t₁ = min ts of
+    step₁; tᵢ = min ts of stepᵢ with ts > tᵢ₋₁.
+    """
+    ev = F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et"))
+    g = df.groupBy(entity_col).agg(F.array_sort(F.collect_list(ev)).alias("__ev"))
+
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    init = F.struct(
+        *[F.lit(None).cast(ts_type).alias(f"t{i}") for i in range(len(steps))]
+    )
+
+    def advance(acc: Column, x: Column) -> Column:
+        fields = []
+        for i, step in enumerate(steps):
+            cur = acc[f"t{i}"]
+            cond = cur.isNull() & (x["et"] == step)
+            if i > 0:
+                prev = acc[f"t{i - 1}"]
+                cond = cond & prev.isNotNull() & (x["ts"] > prev)
+            fields.append(F.when(cond, x["ts"]).otherwise(cur).alias(f"t{i}"))
+        return F.struct(*fields)
+
+    state = F.aggregate(F.col("__ev"), init, advance).alias("__st")
+    g = g.select(entity_col, state)
+    return g.select(
+        entity_col,
+        *[F.col(f"__st.t{i}").alias(f"t_{s}") for i, s in enumerate(steps)],
+    )

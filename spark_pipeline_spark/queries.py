@@ -2913,3 +2913,167 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch CDC: latest-wins MERGE, SCD2 intervals, sequential funnel
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_upsert_orders",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 1 AS version, 0 AS side
+          FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, o_orderstatus, round(o_totalprice * 2, 2),
+                 2 AS version, 1 AS side
+          FROM orders WHERE o_orderstatus = 'P'
+        ),
+        ins AS (
+          SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice,
+                 2 AS version, 1 AS side
+          FROM orders
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < 0.02
+        ),
+        feed AS (
+          SELECT * FROM base UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM ins
+        )
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice, 2) AS total_price, version
+        FROM feed
+        QUALIFY row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY version DESC, side DESC) = 1
+    """,
+    tags=("merge", "cdc"),
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-wins MERGE (Delta-style upsert as a batch plan): a change
+    feed of updates (status-P orders repriced 2x; doubling is an exact binary scale, so round() never hits an engine-dependent decimal-tie) and inserts (2% new
+    keys by deterministic md5 draw) merged into the base — one row per
+    key, highest version wins, feed beats base on ties. One exchange on
+    the merge key; no broadcast assumption on either side."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.merge import merge_upsert
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.withColumn("version", F.lit(1))
+    upd = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("version", F.lit(2))
+    )
+    ins = (
+        o.filter(
+            md5_int(F.col("o_orderkey").cast("string")) / F.lit(4294967296.0) < 0.02
+        )
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("version", F.lit(2))
+    )
+    merged = merge_upsert(
+        base, upd.unionByName(ins), ["o_orderkey"], "version"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "version",
+    )
+
+
+@register(
+    "scd2_user_purchases",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, event_id, ts, value FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT user_id, event_id, round(value, 2) AS value,
+               floor(epoch(ts))::BIGINT AS valid_from_epoch,
+               floor(epoch(lead(ts) OVER w))::BIGINT AS valid_to_epoch,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("merge", "scd2", "events"),
+)
+def scd2_user_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD intervals over each user's purchase stream: every
+    purchase opens a validity window closed by the next one (open-ended
+    ⇒ current). One window shuffle on the key; event_id tiebreak makes
+    the chain deterministic under same-timestamp changes."""
+    from spark_pipeline_spark.operators.merge import scd2_intervals
+
+    p = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "ts", "value")
+    )
+    iv = scd2_intervals(p, ["user_id"], "ts", tiebreak_cols=["event_id"])
+    return iv.select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.unix_timestamp("valid_from").alias("valid_from_epoch"),
+        F.unix_timestamp("valid_to").alias("valid_to_epoch"),
+        "is_current",
+    )
+
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "funnel_events",
+    oracle=f"""
+        WITH u AS (SELECT DISTINCT user_id FROM events),
+        s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+          WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        ),
+        s4 AS (
+          SELECT e.user_id, min(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+          WHERE e.event_type = '{_FUNNEL_STEPS[3]}' AND e.ts > s3.t3
+          GROUP BY e.user_id
+        )
+        SELECT u.user_id,
+               floor(epoch(t1))::BIGINT AS t_{_FUNNEL_STEPS[0]},
+               floor(epoch(t2))::BIGINT AS t_{_FUNNEL_STEPS[1]},
+               floor(epoch(t3))::BIGINT AS t_{_FUNNEL_STEPS[2]},
+               floor(epoch(t4))::BIGINT AS t_{_FUNNEL_STEPS[3]}
+        FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+               LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
+    """,
+    tags=("funnel", "events", "windows"),
+)
+def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential conversion funnel (signup → view → click → purchase):
+    per user, the earliest timestamp of each stage strictly after the
+    previous stage's match. One groupBy(user) shuffle + a single O(n)
+    fold over the time-sorted event array — not a join per stage (the
+    oracle IS the k-join chain, verifying the fold against the closed
+    form)."""
+    from spark_pipeline_spark.operators.windows import funnel_times
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    f = funnel_times(e, "user_id", "event_type", "ts", list(_FUNNEL_STEPS))
+    return f.select(
+        "user_id",
+        *[F.unix_timestamp(f"t_{s}").alias(f"t_{s}") for s in _FUNNEL_STEPS],
+    )
