@@ -27,6 +27,7 @@ from spark_pipeline_spark.operators.sampling import _key_basis
 __all__ = [
     "running_total",
     "pack_sequences",
+    "shard_assign",
 ]
 
 
@@ -95,3 +96,24 @@ def pack_sequences(
     return out.withColumn(
         pack_col, F.floor(F.col("__before") / F.lit(float(seq_len))).cast("bigint")
     ).drop("__before")
+
+
+def shard_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    n_shards: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id (0..n_shards-1) from the md5 of the key
+    columns — the write-side partitioner for training-data output files.
+
+    Content-hash sharding keeps assignment stable across reruns, cluster
+    sizes, and engines (the oracle recomputes it), and statistically
+    balances both row and token totals across shards. Writing with
+    ``.repartition(n_shards, shard)`` + ``partitionBy(shard)`` then
+    yields one output stream per shard with no global sort.
+    """
+    from spark_pipeline_spark.functions import md5_int
+
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return df.withColumn(shard_col, F.pmod(md5_int(key), F.lit(n_shards)).cast("int"))

@@ -358,3 +358,35 @@ def mixture_resample(
         )
         .drop("__draw", "__rate", "__copies")
     )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Tag each row with its quantile bucket (0..len(probs)): bucket =
+    number of boundary quantiles ≤ the row's value, with boundaries the
+    exact interpolated percentiles of ``value_col`` at ``probs``.
+
+    Curriculum bucketing / outlier fencing without a global sort: one
+    aggregate computes the boundary array, which rides to every row via
+    a broadcast of a single row (not a driver collect), and the bucket
+    index is a pure fold over that array. ``ntile`` would need a total
+    order (range-shuffle of the whole table) and has engine-specific tie
+    behavior; comparing against shared interpolated boundaries is
+    deterministic in any engine at any scale. Exact percentiles sort
+    within the aggregate — for bounded-memory estimation at extreme
+    cardinalities swap in ``approx_percentile`` (no longer oracle-able).
+    """
+    bounds = df.agg(
+        F.percentile(value_col, F.array(*[F.lit(p) for p in probs])).alias("__bnds")
+    )
+    tagged = df.join(F.broadcast(bounds))
+    bucket = F.aggregate(
+        F.col("__bnds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col(value_col) >= b, 1).otherwise(0),
+    )
+    return tagged.withColumn(bucket_col, bucket).drop("__bnds")

@@ -35,6 +35,7 @@ __all__ = [
     "train",
     "save_model",
     "load_model",
+    "fit_logistic_gd",
 ]
 
 
@@ -109,3 +110,50 @@ def load_model(path: str) -> Any:
     except ImportError:
         with open(path, "rb") as fh:
             return pickle.load(fh)
+
+
+def fit_logistic_gd(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    lr: float = 0.5,
+    iters: int = 3,
+) -> DataFrame:
+    """Distributed full-batch logistic regression by gradient descent —
+    the scale path the reference's collect-to-driver trainer cannot
+    take: the training table NEVER leaves the executors.
+
+    Each iteration is one aggregate over the data computing the mean
+    gradient ``avg((σ(b + w·x) − y) · x_j)``; the running weights ride
+    as a one-row broadcast-joined DataFrame, so the whole fit is a
+    single lazy plan with ``iters`` chained aggregates — no driver
+    collect, no Python workers, all codegen. At 100 TB each step is a
+    map-side partial aggregation (the shuffle carries one row per
+    partition); persist ``df`` before calling so the scan isn't repeated
+    per iteration against cold storage.
+
+    Returns a one-row DataFrame with columns ``w_<feature>`` and
+    ``intercept``. Deterministic up to float accumulation order —
+    round for cross-engine comparison.
+    """
+    from pyspark.sql import functions as F
+
+    weights = df.sparkSession.range(1).select(
+        *[F.lit(0.0).alias(f"w_{c}") for c in feature_cols],
+        F.lit(0.0).alias("intercept"),
+    )
+    y = F.col(label_col).cast("double")
+    for _ in range(iters):
+        joined = df.join(F.broadcast(weights))
+        z = F.col("intercept") + sum(
+            (F.col(f"w_{c}") * F.col(c) for c in feature_cols), start=F.lit(0.0)
+        )
+        resid = F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - y
+        weights = joined.agg(
+            *[
+                (F.first(f"w_{c}") - lr * F.avg(resid * F.col(c))).alias(f"w_{c}")
+                for c in feature_cols
+            ],
+            (F.first("intercept") - lr * F.avg(resid)).alias("intercept"),
+        )
+    return weights

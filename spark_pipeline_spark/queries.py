@@ -3077,3 +3077,206 @@ def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         *[F.unix_timestamp(f"t_{s}").alias(f"t_{s}") for s in _FUNNEL_STEPS],
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum bucketing, output sharding, inverted index, distributed GD
+# ---------------------------------------------------------------------------
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "quantile_bucket_orders",
+    oracle=f"""
+        WITH b AS (
+          SELECT quantile_cont(o_totalprice,
+                 {_DECILES}) AS bnds
+          FROM orders
+        )
+        SELECT len(list_filter(b.bnds, x -> o_totalprice >= x)) AS bucket,
+               count(*) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price,
+               round(avg(o_totalprice), 6) AS avg_price
+        FROM orders, b
+        GROUP BY bucket
+    """,
+    tags=("sample", "quantile", "curriculum"),
+)
+def quantile_bucket_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile bucketing by exact interpolated percentiles — curriculum
+    binning without a global sort: one aggregate computes the boundary
+    array, broadcast back as a single row; the bucket index is a fold
+    over it. ntile() would range-shuffle the whole table and carries
+    engine-specific tie behavior; shared boundaries are deterministic."""
+    from spark_pipeline_spark.operators.sampling import quantile_bucket
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    qb = quantile_bucket(o, "o_totalprice", _DECILES)
+    return qb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+    )
+
+
+_N_SHARDS = 16
+
+
+@register(
+    "shard_assign_documents",
+    oracle=f"""
+        WITH s AS (
+          SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                 % {_N_SHARDS} AS shard,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        agg AS (
+          SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens FROM s
+          GROUP BY shard
+        )
+        SELECT shard, n_docs, n_tokens,
+               round(n_tokens::DOUBLE * {_N_SHARDS}
+                     / sum(n_tokens) OVER (), 6) AS token_balance
+        FROM agg
+    """,
+    tags=("packing", "shard", "llm-pipeline"),
+)
+def shard_assign_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash shard assignment for training-data output (16 ways)
+    with the per-shard token-balance report (1.0 = perfectly even).
+    Assignment is a pure projection — the writer repartitions by the
+    shard column and streams one file set per shard, no global sort; the
+    balance check is an aggregate over 16 rows."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.packing import shard_assign
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    s = shard_assign(d, ["doc_id"], _N_SHARDS)
+    agg = s.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return agg.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.round(
+            F.col("n_tokens").cast("double")
+            * _N_SHARDS
+            / F.sum("n_tokens").over(Window.partitionBy()),
+            6,
+        ).alias("token_balance"),
+    )
+
+
+_IDX_POSTINGS = 8
+
+
+@register(
+    "inverted_index_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   string_split_regex(lower(trim(text)), '\s+'))) AS term
+          FROM documents
+        )
+        SELECT term, count(*) AS n_docs,
+               array_to_string(
+                 list_slice(list_sort(list(DISTINCT doc_id)),
+                            1, {_IDX_POSTINGS}), ',') AS postings_head
+        FROM tok GROUP BY term
+    """,
+    tags=("text", "retrieval", "llm-pipeline"),
+)
+def inverted_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (term → document-frequency + head of the sorted
+    posting list): the build step behind the BM25 retrieval query. One
+    explode of per-doc distinct terms, one shuffle keyed on the term
+    string; posting lists stay bounded by the slice. At 100 TB the
+    posting-list head is the right contract — full lists for stopwords
+    would be corpus-sized rows."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+        ).alias("term"),
+    )
+    return toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1, _IDX_POSTINGS),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+_GD_LR = 0.5
+_GD_ITERS = 3
+_GD_FEATURES = {"f_qty": "l_quantity / 50.0", "f_disc": "l_discount * 10.0"}
+_GD_LABEL = "(l_returnflag = 'R')::INT"
+
+
+def _gd_oracle() -> str:
+    feats = list(_GD_FEATURES)
+    ctes = [
+        "data AS (SELECT "
+        + ", ".join(f"{e} AS {c}" for c, e in _GD_FEATURES.items())
+        + f", {_GD_LABEL}::DOUBLE AS y FROM lineitem)",
+        "it0 AS (SELECT "
+        + ", ".join(f"0.0 AS w_{c}" for c in feats)
+        + ", 0.0 AS intercept)",
+    ]
+    for k in range(1, _GD_ITERS + 1):
+        z = "intercept + " + " + ".join(f"w_{c} * {c}" for c in feats)
+        resid = f"(1.0 / (1.0 + exp(-({z}))) - y)"
+        sel = ", ".join(
+            f"any_value(w_{c}) - {_GD_LR} * avg({resid} * {c}) AS w_{c}"
+            for c in feats
+        )
+        sel += f", any_value(intercept) - {_GD_LR} * avg({resid}) AS intercept"
+        ctes.append(f"it{k} AS (SELECT {sel} FROM data, it{k - 1})")
+    out = ", ".join(f"round(w_{c}, 6) AS w_{c}" for c in feats)
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f" SELECT {out}, round(intercept, 6) AS intercept FROM it{_GD_ITERS}"
+    )
+
+
+@register(
+    "train_logistic_gd_lineitem",
+    oracle=_gd_oracle(),
+    tags=("training", "distributed", "gd"),
+)
+def train_logistic_gd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression fit (full-batch gradient descent,
+    3 steps) predicting return-flag from scaled quantity/discount. The
+    training table never reaches the driver: each step is one codegen'd
+    aggregate; weights travel as a one-row broadcast. The oracle replays
+    the identical float recurrence as chained DuckDB CTEs — the learned
+    weights hash-match across engines to 6dp."""
+    from spark_pipeline_spark.operators.training import fit_logistic_gd
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") / 50.0).alias("f_qty"),
+        (F.col("l_discount") * 10.0).alias("f_disc"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    w = fit_logistic_gd(li, ["f_qty", "f_disc"], "y", lr=_GD_LR, iters=_GD_ITERS)
+    return w.select(
+        F.round("w_f_qty", 6).alias("w_f_qty"),
+        F.round("w_f_disc", 6).alias("w_f_disc"),
+        F.round("intercept", 6).alias("intercept"),
+    )

@@ -1,0 +1,93 @@
+"""Semantic edges of merge/SCD2/funnel that the test corpus can't hit:
+same-timestamp events, version ties, absent stages."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_merge_upsert_updates_inserts_and_ties(spark):
+    from spark_pipeline_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 5)], "k int, v string, version int"
+    )
+    feed = spark.createDataFrame(
+        # k=1: newer version wins; k=2: SAME version — feed must beat base;
+        # k=3: insert-only key survives
+        [(1, "a2", 2), (2, "b2", 5), (3, "c", 1)],
+        "k int, v string, version int",
+    )
+    out = {r["k"]: r["v"] for r in merge_upsert(base, feed, ["k"], "version").collect()}
+    assert out == {1: "a2", 2: "b2", 3: "c"}
+
+
+def test_scd2_intervals_chain_and_current_flag(spark):
+    from spark_pipeline_spark.operators.merge import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, _ts("2024-01-01T00:00:00"), "x"), (1, _ts("2024-01-03T00:00:00"), "y")],
+        "k int, ts timestamp, v string",
+    )
+    rows = sorted(
+        scd2_intervals(df, ["k"], "ts").collect(), key=lambda r: r["valid_from"]
+    )
+    assert rows[0]["valid_to"] == rows[1]["valid_from"]
+    assert not rows[0]["is_current"] and rows[1]["is_current"]
+
+
+def test_funnel_strict_after_and_dropout(spark):
+    from spark_pipeline_spark.operators.windows import funnel_times
+
+    t0 = _ts("2024-01-01T00:00:00")
+    rows = [
+        # u1: signup then view at the SAME instant -> view must NOT count
+        # (strictly-after), so u1 stalls at signup
+        ("u1", "signup", t0),
+        ("u1", "view", t0),
+        # u2: full ordered path
+        ("u2", "signup", t0),
+        ("u2", "view", _ts("2024-01-01T01:00:00")),
+        # u3: view BEFORE signup only -> stalls at signup
+        ("u3", "view", t0),
+        ("u3", "signup", _ts("2024-01-01T02:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user string, et string, ts timestamp")
+    out = {
+        r["user"]: (r["t_signup"], r["t_view"])
+        for r in funnel_times(df, "user", "et", "ts", ["signup", "view"]).collect()
+    }
+    assert out["u1"][0] is not None and out["u1"][1] is None
+    assert out["u2"][1] == _ts("2024-01-01T01:00:00")
+    assert out["u3"][0] is not None and out["u3"][1] is None
+
+
+def test_fit_logistic_gd_learns_separator(spark):
+    from spark_pipeline_spark.operators.training import fit_logistic_gd
+
+    # y = 1 iff x > 0: GD from zero must move w positive and improve on
+    # the zero-weight model
+    data = [(float(x), 1 if x > 0 else 0) for x in range(-50, 50)]
+    df = spark.createDataFrame(data, "x double, y int")
+    w = fit_logistic_gd(df, ["x"], "y", lr=1.0, iters=5).collect()[0]
+    assert w["w_x"] > 0.1
+
+
+def test_quantile_bucket_deciles_are_balanced(spark):
+    from spark_pipeline_spark.operators.sampling import quantile_bucket
+
+    from tests.conftest import SF_SMALL
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select("o_totalprice")
+    qb = quantile_bucket(o, "o_totalprice", [round(0.1 * i, 1) for i in range(1, 10)])
+    counts = {r["bucket"]: r["n"] for r in qb.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == set(range(10))
+    n = sum(counts.values())
+    for b, c in counts.items():
+        assert abs(c - n / 10) / (n / 10) < 0.15, (b, c, n)
