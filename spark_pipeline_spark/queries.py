@@ -2951,6 +2951,7 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
           PARTITION BY o_orderkey ORDER BY version DESC, side DESC) = 1
     """,
     tags=("merge", "cdc"),
+    bench=True,
 )
 def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest-wins MERGE (Delta-style upsert as a batch plan): a change
@@ -3061,6 +3062,7 @@ _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
                LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)
     """,
     tags=("funnel", "events", "windows"),
+    bench=True,
 )
 def funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential conversion funnel (signup → view → click → purchase):
@@ -3259,6 +3261,7 @@ def _gd_oracle() -> str:
     "train_logistic_gd_lineitem",
     oracle=_gd_oracle(),
     tags=("training", "distributed", "gd"),
+    bench=True,
 )
 def train_logistic_gd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression fit (full-batch gradient descent,

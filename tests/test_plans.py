@@ -15,8 +15,17 @@ from tests.conftest import SF_SMALL
 
 # The only queries allowed a nested-loop join: the deliberate brute-force
 # similarity baseline and the IVF variant are NOT in this set — their
-# joins are broadcast NLJ on the *tiny query side* by design.
-_NLJ_ALLOWED = {"embedding_topk_bruteforce", "embedding_ann_ivf", "embedding_near_dup_ivf"}
+# joins are broadcast NLJ on the *tiny query side* by design. The
+# quantile/GD entries cross-join a provably ONE-ROW broadcast (the
+# percentile-boundary array / the running GD weights) — a keyless
+# broadcast of a single row is O(n), not a cartesian blowup.
+_NLJ_ALLOWED = {
+    "embedding_topk_bruteforce",
+    "embedding_ann_ivf",
+    "embedding_near_dup_ivf",
+    "quantile_bucket_orders",
+    "train_logistic_gd_lineitem",
+}
 
 
 def _plan(df) -> str:
