@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "ivf_topk",
+    "kmeans_fit",
     "embedding_near_dup_pairs",
     "hyperplane_coeffs",
     "hyperplane_signature",
@@ -301,3 +302,38 @@ def hyperplane_near_dup_pairs(
         .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    seed_centroids: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column: ``iters`` rounds of
+    (assign to nearest centroid by cosine → recompute centroids as the
+    element-wise member mean). Returns the final ``(cell, centroid)``
+    frame.
+
+    Fully distributed and lazy: each round is the broadcast + ``max_by``
+    assignment (:func:`ivf_assign`) followed by a ``posexplode`` →
+    ``groupBy(cell, pos)`` mean whose output cardinality is k × dim —
+    independent of corpus size — which then re-broadcasts as the next
+    round's centroids. The corpus is scanned once per iteration and
+    never collected; persist ``df`` before calling so iterations don't
+    re-read cold storage. Empty cells drop out (their centroid is
+    removed), matching standard Lloyd behavior.
+    """
+    cen = seed_centroids
+    for _ in range(iters):
+        a = ivf_assign(df, cen, id_col=id_col, vec_col=vec_col)
+        px = a.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+        means = px.groupBy("cell", "pos").agg(F.avg("val").alias("val"))
+        cen = means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda x: x["val"],
+            ).alias("centroid")
+        )
+    return cen

@@ -3283,3 +3283,99 @@ def train_logistic_gd_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_f_disc", 6).alias("w_f_disc"),
         F.round("intercept", 6).alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus language-model scoring and embedding-space clustering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_nll_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term),
+        tot AS (SELECT sum(n) AS total FROM vocab),
+        lp AS (SELECT term, ln(n / total) AS logp FROM vocab, tot)
+        SELECT doc_id, count(*) AS n_tok,
+               round(avg(-logp) / ln(2), 6) AS avg_bits,
+               round(pow(2, avg(-logp) / ln(2)), 6) AS ppl
+        FROM tok JOIN lp USING (term)
+        GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+)
+def text_unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring (CCNet-style quality signal): the
+    corpus's own token frequencies become a unigram LM; each document
+    gets its mean negative log-likelihood in bits and the corresponding
+    perplexity. Two aggregates and one equi-join on the term — the
+    vocabulary total rides as a one-row broadcast (never a single-
+    partition global window), and the token↔vocab join is a plain
+    shuffle join AQE can broadcast when the vocabulary is small."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "term", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    ln2 = F.log(F.lit(2.0))
+    scored = toks.join(lp, "term")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.round(F.avg(-F.col("logp")) / ln2, 6).alias("avg_bits"),
+        F.round(F.pow(F.lit(2.0), F.avg(-F.col("logp")) / ln2), 6).alias("ppl"),
+    )
+
+
+@register(
+    "kmeans_update_centroids",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        m AS (SELECT cell, count(*) AS n_members FROM assign GROUP BY cell),
+        px AS (
+          SELECT cell,
+                 unnest(generate_series(0, len(v) - 1)) AS pos,
+                 unnest(v) AS val
+          FROM assign
+        )
+        SELECT px.cell, pos, round(avg(val), 6) AS c_val, n_members
+        FROM px JOIN m USING (cell)
+        GROUP BY px.cell, pos, n_members
+    """,
+    tags=("similarity", "clustering", "llm-pipeline"),
+)
+def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration over the embedding table: assign every vector
+    to its nearest seed centroid (the existing IVF assignment — one
+    broadcast + max_by aggregate), then recompute each centroid as the
+    element-wise member mean via posexplode → groupBy(cell, pos). The
+    iterative-clustering building block at scale: no driver collect, the
+    per-iteration cost is one assignment pass + one (cell, pos)-keyed
+    aggregation whose cardinality is k × dim, independent of corpus
+    size."""
+    from spark_pipeline_spark.operators.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    a = ivf_assign(e, centroids)
+    members = a.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    px = a.select("cell", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        px.groupBy("cell", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("c_val"))
+        .join(F.broadcast(members), "cell")
+        .select("cell", "pos", "c_val", "n_members")
+    )
