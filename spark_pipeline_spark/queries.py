@@ -3379,3 +3379,80 @@ def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(members), "cell")
         .select("cell", "pos", "c_val", "n_members")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional clustering for data-skipping writes
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 10  # 16-bit key >> 10 = 64 layout buckets
+
+
+def _sql_zorder() -> str:
+    c, d = "sc", "sd"
+    terms = []
+    for i in range(_Z_BITS):
+        for j, col in enumerate((c, d)):
+            terms.append(f"(((({col}) >> {i}) & 1) << {i * 2 + j})")
+    morton = " + ".join(terms)
+    scale = (
+        "floor(((({v}) - ({lo})) * {m}) / (({hi}) - ({lo}) + 1))::BIGINT"
+    )
+    return f"""
+        WITH dims AS (
+          SELECT o_orderkey, o_custkey::BIGINT AS c,
+                 date_diff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS d
+          FROM orders
+        ),
+        b AS (
+          SELECT min(c) AS lo_c, max(c) AS hi_c,
+                 min(d) AS lo_d, max(d) AS hi_d
+          FROM dims
+        ),
+        scaled AS (
+          SELECT o_orderkey, c, d,
+                 {scale.format(v="c", lo="b.lo_c", hi="b.hi_c", m=1 << _Z_BITS)} AS sc,
+                 {scale.format(v="d", lo="b.lo_d", hi="b.hi_d", m=1 << _Z_BITS)} AS sd
+          FROM dims, b
+        ),
+        keyed AS (SELECT o_orderkey, c, d, {morton} AS zkey FROM scaled)
+        SELECT zkey >> {_Z_BUCKET_SHIFT} AS bucket,
+               count(*) AS n_orders,
+               min(c) AS min_cust, max(c) AS max_cust,
+               min(d) AS min_day, max(d) AS max_day
+        FROM keyed GROUP BY bucket
+    """
+
+
+@register(
+    "zorder_orders_locality",
+    oracle=_sql_zorder(),
+    tags=("layout", "zorder"),
+)
+def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key over (customer, order-day) and the per-bucket
+    min/max envelope it produces — the data-skipping report: every
+    layout bucket is tight in BOTH dimensions simultaneously, which is
+    what lets parquet row-group stats prune scans filtered on either
+    column after a range-write by zkey. Pure integer bit arithmetic;
+    the bounds aggregate is a one-row broadcast."""
+    from spark_pipeline_spark.operators.layout import zorder_by
+
+    dims = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("c"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    z = zorder_by(dims, ["c", "d"], bits=_Z_BITS)
+    return (
+        z.withColumn("bucket", F.shiftright("zkey", _Z_BUCKET_SHIFT))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("c").alias("min_cust"),
+            F.max("c").alias("max_cust"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+    )

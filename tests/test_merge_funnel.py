@@ -118,3 +118,32 @@ def test_kmeans_fit_reduces_inertia(spark):
     # Lloyd iterations must not make the fit worse (cosine objective)
     assert s2 >= s0 - 1e-9
     assert s2 > s0 + 0.01  # and on this data they measurably improve it
+
+
+def test_zorder_buckets_are_tight_in_both_dims(spark):
+    """Top-6-bit z-order buckets (3 bits per dim) must confine each
+    bucket to 1/8 of each dimension's range (+1 cell of scaling slack) —
+    the property that makes min/max file stats prunable on BOTH
+    columns."""
+    from tests.conftest import SF_SMALL
+
+    from spark_pipeline_spark.operators.layout import zorder_by
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        F.col("o_custkey").cast("long").alias("c"),
+        F.datediff("o_orderdate", F.lit("1970-01-01")).cast("long").alias("d"),
+    )
+    z = zorder_by(o, ["c", "d"], bits=8)
+    rows = (
+        z.withColumn("bucket", F.shiftright("zkey", 10))
+        .groupBy("bucket")
+        .agg(F.min("c").alias("c0"), F.max("c").alias("c1"),
+             F.min("d").alias("d0"), F.max("d").alias("d1"))
+        .collect()
+    )
+    span_c = max(r["c1"] for r in rows) - min(r["c0"] for r in rows)
+    span_d = max(r["d1"] for r in rows) - min(r["d0"] for r in rows)
+    assert len(rows) > 32
+    for r in rows:
+        assert (r["c1"] - r["c0"]) <= span_c / 8 + span_c / 256 + 1
+        assert (r["d1"] - r["d0"]) <= span_d / 8 + span_d / 256 + 1
