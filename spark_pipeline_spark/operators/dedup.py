@@ -124,6 +124,13 @@ def shingle_table(
     array instead of re-deriving every n-gram inside the pushed-down
     Filter. The token array is materialized in its own projection so the
     gram lambda references a bound column, not an expression tree.
+
+    CONSUMER WARNING: do not ``F.explode("__sh")`` this output — the
+    Generate node pushes an implicit ``size(__sh) > 0 AND isnotnull``
+    filter below the exchange with the whole gram expression re-inlined
+    (measured 20×). Use ``F.explode_outer`` + an ``isNotNull`` filter on
+    the exploded value (free: the arrays are non-empty by construction),
+    or build the gram expression inline in the exploding projection.
     """
     toks = df.select(
         F.col(id_col).alias("__id"),

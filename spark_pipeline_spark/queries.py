@@ -2907,8 +2907,15 @@ def boilerplate_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = shingle_table(d, "doc_id", "text", n=_BOILER_NGRAM)
+    # explode_outer, NOT explode: plain explode pushes an implicit
+    # `size(input) > 0 AND isnotnull(input)` filter below the exchange
+    # with the whole gram expression re-inlined (split re-derived per
+    # element access) — measured 20× on this query. explode_outer emits
+    # no pushable filter; the arrays are non-empty by shingle_table's
+    # token-count pre-filter, so the null-guard drops nothing.
     return (
-        sh.select(F.explode("__sh").alias("ngram"))
+        sh.select(F.explode_outer("__sh").alias("ngram"))
+        .filter(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= _BOILER_MIN_DOCS)
