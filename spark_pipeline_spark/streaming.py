@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = [
+    "stream_enrich",
+    "stream_upsert_sink",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -190,6 +192,72 @@ def stream_drift_monitor(
         on_batch(batch_id, {r["col_name"]: float(r["distance"]) for r in d.collect()})
 
     writer = stream.writeStream.foreachBatch(process).outputMode("append")
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: annotate a stream with a static
+    dimension table (user → segment, item → category).
+
+    Structured Streaming plans this as a per-micro-batch join where the
+    static side is re-resolved each batch — with a small dimension Spark
+    broadcasts it, so the stream side never shuffles. The static frame
+    should be persisted by the caller when its compute is expensive
+    (it is re-read per micro-batch otherwise).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    return stream.join(F.broadcast(dim), keys, how)
+
+
+def stream_upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    version_col: str,
+    available_now: bool = True,
+    checkpoint: str | None = None,
+):
+    """Streaming CDC apply: maintain a latest-wins keyed snapshot at
+    ``target_path`` (parquet) from a stream of change rows.
+
+    ``foreachBatch`` is the standard pattern for MERGE semantics without
+    a transactional table format: each micro-batch runs the batch
+    :func:`~spark_pipeline_spark.operators.merge.merge_upsert` of the
+    existing snapshot with the batch's rows, stages the result with a
+    distributed write (never through the driver), and swaps it into
+    place with a second write — the read-then-overwrite-the-same-path
+    trap needs the staging hop because parquet reads are lazy. A
+    transactional format (Delta/Iceberg) collapses the two writes into
+    one MERGE; the plan shape per batch is identical either way: one
+    exchange keyed on the merge key. Returns the started StreamingQuery.
+    """
+    from spark_pipeline_spark.operators.merge import merge_upsert
+
+    spark = stream.sparkSession
+    key_list = list(keys)
+    staging = target_path.rstrip("/") + "__staging"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, batch_df, key_list, version_col)
+        except Exception:  # first batch: no snapshot yet
+            merged = merge_upsert(
+                batch_df.limit(0), batch_df, key_list, version_col
+            )
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()

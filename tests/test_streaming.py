@@ -179,3 +179,64 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path):
         for r in events.groupBy("user_id").agg(F2.count(F2.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_stream_enrich_matches_batch_join(spark, tmp_path):
+    """Stream-static enrichment must produce exactly the batch join's
+    rows (left join against a small broadcast dimension)."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_enrich,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    src = str(tmp_path / "events_enrich")
+    events.write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "event_id bigint, user_id bigint, value double"
+    )
+    streamed = run_available_now_to_memory(
+        stream_enrich(stream, dim, on="user_id"),
+        "stream_enrich_test",
+        output_mode="append",
+    )
+    batch = events.join(F.broadcast(dim), "user_id", "left")
+    assert streamed.count() == batch.count()
+    a = {(r["event_id"], r["segment"]) for r in streamed.collect()}
+    b = {(r["event_id"], r["segment"]) for r in batch.collect()}
+    assert a == b
+
+
+def test_stream_upsert_sink_latest_wins_across_batches(spark, tmp_path):
+    """Two micro-batches with overlapping keys: the maintained snapshot
+    must hold exactly one row per key, highest version winning."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "changes")
+    target = str(tmp_path / "snapshot")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "k int, v string, version int"
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b2", 2), (3, "c", 1)], "k int, v string, version int"
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "k int, v string, version int", max_files_per_trigger=1
+    )
+    q = stream_upsert_sink(stream, target, ["k"], "version")
+    q.awaitTermination(120)
+
+    snap = {r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(target).collect()}
+    assert snap == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
