@@ -3463,3 +3463,47 @@ def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("d").alias("max_day"),
         )
     )
+
+
+@register(
+    "length_bucket_padding_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        b AS (SELECT quantile_cont(n_tok, {_DECILES}) AS bnds FROM tok)
+        SELECT len(list_filter(b.bnds, x -> n_tok >= x)) AS bucket,
+               count(*) AS n_docs,
+               sum(n_tok) AS sum_tok,
+               max(n_tok) AS max_tok,
+               round(sum(n_tok)::DOUBLE / (max(n_tok) * count(*)), 6)
+                 AS pad_efficiency
+        FROM tok, b
+        GROUP BY bucket
+    """,
+    tags=("packing", "batching", "llm-pipeline"),
+)
+def length_bucket_padding_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report: documents grouped into token-
+    count deciles, with each bucket's padding efficiency (real tokens ÷
+    padded-to-bucket-max tokens). The standard pre-batching move for
+    fixed-shape training steps — batching within length buckets instead
+    of globally turns ~50% padding waste into a few percent. Reuses the
+    broadcast-boundary quantile bucketing (no global sort)."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.sampling import quantile_bucket
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count_ws("text").cast("bigint").alias("n_tok")
+    )
+    qb = quantile_bucket(d, "n_tok", _DECILES)
+    return qb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tok"),
+        F.max("n_tok").alias("max_tok"),
+        F.round(
+            F.sum("n_tok").cast("double") / (F.max("n_tok") * F.count(F.lit(1))), 6
+        ).alias("pad_efficiency"),
+    )

@@ -25,6 +25,11 @@ _NLJ_ALLOWED = {
     "embedding_near_dup_ivf",
     "quantile_bucket_orders",
     "train_logistic_gd_lineitem",
+    # one-row broadcast bounds / vocabulary total / k-centroid frames:
+    "zorder_orders_locality",
+    "text_unigram_nll_documents",
+    "kmeans_update_centroids",
+    "length_bucket_padding_documents",
 }
 
 
