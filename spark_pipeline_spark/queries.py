@@ -3507,3 +3507,85 @@ def length_bucket_padding_documents(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("n_tok").cast("double") / (F.max("n_tok") * F.count(F.lit(1))), 6
         ).alias("pad_efficiency"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-range window frames and cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_24h_value",
+    oracle="""
+        SELECT event_id, user_id,
+               floor(epoch(ts))::BIGINT AS ts_epoch,
+               round(sum(value) OVER (
+                 PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                 RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW
+               ), 2) AS rolling_value_24h
+        FROM events
+    """,
+    tags=("windows", "events", "range-frame"),
+)
+def events_rolling_24h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 24-hour value sum with a RANGE window frame —
+    time-based, not row-based: all events within the trailing day
+    contribute regardless of how many there are (rows-frames can't
+    express this). One window shuffle on the user key; RANGE frames
+    include every equal-timestamp peer, so the result is deterministic
+    under ties in both engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_epoch")
+        .rangeBetween(-86399, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_epoch",
+        F.round(F.sum("value").over(w), 2).alias("rolling_value_24h"),
+    )
+
+
+@register(
+    "cohort_retention_events",
+    oracle="""
+        WITH wk AS (
+          SELECT DISTINCT user_id,
+                 (floor(epoch(ts))::BIGINT // 86400) // 7 AS week_idx
+          FROM events
+        ),
+        cohort AS (SELECT user_id, min(week_idx) AS cohort_week FROM wk GROUP BY user_id)
+        SELECT cohort_week,
+               (week_idx - cohort_week) AS week_offset,
+               count(*) AS n_users
+        FROM wk JOIN cohort USING (user_id)
+        GROUP BY cohort_week, week_offset
+    """,
+    tags=("windows", "events", "cohort"),
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in every subsequent week they return. Week indices are pure
+    integer epoch arithmetic (epoch-days div 7) — calendar-week
+    functions differ between engines and locales, integer division
+    doesn't. Two aggregations and one equi-join on the user key; the
+    (user, week) frame is distinct-compressed before any join, so the
+    heavy events table is scanned once."""
+    e = t(spark, sf_dir, "events").select(
+        "user_id",
+        ((F.unix_timestamp("ts") / F.lit(86400)).cast("bigint") / F.lit(7))
+        .cast("bigint")
+        .alias("week_idx"),
+    ).distinct()
+    cohort = e.groupBy("user_id").agg(F.min("week_idx").alias("cohort_week"))
+    return (
+        e.join(cohort, "user_id")
+        .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
