@@ -3589,3 +3589,55 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", (F.col("week_idx") - F.col("cohort_week")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "validate_orders_quality",
+    oracle="""
+        SELECT 'not_null:o_custkey' AS rule,
+               count(*) FILTER (o_custkey IS NULL)::BIGINT AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'in_range:o_totalprice',
+               count(*) FILTER (o_totalprice < 0 OR o_totalprice > 1000000)::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'accepted_values:o_orderstatus',
+               count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'unique:o_orderkey',
+               (count(*) FILTER (o_orderkey IS NOT NULL)
+                - count(DISTINCT o_orderkey))::BIGINT
+        FROM orders
+        UNION ALL
+        SELECT 'ref_integrity:o_custkey',
+               (SELECT count(*) FROM orders o
+                WHERE o.o_custkey IS NOT NULL
+                  AND o.o_custkey NOT IN (SELECT c_custkey FROM customer))::BIGINT
+    """,
+    tags=("quality", "validation"),
+)
+def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation gate over orders: null rate, value range, accepted
+    status codes, key uniqueness — ALL evaluated in one aggregate pass
+    (each rule is a conditional sum; partial combine collapses map-side)
+    — plus referential integrity to customer as a counted anti-join.
+    The dbt-test/Great-Expectations pattern as engine operators; at
+    100 TB the column rules still cost one scan total, not one per
+    rule."""
+    from spark_pipeline_spark.operators import quality as Q
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    col_report = Q.check(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.unique("o_orderkey"),
+        ],
+    )
+    ref = Q.ref_integrity(o, "o_custkey", c, "c_custkey")
+    return col_report.unionByName(ref).drop("passed")

@@ -147,3 +147,60 @@ def test_zorder_buckets_are_tight_in_both_dims(spark):
     for r in rows:
         assert (r["c1"] - r["c0"]) <= span_c / 8 + span_c / 256 + 1
         assert (r["d1"] - r["d0"]) <= span_d / 8 + span_d / 256 + 1
+
+
+def test_asof_join_deterministic_under_duplicate_right_ts(spark):
+    """Multiple right rows at the same (key, ts): the carried match must
+    be the md5-max payload, identically across partitionings."""
+    import datetime as dt
+
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 2))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0, "a"), (1, t0, "b"), (1, t0, "c")], "k int, ts timestamp, v string"
+    )
+    picks = set()
+    for parts in (1, 3, 7):
+        j = asof_join(
+            left, right.repartition(parts), on="k", left_ts="ts", right_ts="ts"
+        )
+        picks.add(j.collect()[0]["asof_v"])
+    assert len(picks) == 1, f"nondeterministic asof pick: {picks}"
+
+
+def test_quality_check_counts_planted_violations(spark):
+    from spark_pipeline_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O"),
+            (1, -5.0, "O"),      # dup key + below range
+            (None, 20.0, "X"),   # null key + bad status
+            (3, 2000.0, "F"),    # above range
+        ],
+        "k int, price double, status string",
+    )
+    report = {
+        r["rule"]: (r["violations"], r["passed"])
+        for r in Q.check(
+            df,
+            [
+                Q.not_null("k"),
+                Q.in_range("price", 0, 1000),
+                Q.accepted_values("status", ["O", "F"]),
+                Q.unique("k"),
+            ],
+        ).collect()
+    }
+    assert report["not_null:k"] == (1, False)
+    assert report["in_range:price"] == (2, False)
+    assert report["accepted_values:status"] == (1, False)
+    assert report["unique:k"] == (1, False)
+
+    parent = spark.createDataFrame([(1,), (3,)], "pk int")
+    ref = Q.ref_integrity(df, "k", parent, "pk").collect()[0]
+    assert ref["violations"] == 0  # 1 and 3 both exist; null k excluded
