@@ -204,3 +204,25 @@ def test_quality_check_counts_planted_violations(spark):
     parent = spark.createDataFrame([(1,), (3,)], "pk int")
     ref = Q.ref_integrity(df, "k", parent, "pk").collect()[0]
     assert ref["violations"] == 0  # 1 and 3 both exist; null k excluded
+
+
+def test_merge_upsert_idempotent_and_order_insensitive(spark):
+    """Re-applying the same feed must be a no-op, and splitting a feed
+    into two applications must equal one combined application (versions
+    decide, not arrival order)."""
+    from spark_pipeline_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, version int"
+    )
+    f1 = spark.createDataFrame([(1, "a2", 3), (4, "d", 1)], "k int, v string, version int")
+    f2 = spark.createDataFrame([(1, "a1", 2), (2, "b2", 2)], "k int, v string, version int")
+
+    def snap(df):
+        return {(r["k"], r["v"], r["version"]) for r in df.collect()}
+
+    once = merge_upsert(base, f1.unionByName(f2), ["k"], "version")
+    twice = merge_upsert(merge_upsert(base, f1, ["k"], "version"), f2, ["k"], "version")
+    reordered = merge_upsert(merge_upsert(base, f2, ["k"], "version"), f1, ["k"], "version")
+    assert snap(once) == snap(twice) == snap(reordered)
+    assert snap(merge_upsert(once, f1.unionByName(f2), ["k"], "version")) == snap(once)
