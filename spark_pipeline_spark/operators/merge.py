@@ -29,24 +29,34 @@ def merge_upsert(
     highest ``version_col`` (updates beat base on ties).
 
     Delta-style ``MERGE INTO`` semantics expressed as a pure batch plan:
-    ``unionByName`` → per-key ``row_number`` ordered by (version desc,
-    side desc) → keep rank 1. Insert-only rows (keys absent from base)
-    survive automatically; deletes are modeled upstream by filtering the
-    feed. One exchange keyed on ``keys``; no broadcast assumption on
-    either side, so a 100 TB base with a 1 TB daily feed runs the same
-    plan shape.
+    ``unionByName`` → per-key ``max_by`` on (version, side). Insert-only
+    rows (keys absent from base) survive automatically; deletes are
+    modeled upstream by filtering the feed. One exchange keyed on
+    ``keys``; no broadcast assumption on either side, so a 100 TB base
+    with a 1 TB daily feed runs the same plan shape.
+
+    Deliberately an AGGREGATION, not a rank window: ``max_by`` partial-
+    combines map-side, so the shuffle carries one candidate per
+    (partition × key) and a pathologically hot merge key cannot
+    bottleneck a single window task (AQE splits skewed aggregations but
+    not window shuffles). Feeds should be version-unique per key — two
+    feed rows tied on (key, version) yield an arbitrary single winner,
+    same as MERGE implementations reject or pick arbitrarily.
     """
     b = base.withColumn("__side", F.lit(0))
     u = updates.withColumn("__side", F.lit(1))
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(version_col).desc(), F.col("__side").desc()
+    unioned = b.unionByName(u)
+    payload_cols = [c for c in unioned.columns if c not in keys]
+    best = unioned.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            F.struct(F.col(version_col), F.col("__side")),
+        ).alias("__best")
     )
-    return (
-        b.unionByName(u)
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__side")
-    )
+    out_cols = [F.col(k) for k in keys] + [
+        F.col(f"__best.{c}").alias(c) for c in payload_cols if c != "__side"
+    ]
+    return best.select(*out_cols)
 
 
 def scd2_intervals(
