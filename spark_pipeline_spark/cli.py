@@ -177,8 +177,47 @@ def main_trainer(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_validator(argv: list[str] | None = None) -> int:
+    """Config-driven data-quality gate (no reference counterpart — the
+    expectation verb a training-data warehouse runs before every
+    promote): load a source, evaluate the configured rules in one
+    aggregate pass, print the report, exit non-zero on any violation.
+
+    Config shape::
+
+        {"source": {...},                      # any load() source
+         "rules": [
+           {"kind": "not_null", "column": "uid"},
+           {"kind": "in_range", "column": "price", "lo": 0, "hi": 1e6},
+           {"kind": "accepted_values", "column": "status", "values": ["O"]},
+           {"kind": "unique", "columns": ["uid"]}]}
+    """
+    conf, _ = _parse_args(argv, "validator")
+    t0 = time.time()
+    spark = _session(conf, "validator")
+    from spark_pipeline_spark.io.sources import load
+    from spark_pipeline_spark.operators import quality as Q
+
+    builders = {
+        "not_null": lambda r: Q.not_null(r["column"]),
+        "in_range": lambda r: Q.in_range(r["column"], r["lo"], r["hi"]),
+        "accepted_values": lambda r: Q.accepted_values(r["column"], r["values"]),
+        "unique": lambda r: Q.unique(*r["columns"]),
+    }
+    df = load(spark, conf["source"])
+    rules = [builders[r["kind"]](r) for r in conf["rules"]]
+    report = Q.check(df, rules).collect()
+    failed = 0
+    for row in report:
+        status = "PASS" if row["passed"] else "FAIL"
+        failed += 0 if row["passed"] else 1
+        print(f"{status} {row['rule']} violations={row['violations']}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 1 if failed else 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(
-        "invoke via the mover/scorer/trainer console scripts or call "
-        "main_mover/main_scorer/main_trainer directly"
+        "invoke via the mover/scorer/trainer/validator console scripts or "
+        "call main_mover/main_scorer/main_trainer/main_validator directly"
     )

@@ -219,3 +219,32 @@ def test_apply_overrides_nested_and_scalar_parsing():
     assert out["keep"] == "yes"
     with pytest.raises(ValueError, match="key=value"):
         apply_overrides({}, ["oops"])
+
+
+def test_validator_cli_end_to_end(spark, tmp_path):
+    """Clean table passes (exit 0); an impossible range rule fails the
+    gate (exit 1) and reports the violation count."""
+    from spark_pipeline_spark.cli import main_validator
+
+    conf = _write_conf(
+        tmp_path,
+        "validate.json",
+        {
+            "source": {"storage": "file", "path": f"{SF_SMALL}/orders.parquet"},
+            "rules": [
+                {"kind": "not_null", "column": "o_custkey"},
+                {"kind": "unique", "columns": ["o_orderkey"]},
+                {"kind": "in_range", "column": "o_totalprice", "lo": 0, "hi": 10000000},
+            ],
+        },
+    )
+    assert main_validator(["--conf", conf]) == 0
+    bad = _write_conf(
+        tmp_path,
+        "validate_bad.json",
+        {
+            "source": {"storage": "file", "path": f"{SF_SMALL}/orders.parquet"},
+            "rules": [{"kind": "in_range", "column": "o_totalprice", "lo": 0, "hi": 1}],
+        },
+    )
+    assert main_validator(["--conf", bad]) == 1
