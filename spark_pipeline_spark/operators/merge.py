@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "scd2_intervals"]
+__all__ = ["merge_upsert", "scd2_intervals", "table_diff"]
 
 
 def merge_upsert(
@@ -80,3 +80,39 @@ def scd2_intervals(
         .withColumn("valid_to", F.lead(ts_col).over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two table versions: each key classified as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged``.
+
+    One full-outer join on the key; change detection compares an md5 of
+    the (canonically stringified) payload struct per side, so arbitrarily
+    wide payloads cross the shuffle as one 32-hex column each — the wide
+    columns are pruned out of the exchange entirely. The distribution-
+    level sibling is ``operators/datadiff``; this is the audit for exact
+    promote/rollback deltas.
+    """
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        payload = F.md5(
+            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+        )
+        return df.select(*keys, payload.alias(alias))
+
+    o = fp(old, "__fp_old")
+    n = fp(new, "__fp_new")
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("__fp_old").isNull(), F.lit("added"))
+        .when(F.col("__fp_new").isNull(), F.lit("removed"))
+        .when(F.col("__fp_old") == F.col("__fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(*keys, change.alias("change"))

@@ -3641,3 +3641,64 @@ def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ref = Q.ref_integrity(o, "o_custkey", c, "c_custkey")
     return col_report.unionByName(ref).drop("passed")
+
+
+@register(
+    "table_diff_orders_feed",
+    oracle="""
+        WITH newv AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'P'
+                      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END
+                   AS o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+          FROM orders
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < 0.02
+        ),
+        o AS (
+          SELECT o_orderkey,
+                 md5(o_orderstatus || '|' || o_totalprice::VARCHAR) AS fp
+          FROM orders
+        ),
+        n AS (
+          SELECT o_orderkey,
+                 md5(o_orderstatus || '|' || o_totalprice::VARCHAR) AS fp
+          FROM newv
+        )
+        SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                    WHEN n.fp IS NULL THEN 'removed'
+                    WHEN o.fp = n.fp THEN 'unchanged'
+                    ELSE 'changed' END AS change,
+               count(*) AS n_rows
+        FROM o FULL OUTER JOIN n USING (o_orderkey)
+        GROUP BY change
+    """,
+    tags=("merge", "diff", "cdc"),
+)
+def table_diff_orders_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level version diff: orders vs. the post-merge snapshot
+    (status-P rows repriced, 2% inserted). Each side's payload crosses
+    the key-shuffle as a single md5 fingerprint — the audit complement
+    to the distribution-level datadiff. Aggregated to change-kind
+    counts."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.merge import table_diff
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "P", F.round(F.col("o_totalprice") * 2, 2)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    ins = o.filter(
+        md5_int(F.col("o_orderkey").cast("string")) / F.lit(4294967296.0) < 0.02
+    ).withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+    newv = upd.unionByName(ins)
+    d = table_diff(o, newv, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
+    return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_rows"))
