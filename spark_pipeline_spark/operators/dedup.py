@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_near_dup_pairs",
     "decontaminate",
+    "fuzzy_join_pairs",
 ]
 
 
@@ -494,4 +495,42 @@ def decontaminate(
         F.broadcast(contaminated),
         df[id_col] == contaminated["__did"],
         "left_anti",
+    )
+
+
+def fuzzy_join_pairs(
+    df: DataFrame,
+    value_col: str,
+    block_col: Column | str,
+    max_dist: int,
+) -> DataFrame:
+    """Edit-distance near-match pairs over distinct values of
+    ``value_col`` — the entity-resolution join (typo'd names, variant
+    spellings) under the same never-all-pairs discipline as every other
+    candidate generator here: values meet ONLY inside their blocking
+    key's bucket (caller-chosen: last token, soundex-ish key, length
+    band…), then pairs are verified with ``levenshtein``.
+
+    Distinct-compresses first, so duplication in the base table doesn't
+    multiply candidates; output is ``(val_a, val_b, dist)`` with
+    ``val_a < val_b``. Blocking recall is the caller's contract — a
+    value pair in different buckets is never compared (exactly the LSH
+    trade: bounded work, probabilistic recall).
+    """
+    b = _c(block_col)
+    vals = df.select(
+        F.col(value_col).alias("__v"), b.alias("__blk")
+    ).distinct()
+    left, right = vals.alias("a"), vals.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__v") < F.col("b.__v")),
+        )
+        .withColumn("dist", F.levenshtein(F.col("a.__v"), F.col("b.__v")))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("a.__v").alias("val_a"), F.col("b.__v").alias("val_b"), "dist"
+        )
     )

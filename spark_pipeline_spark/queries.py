@@ -3702,3 +3702,31 @@ def table_diff_orders_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     newv = upd.unionByName(ins)
     d = table_diff(o, newv, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])
     return d.groupBy("change").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "fuzzy_match_part_names",
+    oracle="""
+        WITH vals AS (
+          SELECT DISTINCT p_name AS v,
+                 list_extract(string_split(p_name, ' '), -1) AS blk
+          FROM part
+        )
+        SELECT a.v AS val_a, b.v AS val_b,
+               levenshtein(a.v, b.v) AS dist
+        FROM vals a JOIN vals b ON a.blk = b.blk AND a.v < b.v
+        WHERE levenshtein(a.v, b.v) <= 3
+    """,
+    tags=("dedup", "fuzzy", "entity-resolution"),
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: distinct part names blocked on
+    their final token, verified by edit distance ≤ 3 — variant
+    spellings meet only inside their block, never all-pairs. Distinct
+    compression first, so table-level duplication never multiplies the
+    candidate join."""
+    from spark_pipeline_spark.operators.dedup import fuzzy_join_pairs
+
+    p = t(spark, sf_dir, "part").select("p_name")
+    blk = F.element_at(F.split(F.col("p_name"), " "), -1)
+    return fuzzy_join_pairs(p, "p_name", blk, max_dist=3)
