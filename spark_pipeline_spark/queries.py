@@ -3730,3 +3730,80 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").select("p_name")
     blk = F.element_at(F.split(F.col("p_name"), " "), -1)
     return fuzzy_join_pairs(p, "p_name", blk, max_dist=3)
+
+
+@register(
+    "robust_outliers_orders",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0 < 0.005
+                      THEN o_totalprice * 20 ELSE o_totalprice END AS o_totalprice
+          FROM orders
+        ),
+        med AS (
+          SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+          FROM base GROUP BY o_orderstatus
+        ),
+        dev AS (
+          SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, med.med,
+                 abs(o.o_totalprice - med.med) AS adev
+          FROM base o JOIN med USING (o_orderstatus)
+        ),
+        mad AS (
+          SELECT o_orderstatus, quantile_cont(adev, 0.5) AS mad
+          FROM dev GROUP BY o_orderstatus
+        )
+        SELECT d.o_orderkey, d.o_orderstatus,
+               round(d.o_totalprice, 2) AS total_price,
+               round(CASE WHEN m.mad > 0
+                          THEN 0.6745 * (d.o_totalprice - d.med) / m.mad
+                          END, 6) AS robust_z
+        FROM dev d JOIN mad m USING (o_orderstatus)
+        WHERE m.mad > 0
+          AND round(abs(0.6745 * (d.o_totalprice - d.med) / m.mad), 6) > 3.0
+    """,
+    tags=("quality", "outliers", "robust"),
+)
+def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection: modified z-score from the
+    group median and MAD (0.6745·(x−med)/MAD — immune to the outliers
+    it hunts, unlike mean/stddev z-scores). Two grouped exact-percentile
+    aggregates whose tiny results broadcast-join back onto the fact
+    table; the fact table itself never shuffles. Zero-MAD groups are
+    excluded (guarded on both engines). A deterministic 0.5% of rows are
+    amplified 20x so the detector verifies on real outliers — uniform
+    TPC-H prices have none (max robust-z ~ 1.35)."""
+    from spark_pipeline_spark.functions import md5_int
+
+    raw = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    draw = md5_int(F.col("o_orderkey").cast("string")) / F.lit(4294967296.0)
+    o = raw.withColumn(
+        "o_totalprice",
+        F.when(draw < 0.005, F.col("o_totalprice") * 20).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderstatus").withColumn(
+        "adev", F.abs(F.col("o_totalprice") - F.col("med"))
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    z = F.lit(0.6745) * (F.col("o_totalprice") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), "o_orderstatus")
+        .filter((F.col("mad") > 0) & (F.round(F.abs(z), 6) > 3.0))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round(z, 6).alias("robust_z"),
+        )
+    )
