@@ -3807,3 +3807,83 @@ def robust_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("robust_z"),
         )
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "correlation_matrix_lineitem",
+    oracle="""
+        SELECT """
+    + ",\n               ".join(
+        f"round(corr({a}, {b}), 6) AS corr_{a}_{b}, "
+        f"round(covar_samp({a}, {b}), 6) AS cov_{a}_{b}"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    )
+    + """
+        FROM lineitem
+    """,
+    tags=("stats", "profile"),
+)
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation + sample covariance for the numeric
+    lineitem columns — the feature-profiling pass before any model work.
+    ALL pairs evaluate in ONE aggregate (each is a streaming moment
+    computation with map-side partial combine): a p-column profile costs
+    one scan, never p² jobs."""
+    li = t(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1 :]:
+            aggs.append(F.round(F.corr(a, b), 6).alias(f"corr_{a}_{b}"))
+            aggs.append(F.round(F.covar_samp(a, b), 6).alias(f"cov_{a}_{b}"))
+    return li.agg(*aggs)
+
+
+@register(
+    "chi_square_orders_status_priority",
+    oracle="""
+        WITH obs AS (
+          SELECT o_orderstatus AS s, o_orderpriority AS p,
+                 count(*)::DOUBLE AS o
+          FROM orders GROUP BY s, p
+        ),
+        margins AS (
+          SELECT s, p, o,
+                 sum(o) OVER (PARTITION BY s) AS row_tot,
+                 sum(o) OVER (PARTITION BY p) AS col_tot,
+                 sum(o) OVER () AS grand
+          FROM obs
+        )
+        SELECT round(sum(pow(o - row_tot * col_tot / grand, 2)
+                         / (row_tot * col_tot / grand)), 6) AS chi2,
+               count(*) AS n_cells
+        FROM margins
+    """,
+    tags=("stats", "independence"),
+)
+def chi_square_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square statistic for independence of order status × priority:
+    one contingency aggregation (tiny: |status|·|priority| cells), then
+    margins via windows over that SMALL frame — the windows run on
+    dozens of rows, never the fact table — and a one-row reduction.
+    The categorical-drift / feature-dependence screen at scale."""
+    from pyspark.sql import Window
+
+    obs = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).cast("double").alias("o"))
+    )
+    m = (
+        obs.withColumn("row_tot", F.sum("o").over(Window.partitionBy("s")))
+        .withColumn("col_tot", F.sum("o").over(Window.partitionBy("p")))
+        .withColumn("grand", F.sum("o").over(Window.partitionBy()))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand")
+    return m.agg(
+        F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
