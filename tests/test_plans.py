@@ -113,3 +113,31 @@ def test_mixture_sample_fact_side_never_shuffles(spark):
     shuffles = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     # one hash exchange for the groupBy(source) aggregate; none for the corpus
     assert len(shuffles) <= 1, f"fact table shuffled: {shuffles}"
+
+
+def test_quality_check_is_single_scan(spark):
+    """N expectation rules must evaluate in ONE aggregate over ONE scan —
+    a job per rule is the anti-pattern the operator exists to avoid."""
+    from spark_pipeline_spark.operators import quality as Q
+
+    o = t(spark, SF_SMALL, "orders")
+    report = Q.check(
+        o,
+        [
+            Q.not_null("o_custkey"),
+            Q.in_range("o_totalprice", 0, 1_000_000),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+            Q.unique("o_orderkey"),
+        ],
+    )
+    plan = _plan(report)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+
+
+def test_merge_upsert_partial_aggregates_before_exchange(spark):
+    """The merge winner must be a partial-combining aggregate (skew-proof),
+    not a rank window."""
+    plan = _plan(REGISTRY["merge_upsert_orders"].fn(spark, SF_SMALL))
+    assert "Window" not in plan
+    agg_nodes = [l for l in plan.splitlines() if "Aggregate (" in l]
+    assert len(agg_nodes) >= 2, plan  # partial + final around the exchange
