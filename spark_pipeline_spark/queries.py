@@ -3887,3 +3887,184 @@ def chi_square_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataF
         F.round(F.sum(F.pow(F.col("o") - exp, 2) / exp), 6).alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking, dataset splits, vocabulary coverage
+# ---------------------------------------------------------------------------
+
+_CHUNK_TOKENS = 40
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@register(
+    "chunk_documents_overlapping",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ),
+        par AS (
+          SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) <= {_CHUNK_TOKENS} THEN 1
+                      ELSE 1 + floor((len(w) - {_CHUNK_TOKENS}
+                                      + {_CHUNK_STRIDE} - 1)::DOUBLE
+                                     / {_CHUNK_STRIDE})::BIGINT
+                 END AS k
+          FROM tok WHERE len(w) >= 1
+        )
+        SELECT doc_id,
+               unnest(generate_series(1, k))::BIGINT AS chunk_id,
+               unnest(list_transform(generate_series(1, k),
+                 i -> array_to_string(
+                        list_slice(w, (i - 1) * {_CHUNK_STRIDE} + 1,
+                                   (i - 1) * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                        ' '))) AS chunk_text
+        FROM par
+    """,
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def chunk_documents_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (40-token chunks, 8-token
+    overlap) — the document→passage step before embedding or context-
+    window packing. Token array bound in its own projection, chunk
+    windows sliced from it inline in the exploding projection (the fast
+    Generate shape); chunk count is closed-form, so no per-chunk
+    re-tokenization anywhere. Work is linear in corpus tokens × overlap
+    factor."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__w")
+    ).filter(F.size("__w") >= 1)
+    n = F.size("__w")
+    k = F.when(n <= _CHUNK_TOKENS, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor(
+            (n - _CHUNK_TOKENS + _CHUNK_STRIDE - 1).cast("double") / _CHUNK_STRIDE
+        ).cast("bigint")
+    )
+    w = F.col("__w")
+    chunks = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(w, (i - 1) * _CHUNK_STRIDE + 1, _CHUNK_TOKENS), " "
+            ).alias("chunk_text"),
+        ),
+    )
+    ex = toks.select("doc_id", F.explode(chunks).alias("c"))
+    return ex.select("doc_id", F.col("c.chunk_id"), F.col("c.chunk_text"))
+
+
+_SPLIT_SEED = "split-v1"
+_SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.9
+
+
+@register(
+    "dataset_split_documents",
+    oracle=f"""
+        WITH drawn AS (
+          SELECT source,
+                 ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS u,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        )
+        SELECT source,
+               CASE WHEN u < {_SPLIT_TRAIN!r} THEN 'train'
+                    WHEN u < {_SPLIT_VAL!r} THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_tok) AS n_tokens
+        FROM drawn
+        GROUP BY source, split
+    """,
+    tags=("sample", "split", "llm-pipeline"),
+)
+def dataset_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratify-by-source train/val/test split (80/10/10)
+    from a SEEDED content hash: membership is a pure projection — stable
+    under repartitioning, engine changes, and corpus growth (a new doc
+    never moves an old one between splits, unlike rank-based splits).
+    Reported as per-(source, split) doc and token counts."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    u = md5_unit(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < _SPLIT_TRAIN, F.lit("train"))
+        .when(u < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            "source",
+            split.alias("split"),
+            T.token_count_regex("text").cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+_COVERAGE_LEVELS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "vocab_coverage_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        ranked AS (
+          SELECT term, n,
+                 row_number() OVER (ORDER BY n DESC, term) AS rk,
+                 sum(n) OVER (ORDER BY n DESC, term
+                              ROWS UNBOUNDED PRECEDING) AS running,
+                 sum(n) OVER () AS total
+          FROM vocab
+        )
+        SELECT lvl AS coverage, min(rk) AS k_terms
+        FROM ranked, (SELECT unnest({list(_COVERAGE_LEVELS)}) AS lvl)
+        WHERE running >= lvl * total
+        GROUP BY lvl
+    """,
+    tags=("text", "vocab", "llm-pipeline"),
+)
+def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: smallest top-k term set covering 50 /
+    90 / 99 % of corpus tokens — the tokenizer-sizing statistic. The
+    corpus collapses to its vocabulary FIRST (one term-keyed aggregate);
+    the ordered running-sum window runs over the vocabulary only. At
+    open-web scale the vocabulary is still ≪ corpus but its global
+    window would single-partition — pre-bucket by frequency band first
+    if the vocabulary itself outgrows one task."""
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.col("term"))
+    ranked = vocab.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    levels = spark.createDataFrame(
+        [(float(v),) for v in _COVERAGE_LEVELS], "coverage double"
+    )
+    return (
+        ranked.join(F.broadcast(levels))
+        .filter(F.col("running") >= F.col("coverage") * F.col("total"))
+        .groupBy("coverage")
+        .agg(F.min("rk").alias("k_terms"))
+    )

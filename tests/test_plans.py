@@ -30,6 +30,7 @@ _NLJ_ALLOWED = {
     "text_unigram_nll_documents",
     "kmeans_update_centroids",
     "length_bucket_padding_documents",
+    "vocab_coverage_documents",  # 3-row coverage-levels frame
 }
 
 
