@@ -4068,3 +4068,43 @@ def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("coverage")
         .agg(F.min("rk").alias("k_terms"))
     )
+
+
+@register(
+    "cube_orders_status_priority",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               grouping(o_orderstatus)::BIGINT * 2
+                 + grouping(o_orderpriority)::BIGINT AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation over status × priority with explicit grouping
+    ids (the subtotal-plane marker) — all 2² grouping sets in one pass;
+    Spark expands the sets map-side, so the shuffle still carries
+    partially-combined rows, not the fact table."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.grouping("o_orderstatus").cast("bigint") * 2
+                + F.grouping("o_orderpriority").cast("bigint")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+    )
