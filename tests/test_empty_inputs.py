@@ -98,3 +98,32 @@ def test_sampling_packing_decontaminate_on_empty(spark):
     empty = _empty_docs(spark).select("doc_id", "text")
     assert decontaminate(full, "doc_id", "text", empty, "text").count() == full.count()
     assert decontaminate(empty, "doc_id", "text", full, "text").count() == 0
+
+
+def test_round3_operators_on_empty(spark):
+    """merge/funnel/quantile/chunk/GD must all degrade cleanly on empty
+    inputs — no ANSI aborts, no null-array folds blowing up."""
+    from spark_pipeline_spark.operators.merge import merge_upsert, table_diff
+    from spark_pipeline_spark.operators.sampling import quantile_bucket
+    from spark_pipeline_spark.operators.training import fit_logistic_gd
+    from spark_pipeline_spark.operators.windows import funnel_times
+
+    empty_kv = spark.createDataFrame([], "k int, v string, version int")
+    feed = spark.createDataFrame([(1, "a", 1)], "k int, v string, version int")
+    assert merge_upsert(empty_kv, feed, ["k"], "version").count() == 1
+    assert merge_upsert(feed, empty_kv, ["k"], "version").count() == 1
+    assert merge_upsert(empty_kv, empty_kv, ["k"], "version").count() == 0
+
+    diff = {r["change"] for r in table_diff(feed, empty_kv, ["k"]).collect()}
+    assert diff == {"removed"}
+
+    empty_ev = spark.createDataFrame([], "user string, et string, ts timestamp")
+    assert funnel_times(empty_ev, "user", "et", "ts", ["a", "b"]).count() == 0
+
+    empty_num = spark.createDataFrame([], "x double")
+    assert quantile_bucket(empty_num, "x", [0.5]).count() == 0
+
+    empty_xy = spark.createDataFrame([], "x double, y int")
+    w = fit_logistic_gd(empty_xy, ["x"], "y", iters=2).collect()[0]
+    # avg over zero rows is null; the fit must surface that, not crash
+    assert w["w_x"] is None and w["intercept"] is None
