@@ -36,6 +36,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "kmeans_fit",
+    "power_iteration_pc1",
     "embedding_near_dup_pairs",
     "hyperplane_coeffs",
     "hyperplane_signature",
@@ -337,3 +338,59 @@ def kmeans_fit(
             ).alias("centroid")
         )
     return cen
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    iters: int = 3,
+) -> DataFrame:
+    """Top principal direction of an embedding table by distributed
+    power iteration: v ← normalize(Xᵀ(Xv)), starting from the uniform
+    unit vector. Returns a ONE-ROW frame with the final direction
+    (array column ``pc1``).
+
+    The PCA building block at corpus scale with no covariance matrix
+    materialized and no driver linear algebra: each iteration is one
+    dot-product projection (Catalyst fold) and one ``posexplode`` →
+    ``groupBy(pos)`` weighted sum whose cardinality is the embedding
+    dimension; the running direction rides a one-row broadcast, exactly
+    like the GD-trainer weights. Sign and result are deterministic
+    (fixed start vector, deterministic arithmetic)."""
+    import math
+
+    spark = df.sparkSession
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    x = df.select(
+        F.transform(F.col(vec_col), lambda t: t.cast("double")).alias("__x")
+    )
+    pv = spark.range(1).select(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda _: F.lit(1.0 / math.sqrt(dim)),
+        ).alias("__pv")
+    )
+    for _ in range(iters):
+        j = x.join(F.broadcast(pv))
+        s = F.aggregate(
+            F.zip_with("__x", "__pv", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        ex = j.select(s.alias("__s"), F.posexplode("__x").alias("__pos", "__val"))
+        y = ex.groupBy("__pos").agg(F.sum(F.col("__s") * F.col("__val")).alias("__y"))
+        yv = y.groupBy().agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__y"))),
+                lambda t: t["__y"],
+            ).alias("__yv")
+        )
+        norm = F.sqrt(
+            F.aggregate("__yv", F.lit(0.0), lambda acc, t: acc + t * t)
+        )
+        pv = yv.select(
+            F.transform(F.col("__yv"), lambda t: t / norm).alias("__pv")
+        )
+    return pv.select(F.col("__pv").alias("pc1"))

@@ -4108,3 +4108,57 @@ def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+_PC1_ITERS = 3
+
+
+def _pc1_oracle() -> str:
+    ctes = [
+        f"e AS ({_SQL_EMB})",
+        "it0 AS (SELECT list_transform(generate_series(1, 64), i -> 0.125) AS pv)",
+    ]
+    for k in range(1, _PC1_ITERS + 1):
+        prev = f"it{k - 1}"
+        ctes.append(
+            f"s{k} AS (SELECT list_dot_product(e.v, {prev}.pv) AS s, e.v"
+            f" FROM e, {prev})"
+        )
+        ctes.append(
+            f"y{k} AS (SELECT pos, sum(s * val) AS y FROM ("
+            f"SELECT s, unnest(v) AS val,"
+            f" unnest(generate_series(0, len(v) - 1)) AS pos FROM s{k})"
+            f" GROUP BY pos)"
+        )
+        ctes.append(f"n{k} AS (SELECT sqrt(sum(y * y)) AS nrm FROM y{k})")
+        ctes.append(
+            f"it{k} AS (SELECT list(y / nrm ORDER BY pos) AS pv"
+            f" FROM y{k}, n{k})"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f""" SELECT unnest(generate_series(0, len(pv) - 1))::BIGINT AS pos,
+               round(unnest(pv), 6) AS pc1
+        FROM it{_PC1_ITERS}"""
+    )
+
+
+@register(
+    "power_iteration_pc1_embeddings",
+    oracle=_pc1_oracle(),
+    tags=("similarity", "pca", "llm-pipeline"),
+)
+def power_iteration_pc1_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding table by 3 rounds of
+    distributed power iteration — no covariance matrix, no driver
+    linear algebra; per round one fold-projection plus one
+    dimension-sized aggregation, direction riding a one-row broadcast.
+    The oracle replays the identical float recurrence as chained DuckDB
+    CTEs; all 64 components hash-match to 6dp."""
+    from spark_pipeline_spark.operators.similarity import power_iteration_pc1
+
+    e = t(spark, sf_dir, "embeddings")
+    pc = power_iteration_pc1(e, "embedding", dim=64, iters=_PC1_ITERS)
+    return pc.select(F.posexplode("pc1").alias("pos", "v")).select(
+        F.col("pos").cast("bigint").alias("pos"), F.round("v", 6).alias("pc1")
+    )

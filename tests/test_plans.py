@@ -31,6 +31,7 @@ _NLJ_ALLOWED = {
     "kmeans_update_centroids",
     "length_bucket_padding_documents",
     "vocab_coverage_documents",  # 3-row coverage-levels frame
+    "power_iteration_pc1_embeddings",  # one-row direction broadcast
 }
 
 
