@@ -4162,3 +4162,69 @@ def power_iteration_pc1_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     return pc.select(F.posexplode("pc1").alias("pos", "v")).select(
         F.col("pos").cast("bigint").alias("pos"), F.round("v", 6).alias("pc1")
     )
+
+
+@register(
+    "corpus_prep_end_to_end",
+    oracle=rf"""
+        WITH scored AS (
+          SELECT doc_id, source, text,
+                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({_sql_stop_hits("en")}::DOUBLE
+                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3
+                   AS quality
+          FROM documents
+        ),
+        kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+        deduped AS (
+          SELECT * FROM kept
+          QUALIFY row_number() OVER (
+            PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+            ORDER BY doc_id) = 1
+        ),
+        split AS (
+          SELECT *,
+                 ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                 / 4294967296.0 AS u
+          FROM deduped
+        ),
+        train AS (SELECT * FROM split WHERE u < {_SPLIT_TRAIN!r}),
+        sharded AS (
+          SELECT source,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 8 AS shard,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM train
+        )
+        SELECT source, shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        FROM sharded GROUP BY source, shard
+    """,
+    tags=("pipeline", "llm-pipeline", "composition"),
+)
+def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus prep as ONE lazy plan composed from the
+    engine's operators: quality-score filter → normalization-robust
+    exact dedup → deterministic train split → content-hash sharding →
+    per-(source, shard) doc/token report. Everything before the two
+    aggregations is a projection or a fingerprint-keyed groupBy — the
+    text column crosses exactly one exchange (the dedup), as a 32-hex
+    key."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import dedup_exact
+    from spark_pipeline_spark.operators.packing import shard_assign
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    kept = d.filter(T.quality_score("text") >= 0.5)
+    fp = kept.withColumn("__fp", F.md5(T.normalize_text(F.col("text"))))
+    deduped = dedup_exact(fp, ["__fp"], "doc_id").drop("__fp")
+    u = md5_unit(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string")))
+    train = deduped.filter(u < _SPLIT_TRAIN)
+    sharded = shard_assign(train, ["doc_id"], 8).select(
+        "source", "shard", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    return sharded.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
