@@ -4202,6 +4202,7 @@ def power_iteration_pc1_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         FROM sharded GROUP BY source, shard
     """,
     tags=("pipeline", "llm-pipeline", "composition"),
+    bench=True,
 )
 def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole training-corpus prep as ONE lazy plan composed from the
