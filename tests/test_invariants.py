@@ -302,3 +302,25 @@ def test_running_total_bucket_invariance_and_pack_density(spark):
             # offset packing: a pack closes only when a doc crosses seq_len
             assert tot > seq_len - max_doc
             assert tot < seq_len + max_doc
+
+
+def test_histograms_are_mergeable(spark):
+    """Histogram of a union must equal the bucket-wise sum of the parts'
+    histograms — the property that makes drift profiles combinable
+    across days/shards without rescanning history."""
+    from spark_pipeline_spark.operators.datadiff import hash_histograms
+
+    o = t(spark, SF_SMALL, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 2 == 1)
+    cols = ["o_orderstatus", "o_orderpriority"]
+
+    def as_map(df):
+        return {
+            (r["col_name"], r["bucket"]): r["n_rows"] for r in df.collect()
+        }
+
+    whole = as_map(hash_histograms(o, cols, 64))
+    pa, pb = as_map(hash_histograms(a, cols, 64)), as_map(hash_histograms(b, cols, 64))
+    merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == whole

@@ -143,3 +143,15 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
     assert "Window" not in plan
     agg_nodes = [l for l in plan.splitlines() if "Aggregate (" in l]
     assert len(agg_nodes) >= 2, plan  # partial + final around the exchange
+
+
+def test_boilerplate_explode_filter_not_reinlined(spark):
+    """Regression gate for the Generate pushdown trap: the boilerplate
+    query's scan-side Filter must never re-derive the gram expression
+    (split re-inlined per element — measured 9×). With explode_outer no
+    size/isnotnull filter is pushed below the exchange at all."""
+    plan = _plan(REGISTRY["boilerplate_ngrams_documents"].fn(spark, SF_SMALL))
+    scan_side = plan.split("Exchange")[-1]  # text below the last exchange detail
+    for line in plan.splitlines():
+        if line.strip().startswith("Condition :"):
+            assert "transform" not in line, f"re-inlined gram filter: {line[:200]}"
