@@ -240,3 +240,35 @@ def test_stream_upsert_sink_latest_wins_across_batches(spark, tmp_path):
 
     snap = {r["k"]: (r["v"], r["version"]) for r in spark.read.parquet(target).collect()}
     assert snap == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1)}
+
+
+def test_stream_scoring_matches_batch(spark, tmp_path):
+    """The scoring operator (mapInPandas + explicit DDL) must run
+    unchanged on a streaming DataFrame and produce the batch result —
+    online inference is the same plan under a streaming source."""
+    from spark_pipeline_spark.models import LogisticModel
+    from spark_pipeline_spark.operators.columns import require_key
+    from spark_pipeline_spark.operators.scoring import score
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+    )
+
+    c = (
+        t(spark, SF_SMALL, "customer")
+        .select(F.col("c_custkey").cast("string").alias("uid"), "c_acctbal")
+    )
+    src = str(tmp_path / "score_src")
+    c.write.mode("overwrite").parquet(src)
+    mdl = LogisticModel({"c_acctbal": 0.001}, intercept=-2.0)
+
+    stream = read_parquet_stream(spark, src, "uid string, c_acctbal double")
+    streamed = run_available_now_to_memory(
+        score(require_key(stream, "uid"), mdl, cols_to_save=["uid"]),
+        "stream_score_test",
+        output_mode="append",
+    )
+    batch = score(require_key(c, "uid"), mdl, cols_to_save=["uid"])
+    a = {(r["uid"], round(r["target_proba"], 9)) for r in streamed.collect()}
+    b = {(r["uid"], round(r["target_proba"], 9)) for r in batch.collect()}
+    assert a == b and len(a) == c.count()
