@@ -29,6 +29,8 @@ from pyspark.sql import functions as F
 from spark_pipeline_spark.functions import md5_int
 
 __all__ = [
+    "cm_sketch",
+    "cm_estimate",
     "approx_distinct",
     "approx_quantiles",
     "frequent_items",
@@ -83,3 +85,77 @@ def md5_bucket_cardinality(df: DataFrame, column: str, buckets: int = 4096) -> D
         "occupied",
         F.round(-b * F.log(1.0 - F.col("occupied") / b), 4).alias("estimate"),
     )
+
+
+def cm_sketch(
+    df: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-Min sketch of a column's value frequencies: ``depth``
+    md5-seeded hash rows × ``width`` counters, built in ONE aggregation
+    (explode each value into its ``depth`` (row, bucket) cells, sum).
+
+    Unlike HLL/GK (engine-specific estimators, rows-only checkable),
+    every hash here is an md5 expression, so the sketch itself is
+    deterministic and cross-engine verifiable. Output:
+    ``(row, bucket, n)`` — depth × width cells at most, mergeable by
+    summation (combine shards/days by adding cell counts).
+    """
+    from spark_pipeline_spark.functions import md5_int
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    md5_int(F.concat(F.lit(f"cm{r}|"), F.col(column).cast("string"))),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+            for r in range(depth)
+        ]
+    )
+    ex = df.select(F.explode(cells).alias("c"))
+    return (
+        ex.select(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates from a Count-Min sketch: for each key,
+    min over its ``depth`` counters (never underestimates; overestimates
+    bounded by collisions). The keys frame is tiny → its hashed probe
+    cells broadcast against the sketch."""
+    from spark_pipeline_spark.functions import md5_int
+
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            md5_int(
+                                F.concat(F.lit(f"cm{r}|"), F.col(key_col).cast("string"))
+                            ),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
+    j = probes.join(sketch, ["row", "bucket"], "left").fillna(0, ["n"])
+    return j.groupBy(key_col).agg(F.min("n").alias("cm_count"))

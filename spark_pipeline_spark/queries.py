@@ -4229,3 +4229,60 @@ def corpus_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sharded.groupBy("source", "shard").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
     )
+
+
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+
+def _cm_cells_sql(expr: str) -> str:
+    return ", ".join(
+        f"({r}, ('0x' || substr(md5('cm{r}|' || {expr}), 1, 8))::BIGINT % {_CM_WIDTH})"
+        for r in range(_CM_DEPTH)
+    )
+
+
+@register(
+    "cm_sketch_custkey_counts",
+    oracle=f"""
+        WITH cells AS (
+          SELECT unnest([{_cm_cells_sql("o_custkey::VARCHAR")}]) AS c
+          FROM orders
+        ),
+        sk AS (
+          SELECT c[1] AS row, c[2] AS bucket, count(*) AS n
+          FROM cells GROUP BY 1, 2
+        ),
+        keys AS (SELECT DISTINCT o_custkey FROM orders WHERE o_custkey % 97 = 0),
+        probes AS (
+          SELECT o_custkey, unnest([{_cm_cells_sql("o_custkey::VARCHAR")}]) AS c
+          FROM keys
+        ),
+        est AS (
+          SELECT p.o_custkey, min(coalesce(sk.n, 0)) AS cm_count
+          FROM probes p LEFT JOIN sk
+            ON sk.row = p.c[1] AND sk.bucket = p.c[2]
+          GROUP BY p.o_custkey
+        ),
+        exact AS (SELECT o_custkey, count(*) AS true_count FROM orders GROUP BY o_custkey)
+        SELECT e.o_custkey AS custkey, e.cm_count, x.true_count
+        FROM est e JOIN exact x USING (o_custkey)
+    """,
+    tags=("sketch", "frequency"),
+)
+def cm_sketch_custkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation (4×256, md5-seeded): build
+    the sketch in one aggregation, probe a key sample, and report
+    estimate vs exact. Every hash is an md5 expression, so unlike
+    HLL/GK the sketch is bit-identical across engines — the CM estimate
+    itself hash-verifies. Cells are mergeable by summation (shard/day
+    profiles combine without rescans)."""
+    from spark_pipeline_spark.operators.sketches import cm_estimate, cm_sketch
+
+    o = t(spark, sf_dir, "orders")
+    sk = cm_sketch(o, "o_custkey", _CM_DEPTH, _CM_WIDTH)
+    keys = o.filter(F.col("o_custkey") % 97 == 0).select("o_custkey").distinct()
+    est = cm_estimate(sk, keys, "o_custkey", _CM_DEPTH, _CM_WIDTH)
+    exact = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(exact, "o_custkey").select(
+        F.col("o_custkey").alias("custkey"), "cm_count", "true_count"
+    )
