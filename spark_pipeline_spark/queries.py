@@ -4286,3 +4286,111 @@ def cm_sketch_custkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "o_custkey").select(
         F.col("o_custkey").alias("custkey"), "cm_count", "true_count"
     )
+
+
+@register(
+    "events_debounce_5m",
+    oracle="""
+        WITH lagged AS (
+          SELECT event_id, user_id, event_type, ts,
+                 lag(ts) OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events
+        )
+        SELECT event_id, user_id, event_type,
+               floor(epoch(ts))::BIGINT AS ts_epoch
+        FROM lagged
+        WHERE prev_ts IS NULL OR ts - prev_ts > INTERVAL 5 MINUTE
+    """,
+    tags=("events", "dedup", "debounce"),
+)
+def events_debounce_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: drop events repeating the same (user, type) within 5
+    minutes of the previous kept-or-dropped occurrence — duplicate-click
+    suppression as one lag window on the (user, type) key (batch twin of
+    the streaming dropDuplicatesWithinWatermark). event_id tiebreak
+    makes same-timestamp ordering deterministic."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    lagged = e.withColumn("prev_ts", F.lag("ts").over(w))
+    return lagged.filter(
+        F.col("prev_ts").isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 300)
+    ).select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+
+
+_PMI_MIN_PAIR_DOCS = 5
+
+
+@register(
+    "pmi_term_pairs_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_distinct(
+                   string_split_regex(lower(trim(text)), '\s+'))) AS term
+          FROM documents
+        ),
+        n_docs AS (SELECT count(DISTINCT doc_id)::DOUBLE AS nd FROM tok),
+        df_t AS (SELECT term, count(*)::DOUBLE AS df FROM tok GROUP BY term),
+        pairs AS (
+          SELECT a.term AS term_a, b.term AS term_b, count(*)::DOUBLE AS co
+          FROM tok a JOIN tok b
+            ON a.doc_id = b.doc_id AND a.term < b.term
+          GROUP BY a.term, b.term
+          HAVING count(*) >= {_PMI_MIN_PAIR_DOCS}
+        )
+        SELECT term_a, term_b, co::BIGINT AS co_docs,
+               round(ln(co * nd / (da.df * db.df)), 6) AS pmi
+        FROM pairs, n_docs
+        JOIN df_t da ON da.term = pairs.term_a
+        JOIN df_t db ON db.term = pairs.term_b
+    """,
+    tags=("text", "pmi", "llm-pipeline"),
+)
+def pmi_term_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of within-document term pairs
+    (collocation mining / topic seeds): per-doc distinct terms self-join
+    ON the doc key — pair cardinality is bounded by per-document
+    vocabulary, never corpus size — then PMI from document frequencies.
+    The df table is vocabulary-sized and joins by term key (AQE
+    broadcast when small)."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(t(spark, sf_dir, "documents").select("doc_id", "text"))
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))
+        ).alias("term"),
+    )
+    nd = tok.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    dft = tok.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    a = tok.select("doc_id", F.col("term").alias("term_a"))
+    b = tok.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).cast("double").alias("co"))
+        .filter(F.col("co") >= _PMI_MIN_PAIR_DOCS)
+    )
+    da = dft.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    db = dft.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(nd))
+        .join(da, "term_a")
+        .join(db, "term_b")
+        .select(
+            "term_a",
+            "term_b",
+            F.col("co").cast("bigint").alias("co_docs"),
+            F.round(
+                F.log(F.col("co") * F.col("nd") / (F.col("df_a") * F.col("df_b"))), 6
+            ).alias("pmi"),
+        )
+    )

@@ -32,6 +32,7 @@ _NLJ_ALLOWED = {
     "length_bucket_padding_documents",
     "vocab_coverage_documents",  # 3-row coverage-levels frame
     "power_iteration_pc1_embeddings",  # one-row direction broadcast
+    "pmi_term_pairs_documents",  # one-row doc-count broadcast
 }
 
 
