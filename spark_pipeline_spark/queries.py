@@ -4394,3 +4394,96 @@ def pmi_term_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pmi"),
         )
     )
+
+
+@register(
+    "events_time_weighted_value",
+    oracle="""
+        WITH seg AS (
+          SELECT user_id, value, ts,
+                 lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS next_ts
+          FROM events
+        )
+        SELECT user_id,
+               round(sum(value * (epoch(next_ts) - epoch(ts)))
+                     / sum(epoch(next_ts) - epoch(ts)), 6) AS twa_value,
+               count(*)::BIGINT AS n_segments
+        FROM seg
+        WHERE next_ts IS NOT NULL AND epoch(next_ts) > epoch(ts)
+        GROUP BY user_id
+    """,
+    tags=("events", "windows", "time-weighted"),
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's value signal: every reading
+    holds until the next one, so segments weight by duration (the
+    sensor/finance TWA, which plain avg gets wrong under irregular
+    sampling). One lead window on the user key, then a plain aggregate;
+    zero-length segments (same-timestamp readings) drop out
+    identically in both engines."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "value", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = e.withColumn("next_ts", F.lead("ts").over(w))
+    # timestamp→double = fractional epoch seconds, matching DuckDB's
+    # epoch(); whole-second unix_timestamp would mis-weight sub-second
+    # gaps
+    dt_us = F.col("next_ts").cast("double") - F.col("ts").cast("double")
+    return (
+        seg.filter(F.col("next_ts").isNotNull() & (dt_us > 0))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * dt_us) / F.sum(dt_us), 6
+            ).alias("twa_value"),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "events_transition_matrix",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type AS cur,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events
+        ),
+        cnt AS (
+          SELECT cur, nxt, count(*)::DOUBLE AS n FROM seq
+          WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        )
+        SELECT cur, nxt, n::BIGINT AS n_transitions,
+               round(n / sum(n) OVER (PARTITION BY cur), 6) AS p_next
+        FROM cnt
+    """,
+    tags=("events", "sequence", "markov"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event sequence:
+    P(next type | current type) — the behavioral Markov table behind
+    sequence-aware sampling and sessionized anomaly screens. One lead
+    window on the user key; normalization windows run over the
+    |types|² count frame, never the events table."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.withColumn("nxt", F.lead("event_type").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    cnt = (
+        seq.groupBy(F.col("event_type").alias("cur"), "nxt")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    return cnt.select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("cur")), 6
+        ).alias("p_next"),
+    )
