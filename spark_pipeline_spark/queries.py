@@ -4487,3 +4487,130 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") / F.sum("n").over(Window.partitionBy("cur")), 6
         ).alias("p_next"),
     )
+
+
+@register(
+    "entropy_profile_orders",
+    oracle="""
+        WITH h AS (
+          SELECT o_orderstatus AS v, count(*)::DOUBLE AS n FROM orders GROUP BY v
+        ),
+        p AS (SELECT v, n / sum(n) OVER () AS p FROM h)
+        SELECT 'o_orderstatus' AS col_name,
+               round(-sum(p * ln(p)) / ln(2), 6) AS entropy_bits,
+               round(1 - sum(p * p), 6) AS gini_impurity,
+               count(*)::BIGINT AS n_categories
+        FROM p
+        UNION ALL
+        SELECT 'o_orderpriority',
+               round(-sum(p * ln(p)) / ln(2), 6),
+               round(1 - sum(p * p), 6),
+               count(*)::BIGINT
+        FROM (
+          SELECT n / sum(n) OVER () AS p FROM (
+            SELECT count(*)::DOUBLE AS n FROM orders GROUP BY o_orderpriority)
+        )
+    """,
+    tags=("stats", "profile", "entropy"),
+)
+def entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) and Gini impurity of categorical columns —
+    the information-theoretic column profile (skew screens, feature
+    usefulness, mix monitoring). Per column: one count aggregate, then
+    the normalization window runs over the category frame (|categories|
+    rows), never the fact table."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        h = o.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).cast("double").alias("n")
+        )
+        p = h.select((F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"))
+        return p.agg(
+            F.lit(col).alias("col_name"),
+            F.round(-F.sum(F.col("p") * F.log("p")) / F.log(F.lit(2.0)), 6).alias(
+                "entropy_bits"
+            ),
+            F.round(F.lit(1.0) - F.sum(F.col("p") * F.col("p")), 6).alias(
+                "gini_impurity"
+            ),
+            F.count(F.lit(1)).alias("n_categories"),
+        )
+
+    return profile("o_orderstatus").unionByName(profile("o_orderpriority"))
+
+
+@register(
+    "percentile_rank_orders",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus,
+               round(percent_rank() OVER (
+                 PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey), 6) AS price_pctile
+        FROM orders
+    """,
+    tags=("windows", "rank", "normalization"),
+)
+def percentile_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-CDF transform: each order's within-status percentile
+    rank — rank-based feature normalization (immune to outliers and
+    scale). Partitioned by the group key, so no global total order; the
+    o_orderkey tiebreak pins equal prices deterministically in both
+    engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("price_pctile"),
+    )
+
+
+@register(
+    "winsorize_orders_prices",
+    oracle="""
+        WITH b AS (
+          SELECT o_orderstatus,
+                 quantile_cont(o_totalprice, 0.01) AS p01,
+                 quantile_cont(o_totalprice, 0.99) AS p99
+          FROM orders GROUP BY o_orderstatus
+        )
+        SELECT o.o_orderstatus,
+               round(avg(o.o_totalprice), 6) AS mean_raw,
+               round(avg(least(greatest(o.o_totalprice, b.p01), b.p99)), 6)
+                 AS mean_winsorized,
+               sum((o.o_totalprice < b.p01 OR o.o_totalprice > b.p99)::INT)::BIGINT
+                 AS n_clamped
+        FROM orders o JOIN b USING (o_orderstatus)
+        GROUP BY o.o_orderstatus
+    """,
+    tags=("stats", "winsorize", "quality"),
+)
+def winsorize_orders_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization: clamp each group's values to its [p01, p99] exact
+    percentiles and report raw vs clamped means plus clamp counts — the
+    tail-robust alternative to dropping outliers. The tiny per-group
+    boundary frame broadcast-joins back; the fact table never
+    shuffles."""
+    o = t(spark, sf_dir, "orders").select("o_orderstatus", "o_totalprice")
+    b = o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.01)).alias("p01"),
+        F.percentile("o_totalprice", F.lit(0.99)).alias("p99"),
+    )
+    j = o.join(F.broadcast(b), "o_orderstatus")
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("p01")), F.col("p99"))
+    return j.groupBy("o_orderstatus").agg(
+        F.round(F.avg("o_totalprice"), 6).alias("mean_raw"),
+        F.round(F.avg(clamped), 6).alias("mean_winsorized"),
+        F.sum(
+            (
+                (F.col("o_totalprice") < F.col("p01"))
+                | (F.col("o_totalprice") > F.col("p99"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_clamped"),
+    )
