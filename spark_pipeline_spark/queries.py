@@ -4614,3 +4614,133 @@ def winsorize_orders_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_clamped"),
     )
+
+
+@register(
+    "ab_test_purchase_rate",
+    oracle="""
+        WITH assign AS (
+          SELECT user_id,
+                 CASE WHEN ('0x' || substr(md5('ab1|' || user_id::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0 < 0.5 THEN 'A' ELSE 'B' END AS arm,
+                 (sum((event_type = 'purchase')::INT) >= 16)::INT AS converted
+          FROM events GROUP BY user_id
+        ),
+        arms AS (
+          SELECT arm, count(*)::DOUBLE AS n, sum(converted)::DOUBLE AS x
+          FROM assign GROUP BY arm
+        ),
+        w AS (
+          SELECT max(CASE WHEN arm = 'A' THEN n END) AS na,
+                 max(CASE WHEN arm = 'A' THEN x END) AS xa,
+                 max(CASE WHEN arm = 'B' THEN n END) AS nb,
+                 max(CASE WHEN arm = 'B' THEN x END) AS xb
+          FROM arms
+        )
+        SELECT round(xa / na, 6) AS rate_a,
+               round(xb / nb, 6) AS rate_b,
+               na::BIGINT AS n_a, nb::BIGINT AS n_b,
+               round(CASE WHEN (xa + xb) > 0 AND (xa + xb) < (na + nb)
+                    THEN (xa / na - xb / nb)
+                         / sqrt(((xa + xb) / (na + nb))
+                                * (1 - (xa + xb) / (na + nb))
+                                * (1 / na + 1 / nb)) END, 6) AS z_stat
+        FROM w
+    """,
+    tags=("stats", "experiment", "ab-test"),
+)
+def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample proportion z-test: users deterministically hash-split
+    into arms A/B, per-user conversion = any purchase event, pooled-
+    variance z statistic — the experimentation readout as one grouped
+    aggregate plus a 2-row pivot. The md5 arm assignment is the same
+    engine-portable draw the samplers use, so arms are reproducible
+    anywhere."""
+    from spark_pipeline_spark.functions import md5_unit
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type")
+    arm = F.when(
+        md5_unit(F.concat(F.lit("ab1|"), F.col("user_id").cast("string"))) < 0.5,
+        F.lit("A"),
+    ).otherwise(F.lit("B"))
+    assign = e.groupBy("user_id").agg(
+        F.first(arm).alias("arm"),
+        (F.sum((F.col("event_type") == "purchase").cast("int")) >= 16)
+        .cast("int")
+        .alias("converted"),
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("converted").cast("double").alias("x"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == "A", F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == "B", F.col("x"))).alias("xb"),
+    )
+    pooled = (F.col("xa") + F.col("xb")) / (F.col("na") + F.col("nb"))
+    degenerate = (F.col("xa") + F.col("xb") <= 0) | (
+        F.col("xa") + F.col("xb") >= F.col("na") + F.col("nb")
+    )
+    z = F.when(
+        ~degenerate,
+        (F.col("xa") / F.col("na") - F.col("xb") / F.col("nb"))
+        / F.sqrt(pooled * (1 - pooled) * (1 / F.col("na") + 1 / F.col("nb"))),
+    )
+    return w.select(
+        F.round(F.col("xa") / F.col("na"), 6).alias("rate_a"),
+        F.round(F.col("xb") / F.col("nb"), 6).alias("rate_b"),
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+@register(
+    "funnel_conversion_latency",
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+          WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        lat AS (
+          SELECT s1.user_id, epoch(t2) - epoch(t1) AS secs
+          FROM s1 JOIN s2 USING (user_id)
+        )
+        SELECT count(*)::BIGINT AS n_converted,
+               round(quantile_cont(secs, 0.5), 6) AS median_secs,
+               round(quantile_cont(secs, 0.9), 6) AS p90_secs,
+               round(avg(secs), 6) AS mean_secs
+        FROM lat
+    """,
+    tags=("funnel", "events", "latency"),
+)
+def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert through the first funnel stage (signup → first
+    later view): count plus exact median/p90/mean latency — composed
+    directly on the funnel operator's stage timestamps, one aggregate
+    over the per-user funnel frame."""
+    from spark_pipeline_spark.operators.windows import funnel_times
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    f = funnel_times(e, "user_id", "event_type", "ts", list(_FUNNEL_STEPS[:2]))
+    lat = f.filter(
+        F.col(f"t_{_FUNNEL_STEPS[1]}").isNotNull()
+    ).select(
+        (
+            F.col(f"t_{_FUNNEL_STEPS[1]}").cast("double")
+            - F.col(f"t_{_FUNNEL_STEPS[0]}").cast("double")
+        ).alias("secs")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("secs", F.lit(0.5)), 6).alias("median_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
+        F.round(F.avg("secs"), 6).alias("mean_secs"),
+    )
