@@ -4744,3 +4744,59 @@ def funnel_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
         F.round(F.avg("secs"), 6).alias("mean_secs"),
     )
+
+
+@register(
+    "interval_coverage_events",
+    oracle="""
+        WITH iv AS (
+          SELECT user_id,
+                 epoch(ts) - 900 AS lo,
+                 epoch(ts) + 900 AS hi
+          FROM events
+        ),
+        swept AS (
+          SELECT user_id, lo, hi,
+                 max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max_hi
+          FROM iv
+        )
+        SELECT user_id,
+               round(sum(CASE WHEN prev_max_hi IS NULL OR prev_max_hi < hi
+                              THEN hi - greatest(lo, coalesce(prev_max_hi, lo))
+                              ELSE 0 END), 6) AS covered_secs,
+               count(*)::BIGINT AS n_intervals
+        FROM swept
+        GROUP BY user_id
+    """,
+    tags=("windows", "intervals", "sweep"),
+)
+def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time of overlapping per-user activity intervals
+    (each event spans ±15 min): the classic sweep — sort by start,
+    prefix-max of ends, each interval contributes only the part past
+    everything already covered. One window on the user key; no interval
+    explosion, no self-join. The union-length primitive behind uptime /
+    active-time metrics."""
+    from pyspark.sql import Window
+
+    iv = t(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("ts").cast("double") - 900).alias("lo"),
+        (F.col("ts").cast("double") + 900).alias("hi"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("lo", "hi")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    swept = iv.withColumn("prev_max_hi", F.max("hi").over(w))
+    contrib = F.when(
+        F.col("prev_max_hi").isNull() | (F.col("prev_max_hi") < F.col("hi")),
+        F.col("hi") - F.greatest(F.col("lo"), F.coalesce("prev_max_hi", "lo")),
+    ).otherwise(F.lit(0.0))
+    return swept.groupBy("user_id").agg(
+        F.round(F.sum(contrib), 6).alias("covered_secs"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
