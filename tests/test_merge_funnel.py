@@ -226,3 +226,48 @@ def test_merge_upsert_idempotent_and_order_insensitive(spark):
     reordered = merge_upsert(merge_upsert(base, f2, ["k"], "version"), f1, ["k"], "version")
     assert snap(once) == snap(twice) == snap(reordered)
     assert snap(merge_upsert(once, f1.unionByName(f2), ["k"], "version")) == snap(once)
+
+
+def test_chunk_udtf_equals_expression_chunker(spark):
+    """The Python UDTF chunker must produce exactly the expression-based
+    chunker's rows (same windows, same overlap)."""
+    from tests.conftest import SF_ORACLE
+
+    from spark_pipeline_spark.operators.udx import chunk_udtf_frame
+    from spark_pipeline_spark.queries import REGISTRY
+
+    d = spark.read.parquet(f"{SF_ORACLE}/documents.parquet").select("doc_id", "text")
+    got = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in chunk_udtf_frame(d, "doc_id", "text", 40, 8).collect()
+    }
+    want = {
+        (r["doc_id"], r["chunk_id"], r["chunk_text"])
+        for r in REGISTRY["chunk_documents_overlapping"].fn(spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_geometric_mean_udaf_equals_algebraic_form(spark):
+    from tests.conftest import SF_SMALL
+
+    from spark_pipeline_spark.operators.udx import (
+        geometric_mean_expr,
+        geometric_mean_udaf,
+    )
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    gm = geometric_mean_udaf()
+    a = {
+        r["o_orderstatus"]: round(r["g"], 6)
+        for r in o.groupBy("o_orderstatus").agg(gm("o_totalprice").alias("g")).collect()
+    }
+    b = {
+        r["o_orderstatus"]: round(r["g"], 6)
+        for r in o.groupBy("o_orderstatus")
+        .agg(geometric_mean_expr("o_totalprice").alias("g"))
+        .collect()
+    }
+    assert a == b
