@@ -4556,9 +4556,16 @@ def entropy_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentile_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical-CDF transform: each order's within-status percentile
     rank — rank-based feature normalization (immune to outliers and
-    scale). Partitioned by the group key, so no global total order; the
-    o_orderkey tiebreak pins equal prices deterministically in both
-    engines."""
+    scale). The o_orderkey tiebreak pins equal prices deterministically
+    in both engines.
+
+    SCALE NOTE: the window partitions by the group key, so per-group
+    data must fit one task's sort — fine for high-cardinality groups,
+    a bottleneck when a handful of groups span the corpus (as here with
+    3 statuses at 100 TB). In that regime use ``quantile_bucket`` (a
+    few broadcast boundaries) for coarse normalization, or compute the
+    CDF from value counts so the window runs over the distinct-value
+    frame instead of rows."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
