@@ -4807,3 +4807,88 @@ def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(contrib), 6).alias("covered_secs"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@register(
+    "dedup_canonical_selection",
+    oracle=f"""
+        WITH RECURSIVE {{minhash_cte}},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ),
+        comp AS (
+          SELECT n.id AS doc_id, least(n.id, min(r.d)) AS component
+          FROM (SELECT DISTINCT s AS id FROM sym) n
+          JOIN reach r ON r.s = n.id
+          GROUP BY n.id
+        ),
+        q AS (
+          SELECT doc_id,
+                 least(len({{toks}}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{{punct}}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({{stop}}::DOUBLE
+                         / greatest(len({{toks}}), 1) * 5.0, 1.0) * 0.3 AS quality
+          FROM documents
+        )
+        SELECT component, doc_id AS keep_id, n_members,
+               round(mq, 6) AS best_quality
+        FROM (
+          SELECT component, doc_id, quality,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY quality DESC, doc_id ASC) AS rn,
+                 count(*) OVER (PARTITION BY component) AS n_members,
+                 max(quality) OVER (PARTITION BY component) AS mq
+          FROM comp JOIN q USING (doc_id)
+        ) WHERE rn = 1
+    """.format(
+        minhash_cte=_sql_minhash_cte(16, 4),
+        toks=_SQL_TOKS,
+        punct=_SQL_PUNCT_RE,
+        stop=_sql_stop_hits("en"),
+    ),
+    tags=("dedup", "canonical", "llm-pipeline"),
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection per near-dup cluster: within each
+    connected component of the LSH pair graph, KEEP the highest-quality
+    member (ties → min doc_id) instead of the arbitrary min-id — the
+    policy layer real corpus dedup runs after clustering. One max_by
+    aggregate over the (small) component frame joined to quality
+    scores."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import connected_components
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    q = d.select("doc_id", T.quality_score("text").alias("quality"))
+    j = comp.select(F.col("id").alias("doc_id"), "component").join(q, "doc_id")
+    return j.groupBy("component").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid"))
+        ).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.max("quality"), 6).alias("best_quality"),
+    )
