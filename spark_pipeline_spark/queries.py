@@ -4892,3 +4892,138 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.round(F.max("quality"), 6).alias("best_quality"),
     )
+
+
+_PATH_LEN = 3
+_PATH_MIN_USERS = 3
+
+
+@register(
+    "event_path_mining",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, list(event_type ORDER BY ts, event_id) AS evs
+          FROM events GROUP BY user_id
+        ),
+        paths AS (
+          SELECT user_id,
+                 unnest(list_distinct(list_transform(
+                   generate_series(1, len(evs) - {_PATH_LEN - 1}),
+                   i -> evs[i] || '>' || evs[i + 1] || '>' || evs[i + 2]
+                 ))) AS path
+          FROM seq WHERE len(evs) >= {_PATH_LEN}
+        )
+        SELECT path, count(*) AS n_users
+        FROM paths GROUP BY path
+        HAVING count(*) >= {_PATH_MIN_USERS}
+    """,
+    tags=("events", "sequence", "paths"),
+)
+def event_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential path mining: length-3 event-type paths and how many
+    users traverse each (distinct per user) — the behavioral n-gram
+    table behind journey analysis, one step beyond the first-order
+    transition matrix. One groupBy(user) collects the ordered sequence;
+    path windows slice it with the same bound-column plan shape as the
+    text shinglers."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    seq = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ),
+            lambda x: x["event_type"],
+        ).alias("evs")
+    ).filter(F.size("evs") >= _PATH_LEN)
+    evs = F.col("evs")
+    paths = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(evs) - (_PATH_LEN - 1)),
+            lambda i: F.concat_ws(
+                ">", *[F.element_at(evs, i + k) for k in range(_PATH_LEN)]
+            ),
+        )
+    )
+    ex = seq.select(F.explode_outer(paths).alias("path")).filter(
+        F.col("path").isNotNull()
+    )
+    return (
+        ex.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .filter(F.col("n_users") >= _PATH_MIN_USERS)
+    )
+
+
+@register(
+    "lsh_recall_precision_report",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        lsh AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.9
+        ),
+        brute AS (
+          SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+          FROM nonempty sa JOIN nonempty sb ON sa.doc_id < sb.doc_id
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.9
+        )
+        SELECT (SELECT count(*) FROM brute)::BIGINT AS n_true_pairs,
+               (SELECT count(*) FROM lsh)::BIGINT AS n_lsh_pairs,
+               round((SELECT count(*) FROM lsh JOIN brute USING (id_a, id_b))::DOUBLE
+                     / greatest((SELECT count(*) FROM brute), 1), 6) AS recall,
+               round((SELECT count(*) FROM lsh JOIN brute USING (id_a, id_b))::DOUBLE
+                     / greatest((SELECT count(*) FROM lsh), 1), 6) AS precision
+    """,
+    tags=("dedup", "lsh", "evaluation", "llm-pipeline"),
+)
+def lsh_recall_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality measured, not assumed: banded-MinHash verified pairs
+    vs the exhaustive Jaccard ≥ 0.9 ground truth on the same corpus —
+    recall and precision as a registered, oracle-checked report. (The
+    brute-force side is the evaluation harness, quadratic by
+    definition — run it on samples at scale; precision is 1.0 by
+    construction because candidates are exact-verified.)"""
+    from spark_pipeline_spark.operators.dedup import (
+        jaccard_similarity,
+        minhash_near_dup_pairs,
+        shingle_table,
+    )
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = t(spark, sf_dir, "documents")
+    lsh = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.9).select(
+        "id_a", "id_b"
+    )
+    sh = shingle_table(
+        ensure_min_partitions(d.select("doc_id", "text")), "doc_id", "text", 3
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sa"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jaccard_similarity("sa", "sb") >= 0.9)
+        .select("id_a", "id_b")
+    )
+    n_true = brute.count()
+    n_lsh = lsh.count()
+    n_hit = lsh.join(brute, ["id_a", "id_b"]).count()
+    return t(spark, sf_dir, "region").limit(1).select(
+        F.lit(n_true).cast("bigint").alias("n_true_pairs"),
+        F.lit(n_lsh).cast("bigint").alias("n_lsh_pairs"),
+        F.round(F.lit(float(n_hit) / max(n_true, 1)), 6).alias("recall"),
+        F.round(F.lit(float(n_hit) / max(n_lsh, 1)), 6).alias("precision"),
+    )
