@@ -5027,3 +5027,102 @@ def lsh_recall_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(float(n_hit) / max(n_true, 1)), 6).alias("recall"),
         F.round(F.lit(float(n_hit) / max(n_lsh, 1)), 6).alias("precision"),
     )
+
+
+@register(
+    "time_rollup_orders_multigrain",
+    oracle="""
+        WITH base AS (
+          SELECT (epoch(o_orderdate::TIMESTAMP)::BIGINT // 86400) AS day_idx,
+                 (epoch(o_orderdate::TIMESTAMP)::BIGINT // 86400) // 7 AS week_idx,
+                 ((epoch(o_orderdate::TIMESTAMP)::BIGINT // 86400) // 7) // 4
+                   AS month4_idx,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT coalesce(day_idx, -1) AS day_idx,
+               coalesce(week_idx, -1) AS week_idx,
+               coalesce(month4_idx, -1) AS month4_idx,
+               grouping(day_idx)::BIGINT * 4 + grouping(week_idx)::BIGINT * 2
+                 + grouping(month4_idx)::BIGINT AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM base
+        GROUP BY GROUPING SETS ((day_idx, week_idx, month4_idx),
+                                (week_idx, month4_idx), (month4_idx))
+    """,
+    tags=("agg", "grouping-sets", "time"),
+)
+def time_rollup_orders_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day → week → 4-week rollup in ONE grouping-sets pass (the
+    hierarchical time aggregation a dashboard backfill runs): Spark
+    expands the sets map-side, so partial combine still applies and the
+    fact table is scanned once for all three granularities. Time units
+    are pure integer epoch arithmetic — no engine calendar functions."""
+    o = t(spark, sf_dir, "orders").select(
+        (F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / F.lit(86400))
+        .cast("bigint")
+        .alias("day_idx"),
+        "o_totalprice",
+    )
+    b = o.select(
+        "day_idx",
+        (F.col("day_idx") / 7).cast("bigint").alias("week_idx"),
+        ((F.col("day_idx") / 7).cast("bigint") / 4).cast("bigint").alias("month4_idx"),
+        "o_totalprice",
+    )
+    g = b.groupingSets(
+        [["day_idx", "week_idx", "month4_idx"], ["week_idx", "month4_idx"], ["month4_idx"]],
+        "day_idx",
+        "week_idx",
+        "month4_idx",
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        (
+            F.grouping("day_idx").cast("bigint") * 4
+            + F.grouping("week_idx").cast("bigint") * 2
+            + F.grouping("month4_idx").cast("bigint")
+        ).alias("gid"),
+    )
+    return g.select(
+        F.coalesce("day_idx", F.lit(-1)).alias("day_idx"),
+        F.coalesce("week_idx", F.lit(-1)).alias("week_idx"),
+        F.coalesce("month4_idx", F.lit(-1)).alias("month4_idx"),
+        "gid",
+        "n_orders",
+        "sum_price",
+    )
+
+
+@register(
+    "grouped_topk_with_ties",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, cnt, rk
+        FROM (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                 dense_rank() OVER (
+                   PARTITION BY o_orderstatus ORDER BY count(*) DESC) AS rk
+          FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rk <= 2
+    """,
+    tags=("windows", "topk", "ties"),
+)
+def grouped_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k WITH ties (dense_rank ≤ k): every priority tying a top-2
+    count survives — the ranking semantic row_number-based top-k can't
+    express (it would drop tied peers arbitrarily). Value-deterministic:
+    ties are kept, not broken, so no tiebreak column is needed."""
+    from pyspark.sql import Window
+
+    cnt = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("cnt"))
+    return (
+        cnt.withColumn("rk", F.dense_rank().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("o_orderstatus", "o_orderpriority", "cnt", "rk")
+    )
