@@ -5126,3 +5126,156 @@ def grouped_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 2)
         .select("o_orderstatus", "o_orderpriority", "cnt", "rk")
     )
+
+
+_NULL_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+)
+
+
+@register(
+    "null_profile_orders",
+    oracle=f"""
+        SELECT col_name, n_null, n_rows,
+               round(n_null::DOUBLE / greatest(n_rows, 1), 6) AS null_frac
+        FROM (
+          {" UNION ALL ".join(
+            f"SELECT '{c}' AS col_name,"
+            f" count(*) FILTER ({c} IS NULL)::BIGINT AS n_null,"
+            f" count(*)::BIGINT AS n_rows FROM orders"
+            for c in _NULL_PROFILE_COLS
+          )}
+        )
+    """,
+    tags=("quality", "profile", "nulls"),
+)
+def null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null census of every column in ONE aggregate pass (conditional
+    sums + unpivot) — the first profiling query run on any new table;
+    a column-per-job loop at 100 TB would rescan the table per column."""
+    o = t(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}")
+            for c in _NULL_PROFILE_COLS
+        ],
+    )
+    pairs = []
+    for c in _NULL_PROFILE_COLS:
+        pairs += [F.lit(c), F.col(f"__null_{c}")]
+    stacked = wide.select(
+        F.col("__n"),
+        F.explode(F.map_from_arrays(F.array(*pairs[0::2]), F.array(*pairs[1::2]))).alias(
+            "col_name", "n_null"
+        ),
+    )
+    return stacked.select(
+        "col_name",
+        F.col("n_null").cast("bigint").alias("n_null"),
+        F.col("__n").cast("bigint").alias("n_rows"),
+        F.round(
+            F.col("n_null").cast("double") / F.greatest(F.col("__n"), F.lit(1)), 6
+        ).alias("null_frac"),
+    )
+
+
+@register(
+    "join_skew_advisor_lineitem",
+    oracle="""
+        WITH skewed AS (
+          SELECT CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+                             || l_linenumber::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0 < 0.1
+                      THEN 1 ELSE l_suppkey END AS key
+          FROM lineitem
+        ),
+        freq AS (
+          SELECT key, count(*)::DOUBLE AS n FROM skewed GROUP BY key
+        ),
+        tot AS (SELECT sum(n) AS total, avg(n) AS mean_n FROM freq)
+        SELECT key::BIGINT AS key, n::BIGINT AS n_rows,
+               round(n / total, 6) AS share,
+               round(n / mean_n, 6) AS x_mean,
+               ceil(n / mean_n)::BIGINT AS suggested_salt
+        FROM freq, tot
+        WHERE n / mean_n >= 1.5
+    """,
+    tags=("profile", "skew", "join"),
+)
+def join_skew_advisor_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew advisor: keys whose frequency exceeds 1.5× the mean,
+    with their share of the table and a suggested salt factor — the
+    pre-join diagnosis that decides between plain, AQE-skew, and salted
+    plans. One groupBy on the key; the threshold comparison joins a
+    one-row total, so the advisor itself never re-shuffles the fact.
+    A deterministic 10% of rows are remapped to one hot key so the
+    advisor verifies on real skew — raw TPC-H keys are uniform."""
+    from spark_pipeline_spark.functions import md5_unit
+
+    raw = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_suppkey")
+    draw = md5_unit(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    li = raw.select(
+        F.when(draw < 0.1, F.lit(1)).otherwise(F.col("l_suppkey")).alias("key")
+    )
+    freq = li.groupBy("key").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = freq.agg(F.sum("n").alias("total"), F.avg("n").alias("mean_n"))
+    j = freq.join(F.broadcast(tot))
+    return j.filter(F.col("n") / F.col("mean_n") >= 1.5).select(
+        F.col("key").cast("bigint").alias("key"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+        F.round(F.col("n") / F.col("mean_n"), 6).alias("x_mean"),
+        F.ceil(F.col("n") / F.col("mean_n")).cast("bigint").alias("suggested_salt"),
+    )
+
+
+@register(
+    "duplicate_row_profile_orders",
+    oracle="""
+        WITH fp AS (
+          SELECT md5(o_orderstatus || '|' || o_orderpriority || '|'
+                     || o_orderdate::VARCHAR) AS row_fp
+          FROM orders
+        ),
+        g AS (SELECT row_fp, count(*) AS n FROM fp GROUP BY row_fp)
+        SELECT count(*) FILTER (n > 1)::BIGINT AS n_dup_groups,
+               coalesce(sum(n - 1) FILTER (n > 1), 0)::BIGINT AS n_redundant_rows,
+               count(*)::BIGINT AS n_distinct_rows
+        FROM g
+    """,
+    tags=("dedup", "profile"),
+)
+def duplicate_row_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-row census over a column subset (status, priority,
+    date): how many identical-content groups exist and how many rows
+    are redundant — the sizing pass run before committing to a dedup
+    job. Rows collapse to md5 fingerprints before the shuffle."""
+    o = t(spark, sf_dir, "orders")
+    fp = o.select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+                F.col("o_orderdate").cast("string"),
+            )
+        ).alias("row_fp")
+    )
+    g = fp.groupBy("row_fp").agg(F.count(F.lit(1)).alias("n"))
+    return g.agg(
+        F.sum((F.col("n") > 1).cast("long")).cast("bigint").alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, F.col("n") - 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_redundant_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_rows"),
+    )
