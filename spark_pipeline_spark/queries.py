@@ -5279,3 +5279,116 @@ def duplicate_row_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redundant_rows"),
         F.count(F.lit(1)).cast("bigint").alias("n_distinct_rows"),
     )
+
+
+@register(
+    "events_hourly_seasonality",
+    oracle="""
+        SELECT (floor(epoch(ts))::BIGINT // 3600) % 24 AS hour_utc,
+               event_type,
+               count(*) AS n_events,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY hour_utc, event_type
+    """,
+    tags=("events", "seasonality", "time"),
+)
+def events_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type — the diurnal
+    pattern table behind anomaly baselines and traffic-aware sampling.
+    Hour extraction is integer epoch arithmetic ((epoch/3600) mod 24),
+    immune to engine calendar/timezone functions; one grouped
+    aggregate."""
+    e = t(spark, sf_dir, "events")
+    hour = F.pmod(
+        (F.unix_timestamp("ts") / F.lit(3600)).cast("bigint"), F.lit(24)
+    ).alias("hour_utc")
+    return e.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+
+
+_H2D_BINS = 8
+
+
+@register(
+    "joint_histogram_lineitem",
+    oracle=f"""
+        WITH b AS (
+          SELECT min(l_quantity) AS qlo, max(l_quantity) AS qhi,
+                 min(l_extendedprice) AS plo, max(l_extendedprice) AS phi
+          FROM lineitem
+        )
+        SELECT least(floor((l_quantity - b.qlo) * {_H2D_BINS}
+                           / (b.qhi - b.qlo + 1))::BIGINT,
+                     {_H2D_BINS - 1}) AS q_bin,
+               least(floor((l_extendedprice - b.plo) * {_H2D_BINS}
+                           / (b.phi - b.plo + 1))::BIGINT,
+                     {_H2D_BINS - 1}) AS p_bin,
+               count(*) AS n_rows
+        FROM lineitem, b
+        GROUP BY q_bin, p_bin
+    """,
+    tags=("profile", "histogram", "2d"),
+)
+def joint_histogram_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint (quantity × price) equal-width histogram — the 2-D
+    distribution profile that catches correlations marginal histograms
+    miss. Shared bounds come from one tiny aggregate broadcast back;
+    binning is the identical float arithmetic both engines evaluate
+    bit-for-bit; the output is at most bins² cells."""
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    b = li.agg(
+        F.min("l_quantity").alias("qlo"),
+        F.max("l_quantity").alias("qhi"),
+        F.min("l_extendedprice").alias("plo"),
+        F.max("l_extendedprice").alias("phi"),
+    )
+    j = li.join(F.broadcast(b))
+
+    def bin_of(v: str, lo: str, hi: str):
+        raw = F.floor(
+            (F.col(v) - F.col(lo)) * _H2D_BINS / (F.col(hi) - F.col(lo) + 1)
+        ).cast("bigint")
+        return F.least(raw, F.lit(_H2D_BINS - 1))
+
+    return (
+        j.select(
+            bin_of("l_quantity", "qlo", "qhi").alias("q_bin"),
+            bin_of("l_extendedprice", "plo", "phi").alias("p_bin"),
+        )
+        .groupBy("q_bin", "p_bin")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "embedding_norm_profile",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB})
+        SELECT label,
+               count(*) AS n_vecs,
+               round(avg(sqrt(list_dot_product(v, v))), 6) AS avg_norm,
+               round(min(sqrt(list_dot_product(v, v))), 6) AS min_norm,
+               round(max(sqrt(list_dot_product(v, v))), 6) AS max_norm
+        FROM e JOIN embeddings USING (vec_id)
+        GROUP BY label
+    """,
+    tags=("similarity", "profile", "llm-pipeline"),
+)
+def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding norm statistics — the sanity pass before any
+    cosine work (zero/degenerate norms, label-dependent scale drift from
+    a bad encoder batch). One grouped aggregate; the norm is the
+    Catalyst fold, no Python."""
+    from spark_pipeline_spark.functions import l2_norm
+
+    e = t(spark, sf_dir, "embeddings")
+    n = l2_norm(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.avg(n), 6).alias("avg_norm"),
+        F.round(F.min(n), 6).alias("min_norm"),
+        F.round(F.max(n), 6).alias("max_norm"),
+    )

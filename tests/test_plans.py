@@ -33,6 +33,8 @@ _NLJ_ALLOWED = {
     "vocab_coverage_documents",  # 3-row coverage-levels frame
     "power_iteration_pc1_embeddings",  # one-row direction broadcast
     "pmi_term_pairs_documents",  # one-row doc-count broadcast
+    "join_skew_advisor_lineitem",  # one-row total/mean broadcast
+    "joint_histogram_lineitem",  # one-row bounds broadcast
 }
 
 
