@@ -5392,3 +5392,102 @@ def embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(n), 6).alias("min_norm"),
         F.round(F.max(n), 6).alias("max_norm"),
     )
+
+
+@register(
+    "user_survival_curve",
+    oracle="""
+        WITH life AS (
+          SELECT user_id,
+                 ((floor(epoch(max(ts)))::BIGINT
+                   - floor(epoch(min(ts)))::BIGINT) // 604800) AS weeks
+          FROM events GROUP BY user_id
+        ),
+        h AS (SELECT weeks, count(*)::DOUBLE AS n FROM life GROUP BY weeks),
+        tot AS (SELECT sum(n) AS total FROM h)
+        SELECT weeks AS week,
+               sum(n) OVER (ORDER BY weeks DESC
+                            ROWS UNBOUNDED PRECEDING)::BIGINT AS n_surviving,
+               round(sum(n) OVER (ORDER BY weeks DESC ROWS UNBOUNDED PRECEDING)
+                     / total, 6) AS survival_frac
+        FROM h, tot
+    """,
+    tags=("events", "survival", "retention"),
+)
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve over user lifetimes (weeks between first and last
+    activity): fraction of users still active at ≥ k weeks — retention's
+    integral view. The corpus collapses to one row per user, then to a
+    lifetime histogram; the reverse-cumulative window runs over the
+    |weeks| histogram frame, never users or events."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts")
+    life = e.groupBy("user_id").agg(
+        (
+            (
+                F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+            )
+            / F.lit(604800)
+        )
+        .cast("bigint")
+        .alias("weeks")
+    )
+    h = life.groupBy("weeks").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = h.agg(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("weeks")).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        h.join(F.broadcast(tot))
+        .select(
+            F.col("weeks").alias("week"),
+            F.sum("n").over(w).cast("bigint").alias("n_surviving"),
+            F.round(F.sum("n").over(w) / F.col("total"), 6).alias("survival_frac"),
+        )
+    )
+
+
+@register(
+    "user_burstiness_profile",
+    oracle="""
+        WITH gaps AS (
+          SELECT user_id,
+                 epoch(ts) - epoch(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+          FROM events
+        )
+        SELECT user_id,
+               count(gap)::BIGINT AS n_gaps,
+               round(avg(gap), 6) AS mean_gap_secs,
+               round(stddev_samp(gap), 6) AS sd_gap_secs,
+               round(stddev_samp(gap) / avg(gap), 6) AS burstiness_cv
+        FROM gaps
+        WHERE gap IS NOT NULL
+        GROUP BY user_id
+        HAVING count(gap) >= 2
+    """,
+    tags=("events", "burstiness", "profile"),
+)
+def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user: mean, deviation, and the
+    coefficient of variation (CV > 1 ⇒ bursty, CV ≈ 1 ⇒ Poisson-like,
+    CV < 1 ⇒ regular) — the burstiness screen bot-detection and
+    rate-model fitting start from. One lag window on the user key, one
+    grouped aggregate."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = e.withColumn(
+        "gap",
+        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").alias("n_gaps"),
+            F.round(F.avg("gap"), 6).alias("mean_gap_secs"),
+            F.round(F.stddev_samp("gap"), 6).alias("sd_gap_secs"),
+            F.round(F.stddev_samp("gap") / F.avg("gap"), 6).alias("burstiness_cv"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )

@@ -35,6 +35,7 @@ _NLJ_ALLOWED = {
     "pmi_term_pairs_documents",  # one-row doc-count broadcast
     "join_skew_advisor_lineitem",  # one-row total/mean broadcast
     "joint_histogram_lineitem",  # one-row bounds broadcast
+    "user_survival_curve",  # one-row total broadcast
 }
 
 
