@@ -28,6 +28,7 @@ __all__ = [
     "running_total",
     "pack_sequences",
     "shard_assign",
+    "global_row_number",
 ]
 
 
@@ -117,3 +118,57 @@ def shard_assign(
 
     key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
     return df.withColumn(shard_col, F.pmod(md5_int(key), F.lit(n_shards)).cast("int"))
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "row_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Dense global row numbers (1..N) in ``order_cols`` order WITHOUT a
+    single global sort partition — the scale-correct form of the
+    reference's ``rdd.zipWithIndex`` (``sparktools/core.py:23-27``).
+
+    Range-bucket on exact quantile boundaries of the leading order
+    column (one aggregate, broadcast back; ties of the leading column
+    stay in one bucket, so bucketing is order-consistent), count rows
+    per bucket, prefix-sum the ≤ ``n_buckets`` bucket counts into
+    offsets, and add a within-bucket ``row_number``. Parallelism is
+    ``n_buckets``; the only global structure is the tiny offsets frame.
+    ``order_cols`` must be a total order (add a unique tiebreak column).
+    """
+    lead = order_cols[0]
+    if n_buckets <= 1:
+        # no boundaries: percentile of an empty prob array is NULL, and a
+        # NULL join key would silently drop every row — use one bucket
+        tagged = df.withColumn("__bucket", F.lit(0))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        bounds = df.agg(
+            F.percentile(lead, F.array(*[F.lit(p) for p in probs])).alias("__bnds")
+        )
+        tagged = df.join(F.broadcast(bounds)).withColumn(
+            "__bucket",
+            F.coalesce(
+                F.aggregate(
+                    F.col("__bnds"),
+                    F.lit(0),
+                    lambda acc, b: acc + F.when(F.col(lead) > b, 1).otherwise(0),
+                ),
+                F.lit(0),  # all-null lead column ⇒ everything in bucket 0
+            ),
+        ).drop("__bnds")
+
+    counts = tagged.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__bn"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__boffset", F.coalesce(F.sum("__bn").over(wb), F.lit(0))
+    ).select("__bucket", "__boffset")
+
+    wrow = Window.partitionBy("__bucket").orderBy(*order_cols)
+    return (
+        tagged.join(F.broadcast(offsets), "__bucket")
+        .withColumn(out_col, F.col("__boffset") + F.row_number().over(wrow))
+        .drop("__bucket", "__boffset")
+    )

@@ -5491,3 +5491,25 @@ def user_burstiness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_gaps") >= 2)
     )
+
+
+@register(
+    "global_row_number_documents",
+    oracle="""
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
+        FROM documents
+    """,
+    tags=("sort", "ranking", "zipwithindex"),
+)
+def global_row_number_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids in (n_chars, doc_id) order without a global
+    sort: exact quantile range-buckets + per-bucket offsets + local
+    row_number — the scale-correct replacement for the reference's
+    rdd.zipWithIndex (sparktools/core.py:23-27). The oracle is the
+    naive global row_number; results are identical for any bucket
+    count (invariance tested)."""
+    from spark_pipeline_spark.operators.packing import global_row_number
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_row_number(d, ["n_chars", "doc_id"], n_buckets=32)

@@ -324,3 +324,22 @@ def test_histograms_are_mergeable(spark):
     pa, pb = as_map(hash_histograms(a, cols, 64)), as_map(hash_histograms(b, cols, 64))
     merged = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
     assert merged == whole
+
+
+def test_global_row_number_bucket_invariance(spark):
+    """Global row ids must be identical for ANY bucket count (the whole
+    point: the bucketed plan equals the naive global sort's answer)."""
+    from spark_pipeline_spark.operators.packing import global_row_number
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    ref = {
+        r["doc_id"]: r["row_id"]
+        for r in global_row_number(d, ["n_chars", "doc_id"], n_buckets=1).collect()
+    }
+    for nb in (8, 64):
+        got = {
+            r["doc_id"]: r["row_id"]
+            for r in global_row_number(d, ["n_chars", "doc_id"], n_buckets=nb).collect()
+        }
+        assert got == ref, f"n_buckets={nb}"
+    assert sorted(ref.values()) == list(range(1, len(ref) + 1))

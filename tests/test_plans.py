@@ -36,6 +36,7 @@ _NLJ_ALLOWED = {
     "join_skew_advisor_lineitem",  # one-row total/mean broadcast
     "joint_histogram_lineitem",  # one-row bounds broadcast
     "user_survival_curve",  # one-row total broadcast
+    "global_row_number_documents",  # one-row quantile-bounds broadcast
 }
 
 
