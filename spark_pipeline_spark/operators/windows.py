@@ -34,6 +34,7 @@ __all__ = [
     "session_windows",
     "with_json_props",
     "funnel_times",
+    "ewma_last",
 ]
 
 
@@ -219,4 +220,45 @@ def funnel_times(
     return g.select(
         entity_col,
         *[F.col(f"__st.t{i}").alias(f"t_{s}") for i, s in enumerate(steps)],
+    )
+
+
+def ewma_last(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Final exponentially-weighted moving average of each entity's
+    value sequence: y₁ = x₁, yₙ = α·xₙ + (1−α)·yₙ₋₁ — the classic
+    smoothing recurrence, evaluated as a single ``aggregate`` fold over
+    the time-sorted event array (the same one-shuffle-then-fold shape
+    as :func:`funnel_times`; a recurrence can't be a window frame).
+
+    Closed form (the oracle's formulation):
+    yₙ = α·Σᵢ₌₂..ₙ (1−α)^(n−i)·xᵢ + (1−α)^(n−1)·x₁.
+    """
+    ev = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(tiebreak_col).alias("tb"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    g = df.groupBy(entity_col).agg(F.array_sort(F.collect_list(ev)).alias("__ev"))
+    init = F.struct(
+        F.lit(None).cast("double").alias("y"), F.lit(0).alias("seen")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        y = F.when(acc["seen"] == 0, x["v"]).otherwise(
+            F.lit(alpha) * x["v"] + F.lit(1.0 - alpha) * acc["y"]
+        )
+        return F.struct(y.alias("y"), (acc["seen"] + 1).alias("seen"))
+
+    st = F.aggregate(F.col("__ev"), init, step)
+    return g.select(
+        entity_col,
+        st["y"].alias("ewma"),
+        st["seen"].cast("bigint").alias("n_obs"),
     )

@@ -5513,3 +5513,42 @@ def global_row_number_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return global_row_number(d, ["n_chars", "doc_id"], n_buckets=32)
+
+
+_EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_user_value",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, value,
+                 row_number() OVER w AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS n
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               round(sum(CASE WHEN rn = 1
+                              THEN pow({1 - _EWMA_ALPHA}, n - 1) * value
+                              ELSE {_EWMA_ALPHA}
+                                   * pow({1 - _EWMA_ALPHA}, n - rn) * value
+                         END), 6) AS ewma,
+               max(n)::BIGINT AS n_obs
+        FROM seq
+        GROUP BY user_id
+    """,
+    tags=("events", "smoothing", "recurrence"),
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (α=0.2) of each user's value stream,
+    reporting the final smoothed level — the recurrence window frames
+    can't express, run as one O(n) fold over the time-sorted per-user
+    array (one shuffle). The oracle evaluates the CLOSED FORM
+    (geometric-weight sum) instead — agreement to 6dp proves the fold
+    implements the recurrence exactly."""
+    from spark_pipeline_spark.operators.windows import ewma_last
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = ewma_last(e, "user_id", "ts", "value", _EWMA_ALPHA, "event_id")
+    return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n_obs")
