@@ -35,6 +35,7 @@ __all__ = [
     "cosine_topk",
     "ivf_assign",
     "ivf_topk",
+    "ivf_topk_multiprobe",
     "kmeans_fit",
     "power_iteration_pc1",
     "embedding_near_dup_pairs",
@@ -394,3 +395,64 @@ def power_iteration_pc1(
             F.transform(F.col("__yv"), lambda t: t / norm).alias("__pv")
         )
     return pv.select(F.col("__pv").alias("pc1"))
+
+
+def ivf_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_id: str = "cell",
+    cell_vec: str = "centroid",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """IVF top-k with multi-probe search: each query probes its
+    ``nprobe`` nearest cells instead of one — the standard recall knob
+    (recall climbs toward exact as nprobe → cells while cost stays
+    nprobe/cells of brute force).
+
+    The corpus side is still single-assigned (one row per vector), so a
+    corpus vector meets a query through exactly one cell — no dedup
+    needed. Probing replicates only the tiny broadcast query side
+    nprobe×; the corpus never shuffles its vectors.
+    """
+    cen = centroids.select(
+        F.col(cell_id).alias("__cell"), F.col(cell_vec).alias("__cenv")
+    )
+    q_scored = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .join(F.broadcast(cen), how="cross")
+        .select(
+            "query_id",
+            "__qv",
+            F.col("__cell").alias("cell"),
+            cosine_similarity("__qv", "__cenv").alias("__csim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("__csim"), F.asc("cell"))
+    q_probes = (
+        q_scored.withColumn("__pr", F.row_number().over(wq))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    c_assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, cell_id, cell_vec)
+    c = c_assigned.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
+    )
+    scored = c.join(F.broadcast(q_probes), on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        "cell",
+        cosine_similarity("__qv", "__cv").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -5552,3 +5552,48 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
     out = ewma_last(e, "user_id", "ts", "value", _EWMA_ALPHA, "event_id")
     return out.select("user_id", F.round("ewma", 6).alias("ewma"), "n_obs")
+
+
+@register(
+    "embedding_ann_ivf_nprobe2",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        qp AS (
+          SELECT e.vec_id AS query_id, e.v AS qv, c.cell
+          FROM e CROSS JOIN cen c
+          WHERE e.vec_id < 20
+          QUALIFY row_number() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC
+          ) <= 2
+        )
+        SELECT qp.query_id, a.vec_id AS neighbor_id, a.cell,
+               round(list_cosine_similarity(qp.qv, a.v), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY qp.query_id
+                 ORDER BY list_cosine_similarity(qp.qv, a.v) DESC, a.vec_id
+               ) AS rank
+        FROM qp JOIN assign a ON qp.cell = a.cell AND qp.query_id != a.vec_id
+        QUALIFY rank <= 3
+    """,
+    tags=("similarity", "ann", "ivf", "multiprobe", "llm-pipeline"),
+)
+def embedding_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-3 (nprobe=2): each query searches its TWO
+    nearest cells — the recall knob between single-probe IVF and brute
+    force at 2/cells of the exact cost. Only the tiny broadcast query
+    side replicates; the corpus stays single-assigned and never
+    shuffles vectors."""
+    from spark_pipeline_spark.operators.similarity import ivf_topk_multiprobe
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    top = ivf_topk_multiprobe(
+        e, e.filter(F.col("vec_id") < 20), centroids, k=3, nprobe=2,
+        exclude_self=True,
+    )
+    return top.select(
+        "query_id", "neighbor_id", "cell", F.round("cosine", 6).alias("cosine"), "rank"
+    )

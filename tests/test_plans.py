@@ -23,6 +23,7 @@ _NLJ_ALLOWED = {
     "embedding_topk_bruteforce",
     "embedding_ann_ivf",
     "embedding_near_dup_ivf",
+    "embedding_ann_ivf_nprobe2",
     "quantile_bucket_orders",
     "train_logistic_gd_lineitem",
     # one-row broadcast bounds / vocabulary total / k-centroid frames:
