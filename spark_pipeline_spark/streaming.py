@@ -31,7 +31,18 @@ __all__ = [
     "stream_tumbling_agg",
     "stream_session_agg",
     "run_available_now_to_memory",
+    "hadoop_path_exists",
 ]
+
+
+def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on whatever filesystem its scheme resolves
+    to (local, HDFS, s3a, ...), via the JVM Hadoop FS API — the check
+    works identically on a cluster, unlike ``os.path``."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
 
 
 def read_parquet_stream(
@@ -245,13 +256,17 @@ def stream_upsert_sink(
     staging = target_path.rstrip("/") + "__staging"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        try:
+        # The missing-snapshot (first-batch) case is detected EXPLICITLY
+        # via the Hadoop FS API rather than a catch-all around the read:
+        # a bare `except Exception` here would treat any transient FS
+        # error / corrupt snapshot / schema mismatch as "first batch" and
+        # overwrite the accumulated snapshot with just this micro-batch.
+        # Every real failure must propagate and fail the streaming query.
+        if hadoop_path_exists(spark, target_path):
             current = spark.read.parquet(target_path)
-            merged = merge_upsert(current, batch_df, key_list, version_col)
-        except Exception:  # first batch: no snapshot yet
-            merged = merge_upsert(
-                batch_df.limit(0), batch_df, key_list, version_col
-            )
+        else:
+            current = batch_df.limit(0)
+        merged = merge_upsert(current, batch_df, key_list, version_col)
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 
