@@ -54,15 +54,27 @@ def read_file(
 def read_parquet_nanos(
     spark: SparkSession, path: str, nanos_cols: list[str]
 ) -> DataFrame:
-    """Parquet scan for files with TIMESTAMP(NANOS) columns, which Spark's
-    reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    """Parquet scan that normalizes timestamp columns to TIMESTAMP_LTZ
+    regardless of how the file encodes them.
 
-    The legacy conf maps nano columns to bigint at the scan; the named
-    columns are then truncated to microsecond timestamps — truncation,
-    not rounding (``div 1000``), matching how engines with native µs
-    timestamps (DuckDB, Arrow casts) coerce nanos. Conversion is a
-    codegen expression on the scan output; everything else about the scan
-    (pushdown on other columns, pruning) is unchanged.
+    Handles every physical encoding the event feed has shipped with:
+
+    - ``TIMESTAMP(NANOS)`` — Spark's reader rejects it outright
+      (PARQUET_TYPE_ILLEGAL), so the legacy conf maps nano columns to
+      bigint at the scan and the named columns are truncated to
+      microsecond timestamps — truncation, not rounding (``div 1000``),
+      matching how engines with native µs timestamps (DuckDB, Arrow
+      casts) coerce nanos.
+    - ``timestamp[us]`` without a timezone — Spark reads TIMESTAMP_NTZ,
+      which cannot be cast to DOUBLE and breaks every epoch-arithmetic
+      expression downstream. Cast to TIMESTAMP_LTZ at the scan; the
+      session timezone is pinned to UTC (session.py), so the instant is
+      unchanged and both encodings produce identical values.
+    - ``timestamp[us, tz=UTC]`` — already TIMESTAMP_LTZ; no-op.
+
+    Conversion is a codegen expression on the scan output; everything
+    else about the scan (pushdown on other columns, pruning) is
+    unchanged.
 
     The legacy conf is captured at DataFrame definition (schema
     resolution) time, so it is restored immediately afterwards — later
@@ -78,9 +90,12 @@ def read_parquet_nanos(
             spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prior)
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        if dict(df.dtypes).get(c) == "bigint":
+        if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -130,8 +145,11 @@ def read_jdbc(
                 .load()
                 .collect()[0]
             )
-            lower_bound = row["mn"] if lower_bound is None else lower_bound
-            upper_bound = row["mx"] if upper_bound is None else upper_bound
+            # positional access: identifier case-folding is dialect-
+            # specific (Derby/Oracle uppercase unquoted aliases, Postgres
+            # lowercases), so row["mn"] would break per-database
+            lower_bound = row[0] if lower_bound is None else lower_bound
+            upper_bound = row[1] if upper_bound is None else upper_bound
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("numPartitions", str(num_partitions))

@@ -26,17 +26,32 @@ def scale_to_int(col: Column, lo: Column | int, hi: Column | int, bits: int) -> 
     with pure integer arithmetic: ``(v - lo) * 2^bits div (hi - lo + 1)``.
 
     ``floor`` of the double quotient equals exact integer division while
-    the numerator stays far below 2^52 (a misround at an integer
-    boundary would need numerator·denominator ≥ 2^53) — and both engines
-    evaluate the identical doubles anyway, so the cell assignment is
-    engine-exact. Bounds come from one tiny aggregate broadcast back
-    (see :func:`zorder_by`).
+    the numerator stays below 2^52 (a misround at an integer boundary
+    would need numerator·denominator ≥ 2^53) — and both engines evaluate
+    the identical doubles anyway, so the cell assignment is engine-exact.
+    That precondition is ENFORCED, not assumed: a span wider than
+    2^(52-bits) (e.g. epoch-micros over decades) raises at evaluation
+    time instead of silently misassigning z-order cells — pre-bucket the
+    column (days, hours) or lower ``bits``. Bounds come from one tiny
+    aggregate broadcast back (see :func:`zorder_by`).
     """
     lo_c = F.lit(lo) if isinstance(lo, int) else lo
     hi_c = F.lit(hi) if isinstance(hi, int) else hi
     span = hi_c.cast("long") - lo_c.cast("long") + F.lit(1)
+    span_lim = 1 << (52 - bits)  # keeps (v - lo) * 2^bits ≤ 2^52 exact
     scaled = ((col.cast("long") - lo_c.cast("long")) * F.lit(1 << bits)) / span
-    return F.floor(scaled).cast("long")
+    return F.when(span <= F.lit(span_lim), F.floor(scaled).cast("long")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("scale_to_int: span "),
+                span.cast("string"),
+                F.lit(
+                    f" exceeds the exact-double bound 2^{52 - bits} for"
+                    f" bits={bits}; pre-bucket the column or lower bits"
+                ),
+            )
+        )
+    )
 
 
 def morton_key(cols: list[Column], bits: int) -> Column:

@@ -94,15 +94,25 @@ def table_diff(
     One full-outer join on the key; change detection compares an md5 of
     the (canonically stringified) payload struct per side, so arbitrarily
     wide payloads cross the shuffle as one 32-hex column each — the wide
-    columns are pruned out of the exchange entirely. The distribution-
-    level sibling is ``operators/datadiff``; this is the audit for exact
-    promote/rollback deltas.
+    columns are pruned out of the exchange entirely. NULLs are encoded as
+    an explicit ``<null>`` token per column before concatenation:
+    ``concat_ws`` silently drops NULL operands, so without the token the
+    payloads ``('x', NULL)`` and ``(NULL, 'x')`` would fingerprint
+    identically and a changed row would be reported "unchanged". The
+    distribution-level sibling is ``operators/datadiff``; this is the
+    audit for exact promote/rollback deltas.
     """
     cols = compare_cols or [c for c in old.columns if c not in keys]
 
     def fp(df: DataFrame, alias: str) -> DataFrame:
         payload = F.md5(
-            F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                    for c in cols
+                ],
+            )
         )
         return df.select(*keys, payload.alias(alias))
 

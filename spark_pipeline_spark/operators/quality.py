@@ -55,13 +55,21 @@ def accepted_values(col: str, values: list) -> tuple[str, Column]:
 
 def check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
     """Evaluate all rules in ONE aggregate over ``df``; report one row
-    per rule: ``(rule, violations, passed)``."""
+    per rule: ``(rule, violations, passed)``.
+
+    Each aggregate is coalesced to 0 here: on an empty table every
+    ``sum``-shaped rule yields NULL, which would propagate to
+    ``passed = NULL`` and fail an empty-but-clean ingest.
+    """
     wide = df.agg(
         *[expr.alias(f"__r{i}") for i, (_, expr) in enumerate(rules)]
     )
     pairs = []
     for i, (name, _) in enumerate(rules):
-        pairs += [F.lit(name), F.col(f"__r{i}").cast("long")]
+        pairs += [
+            F.lit(name),
+            F.coalesce(F.col(f"__r{i}").cast("long"), F.lit(0)),
+        ]
     stacked = wide.select(
         F.explode(
             F.map_from_arrays(

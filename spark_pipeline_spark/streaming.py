@@ -32,17 +32,54 @@ __all__ = [
     "stream_session_agg",
     "run_available_now_to_memory",
     "hadoop_path_exists",
+    "committed_snapshot_exists",
 ]
 
 
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists on whatever filesystem its scheme resolves
     to (local, HDFS, s3a, ...), via the JVM Hadoop FS API — the check
-    works identically on a cluster, unlike ``os.path``."""
-    jvm = spark._jvm
+    works identically on a cluster, unlike ``os.path``.
+
+    Classic sessions only: requires the in-process JVM gateway
+    (``spark._jvm``), which Spark Connect sessions don't expose.
+    """
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        raise RuntimeError(
+            "hadoop_path_exists needs a classic SparkSession with a JVM "
+            "gateway; Spark Connect sessions don't expose spark._jvm"
+        )
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
+
+
+def committed_snapshot_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds a COMMITTED parquet snapshot — the
+    directory exists AND contains a ``_SUCCESS`` marker or at least one
+    data file. Bare directory existence is a coarser signal: an
+    overwrite that crashed after creating the directory but before
+    committing files (only ``_temporary`` left behind) would otherwise
+    read as "snapshot present" and fail every checkpoint replay until
+    manual cleanup."""
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is None:
+        raise RuntimeError(
+            "committed_snapshot_exists needs a classic SparkSession; "
+            "Spark Connect sessions don't expose spark._jvm"
+        )
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    if fs.exists(jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "/_SUCCESS")):
+        return True
+    for status in fs.listStatus(hpath):
+        name = status.getPath().getName()
+        if status.isFile() and not name.startswith(("_", ".")):
+            return True
+    return False
 
 
 def read_parquet_stream(
@@ -262,7 +299,13 @@ def stream_upsert_sink(
         # error / corrupt snapshot / schema mismatch as "first batch" and
         # overwrite the accumulated snapshot with just this micro-batch.
         # Every real failure must propagate and fail the streaming query.
-        if hadoop_path_exists(spark, target_path):
+        # "Exists" means a COMMITTED snapshot (_SUCCESS or a data file):
+        # a crashed overwrite that left only an empty dir / _temporary
+        # restarts as first-batch instead of wedging every replay. If the
+        # crash happened between the staging write and the final swap,
+        # recover manually by restoring target_path from the *__staging
+        # copy before restarting the query.
+        if committed_snapshot_exists(spark, target_path):
             current = spark.read.parquet(target_path)
         else:
             current = batch_df.limit(0)

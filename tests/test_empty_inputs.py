@@ -127,3 +127,23 @@ def test_round3_operators_on_empty(spark):
     w = fit_logistic_gd(empty_xy, ["x"], "y", iters=2).collect()[0]
     # avg over zero rows is null; the fit must surface that, not crash
     assert w["w_x"] is None and w["intercept"] is None
+
+
+def test_quality_check_on_empty_table_passes(spark):
+    """Empty-but-clean: sum-shaped rules aggregate to NULL on zero rows;
+    check() must coalesce to 0 violations / passed=True, not NULL."""
+    from spark_pipeline_spark.operators import quality as Q
+
+    d = t(spark, SF_SMALL, "orders").filter(F.lit(False))
+    rows = Q.check(
+        d,
+        [
+            Q.not_null("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 1e9),
+            Q.unique("o_orderkey"),
+            Q.accepted_values("o_orderstatus", ["O", "F", "P"]),
+        ],
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["violations"] == 0 and r["passed"] is True

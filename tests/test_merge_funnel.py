@@ -271,3 +271,43 @@ def test_geometric_mean_udaf_equals_algebraic_form(spark):
         .collect()
     }
     assert a == b
+
+
+def test_table_diff_null_swap_is_changed(spark):
+    # concat_ws drops NULL operands, so without per-column NULL encoding
+    # the payloads ('x', NULL) and (NULL, 'x') fingerprint identically
+    # and a changed row is misreported as unchanged.
+    from spark_pipeline_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, "same", "same"), (3, None, None)],
+        "k int, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, "same", "same"), (3, "", "")],
+        "k int, a string, b string",
+    )
+    out = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "unchanged", 3: "changed"}
+
+
+def test_scale_to_int_wide_range_raises(spark):
+    # epoch-micros-scale spans exceed the exact-double floor bound; the
+    # guard must raise instead of silently misassigning z-order cells.
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+    from spark_pipeline_spark.operators.layout import scale_to_int
+
+    wide = spark.range(1).select(
+        (F.col("id") + F.lit(1_700_000_000_000_000)).alias("v")
+    )
+    with pytest.raises(SparkRuntimeException, match="scale_to_int"):
+        wide.select(
+            scale_to_int(F.col("v"), 0, 1_700_000_000_000_000, 8).alias("s")
+        ).collect()
+
+    # in-bound spans still assign exactly
+    ok = spark.range(10).select(
+        scale_to_int(F.col("id"), 0, 9, 3).alias("s")
+    ).collect()
+    assert [r["s"] for r in ok] == [0, 0, 1, 2, 3, 4, 4, 5, 6, 7]

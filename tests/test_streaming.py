@@ -272,3 +272,20 @@ def test_stream_scoring_matches_batch(spark, tmp_path):
     a = {(r["uid"], round(r["target_proba"], 9)) for r in streamed.collect()}
     b = {(r["uid"], round(r["target_proba"], 9)) for r in batch.collect()}
     assert a == b and len(a) == c.count()
+
+
+def test_committed_snapshot_exists_distinguishes_crash_debris(spark, tmp_path):
+    """A bare directory (crashed overwrite debris) must read as 'no
+    snapshot' so the upsert sink restarts as first-batch instead of
+    wedging; a committed write must read as present."""
+    from spark_pipeline_spark.streaming import committed_snapshot_exists
+
+    p = tmp_path / "snap"
+    assert not committed_snapshot_exists(spark, str(p))
+
+    p.mkdir()  # crash debris: directory with no committed files
+    (p / "_temporary").mkdir()
+    assert not committed_snapshot_exists(spark, str(p))
+
+    spark.range(3).write.mode("overwrite").parquet(str(p))
+    assert committed_snapshot_exists(spark, str(p))
