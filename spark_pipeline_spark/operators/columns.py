@@ -93,3 +93,31 @@ def cast_columns(df: DataFrame, casts: dict[str, str]) -> DataFrame:
             for c in df.columns
         ]
     )
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Schema drift report between two table versions: one row per
+    column that was ``added`` / ``removed`` / ``retyped`` (with both
+    type strings). The structural complement of ``merge.table_diff``
+    (row-level) and ``datadiff`` (distribution-level) — an ingest gate
+    checks all three before promoting a new feed version.
+
+    Pure metadata: built from the two schemas on the driver, returned as
+    a DataFrame so it composes with the other report-shaped operators
+    (union into one audit output, write to the same sink).
+    """
+    spark = old.sparkSession
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    rows = (
+        [(c, "removed", o[c], None) for c in o if c not in n]
+        + [(c, "added", None, n[c]) for c in n if c not in o]
+        + [
+            (c, "retyped", o[c], n[c])
+            for c in o
+            if c in n and o[c] != n[c]
+        ]
+    )
+    return spark.createDataFrame(
+        rows, "col_name string, change string, old_type string, new_type string"
+    )

@@ -5605,6 +5605,253 @@ def embedding_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bloom_pruned_join_revenue",
+    oracle="""
+        SELECT s.s_suppkey AS suppkey, s.s_name AS s_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name = 'NATION_19'
+        GROUP BY 1, 2
+    """,
+    tags=("join", "bloom", "pruning"),
+)
+def bloom_pruned_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈filtered-dim with explicit Bloom pruning: lineitem rows are
+    bit-tested against a distributed-built Bloom filter over one nation's
+    supplier keys BEFORE the join shuffle, so the exchange carries only
+    candidate rows (+<1% false positives, removed by the join). The
+    oracle is the plain join — bloom pruning is semantically
+    transparent, which is exactly the property worth hash-checking."""
+    from spark_pipeline_spark.operators.bloomjoin import bloom_prune_join
+
+    nat = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_19")
+    dim = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    fact = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = bloom_prune_join(
+        fact, dim, "l_suppkey", "s_suppkey", n_bits=1 << 16, n_hashes=7
+    )
+    return joined.groupBy(
+        F.col("s_suppkey").alias("suppkey"), "s_name"
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) AS revenue
+        FROM (
+          SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                 EXTRACT(year FROM l.l_shipdate)::BIGINT AS l_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM supplier s
+          JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+          JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+          WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+             OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    tags=("relational", "multi-join"),
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape: five-way join with a cross-nation pair predicate.
+    The two nation legs are 25-row broadcasts; the pair predicate is
+    applied AFTER both legs resolve (it references both), and the
+    fact-side joins stay shuffle hash joins AQE can re-plan. Year
+    extraction is a codegen expression on the shipdate."""
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        s.join(li, s["s_suppkey"] == li["l_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_8"))
+            | ((F.col("supp_nation") == "NATION_8") & (F.col("cust_nation") == "NATION_3"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 250
+        )
+        SELECT c.c_custkey AS custkey, c.c_name AS c_name,
+               o.o_orderkey AS orderkey,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(big.sum_qty, 2) AS sum_qty
+        FROM big
+        JOIN orders o ON o.o_orderkey = big.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("relational", "having", "semi-structure"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape: aggregate-then-filter (HAVING) feeding joins.
+    The heavy groupBy on l_orderkey partial-combines map-side and the
+    HAVING filter shrinks the aggregate BEFORE the order/customer joins
+    — at 100 TB the join inputs are the handful of jumbo orders, not
+    the lineitem table."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 250)
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("__sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "user_growth_accounting",
+    oracle="""
+        WITH firsts AS (
+          SELECT user_id, min(date_trunc('day', ts)) AS first_day
+          FROM events GROUP BY user_id
+        ),
+        daily AS (
+          SELECT date_trunc('day', ts) AS day,
+                 count(DISTINCT user_id) AS active_users
+          FROM events GROUP BY 1
+        ),
+        news AS (
+          SELECT first_day AS day, count(*) AS new_users FROM firsts GROUP BY 1
+        )
+        SELECT epoch(d.day)::BIGINT AS day_epoch,
+               d.active_users AS active_users,
+               coalesce(n.new_users, 0) AS new_users,
+               sum(coalesce(n.new_users, 0))
+                 OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cumulative_users
+        FROM daily d LEFT JOIN news n ON d.day = n.day
+    """,
+    tags=("events", "growth", "distinct"),
+)
+def user_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: daily active, daily new (first-seen), and
+    cumulative acquired users. Two shuffles total — one per-user min
+    (map-side combining to one row per user) and one per-day distinct —
+    then a 1-partition running sum over the ~days-long daily frame
+    (tiny by construction; the per-user and per-day aggregates did the
+    heavy lifting distributed)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    news = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    daily = e.groupBy("day").agg(
+        F.countDistinct("user_id").alias("active_users")
+    )
+    joined = daily.join(news, "day", "left").select(
+        "day",
+        "active_users",
+        F.coalesce("new_users", F.lit(0)).alias("new_users"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return joined.select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        "active_users",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "incremental_agg_orders",
+    oracle="""
+        SELECT o_orderstatus,
+               round(sum(o_totalprice), 2) AS total_price,
+               count(o_orderkey) AS n_orders,
+               round(min(o_totalprice), 2) AS min_price,
+               round(max(o_totalprice), 2) AS max_price
+        FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("incremental", "agg", "maintenance"),
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the snapshot over pre-1996 orders
+    merged with the 1996+ delta must equal the from-scratch aggregate —
+    which is exactly what the oracle computes. The merge is one
+    snapshot-sized keyed exchange; the delta partial-combines map-side
+    before anything shuffles."""
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+
+    spec = {
+        "total_price": ("sum", "o_totalprice"),
+        "n_orders": ("count", "o_orderkey"),
+        "min_price": ("min", "o_totalprice"),
+        "max_price": ("max", "o_totalprice"),
+    }
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    hist = o.filter(F.col("o_orderdate") < "1996-01-01")
+    delta = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    snap = aggregate_snapshot(hist, ["o_orderstatus"], spec)
+    merged = incremental_agg_merge(snap, delta, ["o_orderstatus"], spec)
+    return merged.select(
+        "o_orderstatus",
+        F.round("total_price", 2).alias("total_price"),
+        "n_orders",
+        F.round("min_price", 2).alias("min_price"),
+        F.round("max_price", 2).alias("max_price"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

@@ -30,6 +30,7 @@ __all__ = [
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
+    "stream_stream_interval_join",
     "run_available_now_to_memory",
     "hadoop_path_exists",
     "committed_snapshot_exists",
@@ -262,6 +263,44 @@ def stream_enrich(
     """
     keys = [on] if isinstance(on, str) else list(on)
     return stream.join(F.broadcast(dim), keys, how)
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    left_watermark: str = "1 hour",
+    right_watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval: each
+    left row matches right rows with the same ``key`` whose timestamp
+    falls in ``[left_ts, left_ts + max_delay]`` (attribution shape:
+    impression → clicks within the attribution window).
+
+    The time-range predicate is not a nicety — it is what makes a
+    stream-stream join RUNNABLE: together with the two watermarks it
+    bounds how long each side's rows are held in join state, so state
+    size is O(rate × window), not O(stream history). Size the right
+    watermark ≥ left watermark + max_delay so no match is dropped
+    mid-window.
+
+    ``left_ts`` and ``right_ts`` must be distinct names (both survive in
+    the output; matches are meaningless otherwise). Key equality keeps
+    the state shuffle an ordinary hash exchange on ``key``.
+    """
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    l = left.withWatermark(left_ts, left_watermark).alias("l")
+    r = right.withWatermark(right_ts, right_watermark).alias("r")
+    cond = F.expr(
+        f"l.{key} = r.{key} AND r.{right_ts} >= l.{left_ts} "
+        f"AND r.{right_ts} <= l.{left_ts} + interval {max_delay}"
+    )
+    return l.join(r, cond, how).drop(r[key])
 
 
 def stream_upsert_sink(

@@ -248,3 +248,68 @@ def test_validator_cli_end_to_end(spark, tmp_path):
         },
     )
     assert main_validator(["--conf", bad]) == 1
+
+
+def test_file_stats_and_compact_parquet(spark, tmp_path):
+    from spark_pipeline_spark.io.maintenance import compact_parquet, file_stats
+
+    p = str(tmp_path / "frag")
+    # fragment: 64 tiny files
+    spark.range(0, 10_000).repartition(64).write.mode("overwrite").parquet(p)
+    before = file_stats(spark, p)
+    assert before["n_files"] == 64
+
+    report = compact_parquet(spark, p, target_mb=512)
+    assert report["compacted"] is True
+    after = report["after"]
+    assert after["n_files"] < 64
+    assert after["total_bytes"] > 0
+    # no rows lost, values intact
+    assert sorted(r["id"] for r in spark.read.parquet(p).collect()) == list(range(10_000))
+    # staging cleaned up
+    import os
+    assert not os.path.exists(p + "__compact_staging")
+
+
+def test_compact_parquet_partitioned_preserves_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.io.maintenance import compact_parquet
+
+    p = str(tmp_path / "frag_part")
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 3).alias("part")
+    )
+    df.repartition(32).write.mode("overwrite").partitionBy("part").parquet(p)
+    report = compact_parquet(spark, p, target_mb=512, partition_by=["part"])
+    assert report["compacted"]
+    import os
+    assert sorted(
+        d for d in os.listdir(p) if d.startswith("part=")
+    ) == ["part=0", "part=1", "part=2"]
+    assert spark.read.parquet(p).count() == 1000
+
+
+def test_compact_parquet_skips_single_file(spark, tmp_path):
+    from spark_pipeline_spark.io.maintenance import compact_parquet
+
+    p = str(tmp_path / "single")
+    spark.range(10).coalesce(1).write.mode("overwrite").parquet(p)
+    report = compact_parquet(spark, p, target_mb=512)
+    assert report["compacted"] is False
+
+
+def test_schema_diff_reports_added_removed_retyped(spark):
+    from spark_pipeline_spark.operators.columns import schema_diff
+
+    old = spark.createDataFrame([(1, "x", 1.0)], "a int, b string, c double")
+    new = spark.createDataFrame([(1, 2, "y")], "a int, c int, d string")
+    rows = {
+        r["col_name"]: (r["change"], r["old_type"], r["new_type"])
+        for r in schema_diff(old, new).collect()
+    }
+    assert rows == {
+        "b": ("removed", "string", None),
+        "d": ("added", None, "string"),
+        "c": ("retyped", "double", "int"),
+    }

@@ -38,6 +38,7 @@ _NLJ_ALLOWED = {
     "joint_histogram_lineitem",  # one-row bounds broadcast
     "user_survival_curve",  # one-row total broadcast
     "global_row_number_documents",  # one-row quantile-bounds broadcast
+    "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
 }
 
 

@@ -289,3 +289,49 @@ def test_committed_snapshot_exists_distinguishes_crash_debris(spark, tmp_path):
 
     spark.range(3).write.mode("overwrite").parquet(str(p))
     assert committed_snapshot_exists(spark, str(p))
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """Attribution join (view -> purchase within 2h) on two file-source
+    streams must equal the equivalent batch interval join."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_memory,
+        stream_stream_interval_join,
+    )
+
+    events = t(spark, SF_SMALL, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("buy_ts"), F.col("event_id").alias("buy_id")
+    )
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purchases")
+    views.write.mode("overwrite").parquet(vsrc)
+    purchases.write.mode("overwrite").parquet(psrc)
+
+    vstream = read_parquet_stream(
+        spark, vsrc, "user_id bigint, view_ts timestamp, view_id bigint"
+    )
+    pstream = read_parquet_stream(
+        spark, psrc, "user_id bigint, buy_ts timestamp, buy_id bigint"
+    )
+    joined = stream_stream_interval_join(
+        vstream, pstream, "user_id", "view_ts", "buy_ts",
+        max_delay="2 hours", left_watermark="1 hour", right_watermark="3 hours",
+    )
+    streamed = run_available_now_to_memory(
+        joined, "stream_interval_join_test", output_mode="append", timeout_sec=180
+    )
+
+    batch = views.join(purchases, "user_id").filter(
+        (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr("interval 2 hours"))
+    )
+    got = {(r["view_id"], r["buy_id"]) for r in streamed.collect()}
+    want = {(r["view_id"], r["buy_id"]) for r in batch.collect()}
+    assert got == want
+    assert len(want) > 0
