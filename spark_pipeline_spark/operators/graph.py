@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_representatives"]
+__all__ = ["connected_components", "dedup_representatives", "pagerank"]
 
 
 def connected_components(
@@ -105,3 +105,58 @@ def dedup_representatives(
             F.broadcast(losers), df[id_col] == F.col("__loser"), "left_anti"
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list; returns
+    ``(node, rank)``.
+
+    Each iteration is one join + one aggregation, both shuffling on node
+    ids — the same discipline as :func:`connected_components`, with
+    ``localCheckpoint`` truncating lineage between rounds. Fixed
+    ``n_iter`` (not convergence-tested) keeps the result a pure
+    function of the input, so a DuckDB oracle can replay the identical
+    float recurrence as chained CTEs.
+
+    Semantics: uniform init 1/N, per-iteration
+    ``rank = (1-d)/N + d * Σ rank(in)/outdeg(in)``. Nodes appearing
+    only as destinations still receive and emit nothing (outdeg 0 —
+    their mass is dropped, the simple variant); feed symmetric edges
+    for the undirected behavior, which also eliminates dangling mass.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(outdeg, "src")
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

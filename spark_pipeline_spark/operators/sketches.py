@@ -159,3 +159,57 @@ def cm_estimate(
     ).select(key_col, F.col("p.row").alias("row"), F.col("p.bucket").alias("bucket"))
     j = probes.join(sketch, ["row", "bucket"], "left").fillna(0, ["n"])
     return j.groupBy(key_col).agg(F.min("n").alias("cm_count"))
+
+
+def sliding_distinct_linear_counting(
+    df: DataFrame,
+    ts_col: str,
+    column: str,
+    window_days: int = 7,
+    buckets: int = 4096,
+) -> DataFrame:
+    """Distinct-count over SLIDING windows from mergeable per-day sketch
+    partials — the continuous-aggregate pattern for the one aggregate
+    that is not additive.
+
+    A 7-day sliding distinct recomputed naively rescans every event 7
+    times. Here each day is reduced ONCE to its linear-counting partial —
+    the set of occupied md5 buckets, ≤ ``buckets`` rows per day — and
+    the sliding merge works entirely on partials: explode each day's
+    buckets to the ≤ ``window_days`` windows it serves (window labeled
+    by its END day), dedup, count occupancy, apply the linear-counting
+    estimate. Raw data is touched exactly once regardless of window
+    count or length; the merge input is O(days × buckets), constant per
+    day.
+
+    Deterministic (md5 bucketing), so cross-engine value-verifiable —
+    unlike HLL partials, which only merge inside one engine. Output:
+    ``(win_end, occupied, estimate)`` for every window that contains at
+    least one event day.
+    """
+    from spark_pipeline_spark.functions import md5_int
+
+    day = F.date_trunc("day", F.col(ts_col))
+    partials = (
+        df.select(
+            day.alias("day"),
+            F.pmod(md5_int(F.col(column).cast("string")), F.lit(buckets)).alias("b"),
+        )
+        .distinct()
+    )
+    wins = partials.select(
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {window_days - 1} days,"
+                f" interval 1 day)"
+            )
+        ).alias("win_end"),
+        "b",
+    )
+    occ = wins.groupBy("win_end").agg(F.countDistinct("b").alias("occupied"))
+    b = float(buckets)
+    return occ.select(
+        "win_end",
+        "occupied",
+        F.round(-b * F.log(1.0 - F.col("occupied") / b), 4).alias("estimate"),
+    )

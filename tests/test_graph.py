@@ -45,3 +45,17 @@ def test_dedup_representatives_keeps_min_and_singletons(spark):
     comp = connected_components(_edges(spark, [(1, 2), (2, 3), (10, 11)]))
     kept = dedup_representatives(df, comp, "doc_id")
     assert {r["doc_id"] for r in kept.collect()} == {1, 10, 99}
+
+
+def test_pagerank_mass_conservation_and_tiny_graph(spark):
+    from spark_pipeline_spark.operators.graph import pagerank
+
+    # path graph a-b-c (symmetric): b is the hub
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")], "src string, dst string"
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, n_iter=10).collect()}
+    # no dangling nodes on a symmetric graph -> total mass conserved
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["b"] > ranks["a"] and ranks["b"] > ranks["c"]
+    assert abs(ranks["a"] - ranks["c"]) < 1e-12  # symmetry

@@ -370,6 +370,8 @@ def test_driver_window_covers_every_operator_family():
         "layout": "zorder_orders_locality",
         "quality": "validate_orders_quality",
         "corpus": "corpus_prep_end_to_end",
+        "bloom_pruning": "bloom_pruned_join_revenue",
+        "incremental": "incremental_agg_orders",
     }
     missing = {fam: n for fam, n in reps.items() if n not in window}
     assert not missing, f"families outside the driver window: {missing}"

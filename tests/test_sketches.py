@@ -60,3 +60,38 @@ def test_freq_items_contains_true_heavy_hitter(spark):
     )
     items = frequent_items(e, ["event_type"], support=0.1).collect()[0][0]
     assert top in items
+
+
+def test_sliding_distinct_estimate_tracks_exact(spark):
+    """Per-window linear-counting estimates from merged day-partials must
+    land within sketch error of the exact sliding distinct count."""
+    from spark_pipeline_spark.operators.sketches import (
+        sliding_distinct_linear_counting,
+    )
+
+    e = t(spark, SF_SMALL, "events").select("ts", "user_id")
+    est = {
+        r["win_end"]: float(r["estimate"])
+        for r in sliding_distinct_linear_counting(
+            e, "ts", "user_id", window_days=7
+        ).collect()
+    }
+
+    days = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    exact = {
+        r["win_end"]: r["n"]
+        for r in days.select(
+            F.explode(
+                F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+            ).alias("win_end"),
+            "user_id",
+        )
+        .groupBy("win_end")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for w, n in exact.items():
+        assert abs(est[w] - n) <= max(0.05 * n, 10), (w, est[w], n)

@@ -335,3 +335,12 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
     want = {(r["view_id"], r["buy_id"]) for r in batch.collect()}
     assert got == want
     assert len(want) > 0
+
+
+def test_stream_stream_interval_join_rejects_same_ts_names(spark):
+    import pytest
+    from spark_pipeline_spark.streaming import stream_stream_interval_join
+
+    s = t(spark, SF_SMALL, "events").select("user_id", "ts")
+    with pytest.raises(ValueError, match="distinct"):
+        stream_stream_interval_join(s, s, "user_id", "ts", "ts")
