@@ -19,7 +19,7 @@ Scale notes (1000-executor posture):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stream_enrich",
     "stream_upsert_sink",
+    "stream_incremental_agg_sink",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -349,6 +350,58 @@ def stream_upsert_sink(
         else:
             current = batch_df.limit(0)
         merged = merge_upsert(current, batch_df, key_list, version_col)
+        merged.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_incremental_agg_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    spec: Mapping[str, tuple[str, str]],
+    available_now: bool = True,
+    checkpoint: str | None = None,
+):
+    """Streaming continuous aggregate: maintain an additive-aggregate
+    snapshot at ``target_path`` (parquet) from a stream of raw rows —
+    the streaming face of
+    :func:`~spark_pipeline_spark.operators.incremental.incremental_agg_merge`.
+
+    Per micro-batch: aggregate the batch (map-side partial combine),
+    merge with the snapshot on ``keys``, stage, swap — the identical
+    staging discipline as :func:`stream_upsert_sink`, and the identical
+    invariant as the batch operator: after draining any stream, the
+    snapshot equals the from-scratch aggregate of all rows. Unlike a
+    watermarked streaming aggregation this keeps NO per-key state in the
+    streaming engine — the snapshot file IS the state, sized one row per
+    key, so arbitrarily late data still merges correctly (there is no
+    watermark to be late against). Trade-off: the per-batch merge cost
+    is O(|snapshot|), the right shape when batches arrive at human
+    cadence, not per-second.
+    """
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+
+    spark = stream.sparkSession
+    key_list = list(keys)
+    spec_d = dict(spec)
+    staging = target_path.rstrip("/") + "__staging"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if committed_snapshot_exists(spark, target_path):
+            current = spark.read.parquet(target_path)
+            merged = incremental_agg_merge(current, batch_df, key_list, spec_d)
+        else:
+            merged = aggregate_snapshot(batch_df, key_list, spec_d)
         merged.write.mode("overwrite").parquet(staging)
         spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 

@@ -313,3 +313,31 @@ def test_schema_diff_reports_added_removed_retyped(spark):
         "d": ("added", None, "string"),
         "c": ("retyped", "double", "int"),
     }
+
+
+def test_read_parquet_nanos_normalizes_every_encoding(spark, tmp_path):
+    """The event feed has shipped as ns, us-NTZ, and us-UTC parquet;
+    read_parquet_nanos must land TIMESTAMP_LTZ with the same instant for
+    all three (UTC session), so downstream epoch arithmetic never
+    breaks on a testdata re-generation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from spark_pipeline_spark.io.sources import read_parquet_nanos
+
+    micros = 1_700_000_000_123_456  # 2023-11-14T22:13:20.123456Z
+    cases = {
+        "ns": pa.array([micros * 1000], type=pa.timestamp("ns")),
+        "us_ntz": pa.array([micros], type=pa.timestamp("us")),
+        "us_utc": pa.array([micros], type=pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for name, arr in cases.items():
+        p = str(tmp_path / f"enc_{name}.parquet")
+        pq.write_table(pa.table({"ts": arr}), p)
+        df = read_parquet_nanos(spark, p, ["ts"])
+        assert dict(df.dtypes)["ts"] == "timestamp", (name, df.dtypes)
+        got[name] = df.select(
+            (df["ts"].cast("double") * 1_000_000).cast("long").alias("us")
+        ).collect()[0]["us"]
+    assert got["ns"] == got["us_ntz"] == got["us_utc"] == micros, got

@@ -344,3 +344,52 @@ def test_stream_stream_interval_join_rejects_same_ts_names(spark):
     s = t(spark, SF_SMALL, "events").select("user_id", "ts")
     with pytest.raises(ValueError, match="distinct"):
         stream_stream_interval_join(s, s, "user_id", "ts", "ts")
+
+
+def test_stream_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
+    """After draining the stream, the maintained snapshot must equal the
+    from-scratch aggregate over all rows — arbitrarily split into
+    micro-batches (maxFilesPerTrigger=1 forces several merges)."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_incremental_agg_sink,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("event_type", "value")
+    src = str(tmp_path / "events_inc")
+    events.repartition(5).write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "event_type string, value double", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "agg_snapshot")
+    spec = {
+        "total_value": ("sum", "value"),
+        "n_events": ("count", "value"),
+        "max_value": ("max", "value"),
+    }
+    q = stream_incremental_agg_sink(
+        stream, target, ["event_type"], spec,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_type"]: (
+            round(r["total_value"], 6), r["n_events"], round(r["max_value"], 6)
+        )
+        for r in spark.read.parquet(target).collect()
+    }
+    want = {
+        r["event_type"]: (
+            round(r["total_value"], 6), r["n_events"], round(r["max_value"], 6)
+        )
+        for r in events.groupBy("event_type")
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count("value").alias("n_events"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
