@@ -6002,6 +6002,54 @@ def pagerank_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pit_dimension_join_shipments",
+    oracle="""
+        WITH dim AS (
+          SELECT o_custkey AS k, o_orderdate AS vts,
+                 min(o_orderpriority) AS prio
+          FROM orders GROUP BY 1, 2
+        ),
+        fact AS (
+          SELECT o.o_custkey AS k, l.l_shipdate AS ts
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT coalesce(d.prio, '<none>') AS prio_at_ship,
+               count(*) AS n_shipments
+        FROM fact f ASOF LEFT JOIN dim d
+          ON f.k = d.k AND f.ts >= d.vts
+        GROUP BY 1
+    """,
+    tags=("asof", "scd2", "pit", "cdc"),
+)
+def pit_dimension_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension join: each shipment annotated with the
+    customer's order-priority attribute VALID AT ship time — the
+    SCD2-consumer pattern (fact rows must see the dimension version
+    that was current then, not today's). The change feed collapses to
+    one deterministic version per (key, day) so as-of tie-breaks can't
+    differ across engines; the join itself is the union + ordered
+    carry-forward shape (no per-key range explosion), checked against
+    DuckDB's native ASOF LEFT JOIN."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    dim = o.groupBy(
+        F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("vts")
+    ).agg(F.min("o_orderpriority").alias("prio"))
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    fact = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li["l_orderkey"] == o["o_orderkey"],
+    ).select(F.col("o_custkey").alias("k"), F.col("l_shipdate").alias("ts"))
+    joined = asof_join(fact, dim, on="k", left_ts="ts", right_ts="vts")
+    return joined.groupBy(
+        F.coalesce(F.col("asof_prio"), F.lit("<none>")).alias("prio_at_ship")
+    ).agg(F.count(F.lit(1)).alias("n_shipments"))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

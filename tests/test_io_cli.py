@@ -341,3 +341,29 @@ def test_read_parquet_nanos_normalizes_every_encoding(spark, tmp_path):
             (df["ts"].cast("double") * 1_000_000).cast("long").alias("us")
         ).collect()[0]["us"]
     assert got["ns"] == got["us_ntz"] == got["us_utc"] == micros, got
+
+
+def test_validator_cli_empty_but_clean_table_passes(spark, tmp_path):
+    """Zero-row input: every sum-shaped rule aggregates over nothing; the
+    gate must exit 0 (passed), not fail on NULL violations."""
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.cli import main_validator
+    from spark_pipeline_spark.queries import t
+    from tests.conftest import SF_SMALL
+
+    empty = str(tmp_path / "empty_orders")
+    t(spark, SF_SMALL, "orders").filter(F.lit(False)).write.parquet(empty)
+    conf = _write_conf(
+        tmp_path,
+        "validate_empty.json",
+        {
+            "source": {"storage": "file", "path": empty},
+            "rules": [
+                {"kind": "not_null", "column": "o_custkey"},
+                {"kind": "unique", "columns": ["o_orderkey"]},
+                {"kind": "in_range", "column": "o_totalprice", "lo": 0, "hi": 1e7},
+            ],
+        },
+    )
+    assert main_validator(["--conf", conf]) == 0
