@@ -6050,6 +6050,40 @@ def pit_dimension_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("n_shipments"))
 
 
+@register(
+    "grouped_ols_lineitem",
+    oracle="""
+        SELECT l_returnflag,
+               round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+               round(corr(l_extendedprice, l_quantity), 6) AS r,
+               count(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    tags=("training", "grouped-models", "regression"),
+)
+def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-small-models: an independent OLS fit (price ~ quantity) per
+    segment, as ONE aggregation — slope = covar_pop/var_pop and
+    intercept from the group means are plain codegen aggregates, so a
+    million segments train in a single shuffle with map-side partial
+    combine. No per-group Python, no applyInPandas; the oracle is ANSI
+    regr_slope/regr_intercept."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    slope = F.covar_pop("l_extendedprice", "l_quantity") / F.var_pop("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.avg("l_extendedprice") - slope * F.avg("l_quantity"), 6
+        ).alias("intercept"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("r"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

@@ -367,3 +367,21 @@ def test_validator_cli_empty_but_clean_table_passes(spark, tmp_path):
         },
     )
     assert main_validator(["--conf", conf]) == 0
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """read_file/write_file speak ORC as well as parquet/csv — the other
+    columnar format a warehouse migration hits."""
+    from spark_pipeline_spark.io.sinks import write_file
+    from spark_pipeline_spark.io.sources import read_file
+    from spark_pipeline_spark.queries import t
+    from tests.conftest import SF_SMALL
+
+    src = t(spark, SF_SMALL, "nation")
+    p = str(tmp_path / "nation_orc")
+    write_file(src, p, fmt="orc")
+    back = read_file(spark, p, fmt="orc")
+    assert back.schema == src.schema
+    assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
+        r["n_nationkey"] for r in src.collect()
+    )
