@@ -25,13 +25,14 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
     "tumbling_window",
     "sliding_window",
     "session_windows",
+    "capped_sessions",
     "with_json_props",
     "funnel_times",
     "ewma_last",
@@ -108,6 +109,56 @@ def session_windows(
         F.col("session_window.end").alias("session_end"),
         *keys,
         *[c for c in out.columns if c not in ("session_window", *keys)],
+    )
+
+
+def capped_sessions(
+    df: DataFrame,
+    ts_col: str,
+    gap_seconds: int,
+    max_duration_seconds: int,
+    keys: Sequence[str] = (),
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-event session labels for GAP sessions additionally SPLIT at a
+    maximum duration — the capped-sessionization variant
+    ``session_window`` can't express (a bot clicking every minute for a
+    week is one gap-session forever; downstream session analytics need
+    it chunked).
+
+    Semantics: gaps-and-islands on ``gap_seconds`` first; each gap
+    session is then cut on a fixed grid of ``max_duration_seconds``
+    anchored at the session's first event (``floor(elapsed/cap)``). The
+    grid anchoring (rather than restart-at-boundary-event) keeps the
+    label a closed-form expression — two window passes over the same
+    (keys, ts) sort with NO iteration, so the whole thing is one
+    shuffle, and an oracle can replay it exactly.
+
+    Returns the input plus ``session_id`` (per-key ordinal of the gap
+    session) and ``session_part`` (the duration split within it).
+    ``tiebreak_col`` makes same-timestamp ordering deterministic.
+    """
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    brk = (
+        F.when(
+            prev.isNull()
+            | (F.col(ts_col).cast("double") - prev.cast("double") > gap_seconds),
+            1,
+        )
+        .otherwise(0)
+    )
+    with_sid = df.withColumn(
+        "session_id",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy(*[F.col(k) for k in keys], F.col("session_id"))
+    elapsed = F.col(ts_col).cast("double") - F.min(ts_col).over(ws).cast("double")
+    return with_sid.withColumn(
+        "session_part", F.floor(elapsed / max_duration_seconds).cast("long")
     )
 
 

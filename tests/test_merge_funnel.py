@@ -311,3 +311,34 @@ def test_scale_to_int_wide_range_raises(spark):
         scale_to_int(F.col("id"), 0, 9, 3).alias("s")
     ).collect()
     assert [r["s"] for r in ok] == [0, 0, 1, 2, 3, 4, 4, 5, 6, 7]
+
+
+def test_capped_sessions_split_gap_and_duration(spark):
+    from spark_pipeline_spark.operators.windows import capped_sessions
+
+    t0 = _ts("2024-01-01T00:00:00")
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # u1: steady clicks every 50 min for 5 h -> ONE gap session
+        # (gap 60 min), split at the 2 h cap into parts 0,0,0,1,1,2
+        *[("u1", i, at(50 * i)) for i in range(6)],
+        # u2: two bursts 3 h apart -> two gap sessions, no cap splits
+        ("u2", 0, at(0)), ("u2", 1, at(10)),
+        ("u2", 2, at(190)), ("u2", 3, at(200)),
+    ]
+    df = spark.createDataFrame(rows, "user string, eid int, ts timestamp")
+    out = {
+        (r["user"], r["eid"]): (r["session_id"], r["session_part"])
+        for r in capped_sessions(
+            df, "ts", gap_seconds=3600, max_duration_seconds=7200,
+            keys=["user"], tiebreak_col="eid",
+        ).collect()
+    }
+    assert [out[("u1", i)] for i in range(6)] == [
+        (1, 0), (1, 0), (1, 0), (1, 1), (1, 1), (1, 2)
+    ]
+    assert out[("u2", 0)] == (1, 0) and out[("u2", 1)] == (1, 0)
+    assert out[("u2", 2)] == (2, 0) and out[("u2", 3)] == (2, 0)
