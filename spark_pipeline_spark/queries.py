@@ -6137,6 +6137,131 @@ def capped_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- RAG-prep composition: chunk → deterministic embed → cell assign ------
+# The pseudo-embedder maps each chunk to 8 md5-derived floats in
+# [-0.5, 0.5) and assigns the chunk to the argmax-dot of 4 fixed
+# md5-derived centroids. Every constant is computed ONCE here in Python
+# and baked identically into the Spark expressions and the oracle SQL,
+# so the full chain is engine-exact.
+_RAG_DIMS = 8
+_RAG_CELLS = 4
+
+
+def _rag_centroids() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"c{j}|{i}".encode()).hexdigest()[:8], 16) / 4294967296.0
+            - 0.5
+            for i in range(_RAG_DIMS)
+        ]
+        for j in range(_RAG_CELLS)
+    ]
+
+
+def _rag_oracle() -> str:
+    cents = _rag_centroids()
+    e_terms = ", ".join(
+        f"('0x' || substr(md5(chunk_text || '|{i}'), 1, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5 AS e{i}"
+        for i in range(_RAG_DIMS)
+    )
+    dots = ", ".join(
+        "(" + " + ".join(f"e{i} * ({cents[j][i]!r})" for i in range(_RAG_DIMS)) + f") AS d{j}"
+        for j in range(_RAG_CELLS)
+    )
+    argmax = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    best = "greatest(d0, d1, d2, d3)"
+    chunk_cte = rf"""
+        tok AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+          FROM documents
+        ),
+        par AS (
+          SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) <= {_CHUNK_TOKENS} THEN 1
+                      ELSE 1 + floor((len(w) - {_CHUNK_TOKENS}
+                                      + {_CHUNK_STRIDE} - 1)::DOUBLE
+                                     / {_CHUNK_STRIDE})::BIGINT
+                 END AS k
+          FROM tok WHERE len(w) >= 1
+        ),
+        chunks AS (
+          SELECT doc_id,
+                 unnest(list_transform(generate_series(1, k),
+                   i -> array_to_string(
+                          list_slice(w, (i - 1) * {_CHUNK_STRIDE} + 1,
+                                     (i - 1) * {_CHUNK_STRIDE} + {_CHUNK_TOKENS}),
+                          ' '))) AS chunk_text
+          FROM par
+        )"""
+    return f"""
+        WITH {chunk_cte},
+        emb AS (SELECT doc_id, chunk_text, {e_terms} FROM chunks),
+        dot AS (SELECT doc_id, {dots} FROM emb)
+        SELECT {argmax} AS cell,
+               count(*) AS n_chunks,
+               count(DISTINCT doc_id) AS n_docs,
+               round(sum({best}), 6) AS sum_best_dot
+        FROM dot GROUP BY cell
+    """
+
+
+@register(
+    "rag_prep_end_to_end",
+    oracle=_rag_oracle(),
+    tags=("llm-pipeline", "rag", "composition"),
+)
+def rag_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG ingest chain as ONE lazy plan: overlapping chunking (reused
+    from ``chunk_documents_overlapping``) → deterministic 8-dim
+    pseudo-embedding (md5-derived floats; in production, swap for a
+    Pandas-UDF model — the partitioning and schema contract is
+    identical) → nearest-of-4-centroids cell assignment (the IVF build
+    step) → per-cell profile. Chunk text never shuffles: the profile
+    aggregation reduces map-side; the only exchange carries (cell,
+    partial aggregate) rows."""
+    from spark_pipeline_spark.functions import md5_int
+
+    cents = _rag_centroids()
+    chunks = REGISTRY["chunk_documents_overlapping"].fn(spark, sf_dir)
+    e = [
+        (md5_int(F.concat(F.col("chunk_text"), F.lit(f"|{i}"))) / F.lit(4294967296.0)
+         - F.lit(0.5))
+        for i in range(_RAG_DIMS)
+    ]
+    emb = chunks.select(
+        "doc_id", *[ei.alias(f"e{i}") for i, ei in enumerate(e)]
+    )
+    dots = [
+        sum(
+            (F.col(f"e{i}") * F.lit(cents[j][i]) for i in range(1, _RAG_DIMS)),
+            F.col("e0") * F.lit(cents[j][0]),
+        ).alias(f"d{j}")
+        for j in range(_RAG_CELLS)
+    ]
+    dot = emb.select("doc_id", *dots)
+    d = [F.col(f"d{j}") for j in range(_RAG_CELLS)]
+    cell = (
+        F.when((d[0] >= d[1]) & (d[0] >= d[2]) & (d[0] >= d[3]), 0)
+        .when((d[1] >= d[2]) & (d[1] >= d[3]), 1)
+        .when(d[2] >= d[3], 2)
+        .otherwise(3)
+    )
+    return dot.select(
+        cell.alias("cell"), "doc_id", F.greatest(*d).alias("best")
+    ).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.round(F.sum("best"), 6).alias("sum_best_dot"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
