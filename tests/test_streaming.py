@@ -278,13 +278,19 @@ def test_committed_snapshot_exists_distinguishes_crash_debris(spark, tmp_path):
     """A bare directory (crashed overwrite debris) must read as 'no
     snapshot' so the upsert sink restarts as first-batch instead of
     wedging; a committed write must read as present."""
-    from spark_pipeline_spark.streaming import committed_snapshot_exists
+    from spark_pipeline_spark.streaming import (
+        committed_snapshot_exists,
+        hadoop_path_exists,
+    )
 
     p = tmp_path / "snap"
+    assert not hadoop_path_exists(spark, str(p))
     assert not committed_snapshot_exists(spark, str(p))
 
     p.mkdir()  # crash debris: directory with no committed files
     (p / "_temporary").mkdir()
+    # bare existence says yes — exactly why the sink must NOT use it
+    assert hadoop_path_exists(spark, str(p))
     assert not committed_snapshot_exists(spark, str(p))
 
     spark.range(3).write.mode("overwrite").parquet(str(p))
