@@ -6262,6 +6262,42 @@ def rag_prep_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KFOLD_K = 5
+_KFOLD_SEED = "cv1"
+
+
+@register(
+    "kfold_assignment_documents",
+    oracle=f"""
+        WITH assigned AS (
+          SELECT source,
+                 ('0x' || substr(md5('{_KFOLD_SEED}|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                   % {_KFOLD_K} AS fold
+          FROM documents
+        )
+        SELECT fold, source, count(*) AS n_docs
+        FROM assigned GROUP BY fold, source
+    """,
+    tags=("sample", "cv", "split", "llm-pipeline"),
+)
+def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold = seeded
+    content hash mod k — a pure projection, so folds are stable under
+    repartition, re-run, and incremental appends (a new document never
+    moves an old one between folds, unlike row_number-based folds).
+    Profile by (fold, source) shows the per-stratum balance."""
+    from spark_pipeline_spark.functions import md5_int
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    fold = F.pmod(
+        md5_int(F.concat(F.lit(f"{_KFOLD_SEED}|"), F.col("doc_id").cast("string"))),
+        F.lit(_KFOLD_K),
+    )
+    return d.select(fold.alias("fold"), "source").groupBy("fold", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
