@@ -66,24 +66,39 @@ def frequent_items(df: DataFrame, columns: list[str], support: float = 0.01) -> 
     return df.freqItems(columns, support)
 
 
-def md5_bucket_cardinality(df: DataFrame, column: str, buckets: int = 4096) -> DataFrame:
+def md5_bucket_cardinality(
+    df: DataFrame,
+    column: str,
+    buckets: int = 4096,
+    keys: list[str] | None = None,
+) -> DataFrame:
     """Deterministic cardinality estimate via hash-bucket occupancy
     (linear counting): hash values into ``buckets`` md5 buckets, count
-    occupied buckets m, estimate ``-B * ln(1 - m/B)``.
+    occupied buckets m, estimate ``-B * ln(1 - m/B)``, optionally per
+    ``keys`` group.
 
     Unlike HLL this is reproducible across engines bit-for-bit (the
     bucket set is a pure function of the data), so its query carries a
-    full value oracle. State: one bit per bucket — a 4 KB sketch.
-    Output: ``(occupied, estimate)``.
+    full value oracle. State: one bit per bucket — a 4 KB sketch per
+    group. Saturated groups (every bucket occupied, where the raw
+    formula is ``-B·ln(0)``) clamp occupancy to ``B-1``, reporting the
+    sketch's representable upper bound ``-B·ln(1/B) = B·ln(B)`` instead
+    of infinity. Output: ``(*keys, occupied, estimate)``.
     """
     occ = (
-        df.select(F.pmod(md5_int(F.col(column)), F.lit(buckets)).alias("b"))
+        df.select(
+            *(keys or []),
+            F.pmod(md5_int(F.col(column)), F.lit(buckets)).alias("b"),
+        )
+        .groupBy(*(keys or []))
         .agg(F.countDistinct("b").alias("occupied"))
     )
     b = float(buckets)
+    clamped = F.least(F.col("occupied"), F.lit(buckets - 1))
     return occ.select(
+        *(keys or []),
         "occupied",
-        F.round(-b * F.log(1.0 - F.col("occupied") / b), 4).alias("estimate"),
+        F.round(-b * F.log(1.0 - clamped / b), 4).alias("estimate"),
     )
 
 
@@ -185,7 +200,15 @@ def sliding_distinct_linear_counting(
     Deterministic (md5 bucketing), so cross-engine value-verifiable —
     unlike HLL partials, which only merge inside one engine. Output:
     ``(win_end, occupied, estimate)`` for every window that contains at
-    least one event day.
+    least one event day. Two semantics notes: (1) saturated windows
+    (every bucket occupied) clamp occupancy to ``buckets - 1`` so the
+    estimate is the sketch's representable upper bound ``B·ln(B)``
+    rather than ``-B·ln(0)`` = +inf/null; (2) the trailing
+    ``window_days - 1`` windows (win_end past the last event day) are
+    PARTIAL — they only see days up to the data's end. Their values are
+    correct for the data as-of query time but will grow if later events
+    arrive; filter ``win_end <= max(day)`` downstream if only complete
+    windows are wanted.
     """
     from spark_pipeline_spark.functions import md5_int
 
@@ -208,8 +231,9 @@ def sliding_distinct_linear_counting(
     )
     occ = wins.groupBy("win_end").agg(F.countDistinct("b").alias("occupied"))
     b = float(buckets)
+    clamped = F.least(F.col("occupied"), F.lit(buckets - 1))
     return occ.select(
         "win_end",
         "occupied",
-        F.round(-b * F.log(1.0 - F.col("occupied") / b), 4).alias("estimate"),
+        F.round(-b * F.log(1.0 - clamped / b), 4).alias("estimate"),
     )

@@ -2201,7 +2201,7 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM events
         )
         SELECT occupied,
-               round(-4096.0 * ln(1 - occupied / 4096.0), 4) AS estimate
+               round(-4096.0 * ln(1 - least(occupied, 4095) / 4096.0), 4) AS estimate
         FROM occ
     """,
     tags=("sketch", "cardinality"),
@@ -2219,17 +2219,38 @@ def sketch_cardinality_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_distinct_users_by_type",
-    oracle=None,  # HLL internals are engine-specific — bounds asserted in tests
-    tags=("sketch", "hll"),
+    oracle="""
+        WITH occ AS (
+          SELECT event_type,
+                 count(DISTINCT
+                   ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096)
+                 AS occupied
+          FROM events GROUP BY event_type
+        )
+        SELECT event_type, occupied,
+               round(-4096.0 * ln(1 - least(occupied, 4095) / 4096.0), 4)
+                 AS estimate
+        FROM occ
+    """,
+    tags=("sketch", "cardinality"),
 )
 def sketch_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ approximate distinct users per event type (one pass,
-    mergeable ~KB state per group; rows-only driver check — the 5% rsd
-    error bound is asserted against exact counts in tests)."""
-    from spark_pipeline_spark.operators.sketches import approx_distinct
+    """Approximate distinct users per event type via the deterministic
+    md5-bucket linear-counting sketch (one pass, 4 KB of occupancy state
+    per group, mergeable by bucket-set union).
+
+    Was HLL++ (``approx_distinct``) through round 5 — the last rows-only
+    entry in the registry. HLL partials are engine-specific, so that
+    form could never carry a value oracle; the linear-counting form has
+    the same one-pass/mergeable/bounded-state contract AND is
+    bit-reproducible in any engine with md5, making the estimate itself
+    driver-verifiable. The HLL API remains available as
+    ``sketches.approx_distinct`` with its 5% rsd bound asserted against
+    exact counts in tests."""
+    from spark_pipeline_spark.operators.sketches import md5_bucket_cardinality
 
     e = t(spark, sf_dir, "events")
-    return approx_distinct(e, "user_id", keys=["event_type"], rsd=0.05)
+    return md5_bucket_cardinality(e, "user_id", 4096, keys=["event_type"])
 
 
 # ---------------------------------------------------------------------------
@@ -3145,7 +3166,7 @@ _N_SHARDS = 16
           FROM documents
         ),
         agg AS (
-          SELECT shard, count(*) AS n_docs, sum(n_tok) AS n_tokens FROM s
+          SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens FROM s
           GROUP BY shard
         )
         SELECT shard, n_docs, n_tokens,
@@ -3477,7 +3498,7 @@ def zorder_orders_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
         b AS (SELECT quantile_cont(n_tok, {_DECILES}) AS bnds FROM tok)
         SELECT len(list_filter(b.bnds, x -> n_tok >= x)) AS bucket,
                count(*) AS n_docs,
-               sum(n_tok) AS sum_tok,
+               sum(n_tok)::BIGINT AS sum_tok,
                max(n_tok) AS max_tok,
                round(sum(n_tok)::DOUBLE / (max(n_tok) * count(*)), 6)
                  AS pad_efficiency
@@ -3982,7 +4003,7 @@ _SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.9
                     WHEN u < {_SPLIT_VAL!r} THEN 'val'
                     ELSE 'test' END AS split,
                count(*) AS n_docs,
-               sum(n_tok) AS n_tokens
+               sum(n_tok)::BIGINT AS n_tokens
         FROM drawn
         GROUP BY source, split
     """,
@@ -4201,7 +4222,7 @@ def power_iteration_pc1_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
                  len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
           FROM train
         )
-        SELECT source, shard, count(*) AS n_docs, sum(n_tok) AS n_tokens
+        SELECT source, shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
         FROM sharded GROUP BY source, shard
     """,
     tags=("pipeline", "llm-pipeline", "composition"),
@@ -5769,7 +5790,8 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                d.active_users AS active_users,
                coalesce(n.new_users, 0) AS new_users,
                sum(coalesce(n.new_users, 0))
-                 OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cumulative_users
+                 OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS cumulative_users
         FROM daily d LEFT JOIN news n ON d.day = n.day
     """,
     tags=("events", "growth", "distinct"),
@@ -5869,7 +5891,7 @@ def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT win_end, count(DISTINCT b) AS occupied FROM wins GROUP BY 1
         )
         SELECT epoch(win_end)::BIGINT AS win_end_epoch, occupied,
-               round(-4096 * ln(1 - occupied / 4096.0), 4) AS estimate
+               round(-4096 * ln(1 - least(occupied, 4095) / 4096.0), 4) AS estimate
         FROM occ
     """,
     tags=("sketch", "sliding", "distinct", "incremental"),
@@ -6311,43 +6333,53 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # relational core
-    "q1_pricing_summary", "q3_unshipped_revenue", "q5_region_revenue",
-    "agg_orders_by_status", "q10_returned_revenue", "rollup_orders",
-    "median_price_by_status",
-    "pivot_orders_priority", "unpivot_lineitem_charges",
-    "semi_anti_join_customers", "setops_nation_keys",
-    "bloom_pruned_join_revenue", "incremental_agg_orders",
-    # column ops / windows / skew
-    "pandify_decimal_orders", "audit_literals_customer",
-    "zscore_orders_by_month", "window_lag_rolling_orders",
-    "salted_join_lineitem_nation",
-    # sampling & composition
-    "hash_sample_lineitem", "grouped_topk_orders", "stratified_quota_sample",
-    "deterministic_limit_orders", "token_budget_sample_documents",
-    "mixture_sample_documents", "pack_sequences_documents",
-    # text analysis
-    "pipeline_documents_clean", "text_stats_documents",
-    "text_langid_confusion",
-    # dedup
-    "dedup_exact_documents", "dedup_minhash_lsh_documents",
-    "decontaminate_documents", "dedup_components_documents",
-    # search / similarity
-    "keyword_search_documents", "embedding_topk_bruteforce",
-    "embedding_ann_ivf",
-    # event-time analytics
-    "events_tumbling_daily", "events_sessions_30m",
-    "events_asof_last_purchase", "events_debounce_5m",
-    # scoring / training
-    "score_callable_model", "train_logistic_gd_lineitem",
-    # merge / CDC
-    "merge_upsert_orders", "table_diff_orders_feed",
-    # funnel, sketches, multimodal
-    "funnel_events", "cm_sketch_custkey_counts", "multimodal_decode_features",
-    # datadiff, layout, quality, corpus end-to-end
-    "datadiff_continuous_lineitem", "zorder_orders_locality",
-    "validate_orders_quality", "corpus_prep_end_to_end",
+    # Round-6 rotation. Rounds 1-5 drove 65 distinct queries through the
+    # driver's 50-slot CORRECTNESS gate; 70 registered queries had never
+    # been driver-checked. This window keeps 4 sentinels for continuity
+    # (q1/q5/minhash, plus corpus_prep_end_to_end to prove the r5
+    # ::BIGINT oracle-dtype fix lands) and fills the other 46 slots with
+    # first-time-checked queries. The 24 still-unchecked stragglers are
+    # listed below for the round-7 rotation.
+    "q1_pricing_summary", "q5_region_revenue",
+    "dedup_minhash_lsh_documents", "corpus_prep_end_to_end",
+    # first-time driver-checked (46)
+    "events_resample_6h_ffill", "events_props_by_type",
+    "range_join_price_bands", "sketch_cardinality_users",
+    "sketch_distinct_users_by_type", "datadiff_hash_histogram_orders",
+    "datadiff_tvd_lineitem_sample", "multimodal_media_metadata",
+    "multimodal_frame_sample", "train_ols_score_lineitem",
+    "score_regressor_model", "score_multiclass_model",
+    "pii_redact_documents", "dedup_normalized_documents",
+    "text_repetition_documents", "boilerplate_ngrams_documents",
+    "scd2_user_purchases", "quantile_bucket_orders",
+    "shard_assign_documents", "inverted_index_documents",
+    "text_unigram_nll_documents", "kmeans_update_centroids",
+    "length_bucket_padding_documents", "events_rolling_24h_value",
+    "cohort_retention_events", "fuzzy_match_part_names",
+    "robust_outliers_orders", "correlation_matrix_lineitem",
+    "chi_square_orders_status_priority", "chunk_documents_overlapping",
+    "dataset_split_documents", "vocab_coverage_documents",
+    "cube_orders_status_priority", "power_iteration_pc1_embeddings",
+    "pmi_term_pairs_documents", "events_time_weighted_value",
+    "events_transition_matrix", "entropy_profile_orders",
+    "percentile_rank_orders", "winsorize_orders_prices",
+    "ab_test_purchase_rate", "funnel_conversion_latency",
+    "interval_coverage_events", "dedup_canonical_selection",
+    "event_path_mining", "lsh_recall_precision_report",
 ]
+
+# Never driver-checked after this round (rotate into the r7 window):
+# time_rollup_orders_multigrain, grouped_topk_with_ties,
+# null_profile_orders, join_skew_advisor_lineitem,
+# duplicate_row_profile_orders, events_hourly_seasonality,
+# joint_histogram_lineitem, embedding_norm_profile, user_survival_curve,
+# user_burstiness_profile, global_row_number_documents, ewma_user_value,
+# embedding_ann_ivf_nprobe2, q7_nation_volume_shipping,
+# q18_large_volume_customers, user_growth_accounting,
+# sliding_distinct_users_7d, q14_promo_revenue_ratio,
+# pagerank_customer_supplier, pit_dimension_join_shipments,
+# grouped_ols_lineitem, capped_sessions_events, rag_prep_end_to_end,
+# kfold_assignment_documents
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

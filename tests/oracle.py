@@ -25,6 +25,25 @@ def register_views(con: Any, sf_dir: str) -> None:
         )
 
 
+def _dtype_family(s: pd.Series) -> str:
+    """Coarse dtype family used for the strict driver-hash-parity check.
+
+    The driver's value hash is dtype-sensitive: a DuckDB HUGEINT that
+    pandas materializes as float64 hashes differently from Spark's int64
+    even when every value is numerically identical (the r5
+    `corpus_prep_end_to_end` failure). We mirror that here at family
+    granularity — int32 vs int64 is fine, int vs float is not."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "other"
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     out = df.copy()
     out = out[sorted(out.columns)]
@@ -45,13 +64,23 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def compare(spark_df: Any, con: Any, sql: str, atol: float = 1e-9) -> list[str]:
     """Return a list of mismatch descriptions (empty = match)."""
-    got = _normalize(spark_df.toPandas())
-    want = _normalize(con.execute(sql).fetchdf())
+    got_raw = spark_df.toPandas()
+    want_raw = con.execute(sql).fetchdf()
+    got = _normalize(got_raw)
+    want = _normalize(want_raw)
     problems: list[str] = []
     if len(got) != len(want):
         problems.append(f"row count: spark={len(got)} duckdb={len(want)}")
     if list(got.columns) != list(want.columns):
         problems.append(f"columns: spark={list(got.columns)} duckdb={list(want.columns)}")
+    else:
+        for c in sorted(got_raw.columns):
+            fa, fb = _dtype_family(got_raw[c]), _dtype_family(want_raw[c])
+            if fa != fb:
+                problems.append(
+                    f"column {c}: dtype family spark={fa}({got_raw[c].dtype}) "
+                    f"duckdb={fb}({want_raw[c].dtype}) — driver hash would mismatch"
+                )
     if problems:
         return problems
     for c in got.columns:

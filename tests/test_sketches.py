@@ -41,6 +41,31 @@ def test_linear_counting_close_to_exact(spark):
     assert abs(row["estimate"] - exact) <= 0.1 * exact
 
 
+def test_linear_counting_saturation_clamps_not_inf(spark):
+    """When every bucket is occupied, the estimate must be the finite
+    representable upper bound B*ln(B), not -B*ln(0) (null/-inf)."""
+    df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+    row = md5_bucket_cardinality(df, "v", buckets=8).collect()[0]
+    assert row["occupied"] == 8
+    assert row["estimate"] is not None and not math.isnan(row["estimate"])
+    assert abs(row["estimate"] - 8 * math.log(8)) < 1e-3  # estimate rounds to 4dp
+
+
+def test_linear_counting_grouped_keys(spark):
+    e = t(spark, SF_SMALL, "events")
+    rows = md5_bucket_cardinality(e, "user_id", 4096, keys=["event_type"]).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        n = exact[r["event_type"]]
+        assert abs(r["estimate"] - n) <= max(0.1 * n, 5), (r, n)
+
+
 def test_gk_quantiles_bracket_exact(spark):
     l = t(spark, SF_SMALL, "lineitem").select("l_extendedprice")
     qs = approx_quantiles(l, "l_extendedprice", [0.25, 0.5, 0.75]).collect()[0][0]
