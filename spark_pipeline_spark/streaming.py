@@ -35,6 +35,7 @@ __all__ = [
     "run_available_now_to_memory",
     "hadoop_path_exists",
     "committed_snapshot_exists",
+    "SNAPSHOT_BATCH_COL",
 ]
 
 
@@ -82,6 +83,85 @@ def committed_snapshot_exists(spark: SparkSession, path: str) -> bool:
         if status.isFile() and not name.startswith(("_", ".")):
             return True
     return False
+
+
+#: Metadata column stamped onto every row of a maintained parquet
+#: snapshot by the foreachBatch sinks below: the id of the last
+#: micro-batch merged in. Stored as a data column so it commits
+#: ATOMICALLY with the snapshot content (a sidecar meta file would
+#: reintroduce the crash window between data commit and meta commit).
+SNAPSHOT_BATCH_COL = "__last_batch_id"
+
+
+def _replay_guarded_swap(spark, target_path: str, batch_id: int, merge_fn) -> None:
+    """Shared exactly-once commit protocol for the foreachBatch parquet
+    sinks (:func:`stream_upsert_sink`, :func:`stream_incremental_agg_sink`).
+
+    ``foreachBatch`` is at-least-once: after a crash between the
+    snapshot swap and the checkpoint commit, the same ``batch_id`` is
+    delivered again (with identical content — replays re-read the same
+    checkpointed source offsets). Without a guard, an additive merge
+    applies that batch twice and double-counts. The guard: every
+    snapshot row carries ``SNAPSHOT_BATCH_COL`` = the last merged batch
+    id, so a replayed ``batch_id <= last`` is recognized and skipped.
+
+    Commit sequence per batch (all writes distributed, none through the
+    driver): write merged result to ``<target>__staging``, then rewrite
+    it onto ``target_path``. The staging hop exists because parquet
+    reads are lazy — overwriting the path being read would destroy the
+    input mid-plan. Crash-state recovery at entry, keyed on
+    :func:`committed_snapshot_exists` (a ``_SUCCESS``/data-file check,
+    not bare directory existence):
+
+    - target committed → normal path: skip if ``batch_id`` already
+      merged, else merge and swap;
+    - target dir present but uncommitted (the final overwrite crashed
+      mid-write) + staging committed → the staging copy IS the newest
+      snapshot: recover from it (finish the interrupted swap, then skip
+      or merge as its batch id dictates). This state was previously a
+      silent first-batch restart — i.e. data loss;
+    - target uncommitted debris + staging also uncommitted → raise:
+      the state is not mechanically recoverable, and pretending
+      first-batch would overwrite whatever a human could still salvage;
+    - target truly absent (no directory) → genuine first batch.
+
+    Legacy snapshots written before this column existed merge with
+    ``last = -1`` (at-least-once, the old behavior), documented over
+    failing.
+    """
+    staging = target_path.rstrip("/") + "__staging"
+    if not committed_snapshot_exists(spark, target_path):
+        target_debris = hadoop_path_exists(spark, target_path)
+        if committed_snapshot_exists(spark, staging):
+            # Interrupted swap: the committed staging copy is the newest
+            # snapshot. Finish the swap FIRST, then proceed from the
+            # (now committed) target — merging straight off the staging
+            # read would lazily consume the very path the next staging
+            # write overwrites.
+            spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        elif target_debris:
+            raise RuntimeError(
+                f"snapshot at {target_path!r} exists but holds no committed "
+                f"files (crashed overwrite debris) and no committed staging "
+                f"copy at {staging!r} to recover from; refusing to restart "
+                "as first-batch — inspect/remove the debris manually"
+            )
+
+    current = None
+    last = -1
+    if committed_snapshot_exists(spark, target_path):
+        current = spark.read.parquet(target_path)
+        if SNAPSHOT_BATCH_COL in current.columns:
+            got = current.agg(F.max(SNAPSHOT_BATCH_COL)).first()[0]
+            last = -1 if got is None else int(got)
+
+    if last >= batch_id:
+        return  # at-least-once replay of an already-merged batch: no-op
+
+    data = current.drop(SNAPSHOT_BATCH_COL) if current is not None else None
+    merged = merge_fn(data).withColumn(SNAPSHOT_BATCH_COL, F.lit(batch_id))
+    merged.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 
 
 def read_parquet_stream(
@@ -330,28 +410,21 @@ def stream_upsert_sink(
 
     spark = stream.sparkSession
     key_list = list(keys)
-    staging = target_path.rstrip("/") + "__staging"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # The missing-snapshot (first-batch) case is detected EXPLICITLY
-        # via the Hadoop FS API rather than a catch-all around the read:
-        # a bare `except Exception` here would treat any transient FS
-        # error / corrupt snapshot / schema mismatch as "first batch" and
-        # overwrite the accumulated snapshot with just this micro-batch.
-        # Every real failure must propagate and fail the streaming query.
-        # "Exists" means a COMMITTED snapshot (_SUCCESS or a data file):
-        # a crashed overwrite that left only an empty dir / _temporary
-        # restarts as first-batch instead of wedging every replay. If the
-        # crash happened between the staging write and the final swap,
-        # recover manually by restoring target_path from the *__staging
-        # copy before restarting the query.
-        if committed_snapshot_exists(spark, target_path):
-            current = spark.read.parquet(target_path)
-        else:
-            current = batch_df.limit(0)
-        merged = merge_upsert(current, batch_df, key_list, version_col)
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        # Missing-snapshot detection is EXPLICIT (Hadoop FS API), never a
+        # catch-all around the read: a bare `except Exception` would
+        # treat any transient FS error / corrupt snapshot / schema
+        # mismatch as "first batch" and overwrite the accumulated
+        # snapshot with just this micro-batch. Crash recovery + replay
+        # skip live in _replay_guarded_swap; the keyed latest-wins merge
+        # is replay-idempotent on its own, but the guard also rescues a
+        # crashed final overwrite from the committed staging copy.
+        def merge(current: DataFrame | None) -> DataFrame:
+            base = batch_df.limit(0) if current is None else current
+            return merge_upsert(base, batch_df, key_list, version_col)
+
+        _replay_guarded_swap(spark, target_path, batch_id, merge)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:
@@ -394,16 +467,19 @@ def stream_incremental_agg_sink(
     spark = stream.sparkSession
     key_list = list(keys)
     spec_d = dict(spec)
-    staging = target_path.rstrip("/") + "__staging"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        if committed_snapshot_exists(spark, target_path):
-            current = spark.read.parquet(target_path)
-            merged = incremental_agg_merge(current, batch_df, key_list, spec_d)
-        else:
-            merged = aggregate_snapshot(batch_df, key_list, spec_d)
-        merged.write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
+        # The additive merge is NOT replay-idempotent (a re-merged batch
+        # double-counts sums/counts), so the batch-id guard in
+        # _replay_guarded_swap is what upholds this sink's invariant —
+        # "after draining, the snapshot equals the from-scratch
+        # aggregate" — under foreachBatch's at-least-once replays.
+        def merge(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return aggregate_snapshot(batch_df, key_list, spec_d)
+            return incremental_agg_merge(current, batch_df, key_list, spec_d)
+
+        _replay_guarded_swap(spark, target_path, batch_id, merge)
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

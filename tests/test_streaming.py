@@ -399,3 +399,145 @@ def test_stream_incremental_agg_sink_equals_batch_aggregate(spark, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def _inc_merge_fn(batch_df, keys, spec):
+    """merge_fn closure matching stream_incremental_agg_sink's process."""
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+
+    def merge(current):
+        if current is None:
+            return aggregate_snapshot(batch_df, keys, spec)
+        return incremental_agg_merge(current, batch_df, keys, spec)
+
+    return merge
+
+
+_SPEC = {"total": ("sum", "value"), "n": ("count", "value")}
+
+
+def test_replay_guarded_swap_skips_replayed_batch(spark, tmp_path):
+    """foreachBatch is at-least-once: re-delivering an already-merged
+    batch_id must be a no-op, not a double-count of sums/counts."""
+    from spark_pipeline_spark.streaming import _replay_guarded_swap
+
+    target = str(tmp_path / "snap")
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, value double")
+    b1 = spark.createDataFrame([("a", 10.0)], "k string, value double")
+
+    _replay_guarded_swap(spark, target, 0, _inc_merge_fn(b0, ["k"], _SPEC))
+    _replay_guarded_swap(spark, target, 1, _inc_merge_fn(b1, ["k"], _SPEC))
+    # crash between swap and checkpoint commit -> batch 1 replays
+    _replay_guarded_swap(spark, target, 1, _inc_merge_fn(b1, ["k"], _SPEC))
+
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"a": (11.0, 2), "b": (2.0, 1)}  # 10.0 merged ONCE
+
+
+def test_replay_guarded_swap_recovers_crashed_overwrite(spark, tmp_path):
+    """Target dir with only _temporary debris + committed staging copy =
+    a crash mid-final-overwrite. The sink must restore the staging copy
+    (not silently restart as first-batch, not wedge) and still apply the
+    replayed batch exactly once."""
+    from spark_pipeline_spark.streaming import (
+        SNAPSHOT_BATCH_COL,
+        _replay_guarded_swap,
+    )
+
+    target = tmp_path / "snap"
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    b1 = spark.createDataFrame([("a", 10.0), ("b", 5.0)], "k string, value double")
+    _replay_guarded_swap(spark, str(target), 0, _inc_merge_fn(b0, ["k"], _SPEC))
+    _replay_guarded_swap(spark, str(target), 1, _inc_merge_fn(b1, ["k"], _SPEC))
+
+    # simulate the crash: staging committed at batch 1, target destroyed
+    # mid-overwrite (only _temporary left)
+    import shutil
+
+    shutil.rmtree(target)
+    target.mkdir()
+    (target / "_temporary").mkdir()
+
+    # replay of batch 1 -> restore from staging, merge skipped
+    _replay_guarded_swap(spark, str(target), 1, _inc_merge_fn(b1, ["k"], _SPEC))
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(str(target)).collect()
+    }
+    assert got == {"a": (11.0, 2), "b": (5.0, 1)}
+    last = (
+        spark.read.parquet(str(target)).agg(F.max(SNAPSHOT_BATCH_COL)).first()[0]
+    )
+    assert last == 1
+
+    # and the NEXT batch merges on top of the restored snapshot
+    b2 = spark.createDataFrame([("b", 1.0)], "k string, value double")
+    _replay_guarded_swap(spark, str(target), 2, _inc_merge_fn(b2, ["k"], _SPEC))
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(str(target)).collect()
+    }
+    assert got == {"a": (11.0, 2), "b": (6.0, 2)}
+
+
+def test_replay_guarded_swap_raises_on_unrecoverable_debris(spark, tmp_path):
+    """Debris target with NO committed staging copy is not mechanically
+    recoverable: the sink must refuse loudly instead of overwriting
+    whatever a human could still salvage."""
+    import pytest as _pytest
+
+    from spark_pipeline_spark.streaming import _replay_guarded_swap
+
+    target = tmp_path / "snap"
+    target.mkdir()
+    (target / "_temporary").mkdir()
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    with _pytest.raises(RuntimeError, match="crashed overwrite debris"):
+        _replay_guarded_swap(spark, str(target), 0, _inc_merge_fn(b0, ["k"], _SPEC))
+
+
+def test_upsert_sink_replay_and_recovery_via_guard(spark, tmp_path):
+    """The upsert sink shares the guard: a replayed upsert batch is
+    skipped (harmless either way — latest-wins is idempotent) and the
+    snapshot carries the batch-id metadata column."""
+    from spark_pipeline_spark.operators.merge import merge_upsert
+    from spark_pipeline_spark.streaming import (
+        SNAPSHOT_BATCH_COL,
+        _replay_guarded_swap,
+    )
+
+    target = str(tmp_path / "snap")
+    b0 = spark.createDataFrame([(1, "a", 1)], "k int, v string, version int")
+
+    def merge(current):
+        base = b0.limit(0) if current is None else current
+        return merge_upsert(base, b0, ["k"], "version")
+
+    _replay_guarded_swap(spark, target, 0, merge)
+    snap = spark.read.parquet(target)
+    assert SNAPSHOT_BATCH_COL in snap.columns
+    assert snap.count() == 1
+
+
+def test_hadoop_path_exists_guards_missing_jvm(tmp_path):
+    """Spark Connect sessions expose no _jvm gateway: both FS helpers
+    must raise a clear error instead of AttributeError-ing."""
+    import pytest as _pytest
+
+    from spark_pipeline_spark.streaming import (
+        committed_snapshot_exists,
+        hadoop_path_exists,
+    )
+
+    class FakeConnectSession:
+        _jvm = None
+
+    for fn in (hadoop_path_exists, committed_snapshot_exists):
+        with _pytest.raises(RuntimeError, match="Spark Connect"):
+            fn(FakeConnectSession(), str(tmp_path))
