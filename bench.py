@@ -28,10 +28,13 @@ def main() -> int:
     parser.add_argument(
         "--all", action="store_true", help="run every registered query, not just bench set"
     )
-    # best-of-2 by default: this container sees intermittent host-level
-    # throttling that can inflate a single run several-fold; the best of
-    # two runs is a far more stable estimate of actual plan cost.
-    parser.add_argument("--repeat", type=int, default=2, help="runs per query; best is kept")
+    # best-of-3 by default: this container sees intermittent host-level
+    # throttling that can inflate a single run several-fold (r3 8.1s ->
+    # r4 25.4s -> r5 10.6s on an unchanged query set was machine noise);
+    # the best of three runs estimates actual plan cost, and the emitted
+    # "spread" band (per-query worst/best ratio) makes regression
+    # comparisons against the recorded baseline meaningful.
+    parser.add_argument("--repeat", type=int, default=3, help="runs per query; best is kept")
     args = parser.parse_args()
 
     from spark_pipeline_spark import get_session
@@ -47,14 +50,16 @@ def main() -> int:
     REGISTRY[names[0]].fn(spark, args.sf_dir).count()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, args.sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(min(runs), 4)
+        spreads[name] = round(max(runs) / min(runs), 2)
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {
@@ -63,6 +68,13 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # run-to-run variance band: per-query worst/best ratio across
+        # the repeats, plus the median of those ratios. A machine-noise
+        # spike shows up here (large spread) rather than masquerading as
+        # a plan regression in the headline value.
+        "repeat": args.repeat,
+        "spread": spreads,
+        "spread_median": round(sorted(spreads.values())[len(spreads) // 2], 2),
     }
     print(json.dumps(result))
     spark.stop()

@@ -94,13 +94,15 @@ def table_diff(
     One full-outer join on the key; change detection compares an md5 of
     the (canonically stringified) payload struct per side, so arbitrarily
     wide payloads cross the shuffle as one 32-hex column each — the wide
-    columns are pruned out of the exchange entirely. NULLs are encoded as
-    an explicit ``<null>`` token per column before concatenation:
-    ``concat_ws`` silently drops NULL operands, so without the token the
-    payloads ``('x', NULL)`` and ``(NULL, 'x')`` would fingerprint
-    identically and a changed row would be reported "unchanged". The
-    distribution-level sibling is ``operators/datadiff``; this is the
-    audit for exact promote/rollback deltas.
+    columns are pruned out of the exchange entirely. Each column is
+    encoded as ``<null-flag>:<value>`` (flag = ``true``/``false``, NULL
+    value coalesced to ``''``) before concatenation: ``concat_ws``
+    silently drops NULL operands, and a bare sentinel token (``<null>``)
+    would collide with a column whose actual string value IS that token
+    — a row changing between the literal and SQL NULL must fingerprint
+    as "changed". The distribution-level sibling is
+    ``operators/datadiff``; this is the audit for exact
+    promote/rollback deltas.
     """
     cols = compare_cols or [c for c in old.columns if c not in keys]
 
@@ -109,7 +111,11 @@ def table_diff(
             F.concat_ws(
                 "|",
                 *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                    F.concat(
+                        F.col(c).isNull().cast("string"),
+                        F.lit(":"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("")),
+                    )
                     for c in cols
                 ],
             )

@@ -3682,14 +3682,18 @@ def validate_orders_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         o AS (
           SELECT o_orderkey,
-                 md5(coalesce(o_orderstatus, '<null>') || '|' ||
-                     coalesce(o_totalprice::VARCHAR, '<null>')) AS fp
+                 md5((o_orderstatus IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     (o_totalprice IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_totalprice::VARCHAR, '')) AS fp
           FROM orders
         ),
         n AS (
           SELECT o_orderkey,
-                 md5(coalesce(o_orderstatus, '<null>') || '|' ||
-                     coalesce(o_totalprice::VARCHAR, '<null>')) AS fp
+                 md5((o_orderstatus IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     (o_totalprice IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_totalprice::VARCHAR, '')) AS fp
           FROM newv
         )
         SELECT CASE WHEN o.fp IS NULL THEN 'added'

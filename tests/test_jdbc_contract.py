@@ -116,3 +116,40 @@ def test_jdbc_append_mode(spark, derby_url):
         properties=props, num_partitions=1,
     )
     assert out.count() == 10
+
+
+def test_jdbc_explicit_bounds_equal_auto_discovered(spark, derby_url):
+    """Pins the §2.13.1 swapped-bounds fix forever: a read with explicit
+    (correct) bounds and a read that auto-discovers them via the min/max
+    side query must produce identical rows AND equivalent range splits.
+    Under the reference's swap (min->upperBound), the discovered path
+    degenerates to one stride holding every row."""
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.io.sinks import write_jdbc
+    from spark_pipeline_spark.io.sources import read_jdbc
+
+    props = {"driver": DERBY_DRIVER}
+    df = spark.range(0, 80).select((F.col("id") + 10).alias("K"))
+    write_jdbc(
+        df, derby_url, "t_bounds_parity", mode="overwrite",
+        properties=props, num_partitions=2,
+    )
+
+    kwargs = dict(
+        properties=props, partition_column="K", num_partitions=4
+    )
+    q = "SELECT K FROM t_bounds_parity"
+    auto = read_jdbc(spark, q, derby_url, **kwargs)
+    explicit = read_jdbc(
+        spark, q, derby_url, lower_bound=10, upper_bound=89, **kwargs
+    )
+
+    a = sorted(r["K"] for r in auto.collect())
+    b = sorted(r["K"] for r in explicit.collect())
+    assert a == b == list(range(10, 90))
+
+    auto_sizes = sorted(auto.rdd.glom().map(len).collect())
+    explicit_sizes = sorted(explicit.rdd.glom().map(len).collect())
+    assert auto_sizes == explicit_sizes  # identical stride assignment
+    assert max(auto_sizes) < 80  # no degenerate single-stride split

@@ -291,6 +291,18 @@ def test_table_diff_null_swap_is_changed(spark):
     assert out == {1: "changed", 2: "unchanged", 3: "changed"}
 
 
+def test_table_diff_null_vs_sentinel_literal_is_changed(spark):
+    # A sentinel-token encoding makes the literal string '<null>'
+    # indistinguishable from SQL NULL; the null-flag encoding must
+    # classify a NULL <-> '<null>' transition as changed.
+    from spark_pipeline_spark.operators.merge import table_diff
+
+    old = spark.createDataFrame([(1, "<null>"), (2, None)], "k int, a string")
+    new = spark.createDataFrame([(1, None), (2, "<null>")], "k int, a string")
+    out = {r["k"]: r["change"] for r in table_diff(old, new, ["k"]).collect()}
+    assert out == {1: "changed", 2: "changed"}
+
+
 def test_scale_to_int_wide_range_raises(spark):
     # epoch-micros-scale spans exceed the exact-double floor bound; the
     # guard must raise instead of silently misassigning z-order cells.
