@@ -6324,6 +6324,256 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouping_sets_orders",
+    oracle="""
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               grouping(o_orderstatus)::BIGINT * 2
+                 + grouping(o_orderpriority)::BIGINT AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderpriority), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS — the general form that ROLLUP/CUBE are
+    sugar for: the (status, priority) detail plane, a priority-only
+    subtotal plane, and the grand total, in ONE pass (Spark expands the
+    sets map-side; the shuffle carries partially-combined rows per
+    plane, never the fact table N× over)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            (
+                F.grouping("o_orderstatus").cast("bigint") * 2
+                + F.grouping("o_orderpriority").cast("bigint")
+            ).alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        s AS (
+          SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) AS mx
+          FROM e
+        ),
+        q AS (
+          SELECT vec_id, v,
+                 CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS scale
+          FROM s
+        ),
+        d AS (
+          SELECT vec_id, scale,
+                 list_transform(
+                   v, x -> CASE WHEN scale > 0
+                                THEN abs(x - floor(x * scale + 0.5) / scale)
+                                ELSE 0.0 END) AS errs
+          FROM q
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               round(list_max(errs), 6) AS max_abs_err,
+               round(list_sum(errs) / len(errs), 6) AS mean_abs_err
+        FROM d
+    """,
+    tags=("similarity", "quantization", "storage", "llm-pipeline"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization report — the 4×
+    storage shrink that makes a 100 TB embedding corpus a 25 TB one:
+    scale = 127/max|x| per vector, code = floor(x·scale + 0.5), plus
+    the max/mean reconstruction error per vector.
+
+    Everything is expression-level (transform/aggregate on the array
+    column — no Python, no shuffle at all: the report is a pure
+    projection). floor(x+0.5) instead of round() because SQL round()
+    half-way behavior is engine-specific, while floor is IEEE-exact in
+    both — the codes, and therefore the errors, hash identically."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    s = e.withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    q = s.withColumn(
+        "scale",
+        F.when(F.col("mx") > 0, F.lit(127.0) / F.col("mx")).otherwise(F.lit(0.0)),
+    )
+    scale = F.col("scale")
+    d = q.withColumn(
+        "errs",
+        F.transform(
+            "v",
+            lambda x: F.when(
+                scale > 0, F.abs(x - F.floor(x * scale + F.lit(0.5)) / scale)
+            ).otherwise(F.lit(0.0)),
+        ),
+    )
+    n = F.size("errs").cast("double")
+    return d.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max("errs"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("errs", F.lit(0.0), lambda acc, x: acc + x) / n, 6
+        ).alias("mean_abs_err"),
+    )
+
+
+@register(
+    "join_cardinality_advisor",
+    oracle="""
+        WITH lc AS (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1),
+        rc AS (SELECT c_custkey AS k, count(*) AS n FROM customer GROUP BY 1),
+        j AS (
+          SELECT lc.n AS nl, rc.n AS nr
+          FROM lc FULL OUTER JOIN rc USING (k)
+        )
+        SELECT coalesce(sum(nl * nr), 0)::BIGINT AS predicted_rows,
+               count(nl)::BIGINT AS n_keys_left,
+               count(nr)::BIGINT AS n_keys_right,
+               count(CASE WHEN nl IS NOT NULL AND nr IS NOT NULL THEN 1 END)
+                 ::BIGINT AS n_keys_common
+        FROM j
+    """,
+    tags=("profile", "join", "advisor"),
+)
+def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-output cardinality prediction WITHOUT running the
+    join: per-key counts on each side (map-side combined — the shuffle
+    carries one row per key, not the fact table), full-outer join of the
+    two count tables, Σ n_left·n_right. The planner's pre-flight check
+    before a 100 TB join: predicted_rows exploding past the input sizes
+    flags a fan-out join (duplicate keys both sides) before it burns the
+    cluster; the key-overlap counts diagnose containment."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    lc = o.groupBy(F.col("o_custkey").alias("k")).agg(F.count(F.lit(1)).alias("nl"))
+    rc = c.groupBy(F.col("c_custkey").alias("k")).agg(F.count(F.lit(1)).alias("nr"))
+    j = lc.join(rc, "k", "full_outer")
+    return j.agg(
+        F.coalesce(F.sum(F.col("nl") * F.col("nr")), F.lit(0)).alias("predicted_rows"),
+        F.count("nl").alias("n_keys_left"),
+        F.count("nr").alias("n_keys_right"),
+        F.count(
+            F.when(F.col("nl").isNotNull() & F.col("nr").isNotNull(), F.lit(1))
+        ).alias("n_keys_common"),
+    )
+
+
+@register(
+    "quality_filter_attrition_documents",
+    oracle=f"""
+        WITH scored AS (
+          SELECT n_chars,
+                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({_sql_stop_hits("en")}::DOUBLE
+                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3 AS q,
+                 len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                   / greatest(length(text), 1) AS pr
+          FROM documents
+        ),
+        f AS (
+          SELECT count(*) AS total,
+                 count(*) FILTER (n_chars >= 100) AS p1,
+                 count(*) FILTER (n_chars >= 100 AND q >= 0.45) AS p2,
+                 count(*) FILTER (n_chars >= 100 AND q >= 0.45 AND pr <= 0.1)
+                   AS p3
+          FROM scored
+        )
+        SELECT 'min_chars' AS stage, total::BIGINT AS n_in,
+               (total - p1)::BIGINT AS n_dropped, p1::BIGINT AS n_out,
+               round((total - p1) / greatest(total, 1)::DOUBLE, 6) AS drop_rate
+        FROM f
+        UNION ALL
+        SELECT 'quality', p1::BIGINT, (p1 - p2)::BIGINT, p2::BIGINT,
+               round((p1 - p2) / greatest(p1, 1)::DOUBLE, 6)
+        FROM f
+        UNION ALL
+        SELECT 'low_punct', p2::BIGINT, (p2 - p3)::BIGINT, p3::BIGINT,
+               round((p2 - p3) / greatest(p2, 1)::DOUBLE, 6)
+        FROM f
+    """,
+    tags=("quality", "text", "llm-pipeline", "observability"),
+)
+def quality_filter_attrition_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage attrition report for the document cleaning funnel
+    (min-length → quality score → punctuation gate): how many documents
+    enter, are dropped by, and survive each filter, with the stage drop
+    rate — the observability table every corpus-prep run ships with.
+
+    ONE scan: every stage's survivor count is a conditional aggregate of
+    the same pass (partial combine map-side), and the 3-row report is
+    exploded from the single aggregate row — at 100 TB this costs the
+    same scan the pipeline already pays, not one pass per filter."""
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents")
+    s1 = F.col("n_chars") >= 100
+    s2 = s1 & (T.quality_score("text") >= 0.45)
+    s3 = s2 & (T.punct_ratio("text") <= 0.1)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count(F.when(s1, 1)).alias("p1"),
+        F.count(F.when(s2, 1)).alias("p2"),
+        F.count(F.when(s3, 1)).alias("p3"),
+    )
+    stage = F.explode(
+        F.array(
+            F.struct(
+                F.lit("min_chars").alias("stage"),
+                F.col("total").alias("n_in"),
+                (F.col("total") - F.col("p1")).alias("n_dropped"),
+                F.col("p1").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("quality").alias("stage"),
+                F.col("p1").alias("n_in"),
+                (F.col("p1") - F.col("p2")).alias("n_dropped"),
+                F.col("p2").alias("n_out"),
+            ),
+            F.struct(
+                F.lit("low_punct").alias("stage"),
+                F.col("p2").alias("n_in"),
+                (F.col("p2") - F.col("p3")).alias("n_dropped"),
+                F.col("p3").alias("n_out"),
+            ),
+        )
+    ).alias("s")
+    return agg.select(stage).select(
+        "s.stage",
+        "s.n_in",
+        "s.n_dropped",
+        "s.n_out",
+        F.round(
+            F.col("s.n_dropped") / F.greatest(F.col("s.n_in"), F.lit(1)).cast("double"),
+            6,
+        ).alias("drop_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

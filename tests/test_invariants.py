@@ -345,35 +345,30 @@ def test_global_row_number_bucket_invariance(spark):
     assert sorted(ref.values()) == list(range(1, len(ref) + 1))
 
 
-def test_driver_window_covers_every_operator_family():
+def test_driver_window_contract():
     """The grading driver hash-checks only the FIRST 50 registered
-    queries, so registration order is an external contract: the window
-    must hold one representative per operator family, all oracle-backed."""
+    queries, so registration order is an external contract. The window
+    ROTATES between rounds (to drive every registered query through the
+    driver's sf0.01 gate over time), so this asserts the rotation-stable
+    invariants rather than pinned representatives: every window entry is
+    oracle-backed, the continuity sentinels are present, and the window
+    spans many operator families (tag diversity), not variants of a few."""
     from spark_pipeline_spark.queries import REGISTRY
 
     window = list(REGISTRY)[:50]
-    reps = {
-        "relational": "q1_pricing_summary",
-        "sampling": "hash_sample_lineitem",
-        "text": "text_stats_documents",
-        "dedup": "dedup_minhash_lsh_documents",
-        "similarity": "embedding_ann_ivf",
-        "events": "events_sessions_30m",
-        "scoring": "score_callable_model",
-        "training": "train_logistic_gd_lineitem",
-        "merge": "merge_upsert_orders",
-        "cdc_diff": "table_diff_orders_feed",
-        "funnel": "funnel_events",
-        "sketch": "cm_sketch_custkey_counts",
-        "multimodal": "multimodal_decode_features",
-        "datadiff": "datadiff_continuous_lineitem",
-        "layout": "zorder_orders_locality",
-        "quality": "validate_orders_quality",
-        "corpus": "corpus_prep_end_to_end",
-        "bloom_pruning": "bloom_pruned_join_revenue",
-        "incremental": "incremental_agg_orders",
-    }
-    missing = {fam: n for fam, n in reps.items() if n not in window}
-    assert not missing, f"families outside the driver window: {missing}"
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
+
+    sentinels = {
+        "q1_pricing_summary",          # relational core continuity
+        "dedup_minhash_lsh_documents", # LLM-pipeline continuity
+        "corpus_prep_end_to_end",      # end-to-end composition continuity
+    }
+    missing = sentinels - set(window)
+    assert not missing, f"continuity sentinels outside the window: {missing}"
+
+    tags = {tg for n in window for tg in REGISTRY[n].tags}
+    assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"
+    for family_tag in ("dedup", "text", "events", "sketch", "scoring",
+                      "sample", "multimodal", "datadiff", "quality"):
+        assert any(family_tag in REGISTRY[n].tags for n in window), family_tag
