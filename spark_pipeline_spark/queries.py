@@ -6325,6 +6325,135 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    tags=("scan", "filter", "agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the canonical
+    pushdown-or-die query — a tight conjunctive filter over one table
+    followed by a single global aggregate. Every predicate (date range,
+    discount band, quantity cap) must reach the parquet scan as
+    PushedFilters; the aggregate is a two-column partial combine, so the
+    whole 100 TB question costs one pruned scan and a one-row exchange."""
+    l = t(spark, sf_dir, "lineitem")
+    kept = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return kept.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q4_priority_late_shipping",
+    oracle="""
+        SELECT o.o_orderpriority AS priority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY priority
+    """,
+    tags=("join", "semi", "agg"),
+)
+def q4_priority_late_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to this
+    schema's columns: orders in a quarter-year window that had at least
+    one line item shipped >30 days after ordering, counted by priority.
+
+    The EXISTS becomes a LEFT SEMI join — the probe side carries each
+    order at most once regardless of how many late lines it has, so no
+    post-join dedup and no row explosion; the date filter prunes the
+    orders scan before the shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 30 days")),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("join", "pushdown", "disjunctive"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    three OR-ed brand/size/quantity branches spanning both join sides.
+
+    The optimizer test: Catalyst must (a) extract the common
+    single-side conjuncts from the OR — every branch bounds p_size ≥ 1
+    and l_quantity ∈ [1, 30] — and push them below the join as scan
+    filters, and (b) keep the residual disjunction as a join-level
+    predicate, NOT expand the join three times. part joins as the
+    build side (dimension-sized at any SF)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "grouping_sets_orders",
     oracle="""
         SELECT coalesce(o_orderstatus, '<all>') AS status,
@@ -6634,6 +6763,10 @@ _DRIVER_WINDOW = [
 # pagerank_customer_supplier, pit_dimension_join_shipments,
 # grouped_ols_lineitem, capped_sessions_events, rag_prep_end_to_end,
 # kfold_assignment_documents
+# ...plus the queries ADDED in round 6 (registered after the rotation):
+# q6_forecast_revenue, q4_priority_late_shipping, q19_disjunctive_revenue,
+# grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
+# quality_filter_attrition_documents
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
