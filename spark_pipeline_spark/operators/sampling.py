@@ -63,6 +63,22 @@ def hash_sample(df: DataFrame, fraction: float, key_cols: list[str] | None = Non
     return df.filter(_key_hash(df, key_cols) < F.lit(fraction))
 
 
+def hash_split_predicate(fraction: float, key_cols: list[str]) -> Column:
+    """The :func:`hash_sample` draw as a standalone predicate Column:
+    ``filter(pred)`` and ``filter(~pred)`` partition a table into
+    complementary deterministic halves (reference vs current for drift,
+    train vs holdout) — both sides stable under repartitioning and
+    identical cross-engine. Explicit ``key_cols`` required: a predicate
+    detached from its DataFrame can't fall back to "all columns"."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if len(key_cols) == 1:
+        basis = F.col(key_cols[0]).cast("string")
+    else:
+        basis = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return md5_unit(basis) < F.lit(fraction)
+
+
 def deterministic_limit(df: DataFrame, n: int, order_by: list[str] | None = None) -> DataFrame:
     """First-n rows; stable across reruns ONLY when ``order_by`` is given.
 

@@ -6325,6 +6325,159 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "psi_quantile_drift_lineitem",
+    oracle=f"""
+        WITH ref AS (SELECT l_extendedprice AS v FROM lineitem WHERE {_SQL_SAMP50}),
+        cur AS (SELECT l_extendedprice AS v FROM lineitem
+                WHERE NOT ({_SQL_SAMP50})),
+        b AS (SELECT quantile_cont(v, {_DECILES}) AS bnds FROM ref),
+        hr AS (
+          SELECT len(list_filter(b.bnds, x -> v >= x)) AS bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER () AS p
+          FROM ref, b GROUP BY bucket
+        ),
+        hc AS (
+          SELECT len(list_filter(b.bnds, x -> v >= x)) AS bucket,
+                 count(*)::DOUBLE / sum(count(*)) OVER () AS q
+          FROM cur, b GROUP BY bucket
+        ),
+        j AS (
+          SELECT bucket,
+                 greatest(coalesce(p, 0), 0.000001) AS p,
+                 greatest(coalesce(q, 0), 0.000001) AS q
+          FROM hr FULL OUTER JOIN hc USING (bucket)
+        )
+        SELECT bucket,
+               round(p, 6) AS ref_share,
+               round(q, 6) AS cur_share,
+               round((p - q) * ln(p / q), 6) AS psi_term,
+               round(sum((p - q) * ln(p / q)) OVER (), 6) AS psi_total
+        FROM j
+    """,
+    tags=("datadiff", "psi", "drift", "quantile"),
+)
+def psi_quantile_drift_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index with EQUAL-DEPTH (decile) bins — the
+    industry-standard drift metric, complementing the equal-width
+    TVD/PSI in ``operators/datadiff``: quantile bins keep every bucket
+    populated, so PSI isn't dominated by empty-tail noise.
+
+    Reference = the deterministic 50% hash sample; current = the rest.
+    Bin boundaries come from ONE aggregate over the reference and ride
+    to both sides as a broadcast single-row array; bucketing is a pure
+    fold (no global sort — ntile would range-shuffle the table and tie-
+    break engine-specifically). Shares are floored at 1e-6 on both
+    engines before the log, the standard PSI guard against empty cells."""
+    from spark_pipeline_spark.operators.sampling import hash_split_predicate
+
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("v")
+    )
+    split = hash_split_predicate(0.5, ["l_orderkey", "l_linenumber"])
+    ref, cur = l.filter(split), l.filter(~split)
+    bounds = ref.agg(
+        F.percentile("v", F.array(*[F.lit(p) for p in _DECILES])).alias("__bnds")
+    )
+    bucket = F.aggregate(
+        F.col("__bnds"),
+        F.lit(0),
+        lambda acc, b: acc + F.when(F.col("v") >= b, 1).otherwise(0),
+    )
+
+    def shares(df: DataFrame, name: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        h = (
+            df.join(F.broadcast(bounds))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        return h.select(
+            "bucket",
+            (F.col("n") / F.sum("n").over(Window.partitionBy())).alias(name),
+        )
+
+    j = shares(ref, "p").join(shares(cur, "q"), "bucket", "full_outer")
+    p = F.greatest(F.coalesce("p", F.lit(0.0)), F.lit(0.000001))
+    q = F.greatest(F.coalesce("q", F.lit(0.0)), F.lit(0.000001))
+    term = (p - q) * F.log(p / q)
+    from pyspark.sql import Window
+
+    return j.select(
+        "bucket",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round(term, 6).alias("psi_term"),
+        F.round(F.sum(term).over(Window.partitionBy()), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "seasonal_anomaly_hours_events",
+    oracle="""
+        WITH hourly AS (
+          SELECT date_trunc('hour', ts) AS h,
+                 extract(hour FROM date_trunc('hour', ts))::BIGINT AS hod,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        prof AS (
+          SELECT hod, avg(n) AS mean_n, stddev_pop(n) AS sd
+          FROM hourly GROUP BY hod
+        )
+        SELECT epoch(h.h)::BIGINT AS hour_epoch, h.hod AS hod,
+               h.n AS n_events,
+               round(p.mean_n, 6) AS expected,
+               round(CASE WHEN p.sd > 0 THEN (h.n - p.mean_n) / p.sd
+                          ELSE 0.0 END, 6) AS z_score
+        FROM hourly h JOIN prof p USING (hod)
+        ORDER BY round(abs(CASE WHEN p.sd > 0 THEN (h.n - p.mean_n) / p.sd
+                                ELSE 0.0 END), 6) DESC, hour_epoch
+        LIMIT 20
+    """,
+    tags=("events", "anomaly", "seasonality", "stats"),
+)
+def seasonal_anomaly_hours_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal anomaly detection: the 20 hours whose event count
+    deviates most (z-score) from their OWN hour-of-day baseline — a
+    2 a.m. traffic spike is judged against 2 a.m. norms, not the daily
+    average that would drown it.
+
+    Composition: hourly counts (one shuffle, map-side combined) →
+    24-row seasonal profile (avg + stddev_pop per hour-of-day) joined
+    back by broadcast → top-20 via TakeOrdered, never a global sort.
+    The z is rounded before ordering so the cut boundary is
+    deterministic cross-engine."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("hod", F.hour("h").cast("bigint"))
+    )
+    prof = hourly.groupBy("hod").agg(
+        F.avg("n").alias("mean_n"), F.stddev_pop("n").alias("sd")
+    )
+    z = F.when(F.col("sd") > 0, (F.col("n") - F.col("mean_n")) / F.col("sd")).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        hourly.join(F.broadcast(prof), "hod")
+        .select(
+            F.unix_timestamp("h").alias("hour_epoch"),
+            "hod",
+            F.col("n").alias("n_events"),
+            F.round("mean_n", 6).alias("expected"),
+            F.round(z, 6).alias("z_score"),
+            F.round(F.abs(z), 6).alias("__az"),
+        )
+        .orderBy(F.desc("__az"), "hour_epoch")
+        .limit(20)
+        .drop("__az")
+    )
+
+
+@register(
     "q6_forecast_revenue",
     oracle="""
         SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
@@ -6766,7 +6919,8 @@ _DRIVER_WINDOW = [
 # ...plus the queries ADDED in round 6 (registered after the rotation):
 # q6_forecast_revenue, q4_priority_late_shipping, q19_disjunctive_revenue,
 # grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
-# quality_filter_attrition_documents
+# quality_filter_attrition_documents, psi_quantile_drift_lineitem,
+# seasonal_anomaly_hours_events
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

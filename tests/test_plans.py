@@ -39,6 +39,7 @@ _NLJ_ALLOWED = {
     "user_survival_curve",  # one-row total broadcast
     "global_row_number_documents",  # one-row quantile-bounds broadcast
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
+    "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
 }
 
 
