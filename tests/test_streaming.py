@@ -541,3 +541,84 @@ def test_hadoop_path_exists_guards_missing_jvm(tmp_path):
     for fn in (hadoop_path_exists, committed_snapshot_exists):
         with _pytest.raises(RuntimeError, match="Spark Connect"):
             fn(FakeConnectSession(), str(tmp_path))
+
+
+def test_replay_guarded_swap_merges_when_staging_ahead_of_target(spark, tmp_path):
+    """Crash AFTER the staging write but BEFORE the target overwrite:
+    target still holds batch N-1 (committed), staging holds batch N.
+    The replay of batch N must merge from the committed target — once —
+    and the stale-vs-fresh staging must not confuse it."""
+    from spark_pipeline_spark.streaming import _replay_guarded_swap
+
+    target = str(tmp_path / "snap")
+    staging = target + "__staging"
+    b0 = spark.createDataFrame([("a", 1.0)], "k string, value double")
+    b1 = spark.createDataFrame([("a", 10.0)], "k string, value double")
+    _replay_guarded_swap(spark, target, 0, _inc_merge_fn(b0, ["k"], _SPEC))
+
+    # simulate: staging for batch 1 committed, target untouched at batch 0
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+    from spark_pipeline_spark.streaming import SNAPSHOT_BATCH_COL
+
+    cur = spark.read.parquet(target).drop(SNAPSHOT_BATCH_COL)
+    merged = incremental_agg_merge(cur, b1, ["k"], _SPEC).withColumn(
+        SNAPSHOT_BATCH_COL, F.lit(1)
+    )
+    merged.write.mode("overwrite").parquet(staging)
+
+    _replay_guarded_swap(spark, target, 1, _inc_merge_fn(b1, ["k"], _SPEC))
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {"a": (11.0, 2)}
+
+
+def test_replay_guarded_swap_restores_when_target_fully_absent(spark, tmp_path):
+    """Crash DURING the target overwrite can also leave the target path
+    deleted outright (overwrite removes before writing). With a
+    committed staging copy the state must be recovered, not treated as
+    first-batch."""
+    import shutil
+
+    from spark_pipeline_spark.streaming import _replay_guarded_swap
+
+    target = tmp_path / "snap"
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, value double")
+    b1 = spark.createDataFrame([("a", 10.0)], "k string, value double")
+    _replay_guarded_swap(spark, str(target), 0, _inc_merge_fn(b0, ["k"], _SPEC))
+    _replay_guarded_swap(spark, str(target), 1, _inc_merge_fn(b1, ["k"], _SPEC))
+    shutil.rmtree(target)  # overwrite-in-flight removed the directory
+
+    _replay_guarded_swap(spark, str(target), 1, _inc_merge_fn(b1, ["k"], _SPEC))
+    got = {
+        r["k"]: (r["total"], r["n"])
+        for r in spark.read.parquet(str(target)).collect()
+    }
+    assert got == {"a": (11.0, 2), "b": (2.0, 1)}  # NOT just batch 1
+
+
+def test_replay_guarded_swap_accepts_legacy_snapshot_without_batch_col(spark, tmp_path):
+    """Snapshots written before the batch-id column existed must keep
+    working: treated as last=-1 (at-least-once, the old behavior) and
+    upgraded with the column on the next merge."""
+    from spark_pipeline_spark.streaming import (
+        SNAPSHOT_BATCH_COL,
+        _replay_guarded_swap,
+    )
+
+    target = str(tmp_path / "snap")
+    legacy = spark.createDataFrame(
+        [("a", 5.0, 2), ("b", 1.0, 1)], "k string, total double, n long"
+    )
+    legacy.write.mode("overwrite").parquet(target)
+
+    b = spark.createDataFrame([("b", 4.0)], "k string, value double")
+    _replay_guarded_swap(spark, target, 7, _inc_merge_fn(b, ["k"], _SPEC))
+    snap = spark.read.parquet(target)
+    assert SNAPSHOT_BATCH_COL in snap.columns
+    got = {r["k"]: (r["total"], r["n"]) for r in snap.collect()}
+    assert got == {"a": (5.0, 2), "b": (5.0, 2)}
