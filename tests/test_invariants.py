@@ -25,6 +25,25 @@ def test_hash_sample_invariant_under_repartition(spark):
     assert ka == kb and 0 < len(ka) < o.count()
 
 
+def test_hash_split_predicate_complements_hash_sample(spark):
+    """filter(pred) must equal hash_sample at the same fraction/keys,
+    and filter(~pred) must be its exact complement — together they
+    partition the table with no row lost or doubled."""
+    from spark_pipeline_spark.operators.sampling import (
+        hash_sample,
+        hash_split_predicate,
+    )
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey")
+    pred = hash_split_predicate(0.4, ["o_orderkey"])
+    left = {r["o_orderkey"] for r in o.filter(pred).collect()}
+    right = {r["o_orderkey"] for r in o.filter(~pred).collect()}
+    sampled = {r["o_orderkey"] for r in hash_sample(o, 0.4, ["o_orderkey"]).collect()}
+    assert left == sampled
+    assert left.isdisjoint(right)
+    assert len(left) + len(right) == o.count()
+
+
 def test_minhash_candidates_subset_of_bruteforce_and_find_planted(spark):
     """LSH never invents pairs: every verified pair must also pass
     brute-force Jaccard; and the planted near-identical documents
