@@ -37,6 +37,7 @@ __all__ = [
     "jaccard_similarity",
     "minhash_band_keys",
     "minhash_near_dup_pairs",
+    "containment_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
     "decontaminate",
@@ -307,6 +308,83 @@ def minhash_near_dup_pairs(
             jaccard_similarity("__sh_a", "__sh_b").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_df: int = 10,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by CONTAINMENT — ``|A∩B| / min(|A|, |B|)`` over
+    word ``n``-gram shingle sets — the asymmetric complement of
+    :func:`minhash_near_dup_pairs`: a short document embedded verbatim
+    in a much longer one has containment ≈ 1 but Jaccard ≈ |A|/|B|
+    (arbitrarily small), so MinHash banding structurally misses it.
+
+    Candidate generation is RARE-shingle blocking, not banding: explode
+    to (id, shingle), keep shingles whose document frequency is in
+    [2, ``max_df``], and self-join on those only. Two scale properties:
+
+    - bounded fan-out: a blocking shingle yields ≤ C(max_df, 2) pairs,
+      so candidate volume is O(#rare-shingles · max_df²) — common
+      shingles (the ones that would explode the join quadratically) are
+      excluded from blocking entirely;
+    - recall: a contained document shares ALL its shingles with its
+      container, so the pair is blocked together unless every single
+      shingle of the contained doc is corpus-common (df > max_df) —
+      i.e. the doc is boilerplate, which containment dedup should not
+      flag anyway.
+
+    Verification is exact set containment on candidates only; wide
+    shingle arrays move once per candidate id (re-joined by id), never
+    through the blocking join. Returns ``(id_a, id_b, containment)``
+    with ``id_a < id_b`` and ``containment >= threshold``.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    base = shingle_table(
+        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # explode_outer + isNotNull per shingle_table's consumer warning
+    # (plain explode re-inlines the gram expression below the exchange).
+    # ex re-derives from the persisted base for its two consumers — the
+    # explode itself is cheap; the expensive shingling is cached.
+    ex = base.select("__id", F.explode_outer("__sh").alias("__g")).filter(
+        F.col("__g").isNotNull()
+    )
+    rare = (
+        ex.groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
+        .select("__g")
+    )
+    blocked = ex.join(rare, "__g")
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.__g") == F.col("b.__g"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+    sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+    containment = F.size(F.array_intersect("__sh_a", "__sh_b")) / F.least(
+        F.size("__sh_a"), F.size("__sh_b")
+    ).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -6325,6 +6325,53 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment_documents",
+    oracle=f"""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+          FROM (SELECT doc_id, {_SQL_TOKS} AS w FROM documents)
+          WHERE len(w) >= 3
+        ),
+        ex AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        rare AS (SELECT g FROM ex GROUP BY g HAVING count(*) BETWEEN 2 AND 10),
+        blocked AS (SELECT e.doc_id, e.g FROM ex e JOIN rare USING (g)),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM blocked a JOIN blocked b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        v AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / least(len(sa.sh), len(sb.sh)) AS containment
+          FROM cand
+          JOIN sh sa ON sa.doc_id = cand.id_a
+          JOIN sh sb ON sb.doc_id = cand.id_b
+        )
+        SELECT id_a, id_b, round(containment, 6) AS containment
+        FROM v WHERE containment >= 0.9
+    """,
+    tags=("dedup", "containment", "llm-pipeline"),
+)
+def dedup_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (|A∩B| / min|A|,|B| ≥ 0.9 over word
+    3-gram sets) with rare-shingle blocking — catches a short document
+    embedded in a longer one, where Jaccard ≈ |A|/|B| is arbitrarily
+    small and MinHash banding structurally misses the pair. Candidates
+    come only from shingles with document frequency in [2, 10]: bounded
+    fan-out per blocking key, and common/boilerplate shingles never
+    enter the join."""
+    from spark_pipeline_spark.operators.dedup import containment_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = containment_near_dup_pairs(d, "doc_id", "text", n=3, max_df=10)
+    return pairs.select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+
+
+@register(
     "psi_quantile_drift_lineitem",
     oracle=f"""
         WITH ref AS (SELECT l_extendedprice AS v FROM lineitem WHERE {_SQL_SAMP50}),
@@ -6920,7 +6967,7 @@ _DRIVER_WINDOW = [
 # q6_forecast_revenue, q4_priority_late_shipping, q19_disjunctive_revenue,
 # grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
 # quality_filter_attrition_documents, psi_quantile_drift_lineitem,
-# seasonal_anomaly_hours_events
+# seasonal_anomaly_hours_events, dedup_containment_documents
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

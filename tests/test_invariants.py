@@ -391,3 +391,42 @@ def test_driver_window_contract():
     for family_tag in ("dedup", "text", "events", "sketch", "scoring",
                       "sample", "multimodal", "datadiff", "quality"):
         assert any(family_tag in REGISTRY[n].tags for n in window), family_tag
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short document embedded verbatim in a much longer one:
+    containment ~= 1 but Jaccard = |A|/|B| is small — the containment
+    operator must flag the pair, the Jaccard verifier must not."""
+    from spark_pipeline_spark.operators.dedup import (
+        containment_near_dup_pairs,
+        jaccard_similarity,
+        minhash_near_dup_pairs,
+        word_shingles,
+    )
+
+    short = " ".join(f"alpha{i} beta{i}" for i in range(15))  # 30 words
+    long = short + " " + " ".join(f"gamma{i} delta{i}" for i in range(50))
+    # one unrelated doc so blocking df stays in [2, max_df]
+    other = " ".join(f"epsilon{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, other)], "doc_id long, text string"
+    )
+
+    cont = containment_near_dup_pairs(df, "doc_id", "text", threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in cont.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 0.95
+
+    jac = (
+        df.alias("a")
+        .crossJoin(df.alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            jaccard_similarity(
+                word_shingles(F.col("a.text")), word_shingles(F.col("b.text"))
+            ).alias("j")
+        )
+        .agg(F.max("j"))
+        .first()[0]
+    )
+    assert jac < 0.5  # Jaccard can never reach a 0.7-style threshold here
+    assert minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.7).count() == 0
