@@ -6325,6 +6325,76 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negative_mining_embeddings",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 10)
+        SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+               q.label AS anchor_label, c.label AS negative_label,
+               round(list_cosine_similarity(q.v, c.v), 6) AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+               ) AS rank
+        FROM q JOIN e c ON q.label != c.label
+        QUALIFY rank <= 5
+    """,
+    tags=("similarity", "training", "contrastive", "llm-pipeline"),
+)
+def hard_negative_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the 5 most-similar vectors with a DIFFERENT label — the
+    negatives that actually teach a margin (random negatives are mostly
+    trivial; the hard ones sit near the decision boundary).
+
+    Same plan as the exact top-k baseline: anchors broadcast (the small
+    side by construction), corpus vectors never shuffle, cosine is the
+    JVM-side expression, and the per-anchor top-5 is a WindowGroupLimit
+    rank window — the label-inequality predicate just rides on the
+    broadcast join. Deterministic tiebreak on neighbor id."""
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("__qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    c = e.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("__cv"),
+        F.col("label").alias("negative_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), how="cross")
+        .filter(F.col("anchor_label") != F.col("negative_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "anchor_id",
+            "negative_id",
+            "anchor_label",
+            "negative_label",
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+@register(
     "dedup_containment_documents",
     oracle=f"""
         WITH sh AS (
@@ -6967,7 +7037,8 @@ _DRIVER_WINDOW = [
 # q6_forecast_revenue, q4_priority_late_shipping, q19_disjunctive_revenue,
 # grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
 # quality_filter_attrition_documents, psi_quantile_drift_lineitem,
-# seasonal_anomaly_hours_events, dedup_containment_documents
+# seasonal_anomaly_hours_events, dedup_containment_documents,
+# hard_negative_mining_embeddings
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

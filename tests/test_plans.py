@@ -40,6 +40,7 @@ _NLJ_ALLOWED = {
     "global_row_number_documents",  # one-row quantile-bounds broadcast
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
+    "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
 }
 
 
