@@ -147,3 +147,18 @@ def test_quality_check_on_empty_table_passes(spark):
     assert len(rows) == 4
     for r in rows:
         assert r["violations"] == 0 and r["passed"] is True
+
+
+def test_containment_and_quantize_on_empty(spark):
+    from spark_pipeline_spark.operators.dedup import containment_near_dup_pairs
+
+    d = _empty_docs(spark)
+    pairs = containment_near_dup_pairs(d, "doc_id", "text")
+    assert pairs.columns == ["id_a", "id_b", "containment"] and pairs.count() == 0
+
+    e = t(spark, SF_SMALL, "embeddings").filter(F.lit(False))
+    out = (
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
+    )
+    assert out.count() == 0
