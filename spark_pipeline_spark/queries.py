@@ -6325,6 +6325,111 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_nation_market_share",
+    oracle="""
+        WITH vol AS (
+          SELECT EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+          WHERE r.r_name = 'EUROPE' AND p.p_type = 'STANDARD'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume ELSE 0 END) / sum(volume), 6)
+                 AS mkt_share,
+               round(sum(volume), 2) AS total_volume
+        FROM vol GROUP BY o_year
+    """,
+    tags=("join", "agg", "broadcast", "multi-join"),
+)
+def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): a 7-table star — NATION_3
+    suppliers' share of the EUROPE customer market for STANDARD parts,
+    per order year. nation appears TWICE (customer side and supplier
+    side) under different aliases.
+
+    Scale shape: region/nation broadcast (constant-size); part's type
+    filter prunes its scan before the join; customer/supplier stay with
+    AQE; lineitem⋈orders is the one unavoidable big shuffle, and the
+    share is a conditional aggregate of the same pass — no second
+    scan for the numerator."""
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n1 = t(spark, sf_dir, "nation").alias("n1")
+    n2 = t(spark, sf_dir, "nation").alias("n2")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(p, l.l_partkey == p.p_partkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    share_num = F.sum(
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(share_num / F.sum("volume"), 6).alias("mkt_share"),
+        F.round(F.sum("volume"), 2).alias("total_volume"),
+    )
+
+
+@register(
+    "q22_dormant_high_balance",
+    oracle="""
+        WITH avg_bal AS (
+          SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c.c_mktsegment AS segment,
+               count(*) AS n_customers,
+               round(sum(c.c_acctbal), 2) AS total_bal
+        FROM customer c, avg_bal
+        WHERE c.c_acctbal > avg_bal.ab
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        GROUP BY segment
+    """,
+    tags=("join", "anti", "agg", "subquery"),
+)
+def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance who have NEVER ordered, summarized
+    by market segment.
+
+    Two classic sub-plans: the scalar average rides as a one-row
+    broadcast (never a driver collect), and NOT EXISTS is a LEFT ANTI
+    join — orders contributes only its key column to the probe, and the
+    anti side never duplicates a customer however many orders match."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@register(
     "hard_negative_mining_embeddings",
     oracle="""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
@@ -7038,7 +7143,8 @@ _DRIVER_WINDOW = [
 # grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
 # quality_filter_attrition_documents, psi_quantile_drift_lineitem,
 # seasonal_anomaly_hours_events, dedup_containment_documents,
-# hard_negative_mining_embeddings
+# hard_negative_mining_embeddings, q8_nation_market_share,
+# q22_dormant_high_balance
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

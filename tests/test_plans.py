@@ -41,6 +41,7 @@ _NLJ_ALLOWED = {
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
+    "q22_dormant_high_balance",  # one-row scalar-average broadcast
 }
 
 
