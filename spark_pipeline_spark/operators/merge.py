@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["merge_upsert", "scd2_intervals", "table_diff"]
+__all__ = ["merge_upsert", "merge_apply_cdc", "scd2_intervals", "table_diff"]
 
 
 def merge_upsert(
@@ -57,6 +57,49 @@ def merge_upsert(
         F.col(f"__best.{c}").alias(c) for c in payload_cols if c != "__side"
     ]
     return best.select(*out_cols)
+
+
+def merge_apply_cdc(
+    base: DataFrame,
+    feed: DataFrame,
+    keys: list[str],
+    version_col: str,
+    op_col: str = "op",
+    delete_op: str = "D",
+) -> DataFrame:
+    """Tombstone-aware CDC apply: like :func:`merge_upsert`, but the feed
+    carries an operation column (insert/update/``delete_op``) and a key
+    whose LATEST change is a delete disappears from the result.
+
+    This is the full Debezium/binlog replay contract — upsert-only
+    merges silently resurrect deleted keys on the next full compare.
+    Plan shape is identical to :func:`merge_upsert`: union, one
+    ``max_by`` aggregation keyed on ``keys`` (map-side partial combine,
+    AQE-splittable), then a filter on the winner's op. The tombstone
+    must WIN before it deletes: a delete at version 5 followed by a
+    re-insert at version 6 keeps the key — order comes from
+    ``version_col``, never from feed arrival order.
+
+    ``base`` rows carry no op column (they are the surviving state, op
+    = no-op); the union tags them with a non-delete marker.
+    """
+    b = base.withColumn("__side", F.lit(0)).withColumn(op_col, F.lit(""))
+    u = feed.withColumn("__side", F.lit(1))
+    unioned = b.unionByName(u)
+    payload_cols = [c for c in unioned.columns if c not in keys]
+    best = unioned.groupBy(*keys).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload_cols]),
+            F.struct(F.col(version_col), F.col("__side")),
+        ).alias("__best")
+    )
+    alive = best.filter(F.col(f"__best.{op_col}") != F.lit(delete_op))
+    out_cols = [F.col(k) for k in keys] + [
+        F.col(f"__best.{c}").alias(c)
+        for c in payload_cols
+        if c not in ("__side", op_col)
+    ]
+    return alive.select(*out_cols)
 
 
 def scd2_intervals(

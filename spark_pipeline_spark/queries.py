@@ -6325,6 +6325,90 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_cdc_tombstones_orders",
+    oracle="""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 1 AS version, 0 AS side, '' AS op
+          FROM orders
+        ),
+        upd AS (
+          SELECT o_orderkey, o_orderstatus, round(o_totalprice * 2, 2),
+                 2 AS version, 1 AS side, 'U' AS op
+          FROM orders WHERE o_orderstatus = 'P'
+        ),
+        del AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 3 AS version, 1 AS side, 'D' AS op
+          FROM orders
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < 0.03
+        ),
+        ins AS (
+          SELECT o_orderkey, o_orderstatus, o_totalprice,
+                 4 AS version, 1 AS side, 'I' AS op
+          FROM orders
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < 0.01
+        ),
+        feed AS (
+          SELECT * FROM base UNION ALL SELECT * FROM upd
+          UNION ALL SELECT * FROM del UNION ALL SELECT * FROM ins
+        ),
+        win AS (
+          SELECT * FROM feed
+          QUALIFY row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY version DESC, side DESC) = 1
+        )
+        SELECT o_orderkey, o_orderstatus,
+               round(o_totalprice, 2) AS total_price, version
+        FROM win WHERE op != 'D'
+    """,
+    tags=("merge", "cdc", "tombstone"),
+)
+def merge_cdc_tombstones_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware CDC replay (the full Debezium/binlog contract):
+    updates at v2 (status-P repriced), deletes at v3 (3% of keys by
+    deterministic draw), re-inserts at v4 (a 1% subset of the deleted
+    keys — the tombstone must NOT win over a later insert). Keys whose
+    latest change is the delete disappear; upsert-only merges would
+    silently resurrect them. Same single-exchange max_by plan as
+    merge_upsert."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.merge import merge_apply_cdc
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    draw = md5_int(F.col("o_orderkey").cast("string")) / F.lit(4294967296.0)
+    base = o.withColumn("version", F.lit(1))
+    upd = (
+        o.filter(F.col("o_orderstatus") == "P")
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2))
+        .withColumn("version", F.lit(2))
+        .withColumn("op", F.lit("U"))
+    )
+    dels = (
+        o.filter(draw < 0.03)
+        .withColumn("version", F.lit(3))
+        .withColumn("op", F.lit("D"))
+    )
+    ins = (
+        o.filter(draw < 0.01)
+        .withColumn("version", F.lit(4))
+        .withColumn("op", F.lit("I"))
+    )
+    feed = upd.unionByName(dels).unionByName(ins)
+    merged = merge_apply_cdc(base, feed, ["o_orderkey"], "version", op_col="op")
+    return merged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+        "version",
+    )
+
+
+@register(
     "q8_nation_market_share",
     oracle="""
         WITH vol AS (
@@ -7144,7 +7228,7 @@ _DRIVER_WINDOW = [
 # quality_filter_attrition_documents, psi_quantile_drift_lineitem,
 # seasonal_anomaly_hours_events, dedup_containment_documents,
 # hard_negative_mining_embeddings, q8_nation_market_share,
-# q22_dormant_high_balance
+# q22_dormant_high_balance, merge_cdc_tombstones_orders
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

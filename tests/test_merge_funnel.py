@@ -354,3 +354,39 @@ def test_capped_sessions_split_gap_and_duration(spark):
     ]
     assert out[("u2", 0)] == (1, 0) and out[("u2", 1)] == (1, 0)
     assert out[("u2", 2)] == (2, 0) and out[("u2", 3)] == (2, 0)
+
+
+def test_merge_apply_cdc_tombstones(spark):
+    """Delete wins over older versions; a later re-insert wins over the
+    tombstone; untouched base keys survive; feed-only inserts appear."""
+    from spark_pipeline_spark.operators.merge import merge_apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "k int, v string, version int"
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, "a2", 2, "U"),   # plain update
+            (2, "b", 2, "D"),    # delete: key vanishes
+            (3, "c", 2, "D"),    # delete...
+            (3, "c3", 3, "I"),   # ...then re-insert at higher version
+            (4, "d", 1, "I"),    # brand-new key
+        ],
+        "k int, v string, version int, op string",
+    )
+    out = {r["k"]: (r["v"], r["version"]) for r in
+           merge_apply_cdc(base, feed, ["k"], "version").collect()}
+    assert out == {1: ("a2", 2), 3: ("c3", 3), 4: ("d", 1)}
+
+
+def test_merge_apply_cdc_out_of_order_feed(spark):
+    """Version order decides, never feed arrival order: a delete that is
+    OLDER than the base row must not remove it."""
+    from spark_pipeline_spark.operators.merge import merge_apply_cdc
+
+    base = spark.createDataFrame([(1, "live", 5)], "k int, v string, version int")
+    feed = spark.createDataFrame(
+        [(1, "stale", 3, "D")], "k int, v string, version int, op string"
+    )
+    out = merge_apply_cdc(base, feed, ["k"], "version").collect()
+    assert [(r["k"], r["v"], r["version"]) for r in out] == [(1, "live", 5)]
