@@ -391,6 +391,8 @@ def stream_upsert_sink(
     version_col: str,
     available_now: bool = True,
     checkpoint: str | None = None,
+    op_col: str | None = None,
+    delete_op: str = "D",
 ):
     """Streaming CDC apply: maintain a latest-wins keyed snapshot at
     ``target_path`` (parquet) from a stream of change rows.
@@ -405,8 +407,17 @@ def stream_upsert_sink(
     transactional format (Delta/Iceberg) collapses the two writes into
     one MERGE; the plan shape per batch is identical either way: one
     exchange keyed on the merge key. Returns the started StreamingQuery.
+
+    With ``op_col`` the stream is a full CDC feed (Debezium-style): the
+    batch merge becomes
+    :func:`~spark_pipeline_spark.operators.merge.merge_apply_cdc`, so a
+    key whose latest change is ``delete_op`` is REMOVED from the
+    snapshot instead of resurrected — delete ordering still comes from
+    ``version_col``, so a stale tombstone in a replayed or out-of-order
+    batch cannot remove a newer row. The stored snapshot never carries
+    the op column.
     """
-    from spark_pipeline_spark.operators.merge import merge_upsert
+    from spark_pipeline_spark.operators.merge import merge_apply_cdc, merge_upsert
 
     spark = stream.sparkSession
     key_list = list(keys)
@@ -421,6 +432,14 @@ def stream_upsert_sink(
         # is replay-idempotent on its own, but the guard also rescues a
         # crashed final overwrite from the committed staging copy.
         def merge(current: DataFrame | None) -> DataFrame:
+            if op_col is not None:
+                base = (
+                    batch_df.drop(op_col).limit(0) if current is None else current
+                )
+                return merge_apply_cdc(
+                    base, batch_df, key_list, version_col,
+                    op_col=op_col, delete_op=delete_op,
+                )
             base = batch_df.limit(0) if current is None else current
             return merge_upsert(base, batch_df, key_list, version_col)
 

@@ -622,3 +622,42 @@ def test_replay_guarded_swap_accepts_legacy_snapshot_without_batch_col(spark, tm
     assert SNAPSHOT_BATCH_COL in snap.columns
     got = {r["k"]: (r["total"], r["n"]) for r in snap.collect()}
     assert got == {"a": (5.0, 2), "b": (5.0, 2)}
+
+
+def test_stream_upsert_sink_cdc_tombstones(spark, tmp_path):
+    """CDC mode (op_col): across micro-batches, a key whose latest
+    change is a delete leaves the snapshot; a later re-insert survives;
+    the op column never reaches the stored snapshot."""
+    from spark_pipeline_spark.streaming import (
+        SNAPSHOT_BATCH_COL,
+        read_parquet_stream,
+        stream_upsert_sink,
+    )
+
+    src = str(tmp_path / "cdc")
+    target = str(tmp_path / "snapshot")
+    b1 = spark.createDataFrame(
+        [(1, "a", 1, "I"), (2, "b", 1, "I"), (3, "c", 1, "I")],
+        "k int, v string, version int, op string",
+    )
+    b2 = spark.createDataFrame(
+        [(2, "b", 2, "D"), (3, "c", 2, "D"), (3, "c3", 3, "I"), (4, "d", 1, "I")],
+        "k int, v string, version int, op string",
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(src)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "k int, v string, version int, op string",
+        max_files_per_trigger=1,
+    )
+    q = stream_upsert_sink(
+        stream, target, ["k"], "version",
+        checkpoint=str(tmp_path / "ckpt"), op_col="op",
+    )
+    q.awaitTermination(120)
+
+    snap = spark.read.parquet(target)
+    assert "op" not in snap.columns and SNAPSHOT_BATCH_COL in snap.columns
+    got = {r["k"]: (r["v"], r["version"]) for r in snap.collect()}
+    assert got == {1: ("a", 1), 3: ("c3", 3), 4: ("d", 1)}
