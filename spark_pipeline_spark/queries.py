@@ -6325,6 +6325,53 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q17_small_quantity_revenue",
+    oracle="""
+        WITH pa AS (
+          SELECT l_partkey, 0.5 * avg(l_quantity) AS half_avg_qty
+          FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+               count(*) AS n_lines
+        FROM lineitem l
+          JOIN part p ON p.p_partkey = l.l_partkey
+          JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < pa.half_avg_qty
+    """,
+    tags=("join", "agg", "subquery", "decorrelated"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20%→50% of their OWN part's average quantity — the
+    canonical correlated scalar subquery, executed DECORRELATED: the
+    per-part average is one groupBy over lineitem (map-side combined,
+    one row per part), joined back by part key. A row-at-a-time
+    correlated execution would rescan lineitem per part; the decorrelated
+    plan costs exactly two scans + one join at any scale. The brand
+    filter prunes the part scan before its join."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23").select(
+        "p_partkey"
+    )
+    pa = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    j = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(pa.withColumnRenamed("l_partkey", "pa_partkey"),
+              F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return j.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
     "merge_cdc_tombstones_orders",
     oracle="""
         WITH base AS (
@@ -7228,7 +7275,8 @@ _DRIVER_WINDOW = [
 # quality_filter_attrition_documents, psi_quantile_drift_lineitem,
 # seasonal_anomaly_hours_events, dedup_containment_documents,
 # hard_negative_mining_embeddings, q8_nation_market_share,
-# q22_dormant_high_balance, merge_cdc_tombstones_orders
+# q22_dormant_high_balance, merge_cdc_tombstones_orders,
+# q17_small_quantity_revenue
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
