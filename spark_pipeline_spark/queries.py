@@ -6186,24 +6186,11 @@ def _rag_centroids() -> list[list[float]]:
     ]
 
 
-def _rag_oracle() -> str:
-    cents = _rag_centroids()
-    e_terms = ", ".join(
-        f"('0x' || substr(md5(chunk_text || '|{i}'), 1, 8))::BIGINT"
-        f" / 4294967296.0 - 0.5 AS e{i}"
-        for i in range(_RAG_DIMS)
-    )
-    dots = ", ".join(
-        "(" + " + ".join(f"e{i} * ({cents[j][i]!r})" for i in range(_RAG_DIMS)) + f") AS d{j}"
-        for j in range(_RAG_CELLS)
-    )
-    argmax = (
-        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
-        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
-        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
-    )
-    best = "greatest(d0, d1, d2, d3)"
-    chunk_cte = rf"""
+def _sql_chunk_cte() -> str:
+    """Shared DuckDB CTE fragment: the overlapping chunker, identical to
+    chunk_documents_overlapping's oracle — used by the RAG-chain and
+    mean-pool oracles so all three stay in lock-step by construction."""
+    return rf"""
         tok AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
           FROM documents
@@ -6226,6 +6213,31 @@ def _rag_oracle() -> str:
                           ' '))) AS chunk_text
           FROM par
         )"""
+
+
+def _sql_pseudo_embed_terms() -> str:
+    """Shared md5 pseudo-embedding projection (e0..e{dims-1})."""
+    return ", ".join(
+        f"('0x' || substr(md5(chunk_text || '|{i}'), 1, 8))::BIGINT"
+        f" / 4294967296.0 - 0.5 AS e{i}"
+        for i in range(_RAG_DIMS)
+    )
+
+
+def _rag_oracle() -> str:
+    cents = _rag_centroids()
+    e_terms = _sql_pseudo_embed_terms()
+    dots = ", ".join(
+        "(" + " + ".join(f"e{i} * ({cents[j][i]!r})" for i in range(_RAG_DIMS)) + f") AS d{j}"
+        for j in range(_RAG_CELLS)
+    )
+    argmax = (
+        "CASE WHEN d0 >= d1 AND d0 >= d2 AND d0 >= d3 THEN 0 "
+        "WHEN d1 >= d2 AND d1 >= d3 THEN 1 "
+        "WHEN d2 >= d3 THEN 2 ELSE 3 END"
+    )
+    best = "greatest(d0, d1, d2, d3)"
+    chunk_cte = _sql_chunk_cte()
     return f"""
         WITH {chunk_cte},
         emb AS (SELECT doc_id, chunk_text, {e_terms} FROM chunks),
@@ -6321,6 +6333,67 @@ def kfold_assignment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(fold.alias("fold"), "source").groupBy("fold", "source").agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def _meanpool_oracle() -> str:
+    avgs = ", ".join(f"round(avg(e{i}), 6) AS p{i}" for i in range(_RAG_DIMS))
+    norm = (
+        "round(sqrt("
+        + " + ".join(f"avg(e{i}) * avg(e{i})" for i in range(_RAG_DIMS))
+        + "), 6) AS norm"
+    )
+    return f"""
+        WITH {_sql_chunk_cte()},
+        emb AS (SELECT doc_id, {_sql_pseudo_embed_terms()} FROM chunks)
+        SELECT doc_id, count(*) AS n_chunks, {avgs}, {norm}
+        FROM emb GROUP BY doc_id
+    """
+
+
+@register(
+    "embedding_mean_pool_chunks",
+    oracle=_meanpool_oracle(),
+    tags=("llm-pipeline", "rag", "pooling", "similarity"),
+)
+def embedding_mean_pool_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pool chunk embeddings back to ONE vector per document — the
+    step between chunk-level embedding and doc-level retrieval/dedup
+    (a doc's vector = element-wise mean of its chunks').
+
+    Fixed dims → the pool is plain per-dimension avg aggregates in one
+    groupBy(doc_id): map-side partial combine, no array rebuild, no
+    collect_list ordering hazard — at 100 TB the shuffle carries one
+    partial sum row per (partition × doc), never chunk text. Reuses the
+    shared chunker + deterministic pseudo-embedder (swap a Pandas-UDF
+    model in production; the aggregation contract is identical)."""
+    from spark_pipeline_spark.functions import md5_int
+
+    chunks = REGISTRY["chunk_documents_overlapping"].fn(spark, sf_dir)
+    e = [
+        (
+            md5_int(F.concat(F.col("chunk_text"), F.lit(f"|{i}")))
+            / F.lit(4294967296.0)
+            - F.lit(0.5)
+        ).alias(f"e{i}")
+        for i in range(_RAG_DIMS)
+    ]
+    emb = chunks.select("doc_id", *e)
+    pooled = emb.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        *[F.avg(f"e{i}").alias(f"__a{i}") for i in range(_RAG_DIMS)],
+    )
+    norm = F.sqrt(
+        sum(
+            (F.col(f"__a{i}") * F.col(f"__a{i}") for i in range(1, _RAG_DIMS)),
+            F.col("__a0") * F.col("__a0"),
+        )
+    )
+    return pooled.select(
+        "doc_id",
+        "n_chunks",
+        *[F.round(f"__a{i}", 6).alias(f"p{i}") for i in range(_RAG_DIMS)],
+        F.round(norm, 6).alias("norm"),
     )
 
 
@@ -7276,7 +7349,7 @@ _DRIVER_WINDOW = [
 # seasonal_anomaly_hours_events, dedup_containment_documents,
 # hard_negative_mining_embeddings, q8_nation_market_share,
 # q22_dormant_high_balance, merge_cdc_tombstones_orders,
-# q17_small_quantity_revenue
+# q17_small_quantity_revenue, embedding_mean_pool_chunks
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
