@@ -7283,7 +7283,465 @@ def quality_filter_attrition_documents(spark: SparkSession, sf_dir: str) -> Data
 
 
 # ---------------------------------------------------------------------------
+# TPC-H remainder shapes (r6): the relational patterns the earlier q-series
+# didn't yet cover, adapted to this schema (no partsupp / shipmode /
+# commitdate columns — see TESTDATA.md). Each is the SHAPE of the named
+# TPC-H query: outer-join histogram (q13), argmax-vs-scalar (q15),
+# multi-dim profit rollup (q9), sole-late-supplier triple-correlation
+# (q21), global-fraction HAVING (q11), distinct-count with NOT IN (q16),
+# grain-ratio semi chain (q20), per-group-min join-back (q2).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+        WITH co AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT JOIN orders o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey
+        )
+        SELECT c_count, count(*) AS custdist
+        FROM co GROUP BY c_count
+    """,
+    tags=("join", "outer-join", "agg", "tpch"),
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join so zero-order customers survive with c_count=0, a per-customer
+    count, then a second aggregation over the counts. The join predicate
+    on o_orderpriority lives IN the join condition (not a post-filter,
+    which would turn the outer join inner). Scale: one shuffle on
+    custkey; the second groupBy is over ~50 distinct counts — map-side
+    combine collapses it to almost nothing before the exchange."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    co = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_revenue_supplier",
+    oracle="""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("join", "agg", "scalar-subquery", "tpch"),
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): per-supplier
+    revenue, then select the row(s) equal to the global max — the
+    scalar-subquery-in-WHERE pattern, executed as an EQUI-join between
+    the revenue table and its own one-row max (the max side is a single
+    row, so Spark broadcasts it; joining on the revenue VALUE keeps it a
+    hash join, not a nested loop). Revenue is rounded to 2dp on both
+    engines BEFORE the max so the equality can't be broken by
+    accumulation-order last-bits."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(mx, "total_revenue")
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q9_nation_year_profit",
+    oracle="""
+        SELECT n.n_name AS nation,
+               EXTRACT(year FROM o.o_orderdate)::BIGINT AS o_year,
+               sum(round((l.l_extendedprice * (1 - l.l_discount)
+                          - 0.1 * p.p_retailprice * l.l_quantity) * 100)::BIGINT)
+               / 100.0 AS sum_profit
+        FROM lineitem l
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+    """,
+    tags=("join", "agg", "tpch"),
+)
+def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): a
+    5-table star with a LIKE filter on the part dimension and a profit
+    expression spanning fact and dimension columns (0.1 * retailprice *
+    quantity stands in for ps_supplycost — this schema has no partsupp;
+    ref sparktools has no multi-join queries at all). Scale: part /
+    supplier / nation are broadcast-sized at any SF (part grows but
+    stays millions of short rows — AQE decides); the only big shuffle is
+    lineitem⋈orders on orderkey, and the LIKE prunes lineitem via the
+    part join before it. Profit is rounded to integer CENTS per line and
+    summed as int64 — an order-independent exact sum, immune to the
+    float accumulation-order last-bit flips a round(sum(double)) is
+    exposed to (the per-line float expression is bit-identical on both
+    engines; only the multi-term SUM ordering differs)."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            F.round(profit * 100, 0).cast("long").alias("profit_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("profit_cents") / 100.0).alias("sum_profit"))
+    )
+
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+        WITH lo AS (
+          SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE o.o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey,
+                 count(DISTINCT l_suppkey) AS n_supp,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supp
+          FROM lo GROUP BY l_orderkey
+        ),
+        culprit AS (
+          SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+          FROM lo
+          JOIN per_order po ON po.l_orderkey = lo.l_orderkey
+          WHERE lo.late AND po.n_supp > 1 AND po.n_late_supp = 1
+        )
+        SELECT s.s_name, count(*) AS numwait
+        FROM culprit c
+        JOIN supplier s ON s.s_suppkey = c.l_suppkey
+        GROUP BY s.s_name
+    """,
+    tags=("join", "agg", "decorrelated", "tpch"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the supplier
+    who was LATE on a multi-supplier order where NO OTHER supplier was
+    late — in spec form an EXISTS + NOT EXISTS double-correlated
+    self-join on lineitem. Executed decorrelated: ONE pass computes
+    per-order distinct-supplier and distinct-late-supplier counts, then
+    joins back — two scans total instead of three correlated rescans,
+    and the per-order aggregate is map-side combinable. 'Late' is
+    shipdate > orderdate + 60d (schema has no commit/receipt dates)."""
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    culprit = (
+        lo.filter("late")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q11_important_parts",
+    oracle="""
+        WITH pv AS (
+          SELECT l.l_partkey, round(sum(l.l_extendedprice), 2) AS part_value
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          WHERE n.n_name = 'NATION_7'
+          GROUP BY l.l_partkey
+        ),
+        tot AS (SELECT sum(part_value) AS total FROM pv)
+        SELECT pv.l_partkey AS p_partkey, pv.part_value
+        FROM pv, tot
+        WHERE pv.part_value > 0.01 * tot.total
+    """,
+    tags=("join", "agg", "scalar-subquery", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part value restricted to
+    one nation's suppliers, keeping parts whose value exceeds a FRACTION
+    OF THE GLOBAL TOTAL — the HAVING-against-global-scalar pattern. The
+    total is a one-row aggregate broadcast against the per-part rows
+    (O(n) keyless broadcast of a single row, not a cartesian blowup; a
+    `sum OVER ()` window would instead funnel every per-part row through
+    one partition). Part value uses l_extendedprice (no partsupp in
+    this schema)."""
+    l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7").select(
+        "n_nationkey"
+    )
+    pv = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
+    )
+    tot = pv.agg(F.sum("part_value").alias("total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("part_value") > 0.01 * F.col("total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "part_value")
+    )
+
+
+@register(
+    "q16_supplier_diversity",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        excluded AS (SELECT s_suppkey FROM supplier WHERE s_suppkey % 4 = 0)
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM ps
+        JOIN part p ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#13'
+          AND p.p_size IN (5, 10, 15, 20, 25)
+          AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM excluded)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags=("join", "anti-join", "distinct-agg", "tpch"),
+)
+def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier-relationship count): distinct
+    (part, supplier) pairs from the fact table (standing in for
+    partsupp), a NOT IN exclusion list executed as a LEFT ANTI join
+    (NOT IN over a non-null key column is exactly anti-join semantics),
+    dimension filters including an IN-list, and count(DISTINCT supplier)
+    per part attribute triple. Scale: the DISTINCT pair extraction is
+    the one big shuffle (partial-aggregate combined); the exclusion
+    list and part dim are broadcast."""
+    ps = (
+        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    excluded = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select("s_suppkey")
+    )
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#13")
+            & F.col("p_size").isin(5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    return (
+        ps.join(
+            F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+        WITH pq AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ),
+        pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM pq GROUP BY l_partkey),
+        dominant AS (
+          SELECT DISTINCT pq.l_suppkey
+          FROM pq
+          JOIN pt ON pt.l_partkey = pq.l_partkey
+          JOIN part p ON p.p_partkey = pq.l_partkey
+          WHERE p.p_name LIKE '%bolt%' AND pq.supp_qty > 0.5 * pt.part_qty
+        )
+        SELECT s.s_name, n.n_name AS nation
+        FROM supplier s
+        JOIN dominant d ON d.l_suppkey = s.s_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    """,
+    tags=("join", "semi-join", "agg", "tpch"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (part-promotion candidates): suppliers who
+    shipped more than half of a matching part's total quantity in one
+    year — the nested IN/semi-join chain, executed as two aggregates of
+    the SAME grouped scan at different grains (per part+supplier, then
+    per part) joined back on partkey, so the 'more than half of the
+    whole' correlation costs one extra small join instead of a
+    correlated rescan. The final supplier projection is a semi-join
+    (DISTINCT suppkey) against broadcast dims."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pq = l.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("supp_qty"))
+    pt = pq.groupBy("l_partkey").agg(F.sum("supp_qty").alias("part_qty"))
+    p = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey")
+    )
+    dominant = (
+        pq.join(pt, "l_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.col("n_name").alias("nation"))
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+        WITH cost AS (
+          SELECT l.l_partkey, l.l_suppkey,
+                 round(min(l.l_extendedprice / l.l_quantity), 6) AS unit_cost
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN nation n   ON n.n_nationkey = s.s_nationkey
+          JOIN region r   ON r.r_regionkey = n.n_regionkey
+          WHERE r.r_name = 'EUROPE'
+          GROUP BY l.l_partkey, l.l_suppkey
+        ),
+        best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+        SELECT p.p_partkey, p.p_name, c.l_suppkey AS s_suppkey,
+               c.unit_cost AS min_cost
+        FROM cost c
+        JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+        JOIN part p ON p.p_partkey = c.l_partkey
+        WHERE p.p_size <= 15
+    """,
+    tags=("join", "agg", "decorrelated", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every part, the
+    region-local supplier(s) offering the MINIMUM unit cost — the
+    correlated `= (SELECT min ...)` subquery, executed decorrelated as
+    a per-(part,supplier) aggregate, a per-part min over it, and an
+    equality join-back on (partkey, cost). Unit cost is rounded to 6dp
+    at the first aggregate on BOTH engines so the min-equality join-back
+    can't be split by float last-bits. Region/nation/supplier prune the
+    fact scan via broadcast joins before any shuffle."""
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    cost = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_name"
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == best.b_partkey)
+            & (cost.unit_cost == best.min_cost),
+        )
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("unit_cost").alias("min_cost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
+# 50 registered queries, so the registration order is part of the external
+# contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds
 # 50 registered queries, so the registration order is part of the external
 # contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds
 # one representative of EVERY operator family — relational core, sampling,

@@ -42,6 +42,7 @@ _NLJ_ALLOWED = {
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
+    "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
 }
 
 
