@@ -7738,6 +7738,112 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "bm25_search_documents",
+    oracle=rf"""
+        WITH perdoc AS (
+          SELECT doc_id,
+                 len({_SQL_TOKS}) AS dl,
+                 {", ".join(
+                     f"len(list_filter({_SQL_TOKS}, tk -> tk = '{w}')) AS tf_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                 {", ".join(
+                     f"sum(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM perdoc
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 {" + ".join(
+                     f"ln((s.n_docs - s.df_{w} + 0.5) / (s.df_{w} + 0.5) + 1.0)"
+                     f" * p.tf_{w} * ({_BM25_K1} + 1.0)"
+                     f" / (p.tf_{w} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                     f"    + {_BM25_B} * p.dl / s.avgdl))"
+                     for w in _SEARCH_TERMS
+                 )} AS score_raw
+          FROM perdoc p, stats s
+          WHERE {" + ".join(f"p.tf_{w}" for w in _SEARCH_TERMS)} > 0
+        )
+        SELECT doc_id, round(score_raw, 6) AS score,
+               row_number() OVER (ORDER BY score_raw DESC, doc_id) AS rank
+        FROM scored
+        QUALIFY rank <= 25
+    """,
+    tags=("text", "search", "retrieval", "llm-pipeline"),
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BM25 ranked retrieval (Robertson/Sparck-Jones idf with the
+    Lucene +1 floor, k1=1.2 b=0.75): per-term document frequencies and
+    the corpus's real avgdl, not fixed constants (contrast
+    `keyword_search_documents`, the scan-scored approximation). Shape:
+    ONE explode-free scan computes per-doc tf per query term as array
+    expressions; df/N/avgdl collapse to a ONE-ROW aggregate broadcast
+    back over the scan (df is a sum of flags, dl sums are integer-exact
+    so avgdl is bit-identical across engines); top-25 via a rank window
+    that Spark rewrites to WindowGroupLimit (per-partition top-25 before
+    the final merge — no global sort). At 100 TB the hot path stays one
+    codegen'd scan + one single-row exchange."""
+    from pyspark.sql import Window
+
+    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+
+    def tf_of(word):
+        # single-arg lambda: a 2-arg lambda (even via default args) would
+        # be treated as the (element, index) higher-order form
+        return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
+
+    perdoc = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in _SEARCH_TERMS
+        ],
+    )
+    score_raw = None
+    for w in _SEARCH_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
+            + 1.0
+        )
+        contrib = (
+            idf
+            * F.col(f"tf_{w}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{w}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score_raw = contrib if score_raw is None else score_raw + contrib
+    any_hit = sum(F.col(f"tf_{w}") for w in _SEARCH_TERMS) > 0
+    scored = (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", score_raw.alias("score_raw"))
+    )
+    w_rank = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", F.round("score_raw", 6).alias("score"), "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

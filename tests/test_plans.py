@@ -43,6 +43,7 @@ _NLJ_ALLOWED = {
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
+    "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
 }
 
 
