@@ -22,7 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["aggregate_snapshot", "incremental_agg_merge", "with_derived"]
+__all__ = [
+    "aggregate_snapshot",
+    "incremental_agg_merge",
+    "incremental_join_delta",
+    "with_derived",
+]
 
 _MERGE = {
     "sum": F.sum,
@@ -79,6 +84,37 @@ def incremental_agg_merge(
     for out, (kind, _) in spec.items():
         merges.append(_MERGE[kind](F.col(out)).alias(out))
     return unioned.groupBy(*keys).agg(*merges)
+
+
+def incremental_join_delta(
+    a0: DataFrame,
+    delta_a: DataFrame,
+    b0: DataFrame,
+    delta_b: DataFrame,
+    on: list[str],
+) -> DataFrame:
+    """Rows an inner equi-join GAINS when both inputs grow: with
+    A := A0 ∪ ΔA and B := B0 ∪ ΔB (appends only, no updates),
+
+        Δ(A ⋈ B) = (ΔA ⋈ B0) ∪ (A0 ⋈ ΔB) ∪ (ΔA ⋈ ΔB)
+
+    so the maintained join ``(A0 ⋈ B0) ∪ incremental_join_delta(...)``
+    equals the from-scratch join of the full inputs — the classic
+    delta rule for view maintenance of joins.
+
+    Scale story: a daily refresh of a 100 TB join touches ΔA⋈B0, A0⋈ΔB
+    and ΔA⋈ΔB — each bounded by |Δ| on at least one side, so every one
+    of the three joins broadcasts its delta side when the day's arrivals
+    are small, and the snapshot side is only ever PROBED, never
+    re-joined against itself. Restricted to append-only inputs: updates
+    and deletes need keyed upsert/tombstone maintenance
+    (``operators/merge``), not the join delta rule.
+    """
+    return (
+        delta_a.join(b0, on)
+        .unionByName(a0.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
 
 
 def with_derived(

@@ -7308,6 +7308,7 @@ def quality_filter_attrition_documents(spark: SparkSession, sf_dir: str) -> Data
         FROM co GROUP BY c_count
     """,
     tags=("join", "outer-join", "agg", "tpch"),
+    bench=True,
 )
 def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
@@ -7392,6 +7393,7 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY nation, o_year
     """,
     tags=("join", "agg", "tpch"),
+    bench=True,
 )
 def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape (product-type profit by nation and year): a
@@ -7519,22 +7521,24 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE n.n_name = 'NATION_7'
           GROUP BY l.l_partkey
         ),
-        tot AS (SELECT sum(part_value) AS total FROM pv)
+        tot AS (SELECT sum(part_value) / count(*) AS mean_value FROM pv)
         SELECT pv.l_partkey AS p_partkey, pv.part_value
         FROM pv, tot
-        WHERE pv.part_value > 0.01 * tot.total
+        WHERE pv.part_value > 3.0 * tot.mean_value
     """,
     tags=("join", "agg", "scalar-subquery", "tpch"),
 )
 def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (important stock): per-part value restricted to
-    one nation's suppliers, keeping parts whose value exceeds a FRACTION
-    OF THE GLOBAL TOTAL — the HAVING-against-global-scalar pattern. The
-    total is a one-row aggregate broadcast against the per-part rows
-    (O(n) keyless broadcast of a single row, not a cartesian blowup; a
-    `sum OVER ()` window would instead funnel every per-part row through
-    one partition). Part value uses l_extendedprice (no partsupp in
-    this schema)."""
+    one nation's suppliers, keeping parts whose value exceeds a global
+    scalar — the HAVING-against-global-aggregate pattern. The threshold
+    is 3× the MEAN part value (scale-free: TPC-H's fixed global
+    fraction selects zero parts once the part count passes 1/fraction).
+    The scalar is a one-row aggregate broadcast against the per-part
+    rows (O(n) keyless broadcast of a single row, not a cartesian
+    blowup; a `sum OVER ()` window would instead funnel every per-part
+    row through one partition). Part value uses l_extendedprice (no
+    partsupp in this schema)."""
     l = t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7").select(
@@ -7546,10 +7550,12 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
     )
-    tot = pv.agg(F.sum("part_value").alias("total"))
+    tot = pv.agg(
+        (F.sum("part_value") / F.count(F.lit(1))).alias("mean_value")
+    )
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("part_value") > 0.01 * F.col("total"))
+        .filter(F.col("part_value") > 3.0 * F.col("mean_value"))
         .select(F.col("l_partkey").alias("p_partkey"), "part_value")
     )
 
@@ -7844,6 +7850,255 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_join_orders_customer",
+    oracle="""
+        SELECT c.c_nationkey, count(*) AS n_orders,
+               sum(round(o.o_totalprice * 100)::BIGINT) / 100.0 AS total_price
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_nationkey
+    """,
+    tags=("incremental", "join", "maintenance"),
+)
+def incremental_join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance via the delta rule: the engine
+    splits orders (by a date cutoff) and customer (by a key hash) into
+    (base, delta) pairs, maintains the join as
+    base⋈base ∪ Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB
+    (`operators/incremental.py:incremental_join_delta`), and aggregates
+    the MAINTAINED result — which the oracle checks against the
+    from-scratch join of the full inputs. Each delta-rule term is
+    bounded by a delta on at least one side (broadcastable on a daily
+    cadence at 100 TB); prices sum as exact integer cents so the
+    4-way union's accumulation order can't move the hash."""
+    from spark_pipeline_spark.operators.incremental import incremental_join_delta
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("price_cents"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    a0 = o.filter(F.col("o_orderdate") < "2000-01-01")
+    da = o.filter(F.col("o_orderdate") >= "2000-01-01")
+    b0 = c.filter(F.col("c_custkey") % 5 != 0)
+    db = c.filter(F.col("c_custkey") % 5 == 0)
+    maintained = a0.join(b0, ["c_custkey"]).unionByName(
+        incremental_join_delta(a0, da, b0, db, ["c_custkey"])
+    )
+    return maintained.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (F.sum("price_cents") / 100.0).alias("total_price"),
+    )
+
+
+# Shared eval fixture: deterministic score (the scoring family's logistic
+# expression) + a REAL label derived from the data (customer has a
+# finished order), so the evaluation operators exercise the actual
+# score→join→evaluate chain rather than a synthetic column.
+_SQL_EVAL_LABELED = """
+        labeled AS (
+          SELECT c.c_custkey,
+                 1.0 / (1.0 + exp(-(0.001 * c.c_acctbal - 2.0))) AS s,
+                 CASE WHEN f.o_custkey IS NULL THEN 0 ELSE 1 END AS label
+          FROM customer c
+          LEFT JOIN (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+          ) f ON f.o_custkey = c.c_custkey
+        )
+"""
+
+
+def _eval_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    f = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+    )
+    s = 1.0 / (1.0 + F.exp(-(0.001 * F.col("c_acctbal") - 2.0)))
+    return (
+        c.join(f, c.c_custkey == f.o_custkey, "left")
+        .select(
+            "c_custkey",
+            s.alias("s"),
+            F.when(F.col("o_custkey").isNull(), 0).otherwise(1).alias("label"),
+        )
+    )
+
+
+@register(
+    "eval_calibration_bins",
+    oracle=f"""
+        WITH {_SQL_EVAL_LABELED},
+        binned AS (
+          SELECT least(floor(s * 20), 19)::BIGINT AS bin,
+                 count(*) AS n,
+                 sum(label)::BIGINT AS n_pos,
+                 round(avg(s), 6) AS mean_score
+          FROM labeled GROUP BY 1
+        )
+        SELECT bin, n, n_pos, mean_score,
+               round(n_pos::DOUBLE / n, 6) AS pos_rate
+        FROM binned
+    """,
+    tags=("eval", "scoring", "ml-ops"),
+)
+def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model calibration report: 20 equal-width score bins, each with its
+    mean predicted probability vs the empirical positive rate (the
+    reliability-diagram table). Labels come from a real semi-join (has a
+    finished order), scores from the scoring family's deterministic
+    logistic. One scan + one broadcast-ish join + a 20-group aggregate —
+    evaluation of a 100 TB scored table is exactly one map-side-combined
+    groupBy."""
+    labeled = _eval_labeled(spark, sf_dir)
+    binned = (
+        labeled.groupBy(
+            F.least(F.floor(F.col("s") * 20), F.lit(19)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").alias("n_pos"),
+            F.round(F.avg("s"), 6).alias("mean_score"),
+        )
+    )
+    return binned.select(
+        "bin", "n", "n_pos", "mean_score",
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("pos_rate"),
+    )
+
+
+@register(
+    "eval_roc_auc_binned",
+    oracle=f"""
+        WITH {_SQL_EVAL_LABELED},
+        binned AS (
+          SELECT least(floor(s * 200), 199)::BIGINT AS bin,
+                 count(*) AS n, sum(label) AS n_pos
+          FROM labeled GROUP BY 1
+        ),
+        tot AS (
+          SELECT sum(n_pos)::BIGINT AS p, sum(n - n_pos)::BIGINT AS q FROM binned
+        ),
+        roc AS (
+          SELECT sum(n_pos) OVER w::DOUBLE / t.p AS tpr,
+                 sum(n - n_pos) OVER w::DOUBLE / t.q AS fpr,
+                 coalesce(sum(n_pos) OVER w_prev, 0)::DOUBLE / t.p AS tpr0,
+                 coalesce(sum(n - n_pos) OVER w_prev, 0)::DOUBLE / t.q AS fpr0
+          FROM binned, tot t
+          WINDOW w AS (ORDER BY bin DESC),
+                 w_prev AS (ORDER BY bin DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING)
+        )
+        SELECT round(sum((fpr - fpr0) * (tpr + tpr0) / 2), 6) AS auc,
+               (SELECT p FROM tot) AS n_pos,
+               (SELECT q FROM tot) AS n_neg
+        FROM roc
+    """,
+    tags=("eval", "scoring", "ml-ops"),
+)
+def eval_roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via 200 score bins and trapezoid integration —
+    the standard exact-at-scale evaluation shape: the raw scored table
+    collapses to ≤200 (bin, n, n_pos) rows in ONE map-side-combined
+    groupBy, and every window/cumsum after that runs on the tiny binned
+    frame (a per-row global rank, the textbook Mann-Whitney AUC, would
+    need a single-partition sort of ALL rows instead). Totals are a
+    one-row broadcast."""
+    from pyspark.sql import Window
+
+    labeled = _eval_labeled(spark, sf_dir)
+    binned = (
+        labeled.groupBy(
+            F.least(F.floor(F.col("s") * 200), F.lit(199)).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    )
+    tot = binned.agg(
+        F.sum("n_pos").alias("p"), F.sum(F.col("n") - F.col("n_pos")).alias("q")
+    )
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    w_prev = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, -1)
+    roc = binned.crossJoin(F.broadcast(tot)).select(
+        (F.sum("n_pos").over(w).cast("double") / F.col("p")).alias("tpr"),
+        (F.sum(F.col("n") - F.col("n_pos")).over(w).cast("double") / F.col("q")).alias(
+            "fpr"
+        ),
+        (
+            F.coalesce(F.sum("n_pos").over(w_prev), F.lit(0)).cast("double")
+            / F.col("p")
+        ).alias("tpr0"),
+        (
+            F.coalesce(F.sum(F.col("n") - F.col("n_pos")).over(w_prev), F.lit(0)).cast(
+                "double"
+            )
+            / F.col("q")
+        ).alias("fpr0"),
+        "p",
+        "q",
+    )
+    return roc.agg(
+        F.round(
+            F.sum((F.col("fpr") - F.col("fpr0")) * (F.col("tpr") + F.col("tpr0")) / 2),
+            6,
+        ).alias("auc"),
+        F.max("p").alias("n_pos"),
+        F.max("q").alias("n_neg"),
+    )
+
+
+@register(
+    "k_anonymity_audit_customer",
+    oracle="""
+        WITH qi AS (
+          SELECT c_nationkey, c_mktsegment,
+                 floor(c_acctbal / 1000)::BIGINT AS bal_band,
+                 count(*) AS grp_n
+          FROM customer
+          GROUP BY 1, 2, 3
+        )
+        SELECT CASE WHEN grp_n < 5 THEN 'k<5'
+                    WHEN grp_n < 20 THEN '5<=k<20'
+                    ELSE 'k>=20' END AS risk_band,
+               count(*) AS n_groups,
+               sum(grp_n)::BIGINT AS n_rows,
+               min(grp_n) AS min_k
+        FROM qi GROUP BY 1
+    """,
+    tags=("privacy", "quality", "llm-pipeline"),
+)
+def k_anonymity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation, market
+    segment, account-balance band): how many QI groups — and how many
+    ROWS — sit in re-identification-risk bands (k<5, k<20), plus the
+    dataset's realized k (min group size). The privacy gate a
+    training-data release pipeline runs before publishing: one grouped
+    count at QI grain, one tiny re-aggregation — a single shuffle at any
+    scale."""
+    qi = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    band = (
+        F.when(F.col("grp_n") < 5, "k<5")
+        .when(F.col("grp_n") < 20, "5<=k<20")
+        .otherwise("k>=20")
+    )
+    return qi.groupBy(band.alias("risk_band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("grp_n").alias("n_rows"),
+        F.min("grp_n").alias("min_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -7913,7 +8168,12 @@ _DRIVER_WINDOW = [
 # seasonal_anomaly_hours_events, dedup_containment_documents,
 # hard_negative_mining_embeddings, q8_nation_market_share,
 # q22_dormant_high_balance, merge_cdc_tombstones_orders,
-# q17_small_quantity_revenue, embedding_mean_pool_chunks
+# q17_small_quantity_revenue, embedding_mean_pool_chunks,
+# q13_customer_order_distribution, q15_top_revenue_supplier,
+# q9_nation_year_profit, q21_sole_late_supplier, q11_important_parts,
+# q16_supplier_diversity, q20_dominant_suppliers, q2_min_cost_supplier,
+# bm25_search_documents, incremental_join_orders_customer,
+# eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

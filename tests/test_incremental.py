@@ -76,3 +76,38 @@ def test_non_additive_kind_rejected(spark):
     o = t(spark, SF_SMALL, "orders")
     with pytest.raises(ValueError, match="non-additive"):
         aggregate_snapshot(o, ["o_orderstatus"], {"d": ("distinct", "o_custkey")})
+
+
+@pytest.mark.parametrize(
+    "date_cutoff,key_mod",
+    [
+        ("1997-01-01", 3),   # both sides have real deltas
+        ("1995-01-01", 3),   # ΔA is (almost) everything
+        ("2002-01-01", 3),   # ΔA empty — rule degenerates to A0⋈ΔB
+        ("1997-01-01", 1),   # ΔB is everything — B0 empty
+    ],
+)
+def test_join_delta_rule_equals_full_join(spark, date_cutoff, key_mod):
+    """(A0⋈B0) ∪ Δ(A⋈B) must equal (A0∪ΔA)⋈(B0∪ΔB) for every split,
+    including splits where one side's delta (or base) is empty."""
+    from spark_pipeline_spark.operators.incremental import incremental_join_delta
+
+    o = t(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_orderdate"
+    )
+    c = t(spark, SF_SMALL, "customer").select("c_custkey", "c_nationkey")
+    a0 = o.filter(F.col("o_orderdate") < date_cutoff)
+    da = o.filter(F.col("o_orderdate") >= date_cutoff)
+    b0 = c.filter(F.col("c_custkey") % key_mod != 0)
+    db = c.filter(F.col("c_custkey") % key_mod == 0)
+
+    maintained = a0.join(b0, ["c_custkey"]).unionByName(
+        incremental_join_delta(a0, da, b0, db, ["c_custkey"])
+    )
+    full = o.join(c, ["c_custkey"])
+
+    got = sorted(
+        (r["o_orderkey"], r["c_nationkey"]) for r in maintained.collect()
+    )
+    want = sorted((r["o_orderkey"], r["c_nationkey"]) for r in full.collect())
+    assert got == want  # exact multiset equality, no lost or doubled rows

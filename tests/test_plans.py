@@ -44,6 +44,7 @@ _NLJ_ALLOWED = {
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
+    "eval_roc_auc_binned",  # one-row pos/neg totals broadcast over ≤200 bins
 }
 
 
