@@ -8099,6 +8099,201 @@ def k_anonymity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TE_SMOOTH = 10.0  # pseudo-count mass pulled toward the global prior
+
+
+@register(
+    "target_encode_oof_orders",
+    oracle=f"""
+        WITH base AS (
+          SELECT o_orderpriority AS cat,
+                 ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 5 AS fold,
+                 CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+          FROM orders
+        ),
+        cf AS (
+          SELECT cat, fold, count(*) AS n, sum(y)::BIGINT AS pos
+          FROM base GROUP BY cat, fold
+        ),
+        ct AS (
+          SELECT cat, sum(n)::BIGINT AS n_tot, sum(pos)::BIGINT AS pos_tot
+          FROM cf GROUP BY cat
+        ),
+        g AS (
+          SELECT sum(n_tot)::BIGINT AS n_all, sum(pos_tot)::BIGINT AS pos_all FROM ct
+        )
+        SELECT cf.cat, cf.fold, cf.n,
+               round(
+                 (ct.pos_tot - cf.pos
+                  + {_TE_SMOOTH!r} * pos_all / n_all)
+                 / (ct.n_tot - cf.n + {_TE_SMOOTH!r}), 6) AS encoded
+        FROM cf JOIN ct ON ct.cat = cf.cat, g
+    """,
+    tags=("ml-prep", "encoding", "fold", "llm-pipeline"),
+)
+def target_encode_oof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold smoothed target encoding — the leak-free categorical
+    encoder for training prep: each (category, fold) cell is encoded
+    from every OTHER fold's label statistics (total-minus-own-fold, so
+    a row never sees its own label), shrunk toward the global positive
+    rate by {_TE_SMOOTH} pseudo-counts. Fold assignment is a seeded
+    content hash (append-stable, like `kfold_assignment_documents`).
+    Shape: ONE map-side-combined groupBy at (cat, fold) grain; per-cat
+    totals and the global prior derive from those partials (no second
+    scan of the fact table), so encoding a 100 TB table costs one
+    shuffle of ~|cats|×5 rows."""
+    from spark_pipeline_spark.functions import md5_int
+
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.pmod(md5_int(F.col("o_orderkey").cast("string")), F.lit(5)).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cf = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos")
+    )
+    ct = cf.groupBy(F.col("cat").alias("t_cat")).agg(
+        F.sum("n").alias("n_tot"), F.sum("pos").alias("pos_tot")
+    )
+    g = ct.agg(F.sum("n_tot").alias("n_all"), F.sum("pos_tot").alias("pos_all"))
+    return (
+        cf.join(ct, cf.cat == ct.t_cat)
+        .crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            "fold",
+            "n",
+            F.round(
+                (
+                    F.col("pos_tot")
+                    - F.col("pos")
+                    + F.lit(_TE_SMOOTH) * F.col("pos_all") / F.col("n_all")
+                )
+                / (F.col("n_tot") - F.col("n") + F.lit(_TE_SMOOTH)),
+                6,
+            ).alias("encoded"),
+        )
+    )
+
+
+@register(
+    "table_sync_buckets_orders",
+    oracle="""
+        WITH newv AS (
+          SELECT o_orderkey, o_orderstatus,
+                 CASE WHEN o_orderstatus = 'P'
+                      THEN round(o_totalprice * 2, 2) ELSE o_totalprice END
+                   AS o_totalprice
+          FROM orders
+          UNION ALL
+          SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+          FROM orders
+          WHERE ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < 0.02
+        ),
+        ob AS (
+          SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 256
+                   AS bucket,
+                 count(*) AS n,
+                 sum(('0x' || substr(md5(
+                     (o_orderstatus IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     (o_totalprice IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_totalprice::VARCHAR, '')), 1, 8))::BIGINT
+                 )::BIGINT AS checksum
+          FROM orders GROUP BY bucket
+        ),
+        nb AS (
+          SELECT ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 8))::BIGINT % 256
+                   AS bucket,
+                 count(*) AS n,
+                 sum(('0x' || substr(md5(
+                     (o_orderstatus IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_orderstatus, '') || '|' ||
+                     (o_totalprice IS NULL)::VARCHAR || ':' ||
+                     coalesce(o_totalprice::VARCHAR, '')), 1, 8))::BIGINT
+                 )::BIGINT AS checksum
+          FROM newv GROUP BY bucket
+        )
+        SELECT bucket,
+               coalesce(ob.n, 0)::BIGINT AS n_old,
+               coalesce(nb.n, 0)::BIGINT AS n_new,
+               CASE WHEN coalesce(ob.n, 0) <> coalesce(nb.n, 0) THEN 'count'
+                    ELSE 'content' END AS drift
+        FROM ob FULL OUTER JOIN nb USING (bucket)
+        WHERE ob.n IS DISTINCT FROM nb.n
+           OR ob.checksum IS DISTINCT FROM nb.checksum
+    """,
+    tags=("merge", "diff", "sync", "sketch"),
+)
+def table_sync_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style table reconciliation, first pass: bucket both tables
+    by a key hash (256 buckets) and compare per-bucket (count,
+    order-independent checksum = sum of 32-bit row fingerprints),
+    emitting ONLY the buckets that drifted. Contrast
+    `table_diff_orders_feed` (row-level full outer join): syncing two
+    100 TB replicas starts with this pass — each side exchanges 256
+    summary rows instead of every row — and the row-level diff then
+    runs only on drifted buckets (here 100% content coverage costs two
+    scans + a 256-row join; bucket count scales with data so per-bucket
+    row counts keep the int64 checksum sum far from overflow). The row
+    fingerprint is the null-flagged form shared with table_diff, so
+    NULL and the literal string '<null>' can never collide."""
+    from spark_pipeline_spark.functions import md5_int
+
+    def side(df: DataFrame) -> DataFrame:
+        fp = F.concat(
+            F.col("o_orderstatus").isNull().cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("")),
+            F.lit("|"),
+            F.col("o_totalprice").isNull().cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("o_totalprice").cast("string"), F.lit("")),
+        )
+        return df.groupBy(
+            F.pmod(md5_int(F.col("o_orderkey").cast("string")), F.lit(256)).alias(
+                "bucket"
+            )
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(md5_int(fp)).alias("checksum"),
+        )
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    newv = o.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderstatus") == "P", F.round(F.col("o_totalprice") * 2, 2)
+        ).otherwise(F.col("o_totalprice")),
+    ).unionByName(
+        o.filter(
+            md5_int(F.col("o_orderkey").cast("string")) / F.lit(4294967296.0) < 0.02
+        ).withColumn("o_orderkey", F.col("o_orderkey") + 100000000)
+    )
+    ob = side(o)
+    nb = side(newv)
+    joined = ob.alias("ob").join(
+        nb.alias("nb"), F.col("ob.bucket") == F.col("nb.bucket"), "full_outer"
+    )
+    n_old = F.coalesce(F.col("ob.n"), F.lit(0))
+    n_new = F.coalesce(F.col("nb.n"), F.lit(0))
+    return (
+        joined.filter(
+            ~F.col("ob.n").eqNullSafe(F.col("nb.n"))
+            | ~F.col("ob.checksum").eqNullSafe(F.col("nb.checksum"))
+        )
+        .select(
+            F.coalesce(F.col("ob.bucket"), F.col("nb.bucket")).alias("bucket"),
+            n_old.alias("n_old"),
+            n_new.alias("n_new"),
+            F.when(n_old != n_new, "count").otherwise("content").alias("drift"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -8173,7 +8368,8 @@ _DRIVER_WINDOW = [
 # q9_nation_year_profit, q21_sole_late_supplier, q11_important_parts,
 # q16_supplier_diversity, q20_dominant_suppliers, q2_min_cost_supplier,
 # bm25_search_documents, incremental_join_orders_customer,
-# eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer
+# eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer,
+# target_encode_oof_orders, table_sync_buckets_orders
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

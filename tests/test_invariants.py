@@ -430,3 +430,32 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
     )
     assert jac < 0.5  # Jaccard can never reach a 0.7-style threshold here
     assert minhash_near_dup_pairs(df, "doc_id", "text", threshold=0.7).count() == 0
+
+
+def test_target_encoding_is_leak_free(spark):
+    """The OOF invariant: each (cat, fold) encoding must equal the
+    smoothed mean computed from scratch on ALL OTHER folds — the
+    total-minus-own-fold algebra can't peek at the fold's own labels."""
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.queries import REGISTRY, t
+
+    got = {
+        (r["cat"], r["fold"]): r["encoded"]
+        for r in REGISTRY["target_encode_oof_orders"].fn(spark, SF_SMALL).collect()
+    }
+    base = t(spark, SF_SMALL, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.pmod(md5_int(F.col("o_orderkey").cast("string")), F.lit(5)).alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    rows = base.collect()
+    n_all = len(rows)
+    pos_all = sum(r["y"] for r in rows)
+    prior = pos_all / n_all
+    for (cat, fold), enc in got.items():
+        others = [r for r in rows if r["cat"] == cat and r["fold"] != fold]
+        n, pos = len(others), sum(r["y"] for r in others)
+        want = (pos + 10.0 * prior) / (n + 10.0)
+        assert abs(enc - round(want, 6)) < 1e-9, (cat, fold, enc, want)
