@@ -7337,7 +7337,8 @@ def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
         WITH revenue AS (
           SELECT l_suppkey AS supplier_no,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)
+                 / 100.0 AS total_revenue
           FROM lineitem
           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
             AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -7356,16 +7357,22 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-subquery-in-WHERE pattern, executed as an EQUI-join between
     the revenue table and its own one-row max (the max side is a single
     row, so Spark broadcasts it; joining on the revenue VALUE keeps it a
-    hash join, not a nested loop). Revenue is rounded to 2dp on both
-    engines BEFORE the max so the equality can't be broken by
-    accumulation-order last-bits."""
+    hash join, not a nested loop). Revenue accumulates as exact integer
+    CENTS (per-line rounding of a bit-identical IEEE product, then an
+    order-independent int64 sum), so the max-equality can't be broken
+    by accumulation-order last-bits or engine round() differences."""
     l = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "total_revenue"
-        )
+        (
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+                ).cast("long")
+            )
+            / 100.0
+        ).alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("total_revenue"))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -7676,7 +7683,8 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH cost AS (
           SELECT l.l_partkey, l.l_suppkey,
-                 round(min(l.l_extendedprice / l.l_quantity), 6) AS unit_cost
+                 floor(min(l.l_extendedprice / l.l_quantity) * 1000000)::BIGINT
+                   AS cost_micro
           FROM lineitem l
           JOIN supplier s ON s.s_suppkey = l.l_suppkey
           JOIN nation n   ON n.n_nationkey = s.s_nationkey
@@ -7684,11 +7692,13 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE r.r_name = 'EUROPE'
           GROUP BY l.l_partkey, l.l_suppkey
         ),
-        best AS (SELECT l_partkey, min(unit_cost) AS min_cost FROM cost GROUP BY l_partkey)
+        best AS (
+          SELECT l_partkey, min(cost_micro) AS min_micro FROM cost GROUP BY l_partkey
+        )
         SELECT p.p_partkey, p.p_name, c.l_suppkey AS s_suppkey,
-               c.unit_cost AS min_cost
+               c.cost_micro / 1000000.0 AS min_cost
         FROM cost c
-        JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+        JOIN best b ON b.l_partkey = c.l_partkey AND c.cost_micro = b.min_micro
         JOIN part p ON p.p_partkey = c.l_partkey
         WHERE p.p_size <= 15
     """,
@@ -7699,10 +7709,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region-local supplier(s) offering the MINIMUM unit cost — the
     correlated `= (SELECT min ...)` subquery, executed decorrelated as
     a per-(part,supplier) aggregate, a per-part min over it, and an
-    equality join-back on (partkey, cost). Unit cost is rounded to 6dp
-    at the first aggregate on BOTH engines so the min-equality join-back
-    can't be split by float last-bits. Region/nation/supplier prune the
-    fact scan via broadcast joins before any shuffle."""
+    equality join-back on (partkey, cost). Unit cost is floored to
+    INTEGER micro-units at the first aggregate: the ×1e6 product is a
+    bit-identical IEEE double on both engines and floor of it is exact,
+    so the min-equality join-back compares int64s (a 6dp round() here
+    diverged 4/5984 rows at sf0.1 — Spark rounds the exact decimal
+    HALF_UP, DuckDB rounds via float scaling). Region/nation/supplier
+    prune the fact scan via broadcast joins before any shuffle."""
     l = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -7717,13 +7730,15 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.round(
-                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
-            ).alias("unit_cost")
+            F.floor(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 1000000
+            )
+            .cast("long")
+            .alias("cost_micro")
         )
     )
     best = cost.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
-        F.min("unit_cost").alias("min_cost")
+        F.min("cost_micro").alias("min_micro")
     )
     p = t(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select(
         "p_partkey", "p_name"
@@ -7732,14 +7747,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         cost.join(
             best,
             (cost.l_partkey == best.b_partkey)
-            & (cost.unit_cost == best.min_cost),
+            & (cost.cost_micro == best.min_micro),
         )
         .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",
             F.col("l_suppkey").alias("s_suppkey"),
-            F.col("unit_cost").alias("min_cost"),
+            (F.col("cost_micro") / 1000000.0).alias("min_cost"),
         )
     )
 
@@ -8294,6 +8309,337 @@ def table_sync_buckets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P95_BINW, _P95_BINS = 4.0, 200
+
+
+@register(
+    "sliding_p95_value_7d",
+    oracle=f"""
+        WITH partials AS (
+          SELECT date_trunc('day', ts) AS day,
+                 least(greatest(floor(value / {_P95_BINW!r}), 0),
+                       {_P95_BINS - 1})::BIGINT AS bin,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        wins AS (
+          SELECT unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                        INTERVAL 1 DAY)) AS win_end,
+                 bin, n
+          FROM partials
+        ),
+        wbin AS (SELECT win_end, bin, sum(n)::BIGINT AS n FROM wins GROUP BY 1, 2),
+        cum AS (
+          SELECT win_end, bin, n,
+                 sum(n) OVER (PARTITION BY win_end ORDER BY bin) AS cum_n,
+                 sum(n) OVER (PARTITION BY win_end) AS tot
+          FROM wbin
+        )
+        SELECT epoch(win_end)::BIGINT AS win_end_epoch,
+               sum(n)::BIGINT AS n_events,
+               min(CASE WHEN cum_n >= 0.95 * tot THEN bin END)::BIGINT AS p95_bin,
+               round((min(CASE WHEN cum_n >= 0.95 * tot THEN bin END) + 1)
+                     * {_P95_BINW!r}, 2) AS p95_upper
+        FROM cum GROUP BY 1
+    """,
+    tags=("sketch", "sliding", "quantile", "incremental"),
+)
+def sliding_p95_value_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day P95 from MERGEABLE daily bin-histograms — the
+    windowed-quantile scale pattern (same partial→merge→estimate chain
+    as `sliding_distinct_users_7d`, with a {_P95_BINS}-bin equal-width
+    histogram as the mergeable state): the raw stream collapses to
+    ≤{_P95_BINS} (day, bin, n) partials per day in one
+    map-side-combined groupBy; each of the 7 windows a day feeds is an
+    explode of its partials (7× ≤{_P95_BINS} tiny rows, never raw
+    events); the quantile readout is a cumulative window over ≤{_P95_BINS}
+    bins per win_end. An exact sliding percentile would re-sort every
+    window's full event set; this is the estimator a 100 TB/day stream
+    can actually maintain, with error bounded by the bin width
+    ({_P95_BINW} value units)."""
+    d = t(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / _P95_BINW), F.lit(0)),
+            F.lit(_P95_BINS - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+    )
+    partials = d.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n"))
+    wins = partials.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("win_end"),
+        "bin",
+        "n",
+    )
+    wbin = wins.groupBy("win_end", "bin").agg(F.sum("n").alias("n"))
+
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("win_end").orderBy("bin").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    w_all = Window.partitionBy("win_end")
+    cum = wbin.select(
+        "win_end",
+        "bin",
+        "n",
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("n").over(w_all).alias("tot"),
+    )
+    hit = F.when(F.col("cum_n") >= 0.95 * F.col("tot"), F.col("bin"))
+    return cum.groupBy(
+        F.unix_timestamp("win_end").alias("win_end_epoch")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.min(hit).cast("long").alias("p95_bin"),
+        F.round((F.min(hit) + 1) * _P95_BINW, 2).alias("p95_upper"),
+    )
+
+
+@register(
+    "eval_cv_auc_by_fold",
+    oracle=f"""
+        WITH {_SQL_EVAL_LABELED},
+        folded AS (
+          SELECT ('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT % 5 AS fold,
+                 s, label
+          FROM labeled
+        ),
+        binned AS (
+          SELECT fold, least(floor(s * 200), 199)::BIGINT AS bin,
+                 count(*) AS n, sum(label) AS n_pos
+          FROM folded GROUP BY 1, 2
+        ),
+        tot AS (
+          SELECT fold, sum(n_pos)::BIGINT AS p, sum(n - n_pos)::BIGINT AS q
+          FROM binned GROUP BY fold
+        ),
+        roc AS (
+          SELECT b.fold,
+                 sum(n_pos) OVER w::DOUBLE / t.p AS tpr,
+                 sum(n - n_pos) OVER w::DOUBLE / t.q AS fpr,
+                 coalesce(sum(n_pos) OVER w_prev, 0)::DOUBLE / t.p AS tpr0,
+                 coalesce(sum(n - n_pos) OVER w_prev, 0)::DOUBLE / t.q AS fpr0
+          FROM binned b JOIN tot t ON t.fold = b.fold
+          WINDOW w AS (PARTITION BY b.fold ORDER BY bin DESC),
+                 w_prev AS (PARTITION BY b.fold ORDER BY bin DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        )
+        SELECT fold, round(sum((fpr - fpr0) * (tpr + tpr0) / 2), 6) AS auc
+        FROM roc GROUP BY fold
+    """,
+    tags=("eval", "fold", "ml-ops"),
+)
+def eval_cv_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-validated AUC: the binned-ROC estimator computed PER FOLD
+    (seeded content-hash folds, the `kfold_assignment` scheme) — the
+    fold spread is the variance estimate an offline-eval pipeline
+    reports next to the point AUC. Same scale shape as
+    `eval_roc_auc_binned` with fold as an extra partition key: one
+    map-side-combined groupBy to ≤5×200 rows, per-fold totals as a tiny
+    keyed join (no one-row broadcast needed), windows only over the
+    binned frame."""
+    from spark_pipeline_spark.functions import md5_int
+    from pyspark.sql import Window
+
+    folded = _eval_labeled(spark, sf_dir).select(
+        F.pmod(md5_int(F.col("c_custkey").cast("string")), F.lit(5)).alias("fold"),
+        "s",
+        "label",
+    )
+    binned = folded.groupBy(
+        "fold",
+        F.least(F.floor(F.col("s") * 200), F.lit(199)).cast("long").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    tot = binned.groupBy(F.col("fold").alias("t_fold")).agg(
+        F.sum("n_pos").alias("p"), F.sum(F.col("n") - F.col("n_pos")).alias("q")
+    )
+    w = (
+        Window.partitionBy("fold")
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_prev = (
+        Window.partitionBy("fold")
+        .orderBy(F.desc("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    roc = binned.join(tot, binned.fold == tot.t_fold).select(
+        "fold",
+        (F.sum("n_pos").over(w).cast("double") / F.col("p")).alias("tpr"),
+        (F.sum(F.col("n") - F.col("n_pos")).over(w).cast("double") / F.col("q")).alias(
+            "fpr"
+        ),
+        (
+            F.coalesce(F.sum("n_pos").over(w_prev), F.lit(0)).cast("double")
+            / F.col("p")
+        ).alias("tpr0"),
+        (
+            F.coalesce(F.sum(F.col("n") - F.col("n_pos")).over(w_prev), F.lit(0)).cast(
+                "double"
+            )
+            / F.col("q")
+        ).alias("fpr0"),
+    )
+    return roc.groupBy("fold").agg(
+        F.round(
+            F.sum((F.col("fpr") - F.col("fpr0")) * (F.col("tpr") + F.col("tpr0")) / 2),
+            6,
+        ).alias("auc")
+    )
+
+
+@register(
+    "cusum_changepoint_daily_value",
+    oracle="""
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day,
+                 sum(round(value * 100)::BIGINT) AS cents, count(*) AS n
+          FROM events GROUP BY 1
+        ),
+        g AS (
+          SELECT sum(cents)::DOUBLE / sum(n) / 100.0 AS mu,
+                 count(*) AS n_days
+          FROM daily
+        ),
+        dev AS (
+          SELECT day, cents / 100.0 / n AS day_mean,
+                 cents / 100.0 / n - g.mu AS delta
+          FROM daily, g
+        ),
+        track AS (
+          SELECT day, round(day_mean, 6) AS day_mean,
+                 round(sum(delta) OVER (ORDER BY day), 6) AS cusum
+          FROM dev
+        ),
+        spread AS (
+          SELECT max(abs(cusum)) AS peak FROM track
+        )
+        SELECT epoch(day)::BIGINT AS day_epoch, day_mean, cusum,
+               CASE WHEN abs(cusum) >= 0.8 * peak THEN 1 ELSE 0 END AS near_peak
+        FROM track, spread
+    """,
+    tags=("monitor", "changepoint", "timeseries"),
+)
+def cusum_changepoint_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint localization over the daily mean of a metric:
+    cumulative sum of (day mean − global mean), whose |peak| marks the
+    most likely level-shift day (Page's statistic in offline form;
+    contrast `seasonal_anomaly_hours_events`, which flags pointwise
+    outliers, not sustained shifts). Scale: the stream collapses to one
+    row per DAY in a map-side-combined groupBy (sums carried as exact
+    integer cents so the global mean is bit-identical across engines);
+    the CUSUM recurrence is a cumulative window over that tiny daily
+    frame, and the peak is a one-row broadcast back over it."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    g = daily.agg(
+        (F.sum("cents").cast("double") / F.sum("n") / 100.0).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        (F.col("cents") / 100.0 / F.col("n")).alias("day_mean"),
+        (F.col("cents") / 100.0 / F.col("n") - F.col("mu")).alias("delta"),
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    track = dev.select(
+        "day",
+        F.round("day_mean", 6).alias("day_mean"),
+        F.round(F.sum("delta").over(w), 6).alias("cusum"),
+    )
+    peak = track.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return track.crossJoin(F.broadcast(peak)).select(
+        F.unix_timestamp("day").alias("day_epoch"),
+        "day_mean",
+        "cusum",
+        F.when(F.abs(F.col("cusum")) >= 0.8 * F.col("peak"), 1)
+        .otherwise(0)
+        .alias("near_peak"),
+    )
+
+
+@register(
+    "backfill_gaps_orders_daily",
+    oracle="""
+        WITH present AS (
+          SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n
+          FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM present),
+        calendar AS (
+          SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+          FROM bounds
+        ),
+        expected AS (
+          SELECT sum(n)::DOUBLE / count(*) AS mean_n FROM present
+        )
+        SELECT epoch(c.day)::BIGINT AS day_epoch,
+               coalesce(p.n, 0)::BIGINT AS n_rows,
+               CASE WHEN p.n IS NULL THEN 'missing'
+                    WHEN p.n < 0.5 * e.mean_n THEN 'short'
+                    ELSE 'ok' END AS status
+        FROM calendar c
+        LEFT JOIN present p ON p.day = c.day, expected e
+        WHERE p.n IS NULL OR p.n < 0.5 * e.mean_n
+    """,
+    tags=("maintenance", "backfill", "quality"),
+)
+def backfill_gaps_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill planner: which daily partitions are MISSING or SHORT
+    (<50% of the mean daily row count) between the table's first and
+    last day — the gap report an orchestrator turns into backfill runs.
+    Shape: the fact table collapses to one row per day map-side; the
+    calendar is generated from a one-row bounds aggregate (never a
+    driver-side loop); the expected-count scalar is a one-row
+    broadcast. Cost at 100 TB: one scan + joins over |days| rows."""
+    present = t(spark, sf_dir, "orders").groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = present.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    calendar = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    expected = present.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    joined = (
+        calendar.alias("c")
+        .join(present.alias("p"), F.col("c.day") == F.col("p.day"), "left")
+        .crossJoin(F.broadcast(expected))
+    )
+    status = (
+        F.when(F.col("p.n").isNull(), "missing")
+        .when(F.col("p.n") < 0.5 * F.col("mean_n"), "short")
+        .otherwise("ok")
+    )
+    return (
+        joined.filter(F.col("p.n").isNull() | (F.col("p.n") < 0.5 * F.col("mean_n")))
+        .select(
+            F.unix_timestamp(F.col("c.day")).alias("day_epoch"),
+            F.coalesce(F.col("p.n"), F.lit(0)).alias("n_rows"),
+            status.alias("status"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -8369,7 +8715,9 @@ _DRIVER_WINDOW = [
 # q16_supplier_diversity, q20_dominant_suppliers, q2_min_cost_supplier,
 # bm25_search_documents, incremental_join_orders_customer,
 # eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer,
-# target_encode_oof_orders, table_sync_buckets_orders
+# target_encode_oof_orders, table_sync_buckets_orders,
+# sliding_p95_value_7d, eval_cv_auc_by_fold, cusum_changepoint_daily_value,
+# backfill_gaps_orders_daily
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -46,6 +46,8 @@ _NLJ_ALLOWED = {
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
     "eval_roc_auc_binned",  # one-row pos/neg totals broadcast over ≤200 bins
     "target_encode_oof_orders",  # one-row global-prior broadcast over |cats|×5 rows
+    "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
+    "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
 }
 
 

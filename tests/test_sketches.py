@@ -120,3 +120,44 @@ def test_sliding_distinct_estimate_tracks_exact(spark):
     assert set(est) == set(exact)
     for w, n in exact.items():
         assert abs(est[w] - n) <= max(0.05 * n, 10), (w, est[w], n)
+
+
+def test_sliding_p95_estimate_within_one_bin_of_exact(spark):
+    """The binned sliding P95 must land within one bin width above the
+    exact per-window 95th percentile (upper-edge estimator: the true
+    quantile lies inside the reported bin)."""
+    import numpy as np
+
+    from spark_pipeline_spark.queries import REGISTRY, t
+    from tests.conftest import SF_SMALL
+
+    est = {
+        r["win_end_epoch"]: r["p95_upper"]
+        for r in REGISTRY["sliding_p95_value_7d"].fn(spark, SF_SMALL).collect()
+    }
+    rows = (
+        t(spark, SF_SMALL, "events")
+        .select(F.unix_timestamp(F.date_trunc("day", "ts")).alias("day"), "value")
+        .collect()
+    )
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], []).append(r["value"])
+    day_s = 86400
+    checked = 0
+    for win_end, p95u in est.items():
+        vals = [
+            v
+            for d, vs in by_day.items()
+            if win_end - 6 * day_s <= d <= win_end
+            for v in vs
+        ]
+        if not vals:
+            continue
+        exact = float(np.quantile(np.array(vals), 0.95, method="inverted_cdf"))
+        # upper-edge estimate: exact P95 must fall in (p95u - binw, p95u]
+        assert exact <= p95u + 1e-9, (win_end, exact, p95u)
+        # lower bound with one extra bin of slack for edge-rank ties
+        assert exact > p95u - 2 * 4.0, (win_end, exact, p95u)
+        checked += 1
+    assert checked > 0

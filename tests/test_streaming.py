@@ -661,3 +661,71 @@ def test_stream_upsert_sink_cdc_tombstones(spark, tmp_path):
     assert "op" not in snap.columns and SNAPSHOT_BATCH_COL in snap.columns
     got = {r["k"]: (r["v"], r["version"]) for r in snap.collect()}
     assert got == {1: ("a", 1), 3: ("c3", 3), 4: ("d", 1)}
+
+
+def test_streaming_maintained_bin_partials_yield_batch_p95(spark, tmp_path):
+    """Streaming quantile maintenance by composition: the sliding-P95
+    operator's mergeable state is an additive (day, bin)→count
+    aggregate, so the EXISTING incremental-agg sink maintains it under
+    arbitrary micro-batching; the P95 readout over the drained snapshot
+    must equal the batch estimator's answer on the same rows."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.io.sources import read_parquet_nanos
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_incremental_agg_sink,
+    )
+
+    events = read_parquet_nanos(
+        spark, f"{SF_SMALL}/events.parquet", ["ts"]
+    ).select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.least(F.greatest(F.floor(F.col("value") / 4.0), F.lit(0)), F.lit(199))
+        .cast("long")
+        .alias("bin"),
+    )
+    src = str(tmp_path / "events_bins")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "day timestamp, bin bigint", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "bin_snapshot")
+    q = stream_incremental_agg_sink(
+        stream,
+        target,
+        ["day", "bin"],
+        {"n": ("count", "bin")},
+        checkpoint=str(tmp_path / "ckpt_bins"),
+    )
+    q.awaitTermination(120)
+
+    def p95_from_partials(partials):
+        w_cum = (
+            Window.partitionBy("day").orderBy("bin").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        w_all = Window.partitionBy("day")
+        cum = partials.select(
+            "day",
+            "bin",
+            F.sum("n").over(w_cum).alias("cum_n"),
+            F.sum("n").over(w_all).alias("tot"),
+        )
+        hit = F.when(F.col("cum_n") >= 0.95 * F.col("tot"), F.col("bin"))
+        return {
+            r["day"]: r["p95_bin"]
+            for r in cum.groupBy("day")
+            .agg(F.min(hit).cast("long").alias("p95_bin"))
+            .collect()
+        }
+
+    got = p95_from_partials(
+        spark.read.parquet(target).select("day", "bin", "n")
+    )
+    want = p95_from_partials(
+        events.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert got == want and len(want) > 0
