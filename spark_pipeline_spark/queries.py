@@ -8640,6 +8640,152 @@ def backfill_gaps_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "entity_resolution_parts",
+    oracle="""
+        WITH RECURSIVE vals AS (
+          SELECT DISTINCT p_name AS v,
+                 list_extract(string_split(p_name, ' '), -1) AS blk
+          FROM part
+        ),
+        pairs AS (
+          SELECT a.v AS s, b.v AS d
+          FROM vals a JOIN vals b ON a.blk = b.blk AND a.v < b.v
+          WHERE levenshtein(a.v, b.v) <= 3
+        ),
+        sym AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ),
+        comp AS (
+          SELECT n.id AS v, least(n.id, min(r.d)) AS component
+          FROM (SELECT DISTINCT s AS id FROM sym) n
+          JOIN reach r ON r.s = n.id
+          GROUP BY n.id
+        ),
+        allv AS (
+          SELECT vals.v, coalesce(c.component, vals.v) AS component
+          FROM vals LEFT JOIN comp c ON c.v = vals.v
+        )
+        SELECT component AS canonical, count(*) AS n_variants,
+               array_to_string(list_sort(list(v)), ',') AS variants
+        FROM allv GROUP BY component
+    """,
+    tags=("entity-resolution", "dedup", "graph", "composition"),
+)
+def entity_resolution_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end as ONE chain of the engine's
+    operators: blocking (last-token key — candidate pairs only within a
+    block, never all-pairs) → pair scoring (Levenshtein ≤ 3) →
+    `connected_components` clustering (hash-min label propagation,
+    lineage-truncated per round) → canonical record per cluster (the
+    lexicographic-min variant) with the full sorted variant list.
+    Singletons — names in no pair — keep themselves as canonical. The
+    oracle replays the whole chain including the transitive closure as
+    a recursive CTE, so the CLUSTERING (not just the pairs) is
+    hash-verified. Scale: candidates are bounded by block sizes, the
+    component loop shuffles only (node, label) pairs, and the final
+    report is one groupBy over |distinct names|."""
+    from spark_pipeline_spark.operators.graph import connected_components
+
+    vals = (
+        t(spark, sf_dir, "part")
+        .select(
+            F.col("p_name").alias("v"),
+            F.element_at(F.split(F.col("p_name"), " "), -1).alias("blk"),
+        )
+        .distinct()
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.v") < F.col("b.v")),
+        )
+        .filter(F.levenshtein(F.col("a.v"), F.col("b.v")) <= 3)
+        .select(F.col("a.v").alias("src"), F.col("b.v").alias("dst"))
+    )
+    comp = connected_components(pairs)
+    allv = vals.join(comp, vals.v == comp.id, "left").select(
+        "v", F.coalesce(F.col("component"), F.col("v")).alias("component")
+    )
+    return allv.groupBy(F.col("component").alias("canonical")).agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.array_join(F.array_sort(F.collect_list("v")), ",").alias("variants"),
+    )
+
+
+@register(
+    "ivf_recall_report",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        q AS (SELECT * FROM assign WHERE vec_id < 20),
+        exact AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM q JOIN e c ON q.vec_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+          ) <= 3
+        ),
+        approx AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+          ) <= 3
+        )
+        SELECT x.query_id,
+               count(a.neighbor_id)::BIGINT AS n_hits,
+               round(count(a.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM exact x
+        LEFT JOIN approx a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "eval", "llm-pipeline"),
+)
+def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured retrieval quality of the ANN scale path: per-query
+    recall@3 of IVF (nprobe=1) against the exact brute-force top-3 —
+    the quality gate that decides whether an index's cell count/probe
+    budget is acceptable before pointing production retrieval at it
+    (companion to `lsh_recall_precision_report`, which gates the
+    hyperplane-LSH path). Both sides reuse the engine's own operators;
+    the compare is a keyed left join on (query, neighbor) pairs, so the
+    report stays exact however large the corpus — only top-k pairs ever
+    leave the similarity operators."""
+    from spark_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    exact = cosine_topk(e, queries, k=3, exclude_self=True).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk(e, queries, centroids, k=3, exclude_self=True).select(
+        F.col("query_id").alias("a_query"), F.col("neighbor_id").alias("a_neighbor")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -8717,7 +8863,7 @@ _DRIVER_WINDOW = [
 # eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer,
 # target_encode_oof_orders, table_sync_buckets_orders,
 # sliding_p95_value_7d, eval_cv_auc_by_fold, cusum_changepoint_daily_value,
-# backfill_gaps_orders_daily
+# backfill_gaps_orders_daily, entity_resolution_parts, ivf_recall_report
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

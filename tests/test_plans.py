@@ -48,6 +48,7 @@ _NLJ_ALLOWED = {
     "target_encode_oof_orders",  # one-row global-prior broadcast over |cats|×5 rows
     "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
     "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
+    "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
 }
 
 
