@@ -173,3 +173,22 @@ def test_boilerplate_explode_filter_not_reinlined(spark):
     for line in plan.splitlines():
         if line.strip().startswith("Condition :"):
             assert "transform" not in line, f"re-inlined gram filter: {line[:200]}"
+
+
+def test_partitioned_write_prunes_partitions_at_read(spark, tmp_path):
+    """A Hive-partitioned write must let a reader's partition-column
+    filter become a PartitionFilter (directory pruning — zero bytes read
+    from non-matching partitions), not a post-scan Filter."""
+    from spark_pipeline_spark.io.sinks import write_file
+
+    out = str(tmp_path / "orders_by_status")
+    o = t(spark, SF_SMALL, "orders")
+    write_file(o, out, partition_by=["o_orderstatus"])
+
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(back)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, "scan has no PartitionFilters section"
+    assert "o_orderstatus" in pf_lines[0], pf_lines[0]
+    # the data filter must NOT be re-applied row-wise after the scan
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
