@@ -459,3 +459,64 @@ def test_target_encoding_is_leak_free(spark):
         n, pos = len(others), sum(r["y"] for r in others)
         want = (pos + 10.0 * prior) / (n + 10.0)
         assert abs(enc - round(want, 6)) < 1e-9, (cat, fold, enc, want)
+
+
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-100, 100), st.booleans()),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_incremental_merge_property(spark, rows):
+    """PROPERTY: for ANY row multiset and ANY history/delta split —
+    including empty sides, single keys, negative values —
+    merge(snapshot(history), delta) == snapshot(history ∪ delta)."""
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+
+    schema = "k string, v long, in_delta boolean"
+    df = spark.createDataFrame(
+        [(k, v, d) for k, v, d in rows], schema=schema
+    )
+    spec = {"s": ("sum", "v"), "n": ("count", "v"),
+            "lo": ("min", "v"), "hi": ("max", "v")}
+    hist = df.filter(~F.col("in_delta")).drop("in_delta")
+    delta = df.filter(F.col("in_delta")).drop("in_delta")
+    merged = incremental_agg_merge(
+        aggregate_snapshot(hist, ["k"], spec), delta, ["k"], spec
+    )
+    full = aggregate_snapshot(df.drop("in_delta"), ["k"], spec)
+    as_map = lambda d: {
+        r["k"]: (r["s"], r["n"], r["lo"], r["hi"]) for r in d.collect()
+    }
+    assert as_map(merged) == as_map(full)
+
+
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.booleans()), max_size=10),
+    st.lists(st.tuples(st.integers(0, 3), st.booleans()), max_size=6),
+)
+@settings(max_examples=15, deadline=None)
+def test_join_delta_rule_property(spark, a_rows, b_rows):
+    """PROPERTY: the delta rule reconstructs the full inner join for ANY
+    pair of keyed multisets and ANY base/delta split of each."""
+    from spark_pipeline_spark.operators.incremental import incremental_join_delta
+
+    a = spark.createDataFrame(
+        [(k, i, d) for i, (k, d) in enumerate(a_rows)], "k long, aid long, dd boolean"
+    )
+    b = spark.createDataFrame(
+        [(k, i, d) for i, (k, d) in enumerate(b_rows)], "k long, bid long, dd boolean"
+    )
+    a0, da = a.filter(~F.col("dd")).drop("dd"), a.filter(F.col("dd")).drop("dd")
+    b0, db = b.filter(~F.col("dd")).drop("dd"), b.filter(F.col("dd")).drop("dd")
+    maintained = a0.join(b0, ["k"]).unionByName(
+        incremental_join_delta(a0, da, b0, db, ["k"])
+    )
+    full = a.drop("dd").join(b.drop("dd"), ["k"])
+    pairs = lambda d: sorted((r["aid"], r["bid"]) for r in d.collect())
+    assert pairs(maintained) == pairs(full)
