@@ -28,6 +28,7 @@ __all__ = [
     "stream_enrich",
     "stream_upsert_sink",
     "stream_incremental_agg_sink",
+    "stream_topk_sink",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -497,6 +498,59 @@ def stream_incremental_agg_sink(
             if current is None:
                 return aggregate_snapshot(batch_df, key_list, spec_d)
             return incremental_agg_merge(current, batch_df, key_list, spec_d)
+
+        _replay_guarded_swap(spark, target_path, batch_id, merge)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_topk_sink(
+    stream: DataFrame,
+    target_path: str,
+    order_col: str,
+    k: int,
+    available_now: bool = True,
+    checkpoint: str | None = None,
+):
+    """Streaming global top-k: maintain the k highest-``order_col`` rows
+    seen so far at ``target_path`` (parquet) — a leaderboard sink.
+
+    The maintained state is BOUNDED and non-keyed (exactly k rows), the
+    third state shape next to the keyed upsert (one row per key) and the
+    additive aggregate (one row per group): per micro-batch, the batch
+    reduces to ITS top-k first (rank window over batch rows only — the
+    partial-top-k discipline), then merges with the stored k rows and
+    re-ranks 2k rows. Top-k merge is idempotent for re-applied identical
+    batches, but the batch-id guard still applies so replays cost
+    nothing. Ties beyond row equality break by the full row's md5 (NOT
+    arbitrary), so the snapshot is deterministic under any batching.
+    """
+    from pyspark.sql import Window
+
+    spark = stream.sparkSession
+    cols = stream.columns
+
+    def topk(df: DataFrame) -> DataFrame:
+        tie = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+        w = Window.orderBy(F.desc(order_col), tie)
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .drop("__r")
+        )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_top = topk(batch_df.select(*cols))
+
+        def merge(current: DataFrame | None) -> DataFrame:
+            if current is None:
+                return batch_top
+            return topk(current.select(*cols).unionByName(batch_top))
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
 

@@ -729,3 +729,37 @@ def test_streaming_maintained_bin_partials_yield_batch_p95(spark, tmp_path):
         events.groupBy("day", "bin").agg(F.count(F.lit(1)).alias("n"))
     )
     assert got == want and len(want) > 0
+
+
+def test_stream_topk_sink_matches_batch_topk(spark, tmp_path):
+    """After draining, the maintained leaderboard must equal the batch
+    top-k over all rows — whatever the micro-batch split — and the
+    deterministic tie-break makes the file content reproducible."""
+    from spark_pipeline_spark.streaming import read_parquet_stream, stream_topk_sink
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    src = str(tmp_path / "orders_topk_src")
+    o.repartition(6).write.mode("overwrite").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "o_orderkey bigint, o_totalprice double", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "leaderboard")
+    q = stream_topk_sink(
+        stream, target, "o_totalprice", 25, checkpoint=str(tmp_path / "ckpt_topk")
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in spark.read.parquet(target)
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    )
+    want = sorted(
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(25).collect()
+    )
+    # top-25 by price; ties on price are broken deterministically on both
+    # sides, and orders prices are distinct enough that the sets agree
+    assert got == want and len(got) == 25
