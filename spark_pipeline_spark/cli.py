@@ -33,6 +33,8 @@ __all__ = [
     "main_mover",
     "main_scorer",
     "main_trainer",
+    "main_validator",
+    "main_pipeline",
 ]
 
 

@@ -489,23 +489,27 @@ def flatten_struct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "semi", "anti"),
 )
 def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi/anti-join semantics in one plan (SURVEY.md §2.4: exposed natively).
+    """Semi/anti-join semantics exposed natively (SURVEY.md §2.4).
 
-    Expressed as a single left join + conditional aggregation so both
-    counts come from one job with no driver-side collect; the deduplicated
-    keys side broadcasts.
+    Uses Spark's real ``left_semi`` / ``left_anti`` join types — the
+    orders side never materializes into the output and Spark builds only
+    a key set.  NO broadcast hint: the keys side is fact-derived and
+    grows with SF, so forcing a broadcast is an OOM at the 100 TB
+    target; AQE converts to broadcast at runtime when the build side is
+    actually small, and otherwise both counts come from shuffled hash
+    joins on c_custkey.
     """
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey").distinct()
-    joined = c.join(F.broadcast(o), c.c_custkey == o.o_custkey, "left")
-    return joined.agg(
-        F.sum(F.when(F.col("o_custkey").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_with_orders"),
-        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_without_orders"),
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
     )
+    without_orders = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
+    )
+    return with_orders.crossJoin(without_orders)
 
 
 # ---------------------------------------------------------------------------
@@ -7407,9 +7411,12 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-table star with a LIKE filter on the part dimension and a profit
     expression spanning fact and dimension columns (0.1 * retailprice *
     quantity stands in for ps_supplycost — this schema has no partsupp;
-    ref sparktools has no multi-join queries at all). Scale: part /
-    supplier / nation are broadcast-sized at any SF (part grows but
-    stays millions of short rows — AQE decides); the only big shuffle is
+    ref sparktools has no multi-join queries at all). Scale: only the
+    fixed-size nation dim carries an explicit broadcast hint; part and
+    supplier GROW with SF, so their joins are left un-hinted and AQE
+    converts them to broadcast at runtime iff the filtered build side is
+    actually under the threshold — a forced hint would OOM the driver at
+    the 100 TB target. The only guaranteed big shuffle is
     lineitem⋈orders on orderkey, and the LIKE prunes lineitem via the
     part join before it. Profit is rounded to integer CENTS per line and
     summed as int64 — an order-independent exact sum, immune to the
@@ -7433,8 +7440,8 @@ def q9_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, l.l_orderkey == o.o_orderkey)
         .select(
@@ -7511,7 +7518,7 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        culprit.join(F.broadcast(s), culprit.l_suppkey == s.s_suppkey)
+        culprit.join(s, culprit.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
@@ -7552,7 +7559,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nationkey"
     )
     pv = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("l_partkey")
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("part_value"))
@@ -7609,10 +7616,8 @@ def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        ps.join(
-            F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti"
-        )
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        ps.join(excluded, ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -7664,7 +7669,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dominant = (
         pq.join(pt, "l_partkey")
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
@@ -7672,7 +7677,7 @@ def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        dominant.join(s, dominant.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
     )
@@ -7714,8 +7719,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical IEEE double on both engines and floor of it is exact,
     so the min-equality join-back compares int64s (a 6dp round() here
     diverged 4/5984 rows at sf0.1 — Spark rounds the exact decimal
-    HALF_UP, DuckDB rounds via float scaling). Region/nation/supplier
-    prune the fact scan via broadcast joins before any shuffle."""
+    HALF_UP, DuckDB rounds via float scaling). Only fixed-size
+    nation/region carry broadcast hints; supplier and part grow with SF
+    so those joins are un-hinted and AQE broadcasts them at runtime only
+    when the build side is actually small."""
     l = t(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
@@ -7725,7 +7732,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_regionkey"
     )
     cost = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("l_partkey", "l_suppkey")
@@ -7749,7 +7756,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cost.l_partkey == best.b_partkey)
             & (cost.cost_micro == best.min_micro),
         )
-        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .join(p, cost.l_partkey == p.p_partkey)
         .select(
             "p_partkey",
             "p_name",
@@ -8022,7 +8029,10 @@ def eval_roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, and every window/cumsum after that runs on the tiny binned
     frame (a per-row global rank, the textbook Mann-Whitney AUC, would
     need a single-partition sort of ALL rows instead). Totals are a
-    one-row broadcast."""
+    one-row broadcast. Degenerate label distributions (zero positives or
+    zero negatives) make p or q zero; division by zero is NULL on both
+    engines, so the AUC comes back NULL — an explicit "undefined" signal,
+    not a fabricated 0.5."""
     from pyspark.sql import Window
 
     labeled = _eval_labeled(spark, sf_dir)
@@ -8447,7 +8457,9 @@ def eval_cv_auc_by_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     `eval_roc_auc_binned` with fold as an extra partition key: one
     map-side-combined groupBy to ≤5×200 rows, per-fold totals as a tiny
     keyed join (no one-row broadcast needed), windows only over the
-    binned frame."""
+    binned frame. A fold with zero positives (or negatives) divides by
+    zero, which is NULL on both engines — its AUC reports NULL
+    (degenerate fold), not a fabricated value."""
     from spark_pipeline_spark.functions import md5_int
     from pyspark.sql import Window
 
@@ -9050,9 +9062,105 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Streaming merge algebra, batch-replayed (round 7): the foreachBatch
+# sinks in streaming.py stay pytest-only (a running stream can't be
+# SQL-oracled), but their MERGE steps are pure batch algebra — so these
+# two queries replay exactly that algebra over a synthetic micro-batch
+# split of orders and let the driver hash it against the direct batch
+# answer. Invariant under test: partial-per-batch + merge == one-shot.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_topk_merge_replay",
+    oracle="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, md5(o_orderkey::VARCHAR)
+        LIMIT 25
+    """,
+    tags=("streaming", "topk", "merge"),
+)
+def streaming_topk_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_topk_sink`'s bounded-state merge as a driver-hashable
+    batch query (streaming.py:512 keeps the foreachBatch plumbing
+    pytest-only; this replays its ALGEBRA). Orders are split into 5
+    synthetic micro-batches (pmod of the key); each batch reduces to its
+    OWN top-25 first — the partial-top-k discipline, executed with
+    Spark's WindowGroupLimit pushdown so each batch ships ≤25 rows — and
+    the ≤125 partial rows re-rank to the global top-25. Top-k merge is
+    associative + commutative, so union-of-partials == the sink's
+    sequential fold == the one-shot top-25 the oracle computes. The
+    tie-break is md5 of the KEY (engine-portable bigint rendering), the
+    same deterministic-under-any-batching rule the sink uses."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tie = F.md5(F.col("o_orderkey").cast("string"))
+    batched = o.withColumn("__b", F.pmod(F.col("o_orderkey"), F.lit(5)))
+    per_batch = Window.partitionBy("__b").orderBy(F.desc("o_totalprice"), tie)
+    partials = (
+        batched.withColumn("__r", F.row_number().over(per_batch))
+        .filter(F.col("__r") <= 25)
+        .drop("__r", "__b")
+    )
+    merged = Window.orderBy(F.desc("o_totalprice"), tie)
+    return (
+        partials.withColumn("__r", F.row_number().over(merged))
+        .filter(F.col("__r") <= 25)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "streaming_incremental_merge_replay",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS sum_price_cents,
+               count(*) AS n_orders,
+               min(o_orderkey) AS first_key,
+               max(o_orderkey) AS last_key
+        FROM orders
+        GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("streaming", "incremental", "merge"),
+)
+def streaming_incremental_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_incremental_agg_sink`'s keyed merge as a driver-hashable
+    batch query: orders split into 3 synthetic micro-batches, batch 0
+    aggregated into the initial snapshot, batches 1 and 2 folded in
+    SEQUENTIALLY through `incremental_agg_merge` — the exact snapshot =
+    merge(snapshot, aggregate(delta)) step the foreachBatch sink commits
+    each micro-batch (operators/incremental.py:61). The invariant the
+    driver hashes: two chained merges == the one-shot groupBy the oracle
+    runs. Money merges as integer cents (associative, exact); min/max
+    ride along as the non-sum additive kinds."""
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    spec = {
+        "sum_price_cents": ("sum", "cents"),
+        "n_orders": ("count", "cents"),
+        "first_key": ("min", "o_orderkey"),
+        "last_key": ("max", "o_orderkey"),
+    }
+    o = t(spark, sf_dir, "orders").select(
+        *keys,
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    batches = [o.filter(F.pmod(F.col("o_orderkey"), F.lit(3)) == i) for i in range(3)]
+    snapshot = aggregate_snapshot(batches[0], keys, spec)
+    for delta in batches[1:]:
+        snapshot = incremental_agg_merge(snapshot, delta, keys, spec)
+    return snapshot
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
-# 50 registered queries, so the registration order is part of the external
-# contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds
 # 50 registered queries, so the registration order is part of the external
 # contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds
 # one representative of EVERY operator family — relational core, sampling,
@@ -9064,71 +9172,55 @@ def dataset_card_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-6 rotation. Rounds 1-5 drove 65 distinct queries through the
-    # driver's 50-slot CORRECTNESS gate; 70 registered queries had never
-    # been driver-checked. This window keeps 4 sentinels for continuity
-    # (q1/q5/minhash, plus corpus_prep_end_to_end to prove the r5
-    # ::BIGINT oracle-dtype fix lands) and fills the other 46 slots with
-    # first-time-checked queries. The 24 still-unchecked stragglers are
-    # listed below for the round-7 rotation.
-    "q1_pricing_summary", "q5_region_revenue",
-    "dedup_minhash_lsh_documents", "corpus_prep_end_to_end",
-    # first-time driver-checked (46)
-    "events_resample_6h_ffill", "events_props_by_type",
-    "range_join_price_bands", "sketch_cardinality_users",
-    "sketch_distinct_users_by_type", "datadiff_hash_histogram_orders",
-    "datadiff_tvd_lineitem_sample", "multimodal_media_metadata",
-    "multimodal_frame_sample", "train_ols_score_lineitem",
-    "score_regressor_model", "score_multiclass_model",
-    "pii_redact_documents", "dedup_normalized_documents",
-    "text_repetition_documents", "boilerplate_ngrams_documents",
-    "scd2_user_purchases", "quantile_bucket_orders",
-    "shard_assign_documents", "inverted_index_documents",
-    "text_unigram_nll_documents", "kmeans_update_centroids",
-    "length_bucket_padding_documents", "events_rolling_24h_value",
-    "cohort_retention_events", "fuzzy_match_part_names",
-    "robust_outliers_orders", "correlation_matrix_lineitem",
-    "chi_square_orders_status_priority", "chunk_documents_overlapping",
-    "dataset_split_documents", "vocab_coverage_documents",
-    "cube_orders_status_priority", "power_iteration_pc1_embeddings",
-    "pmi_term_pairs_documents", "events_time_weighted_value",
-    "events_transition_matrix", "entropy_profile_orders",
-    "percentile_rank_orders", "winsorize_orders_prices",
-    "ab_test_purchase_rate", "funnel_conversion_latency",
-    "interval_coverage_events", "dedup_canonical_selection",
-    "event_path_mining", "lsh_recall_precision_report",
+    # Round-7 rotation. After r6, 111 of 176 registered queries had been
+    # driver-checked at least once; 65 never had (24 pre-r6 stragglers +
+    # 41 queries registered during r6). This window spends ALL 50 slots
+    # on first-time-checked queries — no sentinels — lifting all-time
+    # driver coverage to 161/176. Priorities: the full TPC-H remainder
+    # (including every query de-hinted this round: q2/q9/q11/q16/q20/q21)
+    # and the eval family, per VERDICT r6 item 2. The 15 spilling to the
+    # r8 rotation are listed below.
+    # --- the 24 pre-r6 stragglers ---
+    "time_rollup_orders_multigrain", "grouped_topk_with_ties",
+    "null_profile_orders", "join_skew_advisor_lineitem",
+    "duplicate_row_profile_orders", "events_hourly_seasonality",
+    "joint_histogram_lineitem", "embedding_norm_profile",
+    "user_survival_curve", "user_burstiness_profile",
+    "global_row_number_documents", "ewma_user_value",
+    "embedding_ann_ivf_nprobe2", "q7_nation_volume_shipping",
+    "q18_large_volume_customers", "user_growth_accounting",
+    "sliding_distinct_users_7d", "q14_promo_revenue_ratio",
+    "pagerank_customer_supplier", "pit_dimension_join_shipments",
+    "grouped_ols_lineitem", "capped_sessions_events",
+    "rag_prep_end_to_end", "kfold_assignment_documents",
+    # --- 26 round-6 additions: TPC-H remainder + eval + high-value ---
+    "q2_min_cost_supplier", "q4_priority_late_shipping",
+    "q6_forecast_revenue", "q8_nation_market_share",
+    "q9_nation_year_profit", "q11_important_parts",
+    "q12_shipmode_priority", "q13_customer_order_distribution",
+    "q15_top_revenue_supplier", "q16_supplier_diversity",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q20_dominant_suppliers", "q21_sole_late_supplier",
+    "q22_dormant_high_balance", "eval_calibration_bins",
+    "eval_roc_auc_binned", "eval_cv_auc_by_fold",
+    "bm25_search_documents", "entity_resolution_parts",
+    "dedup_containment_documents", "hard_negative_mining_embeddings",
+    "embedding_quantize_int8", "merge_cdc_tombstones_orders",
+    "incremental_join_orders_customer", "psi_quantile_drift_lineitem",
 ]
 
-# Never driver-checked after this round (rotate into the r7 window):
-# time_rollup_orders_multigrain, grouped_topk_with_ties,
-# null_profile_orders, join_skew_advisor_lineitem,
-# duplicate_row_profile_orders, events_hourly_seasonality,
-# joint_histogram_lineitem, embedding_norm_profile, user_survival_curve,
-# user_burstiness_profile, global_row_number_documents, ewma_user_value,
-# embedding_ann_ivf_nprobe2, q7_nation_volume_shipping,
-# q18_large_volume_customers, user_growth_accounting,
-# sliding_distinct_users_7d, q14_promo_revenue_ratio,
-# pagerank_customer_supplier, pit_dimension_join_shipments,
-# grouped_ols_lineitem, capped_sessions_events, rag_prep_end_to_end,
-# kfold_assignment_documents
-# ...plus the queries ADDED in round 6 (registered after the rotation):
-# q6_forecast_revenue, q4_priority_late_shipping, q19_disjunctive_revenue,
-# grouping_sets_orders, embedding_quantize_int8, join_cardinality_advisor,
-# quality_filter_attrition_documents, psi_quantile_drift_lineitem,
-# seasonal_anomaly_hours_events, dedup_containment_documents,
-# hard_negative_mining_embeddings, q8_nation_market_share,
-# q22_dormant_high_balance, merge_cdc_tombstones_orders,
-# q17_small_quantity_revenue, embedding_mean_pool_chunks,
-# q13_customer_order_distribution, q15_top_revenue_supplier,
-# q9_nation_year_profit, q21_sole_late_supplier, q11_important_parts,
-# q16_supplier_diversity, q20_dominant_suppliers, q2_min_cost_supplier,
-# bm25_search_documents, incremental_join_orders_customer,
-# eval_calibration_bins, eval_roc_auc_binned, k_anonymity_audit_customer,
+# Never driver-checked after this round (the 15 spilling to the r8
+# rotation, all registered during r6; every pre-r6 query has now been
+# driver-checked at least once):
+# grouping_sets_orders, join_cardinality_advisor,
+# quality_filter_attrition_documents, seasonal_anomaly_hours_events,
+# embedding_mean_pool_chunks, k_anonymity_audit_customer,
 # target_encode_oof_orders, table_sync_buckets_orders,
-# sliding_p95_value_7d, eval_cv_auc_by_fold, cusum_changepoint_daily_value,
-# backfill_gaps_orders_daily, entity_resolution_parts, ivf_recall_report,
+# sliding_p95_value_7d, cusum_changepoint_daily_value,
+# backfill_gaps_orders_daily, ivf_recall_report,
 # seasonal_naive_backtest_events, source_term_drift_kl,
-# q12_shipmode_priority, dataset_card_documents
+# dataset_card_documents
+# ...plus any queries ADDED in round 7 (registered after this rotation).
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

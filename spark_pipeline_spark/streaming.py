@@ -40,20 +40,49 @@ __all__ = [
 ]
 
 
+def _path_exists_via_read(spark: SparkSession, path: str) -> bool:
+    """Connect-compatible existence probe: ask the server to *analyze* a
+    ``binaryFile`` scan of ``path``. Analysis resolves the path on the
+    cluster's filesystem (same Hadoop FS the JVM API would hit) and
+    raises ``PATH_NOT_FOUND`` when it's absent; no file CONTENT is ever
+    read — the probe stops at plan analysis (an empty-but-existing
+    directory analyzes fine because binaryFile has a fixed schema and
+    needs no inference)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.format("binaryFile").load(path).schema
+        return True
+    except AnalysisException as exc:
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return False
+        raise
+
+
+def _snapshot_files_via_read(spark: SparkSession, path: str) -> list[str]:
+    """Connect-compatible file listing: the visible (non ``_``/``.``)
+    files under ``path``, via a column-pruned ``binaryFile`` scan — only
+    the ``path`` metadata column is collected, so no file bytes move."""
+    return [
+        r.path
+        for r in spark.read.format("binaryFile")
+        .load(path)
+        .select("path")
+        .collect()
+    ]
+
+
 def hadoop_path_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists on whatever filesystem its scheme resolves
-    to (local, HDFS, s3a, ...), via the JVM Hadoop FS API — the check
-    works identically on a cluster, unlike ``os.path``.
-
-    Classic sessions only: requires the in-process JVM gateway
-    (``spark._jvm``), which Spark Connect sessions don't expose.
+    to (local, HDFS, s3a, ...) — via the JVM Hadoop FS API on a classic
+    session, or a ``binaryFile`` analysis probe on Spark Connect (no
+    ``spark._jvm`` there). Both run the check on the CLUSTER's
+    filesystem, unlike ``os.path``.
     """
     jvm = getattr(spark, "_jvm", None)
     if jvm is None:
-        raise RuntimeError(
-            "hadoop_path_exists needs a classic SparkSession with a JVM "
-            "gateway; Spark Connect sessions don't expose spark._jvm"
-        )
+        return _path_exists_via_read(spark, path)
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.exists(hpath))
@@ -66,13 +95,19 @@ def committed_snapshot_exists(spark: SparkSession, path: str) -> bool:
     overwrite that crashed after creating the directory but before
     committing files (only ``_temporary`` left behind) would otherwise
     read as "snapshot present" and fail every checkpoint replay until
-    manual cleanup."""
+    manual cleanup.
+
+    On Spark Connect (no ``spark._jvm``) the check falls back to a
+    column-pruned ``binaryFile`` listing: committed = at least one
+    visible data file. (File sources hide ``_``-prefixed entries, so
+    ``_SUCCESS`` itself isn't observable there — a committed snapshot
+    with ZERO data files would read as absent; parquet commits of
+    non-empty frames always leave at least one part file.)"""
     jvm = getattr(spark, "_jvm", None)
     if jvm is None:
-        raise RuntimeError(
-            "committed_snapshot_exists needs a classic SparkSession; "
-            "Spark Connect sessions don't expose spark._jvm"
-        )
+        if not _path_exists_via_read(spark, path):
+            return False
+        return bool(_snapshot_files_via_read(spark, path))
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(hpath):
@@ -534,14 +569,20 @@ def stream_topk_sink(
 
     spark = stream.sparkSession
     cols = stream.columns
+    # collision-free rank column: the snapshot must round-trip the user's
+    # schema untouched, so a stream already carrying "__r" must not have
+    # that column silently dropped by our helper
+    rank_col = "__r"
+    while rank_col in cols:
+        rank_col += "_"
 
     def topk(df: DataFrame) -> DataFrame:
         tie = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
         w = Window.orderBy(F.desc(order_col), tie)
         return (
-            df.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") <= k)
-            .drop("__r")
+            df.withColumn(rank_col, F.row_number().over(w))
+            .filter(F.col(rank_col) <= k)
+            .drop(rank_col)
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

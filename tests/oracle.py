@@ -62,8 +62,16 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return out.sort_values(by=list(out.columns), ignore_index=True)
 
 
-def compare(spark_df: Any, con: Any, sql: str, atol: float = 1e-9) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
+def compare(spark_df: Any, con: Any, sql: str, atol: float = 0.0) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match).
+
+    Floats are compared BIT-EXACTLY by default (``atol=0.0`` → float64
+    bit-pattern equality, both-NaN counts as equal). The driver hashes
+    values, so any tolerance here is a class of local-pass/driver-fail
+    bugs (r5's ``corpus_prep_end_to_end``); being at least as strict as
+    any conceivable hash makes that structurally impossible. Queries
+    must therefore produce engine-exact floats — integer-cents sums,
+    bit-identical single expressions — not approximately-equal ones."""
     got_raw = spark_df.toPandas()
     want_raw = con.execute(sql).fetchdf()
     got = _normalize(got_raw)
@@ -88,6 +96,25 @@ def compare(spark_df: Any, con: Any, sql: str, atol: float = 1e-9) -> list[str]:
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
             aa = a.astype("float64").to_numpy()
             bb = b.astype("float64").to_numpy()
+            if atol == 0.0:
+                import numpy as np
+
+                bits_a = aa.view("int64")
+                bits_b = bb.view("int64")
+                both_nan = np.isnan(aa) & np.isnan(bb)
+                neq = ((bits_a != bits_b) & ~both_nan)
+                bad = int(neq.sum())
+                if bad:
+                    ex = [
+                        (float(x), float(y))
+                        for x, y, m in zip(aa, bb, neq)
+                        if m
+                    ][:3]
+                    problems.append(
+                        f"column {c}: {bad}/{len(aa)} float BIT mismatches, "
+                        f"e.g. {ex}"
+                    )
+                continue
             bad = 0
             for x, y in zip(aa, bb):
                 both_nan = math.isnan(x) and math.isnan(y)

@@ -50,6 +50,7 @@ _NLJ_ALLOWED = {
     "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
     "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
+    "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
 }
 
 
@@ -192,3 +193,113 @@ def test_partitioned_write_prunes_partitions_at_read(spark, tmp_path):
     assert "o_orderstatus" in pf_lines[0], pf_lines[0]
     # the data filter must NOT be re-applied row-wise after the scan
     assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-hint audit: no forced F.broadcast() on SF-growing frames.
+# A hint on part/supplier/customer/orders/lineitem (or the doc/embedding/
+# event tables) is an OOM at the 100 TB target; AQE converts to broadcast
+# at runtime iff the build side is actually small, so the hint buys
+# nothing at small SF and breaks at large SF. Allowed: hints whose leaves
+# are only the fixed-size nation/region dims, hints over a GLOBAL (no
+# grouping) aggregate (provably ≤1 row at any SF), and an annotated
+# allowlist of grouped aggregates whose group count is bounded by
+# construction (status codes, hour-of-day, fixed k, top-V limit).
+# ---------------------------------------------------------------------------
+
+# First column of each SF-growing table — a leaf whose output contains one
+# of these reads a table that scales with the data.
+_BIG_LEAF_MARKERS = {
+    "l_orderkey", "o_orderkey", "c_custkey", "p_partkey", "s_suppkey",
+    "event_id", "doc_id", "vec_id",
+}
+
+# query name -> why its broadcast side stays bounded at any SF even though
+# the frame derives from an SF-growing table. Two legitimate shapes:
+#  (a) grouped aggregate / distinct whose GROUP COUNT is bounded by
+#      construction (status codes, hour-of-day, fixed bucket count,
+#      LIMIT-bounded vocabulary);
+#  (b) a side bounded by an EXTERNAL CONTRACT, not by SF (a fixed query
+#      set, seed centroids, a benchmark suite) — the corpus scales, the
+#      broadcast side doesn't.
+# Anything NOT here must be a global (no grouping) aggregate to carry a
+# hint; a raw/filtered/deduplicated scan of a big table never may.
+_BOUNDED_HINTS = {
+    # (a) bounded group count
+    "robust_outliers_orders": "median/MAD grouped by o_orderstatus (3 codes)",
+    "winsorize_orders_prices": "percentile bounds grouped by o_orderstatus",
+    "quantile_bucket_orders": "one approx_percentile array row per status",
+    "events_hourly_seasonality": "profile grouped by hour-of-day (24 rows)",
+    "null_safe_join_status": "distinct over nullif(status): ≤4 keys",
+    "mixture_sample_documents": "per-source proportions: |sources| rows",
+    "mixture_resample_documents": "per-source rates: |sources| rows",
+    "token_budget_sample_documents": "per-bucket totals: fixed bucket count",
+    "pack_sequences_documents": "per-bucket offsets: fixed bucket count",
+    "global_row_number_documents": "per-bucket counts: fixed bucket count",
+    "source_term_drift_kl": "top-V vocabulary (LIMIT-bounded)",
+    "vocab_coverage_documents": "top-V vocabulary (LIMIT-bounded)",
+    "percentile_rank_orders": "percentile grid per status (fixed grid)",
+    "text_unigram_nll_documents": "top-V vocabulary (LIMIT-bounded)",
+    "fuzzy_match_part_names": "blocking-key buckets bounded by alphabet",
+    "joint_histogram_lineitem": "fixed histogram grid bounds",
+    "seasonal_anomaly_hours_events": "hour-of-day profile (24 rows)",
+    "backfill_gaps_orders_daily": "per-day frame over a fixed date range",
+    "cusum_changepoint_daily_value": "per-day frame over a fixed date range",
+    "seasonal_naive_backtest_events": "hour-of-day profile (24 rows)",
+    "eval_roc_auc_binned": "fixed 200-bin score grid",
+    "target_encode_oof_orders": "|status|x5-fold encoding table",
+    "pit_dimension_join_shipments": "SCD dimension keyed by small dim",
+    # (b) contract-bounded side (corpus scales, broadcast side doesn't)
+    "decontaminate_documents": "benchmark-suite grams + contaminated ids: "
+                               "bounded by the benchmark, not the corpus",
+    "embedding_topk_bruteforce": "fixed query set broadcast by design",
+    "embedding_ann_ivf": "seed centroids + fixed query set",
+    "embedding_ann_ivf_nprobe2": "seed centroids + fixed query set",
+    "embedding_near_dup_ivf": "seed centroids (fixed k cells)",
+    "kmeans_update_centroids": "k seed centroids",
+    "ivf_recall_report": "seed centroids + fixed query set",
+    "hard_negative_mining_embeddings": "fixed anchor set broadcast",
+}
+
+
+def _iter_with_topmost_agg(root):
+    """Yield (node, topmost_aggregate_on_path) over a logical plan."""
+    stack = [(root, None)]
+    while stack:
+        node, top_agg = stack.pop()
+        yield node, top_agg
+        if top_agg is None and node.nodeName() == "Aggregate":
+            top_agg = node
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append((ch.apply(i), top_agg))
+
+
+def _leaf_cols(node):
+    out = node.output()
+    return {out.apply(i).name() for i in range(out.size())}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_forced_broadcast_of_sf_growing_frames(spark, name):
+    df = REGISTRY[name].fn(spark, SF_SMALL)
+    analyzed = df._jdf.queryExecution().analyzed()
+    hints = [n for n, _ in _iter_with_topmost_agg(analyzed)
+             if n.nodeName() == "ResolvedHint"]
+    for hint in hints:
+        for node, top_agg in _iter_with_topmost_agg(hint):
+            if node.children().size() != 0:
+                continue
+            cols = _leaf_cols(node)
+            if not (cols & _BIG_LEAF_MARKERS):
+                continue  # nation/region/local-relation leaf: always fine
+            if top_agg is not None and top_agg.groupingExpressions().isEmpty():
+                continue  # global aggregate: provably ≤1 row at any SF
+            assert name in _BOUNDED_HINTS, (
+                f"{name}: F.broadcast() over an SF-growing frame (leaf "
+                f"columns {sorted(cols)[:4]}…, "
+                f"{'grouped aggregate' if top_agg is not None else 'raw/filtered scan'}). "
+                f"Either remove the hint and let AQE decide, or — if the "
+                f"side is bounded by construction or by an external "
+                f"contract — add it to _BOUNDED_HINTS with a justification"
+            )

@@ -525,22 +525,48 @@ def test_upsert_sink_replay_and_recovery_via_guard(spark, tmp_path):
     assert snap.count() == 1
 
 
-def test_hadoop_path_exists_guards_missing_jvm(tmp_path):
+def test_fs_helpers_work_without_jvm_gateway(spark, tmp_path):
     """Spark Connect sessions expose no _jvm gateway: both FS helpers
-    must raise a clear error instead of AttributeError-ing."""
-    import pytest as _pytest
-
+    must fall back to the binaryFile read-probe (analysis-only, no file
+    content) and return the same answers as the Hadoop FS API path."""
     from spark_pipeline_spark.streaming import (
         committed_snapshot_exists,
         hadoop_path_exists,
     )
 
     class FakeConnectSession:
+        """The DataFrame reader surface of a Connect session, no JVM."""
+
         _jvm = None
 
-    for fn in (hadoop_path_exists, committed_snapshot_exists):
-        with _pytest.raises(RuntimeError, match="Spark Connect"):
-            fn(FakeConnectSession(), str(tmp_path))
+        def __init__(self, real):
+            self._real = real
+
+        @property
+        def read(self):
+            return self._real.read
+
+    fake = FakeConnectSession(spark)
+
+    missing = str(tmp_path / "nope")
+    assert hadoop_path_exists(fake, missing) is False
+    assert committed_snapshot_exists(fake, missing) is False
+
+    committed = str(tmp_path / "snap")
+    spark.createDataFrame([("a", 1)], "k string, v int").write.parquet(committed)
+    assert hadoop_path_exists(fake, committed) is True
+    assert committed_snapshot_exists(fake, committed) is True
+    # parity with the classic JVM path on the same dirs
+    assert hadoop_path_exists(spark, committed) is True
+    assert committed_snapshot_exists(spark, committed) is True
+
+    # a crash-torn dir (exists, only hidden/_temporary content) is
+    # "present" as a path but NOT a committed snapshot
+    torn = tmp_path / "torn"
+    (torn / "_temporary").mkdir(parents=True)
+    assert hadoop_path_exists(fake, str(torn)) is True
+    assert committed_snapshot_exists(fake, str(torn)) is False
+    assert committed_snapshot_exists(spark, str(torn)) is False
 
 
 def test_replay_guarded_swap_merges_when_staging_ahead_of_target(spark, tmp_path):
@@ -756,10 +782,21 @@ def test_stream_topk_sink_matches_batch_topk(spark, tmp_path):
         .select("o_orderkey", "o_totalprice")
         .collect()
     )
+    # tie-break the batch expectation with the SAME md5-of-full-row
+    # expression the sink uses, so a price tie at the rank-25 boundary
+    # resolves identically on both sides (not by o_orderkey)
+    tie = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
     want = sorted(
         (r["o_orderkey"], r["o_totalprice"])
-        for r in o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(25).collect()
+        for r in o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), tie)
+        .limit(25)
+        .collect()
     )
-    # top-25 by price; ties on price are broken deterministically on both
-    # sides, and orders prices are distinct enough that the sets agree
     assert got == want and len(got) == 25
