@@ -9160,6 +9160,507 @@ def streaming_incremental_merge_replay(spark: SparkSession, sf_dir: str) -> Data
 
 
 # ---------------------------------------------------------------------------
+# Round-7 LLM-pipeline additions: hybrid retrieval fusion, per-source
+# caps, perplexity-quartile bucketing, Zipf diagnostics, cross-source
+# near-dup contamination.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rrf_fusion_search_documents",
+    oracle=rf"""
+        WITH perdoc AS (
+          SELECT doc_id,
+                 len({_SQL_TOKS}) AS dl,
+                 {", ".join(
+                     f"len(list_filter({_SQL_TOKS}, tk -> tk = '{w}')) AS tf_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                 {", ".join(
+                     f"sum(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM perdoc
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 {" + ".join(
+                     f"ln((s.n_docs - s.df_{w} + 0.5) / (s.df_{w} + 0.5) + 1.0)"
+                     f" * p.tf_{w} * ({_BM25_K1} + 1.0)"
+                     f" / (p.tf_{w} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                     f"    + {_BM25_B} * p.dl / s.avgdl))"
+                     for w in _SEARCH_TERMS
+                 )} AS score_raw
+          FROM perdoc p, stats s
+          WHERE {" + ".join(f"p.tf_{w}" for w in _SEARCH_TERMS)} > 0
+        ),
+        bm AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score_raw DESC, doc_id) AS r
+          FROM scored QUALIFY r <= 25
+        ),
+        q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        dscore AS (
+          SELECT vec_id AS doc_id,
+                 list_cosine_similarity(embedding, qv) AS cos
+          FROM embeddings, q WHERE vec_id <> 0
+        ),
+        dn AS (
+          SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+          FROM dscore QUALIFY r <= 25
+        ),
+        contrib AS (
+          SELECT doc_id, 1.0 / (60 + r) AS c FROM bm
+          UNION ALL
+          SELECT doc_id, 1.0 / (60 + r) FROM dn
+        ),
+        fused AS (
+          SELECT doc_id, sum(c) AS rrf, count(*)::BIGINT AS n_lists
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf_score, n_lists,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused QUALIFY rank <= 10
+    """,
+    tags=("retrieval", "search", "fusion", "llm-pipeline"),
+)
+def rrf_fusion_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the BM25
+    lexical top-25 (reusing `bm25_search_documents` verbatim) and the
+    dense cosine top-25 for a query vector fuse by summing 1/(60+rank)
+    per list — the standard sparse+dense combiner (Cormack et al.), rank
+    arithmetic only, so no score normalization across incomparable
+    scales. Shape at 100 TB: both lists are top-k rank windows that
+    Spark rewrites to WindowGroupLimit (per-partition top-25 before the
+    merge); the fusion itself touches ≤50 rows. The dense side's query
+    vector is a one-row broadcast by key equality; corpus vectors never
+    shuffle. RRF contributions are exact dyadic-adjacent rationals
+    summed over ≤2 terms, so the fused score is bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    bm = bm25_search_documents(spark, sf_dir).select("doc_id", "rank")
+
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dscore = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_similarity("embedding", "qv").alias("cos"),
+        )
+    )
+    w_dense = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    dn = (
+        dscore.withColumn("rank", F.row_number().over(w_dense))
+        .filter(F.col("rank") <= 25)
+        .select("doc_id", "rank")
+    )
+    contrib = bm.unionByName(dn).select(
+        "doc_id", (F.lit(1.0) / (F.lit(60) + F.col("rank"))).alias("c")
+    )
+    fused = contrib.groupBy("doc_id").agg(
+        F.sum("c").alias("rrf"), F.count(F.lit(1)).alias("n_lists")
+    )
+    w_rank = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 10)
+        .select("doc_id", F.round("rrf", 6).alias("rrf_score"), "n_lists", "rank")
+    )
+
+
+@register(
+    "source_cap_documents",
+    oracle=rf"""
+        WITH scored AS (
+          SELECT doc_id, source,
+                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
+                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
+                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
+                 + least({_sql_stop_hits("en")}::DOUBLE
+                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3
+                   AS quality
+          FROM documents
+        )
+        SELECT source, doc_id, round(quality, 6) AS quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id) AS rank
+        FROM scored
+        QUALIFY rank <= 20
+    """,
+    tags=("sampling", "cap", "quality", "llm-pipeline"),
+)
+def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the per-domain cap every crawl-derived
+    corpus applies so no single domain dominates the mix: keep each
+    source's top-20 documents by quality score (deterministic doc_id
+    tie-break). One window whose rank filter Spark rewrites to
+    WindowGroupLimit: each map partition forwards at most 20 rows per
+    source BEFORE the shuffle, so the exchange carries
+    O(partitions × sources × 20) rows however big the corpus is — the
+    cap itself does the data reduction."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators import text as T
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.quality_score("text").alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("source", "doc_id", F.round("quality", 6).alias("quality"), "rank")
+    )
+
+
+@register(
+    "nll_quartile_bucket_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term),
+        tot AS (SELECT sum(n) AS total FROM vocab),
+        lp AS (SELECT term, ln(n / total) AS logp FROM vocab, tot),
+        nll AS (
+          SELECT doc_id, round(avg(-logp) / ln(2), 6) AS avg_bits
+          FROM tok JOIN lp USING (term)
+          GROUP BY doc_id
+        ),
+        bucketed AS (
+          SELECT d.lang, n.avg_bits,
+                 ntile(4) OVER (PARTITION BY d.lang
+                                ORDER BY n.avg_bits, n.doc_id) AS quartile
+          FROM nll n JOIN documents d USING (doc_id)
+        )
+        SELECT lang, quartile,
+               count(*) AS n_docs,
+               min(avg_bits) AS min_bits,
+               max(avg_bits) AS max_bits
+        FROM bucketed
+        GROUP BY lang, quartile
+    """,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+)
+def nll_quartile_bucket_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (same machinery as `text_unigram_nll_documents`),
+    then split each language into exact NLL quartiles — the head/middle/
+    tail partition CCNet uses to stratify crawl quality before sampling.
+    `ntile` is the exact-quantile semantics (deterministic under the
+    avg_bits, doc_id order); its per-language sort is the documented
+    cost of exactness — the approximate scale path is binning against
+    `approx_percentile` boundaries, the same trade recorded for the
+    percentile family. Output is the per-(lang, quartile) profile, ≤
+    4×|langs| rows."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "term", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    nll = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.col("logp")) / F.log(F.lit(2.0)), 6).alias("avg_bits")
+        )
+    )
+    langs = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    bucketed = nll.join(langs, "doc_id").withColumn("quartile", F.ntile(4).over(w))
+    return bucketed.groupBy("lang", "quartile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_bits").alias("min_bits"),
+        F.max("avg_bits").alias("max_bits"),
+    )
+
+
+@register(
+    "zipf_fit_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        freq AS (SELECT term, count(*) AS n FROM tok GROUP BY term),
+        ranked AS (
+          SELECT n, row_number() OVER (ORDER BY n DESC, term) AS r
+          FROM freq QUALIFY r <= 200
+        ),
+        pts AS (
+          SELECT round(ln(r) * 1000000)::BIGINT AS x,
+                 round(ln(n) * 1000000)::BIGINT AS y
+          FROM ranked
+        ),
+        s AS (
+          SELECT count(*)::DOUBLE AS k,
+                 sum(x)::DOUBLE AS sx, sum(y)::DOUBLE AS sy,
+                 sum(x * y)::DOUBLE AS sxy,
+                 sum(x * x)::DOUBLE AS sxx, sum(y * y)::DOUBLE AS syy
+          FROM pts
+        )
+        SELECT round((k * sxy - sx * sy) / (k * sxx - sx * sx), 6) AS slope,
+               round(((sy - (k * sxy - sx * sy) / (k * sxx - sx * sx) * sx) / k)
+                     / 1000000.0, 6) AS intercept,
+               round(pow(k * sxy - sx * sy, 2)
+                     / ((k * sxx - sx * sx) * (k * syy - sy * sy)), 6) AS r2,
+               k::BIGINT AS n_terms
+        FROM s
+    """,
+    tags=("text", "diagnostics", "llm-pipeline"),
+)
+def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-200 vocabulary: OLS of ln(freq) on
+    ln(rank) — slope ≈ -1 for natural language; a much flatter or
+    steeper slope is the classic tell for boilerplate floods or
+    synthetic/templated text in a crawl. The log points are snapped to
+    integer MICRO-units before summing so all five OLS sums are exact
+    associative int64 arithmetic (any accumulation order, any partition
+    count, both engines bit-identical); the closed-form slope/r² then
+    runs on identical doubles. Top-200 selection is a rank window →
+    WindowGroupLimit (per-partition top-200 before the merge), never a
+    global sort of the vocabulary."""
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = (
+        freq.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= 200)
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("r")) * 1000000, 0).cast("long").alias("x"),
+        F.round(F.log(F.col("n")) * 1000000, 0).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            ((F.col("sy") - slope * F.col("sx")) / F.col("k")) / 1000000.0, 6
+        ).alias("intercept"),
+        F.round(
+            F.pow(num, F.lit(2))
+            / (den * (F.col("k") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+        F.col("k").cast("long").alias("n_terms"),
+    )
+
+
+@register(
+    "cross_source_neardup_matrix",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        verified AS (
+          SELECT id_a, id_b,
+                 round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                       / greatest(len(sa.sh) + len(sb.sh)
+                                  - len(list_intersect(sa.sh, sb.sh)), 1),
+                       6) AS j
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / greatest(len(sa.sh) + len(sb.sh)
+                                 - len(list_intersect(sa.sh, sb.sh)), 1),
+                      6) >= 0.7
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs,
+               sum(round(v.j * 1000000)::BIGINT)::BIGINT AS sum_jaccard_micro
+        FROM verified v
+          JOIN documents da ON da.doc_id = v.id_a
+          JOIN documents db ON db.doc_id = v.id_b
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "minhash", "provenance", "llm-pipeline"),
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate contamination matrix: the MinHash-LSH
+    verified pairs (identical machinery and thresholds as
+    `dedup_minhash_lsh_documents`) rolled up by UNORDERED source pair —
+    the dataset-card view that tells you which crawl sources are
+    mirroring each other before you weight them independently in a
+    training mix. Joining pair ids back to the documents table for
+    provenance is two equi-joins carrying only the (already tiny)
+    verified-pair set; Jaccard mass is summed as exact integer
+    micro-units so the rollup hashes identically at any parallelism."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("j"))
+    pairs = pairs.filter(F.col("j") >= 0.7)
+    src = d.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+            (F.round(F.col("j") * 1000000, 0)).cast("long").alias("j_micro"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("j_micro").alias("sum_jaccard_micro"),
+        )
+    )
+
+
+@register(
+    "bpe_merge_candidates_documents",
+    oracle=rf"""
+        WITH w AS (SELECT {_SQL_WORDS} AS w FROM documents),
+        pairs AS (
+          SELECT unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS pair
+          FROM w WHERE len(w) >= 2
+        ),
+        freq AS (SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+        SELECT pair, n, row_number() OVER (ORDER BY n DESC, pair) AS rank
+        FROM freq QUALIFY rank <= 50
+    """,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def bpe_merge_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE training step at corpus scale: count ADJACENT token
+    pairs and rank the top-50 merge candidates — exactly the statistic a
+    distributed tokenizer trainer recomputes each merge round. The token
+    array materializes ONCE before the pair expression (same Generate
+    trap as shingling: building pairs straight off split() makes
+    Catalyst re-inline the full split per element — measured 10× on the
+    shingle path); pair counts partial-combine map-side, and the top-50
+    is a rank window that executes as a partial top-k, never a global
+    sort of the pair vocabulary."""
+    from pyspark.sql import Window
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__w"))
+        .filter(F.size("__w") >= 2)
+    )
+    w = F.col("__w")
+    pair_expr = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(w, i), F.element_at(w, i + 1)
+        ),
+    )
+    freq = (
+        toks.select(F.explode(pair_expr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 50)
+        .select("pair", "n", "rank")
+    )
+
+
+@register(
+    "label_centroid_similarity_embeddings",
+    oracle="""
+        WITH m AS (
+          SELECT label, i.i AS pos, avg(embedding[i.i]) AS m
+          FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+          GROUP BY label, i.i
+        ),
+        p AS (
+          SELECT a.label AS label_a, b.label AS label_b,
+                 sum(a.m * b.m) AS dot,
+                 sum(a.m * a.m) AS na, sum(b.m * b.m) AS nb
+          FROM m a JOIN m b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY 1, 2
+        )
+        SELECT label_a, label_b,
+               round(dot / (sqrt(na) * sqrt(nb)), 6) AS cosine
+        FROM p
+    """,
+    tags=("similarity", "embedding", "llm-pipeline"),
+)
+def label_centroid_similarity_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-centroid geometry report: the mean embedding per label and
+    the full pairwise cosine matrix between centroids — the standard
+    check for label collapse / cluster overlap before using a labeled
+    embedding set for retrieval eval or hard-negative mining. Shape at
+    scale: `posexplode` multiplies rows by the dimension but collapses
+    IMMEDIATELY through a map-side-combined groupBy to |labels|×dim mean
+    rows; every join after that touches only that tiny frame (the
+    pairwise cosine is computed per-dimension on the joined means — no
+    array reconstruction, no collect). The corpus vectors themselves
+    cross one partial-aggregated exchange and never move again."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    m = e.groupBy("label", "pos").agg(F.avg("v").alias("m"))
+    a = m.select(
+        F.col("label").alias("label_a"), "pos", F.col("m").alias("ma")
+    )
+    b = m.select(
+        F.col("label").alias("label_b"), "pos", F.col("m").alias("mb")
+    )
+    p = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sum(F.col("ma") * F.col("ma")).alias("na"),
+            F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+        ).alias("cosine"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
 # contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds

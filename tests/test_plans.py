@@ -51,6 +51,8 @@ _NLJ_ALLOWED = {
     "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
     "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
+    "nll_quartile_bucket_documents",  # one-row vocabulary-total broadcast
+    "rrf_fusion_search_documents",  # one-row query-vector + bm25-stats broadcasts
 }
 
 
@@ -259,6 +261,7 @@ _BOUNDED_HINTS = {
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
+    "rrf_fusion_search_documents": "single query vector by key equality",
 }
 
 
@@ -303,3 +306,17 @@ def test_no_forced_broadcast_of_sf_growing_frames(spark, name):
                 f"side is bounded by construction or by an external "
                 f"contract — add it to _BOUNDED_HINTS with a justification"
             )
+
+
+def test_source_cap_and_zipf_get_group_limit_pushdown(spark):
+    """The per-source cap and the zipf top-200 both claim their rank
+    windows execute as WindowGroupLimit (per-partition top-k before the
+    shuffle) — the property that makes a cap a data REDUCTION instead of
+    a full-corpus window sort."""
+    for name in ("source_cap_documents", "zipf_fit_documents"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        # an unpartitioned rank window optimizes further, to TakeOrdered
+        # (partial top-k per partition + driver merge of k×P rows)
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+            f"{name} lost rank-limit pushdown"
+        )
