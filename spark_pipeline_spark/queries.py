@@ -9660,6 +9660,146 @@ def label_centroid_similarity_embeddings(spark: SparkSession, sf_dir: str) -> Da
     )
 
 
+@register(
+    "window_functions_showcase_orders",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               lag(o_totalprice)  OVER w_ord AS prev_price,
+               lead(o_totalprice) OVER w_ord AS next_price,
+               first_value(o_totalprice) OVER w_full AS first_price,
+               nth_value(o_orderkey, 2) OVER w_full AS second_key,
+               round(cume_dist()    OVER w_ord, 6) AS cd,
+               round(percent_rank() OVER w_ord, 6) AS pr
+        FROM orders
+        WINDOW
+          w_ord  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+          w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "analytic", "relational"),
+)
+def window_functions_showcase_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full analytic-window surface in one plan — lag/lead,
+    first_value and nth_value over an explicit whole-partition frame,
+    cume_dist and percent_rank — per customer in order-date order
+    (o_orderkey tiebreak makes every function deterministic). All six
+    functions share ONE window partitioning, so Spark evaluates them in
+    a single Window node over a single exchange+sort on o_custkey; the
+    explicit ROWS frame on first/nth matches the oracle's (default
+    frames for those two differ between engines)."""
+    from pyspark.sql import Window
+
+    w_ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_totalprice").over(w_ord).alias("prev_price"),
+        F.lead("o_totalprice").over(w_ord).alias("next_price"),
+        F.first("o_totalprice").over(w_full).alias("first_price"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+        F.round(F.cume_dist().over(w_ord), 6).alias("cd"),
+        F.round(F.percent_rank().over(w_ord), 6).alias("pr"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+        WITH long AS (
+          SELECT 'l_quantity' AS measure, l_quantity AS v FROM lineitem
+          UNION ALL
+          SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL
+          SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL
+          SELECT 'l_tax', l_tax FROM lineitem
+        )
+        SELECT measure,
+               count(*) AS n,
+               round(min(v), 6) AS min_v,
+               round(max(v), 6) AS max_v,
+               sum(round(v * 1000000)::BIGINT)::BIGINT AS sum_micro
+        FROM long GROUP BY measure
+    """,
+    tags=("unpivot", "reshape", "relational"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the native `unpivot` operator (the melt
+    half of the pivot pair), immediately re-aggregated to a per-measure
+    profile. Spark's unpivot is an Expand node — each input row fans out
+    to 4 (measure, value) rows INSIDE the scan stage, then partial
+    aggregation collapses them before the one tiny exchange; the measure
+    mass sums as exact integer micro-units. The long-format profile is
+    how a validation harness treats N measure columns uniformly without
+    N scans."""
+    li = t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=[],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="v",
+    )
+    return long.groupBy("measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+        F.sum(F.round(F.col("v") * 1000000, 0).cast("long")).alias("sum_micro"),
+    )
+
+
+@register(
+    "array_ops_showcase_embeddings",
+    oracle="""
+        SELECT vec_id,
+               round(sqrt(list_sum(list_transform(embedding,
+                                                  x -> x::DOUBLE * x::DOUBLE))),
+                     6) AS l2_norm,
+               len(list_filter(embedding, x -> x > 0)) AS n_pos,
+               round(list_max(embedding)::DOUBLE, 6) AS max_elem,
+               round(list_sum(list_transform(
+                       list_sort(embedding, 'DESC')[1:3],
+                       x -> x::DOUBLE)), 6) AS top3_sum
+        FROM embeddings
+    """,
+    tags=("array", "higher-order", "embedding", "llm-pipeline"),
+)
+def array_ops_showcase_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as the embedding hot path: L2 norm
+    via `aggregate` (fold), positive-element count via `filter`, max
+    element, and the sum of the 3 largest components via
+    `sort_array(desc)` + `slice` — all pure Catalyst expressions inside
+    one codegen'd scan stage, ZERO Python and ZERO explode (a
+    posexplode formulation would multiply rows by the dimension and
+    shuffle them back; these run per-row in place). Element arithmetic
+    casts float32→double before multiplying so both engines fold
+    identical doubles in identical list order."""
+    v = F.col("embedding")
+    l2 = F.sqrt(
+        F.aggregate(
+            v,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    top3 = F.aggregate(
+        F.slice(F.sort_array(v, asc=False), 1, 3),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.round(l2, 6).alias("l2_norm"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.array_max(v).cast("double"), 6).alias("max_elem"),
+        F.round(top3, 6).alias("top3_sum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

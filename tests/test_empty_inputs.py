@@ -191,3 +191,35 @@ def test_round6_operators_on_empty(spark):
     )
     comp = connected_components(edges)
     assert comp.count() == 0 and comp.columns == ["id", "component"]
+
+
+def test_round7_operators_on_empty(spark, tmp_path):
+    """The r7 additions keep stable schemas when the corpus is empty —
+    exercised end-to-end by pointing the registered queries at an sf_dir
+    of genuinely empty parquet tables (the shape a quality filter that
+    drops everything produces)."""
+    from spark_pipeline_spark.queries import REGISTRY
+
+    for tbl in ("documents", "embeddings"):
+        t(spark, SF_SMALL, tbl).filter(F.lit(False)).write.parquet(
+            f"{tmp_path}/{tbl}.parquet"
+        )
+    sf = str(tmp_path)
+
+    for name in (
+        "rrf_fusion_search_documents",
+        "source_cap_documents",
+        "bpe_merge_candidates_documents",
+        "cross_source_neardup_matrix",
+        "label_centroid_similarity_embeddings",
+        "nll_quartile_bucket_documents",
+    ):
+        out = REGISTRY[name].fn(spark, sf)
+        assert out.count() == 0, f"{name} nonempty on empty corpus"
+
+    # global-aggregate shape: one all-null diagnostic row, stable schema
+    z = REGISTRY["zipf_fit_documents"].fn(spark, sf)
+    assert z.columns == ["slope", "intercept", "r2", "n_terms"]
+    rows = z.collect()
+    assert len(rows) == 1 and rows[0]["slope"] is None
+    assert rows[0]["n_terms"] == 0

@@ -320,3 +320,16 @@ def test_source_cap_and_zipf_get_group_limit_pushdown(spark):
         assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
             f"{name} lost rank-limit pushdown"
         )
+
+
+def test_window_showcase_single_window_single_exchange(spark):
+    """Six analytic functions over one partitioning must collapse into a
+    single Window node (plus the frame-variant sibling) over ONE
+    hash exchange on o_custkey — per-function exchanges would be a 6×
+    shuffle regression."""
+    plan = _plan(REGISTRY["window_functions_showcase_orders"].fn(spark, SF_SMALL))
+    exchanges = [
+        l for l in plan.splitlines()
+        if "Arguments: hashpartitioning" in l or "Exchange hashpartitioning" in l
+    ]
+    assert len(exchanges) == 1, f"expected one exchange, saw: {exchanges}"
