@@ -9800,6 +9800,147 @@ def array_ops_showcase_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@register(
+    "sketch_rollup_distinct_users",
+    oracle="""
+        SELECT event_type,
+               strftime(ts, '%Y-%m') AS month,
+               grouping(event_type, strftime(ts, '%Y-%m')) AS gid,
+               count(DISTINCT
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096)
+                 AS occupied,
+               round(-4096.0 * ln(1 - least(count(DISTINCT
+                 ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 4096),
+                 4095) / 4096.0), 4) AS estimate
+        FROM events
+        GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m'))
+    """,
+    tags=("sketch", "cardinality", "rollup"),
+)
+def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates at THREE grains in one pass — (type,
+    month), (type), and grand total — via ROLLUP over the deterministic
+    md5-bucket linear-counting sketch. This is the multi-grain shape
+    that makes a MERGEABLE sketch worth having: the coarser grains are
+    unions of the finer grains' bucket sets, so one shuffle keyed on
+    (bucket, grouping keys) serves every grain (Spark expands rollup
+    rows before the partial aggregate; occupancy dedups map-side). An
+    exact countDistinct(user) per grain would carry full user ids
+    through the exchange instead of ≤4096 bucket ids per group."""
+    from spark_pipeline_spark.functions import md5_int
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.pmod(md5_int(F.col("user_id")), F.lit(4096)).alias("bucket"),
+    )
+    occ = F.countDistinct("bucket").alias("occupied")
+    g = e.rollup("event_type", "month").agg(
+        occ,
+        F.grouping_id().alias("gid"),
+    )
+    est = F.round(
+        -4096.0
+        * F.log(1 - F.least(F.col("occupied"), F.lit(4095)) / F.lit(4096.0)),
+        4,
+    )
+    return g.select(
+        "event_type",
+        "month",
+        F.col("gid").cast("long").alias("gid"),
+        "occupied",
+        est.alias("estimate"),
+    )
+
+
+@register(
+    "delete_propagation_customers",
+    oracle="""
+        WITH tomb AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        c AS (
+          SELECT 'customer' AS table_name,
+                 count(*) AS n_total,
+                 sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS n_deleted
+          FROM customer
+        ),
+        o AS (
+          SELECT 'orders' AS table_name,
+                 count(*) AS n_total,
+                 sum(CASE WHEN t.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_deleted
+          FROM orders LEFT JOIN tomb t ON orders.o_custkey = t.c_custkey
+        ),
+        do_ AS (
+          SELECT o_orderkey FROM orders JOIN tomb t ON o_custkey = t.c_custkey
+        ),
+        l AS (
+          SELECT 'lineitem' AS table_name,
+                 count(*) AS n_total,
+                 sum(CASE WHEN d.o_orderkey IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_deleted
+          FROM lineitem LEFT JOIN do_ d ON lineitem.l_orderkey = d.o_orderkey
+        )
+        SELECT table_name, n_total::BIGINT AS n_total,
+               n_deleted::BIGINT AS n_deleted,
+               (n_total - n_deleted)::BIGINT AS n_surviving
+        FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL
+              SELECT * FROM l)
+    """,
+    tags=("compliance", "anti-join", "cascade"),
+)
+def delete_propagation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: a tombstone set of customers
+    (deterministic `custkey % 97` stand-in for a deletion request feed)
+    cascades through orders and then lineitem, reporting total/deleted/
+    surviving per table — the audit a compliance pipeline emits before
+    the physical delete. Every cascade step is a keyed LEFT join + flag
+    count (equi-joins a 1000-executor cluster shuffles by key — no
+    broadcast hint: the tombstone set is fact-derived and grows with
+    SF, so AQE decides). Each per-table report collapses to one row
+    during the partial aggregate, so the union costs nothing."""
+    tomb = (
+        t(spark, sf_dir, "customer")
+        .filter(F.pmod(F.col("c_custkey"), F.lit(97)) == 0)
+        .select("c_custkey")
+    )
+    c = t(spark, sf_dir, "customer").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(
+            F.when(F.pmod(F.col("c_custkey"), F.lit(97)) == 0, 1).otherwise(0)
+        ).alias("n_deleted"),
+    ).select(F.lit("customer").alias("table_name"), "n_total", "n_deleted")
+
+    o_tbl = t(spark, sf_dir, "orders")
+    o_flag = o_tbl.join(tomb, o_tbl.o_custkey == tomb.c_custkey, "left")
+    o = o_flag.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("c_custkey").isNotNull(), 1).otherwise(0)).alias(
+            "n_deleted"
+        ),
+    ).select(F.lit("orders").alias("table_name"), "n_total", "n_deleted")
+
+    del_orders = (
+        o_tbl.join(tomb, o_tbl.o_custkey == tomb.c_custkey, "left_semi")
+        .select("o_orderkey")
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    l_flag = li.join(del_orders, li.l_orderkey == del_orders.o_orderkey, "left")
+    l = l_flag.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(F.col("o_orderkey").isNotNull(), 1).otherwise(0)).alias(
+            "n_deleted"
+        ),
+    ).select(F.lit("lineitem").alias("table_name"), "n_total", "n_deleted")
+
+    out = c.unionByName(o).unionByName(l)
+    return out.select(
+        "table_name",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_deleted").cast("long").alias("n_deleted"),
+        (F.col("n_total") - F.col("n_deleted")).cast("long").alias("n_surviving"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

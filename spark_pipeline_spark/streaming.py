@@ -29,6 +29,7 @@ __all__ = [
     "stream_upsert_sink",
     "stream_incremental_agg_sink",
     "stream_topk_sink",
+    "stream_quality_gate_sink",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -535,6 +536,54 @@ def stream_incremental_agg_sink(
             return incremental_agg_merge(current, batch_df, key_list, spec_d)
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_quality_gate_sink(
+    stream: DataFrame,
+    target_path: str,
+    quarantine_path: str,
+    rules: Sequence[tuple[str, Column]],
+    available_now: bool = True,
+    checkpoint: str | None = None,
+    on_batch=None,
+):
+    """Quality-gated streaming ingest with quarantine — the
+    expectation-suite pattern applied per micro-batch: every batch is
+    scored against ``rules`` (``operators/quality.py`` shapes, evaluated
+    in ONE aggregate over the batch), then lands WHOLE in
+    ``target_path/batch=<id>`` when every rule passes or WHOLE in
+    ``quarantine_path/batch=<id>`` otherwise — a batch is never half
+    applied, and quarantined data stays queryable for triage instead of
+    being dropped. Readers get Hive-style partition discovery on the
+    ``batch`` column for free.
+
+    Exactly-once without a guard column: each batch writes ONLY its own
+    ``batch=<id>`` subdirectory with overwrite semantics, so a
+    foreachBatch replay (same batch id, same content) rewrites the same
+    files — idempotent by path, the standard partitioned-append
+    discipline. The per-batch report reaches ``on_batch(batch_id,
+    passed, {rule: violations})``; only ``len(rules)`` report rows ever
+    touch the driver."""
+    from spark_pipeline_spark.operators.quality import check
+
+    rules = list(rules)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        report = check(batch_df, rules).collect()
+        ok = all(r["passed"] for r in report)
+        dest = target_path if ok else quarantine_path
+        batch_df.write.mode("overwrite").parquet(f"{dest}/batch={batch_id}")
+        if on_batch is not None:
+            on_batch(
+                batch_id, ok, {r["rule"]: r["violations"] for r in report}
+            )
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

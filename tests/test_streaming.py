@@ -800,3 +800,85 @@ def test_stream_topk_sink_matches_batch_topk(spark, tmp_path):
         .collect()
     )
     assert got == want and len(got) == 25
+
+
+def test_topk_merge_fold_equals_global_for_any_split(spark):
+    """The sink's top-k merge algebra, SEQUENTIALLY folded (the actual
+    micro-batch order of stream_topk_sink) over several split shapes,
+    must equal the one-shot global top-k under the same md5 tie-break —
+    the associativity/idempotence claim `streaming_topk_merge_replay`
+    hashes for one split, checked here for uneven and single-batch
+    splits too."""
+    from pyspark.sql import Window
+
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    tie = F.md5(F.col("o_orderkey").cast("string"))
+
+    def topk(df):
+        w = Window.orderBy(F.desc("o_totalprice"), tie)
+        return (
+            df.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= 25)
+            .drop("__r")
+        )
+
+    want = {tuple(r) for r in topk(o).collect()}
+    for mod in (1, 3, 7):
+        state = None
+        for i in range(mod):
+            batch = o.filter(F.pmod(F.col("o_orderkey"), F.lit(mod)) == i)
+            merged = (
+                batch if state is None else state.unionByName(topk(batch))
+            )
+            state = topk(merged)
+        got = {tuple(r) for r in state.collect()}
+        assert got == want and len(got) == 25, f"mod={mod}"
+
+
+def test_stream_quality_gate_routes_batches(spark, tmp_path):
+    """Batches violating an expectation land WHOLE in quarantine;
+    passing batches land WHOLE in the target; nothing is lost and both
+    sides stay queryable with batch-partition discovery."""
+    from spark_pipeline_spark.operators import quality as Q
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_quality_gate_sink,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("event_id", "value")
+    src = str(tmp_path / "events_gate")
+    # one clean file and one poisoned file -> one passing and one
+    # failing micro-batch
+    clean = events.filter(F.col("value") >= 0)
+    poisoned = events.limit(50).withColumn("value", F.lit(-1.0))
+    clean.coalesce(1).write.mode("overwrite").parquet(src)
+    poisoned.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "event_id bigint, value double", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "accepted")
+    quarantine = str(tmp_path / "quarantine")
+    reports: list[tuple[int, bool, dict]] = []
+    q = stream_quality_gate_sink(
+        stream,
+        target,
+        quarantine,
+        [Q.not_null("event_id"), Q.in_range("value", 0, 1e12)],
+        checkpoint=str(tmp_path / "ckpt_gate"),
+        on_batch=lambda bid, ok, rep: reports.append((bid, ok, rep)),
+    )
+    q.awaitTermination(120)
+
+    assert len(reports) == 2
+    outcomes = {ok for _, ok, _ in reports}
+    assert outcomes == {True, False}
+    accepted = spark.read.parquet(target)
+    rejected = spark.read.parquet(quarantine)
+    assert "batch" in accepted.columns and "batch" in rejected.columns
+    assert accepted.count() == clean.count()
+    assert rejected.count() == poisoned.count()
+    assert rejected.filter(F.col("value") >= 0).count() == 0
+    failing = [rep for _, ok, rep in reports if not ok][0]
+    assert failing["in_range:value"] == poisoned.count()
+    assert failing["not_null:event_id"] == 0
