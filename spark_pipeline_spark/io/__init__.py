@@ -8,6 +8,7 @@ driver-side materialization is the explicitly-named ``single_csv`` path.
 
 from spark_pipeline_spark.io.sources import load, read_file, read_jdbc, read_single_csv, read_sql
 from spark_pipeline_spark.io.sinks import save, write_file, write_jdbc, write_single_csv, write_table
+from spark_pipeline_spark.io.skipping import file_column_stats, skipping_report
 
 __all__ = [
     "load",
@@ -20,4 +21,6 @@ __all__ = [
     "write_jdbc",
     "write_single_csv",
     "write_table",
+    "file_column_stats",
+    "skipping_report",
 ]

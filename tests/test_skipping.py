@@ -1,0 +1,93 @@
+"""File-skipping advisor: footer min/max stats must reflect the layout,
+and the skip verdicts must agree with what the rows actually contain —
+the measured version of the Z-order/range-layout story."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_pipeline_spark.io.skipping import file_column_stats, skipping_report
+from spark_pipeline_spark.queries import t
+from tests.conftest import SF_SMALL
+
+
+def _write_range_layout(spark, tmp_path, n_files=4):
+    out = str(tmp_path / "orders_ranged")
+    (
+        t(spark, SF_SMALL, "orders")
+        .repartitionByRange(n_files, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def test_footer_stats_match_actual_extremes(spark, tmp_path):
+    out = _write_range_layout(spark, tmp_path)
+    stats = file_column_stats(spark, out, ["o_orderkey", "o_orderstatus"]).cache()
+    key = stats.filter(F.col("column") == "o_orderkey")
+    rows = key.collect()
+    assert len(rows) >= 2 and all(r["has_stats"] for r in rows)
+    # global min/max across footers equal the table's real extremes
+    table = t(spark, SF_SMALL, "orders").agg(
+        F.min("o_orderkey"), F.max("o_orderkey")
+    ).collect()[0]
+    assert min(int(r["min_value"]) for r in rows) == table[0]
+    assert max(int(r["max_value"]) for r in rows) == table[1]
+    # range layout => per-file key ranges are pairwise disjoint
+    spans = sorted((int(r["min_value"]), int(r["max_value"])) for r in rows)
+    for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+        assert hi_prev < lo_next
+    # row counts in footers sum to the table
+    assert sum(r["num_rows"] for r in rows) == t(spark, SF_SMALL, "orders").count()
+
+
+def test_skip_verdicts_agree_with_contents(spark, tmp_path):
+    out = _write_range_layout(spark, tmp_path)
+    stats = file_column_stats(spark, out, ["o_orderkey"]).cache()
+    med = t(spark, SF_SMALL, "orders").agg(
+        F.expr("percentile(o_orderkey, 0.5)")
+    ).collect()[0][0]
+
+    report = skipping_report(stats, "o_orderkey", "<", med).collect()
+    skippable = {r["path"] for r in report if r["skippable"]}
+    kept = {r["path"] for r in report if not r["skippable"]}
+    # a range layout must make SOME files skippable for a median cut
+    assert skippable and kept
+    # ground truth: a skippable file contains NO matching rows
+    for p in report:
+        local = p["path"]
+        matches = (
+            spark.read.parquet(local)
+            .filter(F.col("o_orderkey") < med)
+            .count()
+        )
+        if p["skippable"]:
+            assert matches == 0, f"advisor skipped a file with {matches} matches"
+
+    # and the kept files alone reproduce the full filtered count
+    total = (
+        spark.read.parquet(out).filter(F.col("o_orderkey") < med).count()
+    )
+    kept_total = sum(
+        spark.read.parquet(r["path"]).filter(F.col("o_orderkey") < med).count()
+        for r in report
+        if not r["skippable"]
+    )
+    assert kept_total == total
+
+
+def test_missing_column_and_equality_op(spark, tmp_path):
+    out = _write_range_layout(spark, tmp_path, n_files=2)
+    stats = file_column_stats(spark, out, ["no_such_col", "o_orderkey"]).cache()
+    missing = stats.filter(F.col("column") == "no_such_col").collect()
+    assert missing and all(not r["has_stats"] for r in missing)
+    # no-stats files are conservatively unskippable
+    rep = skipping_report(stats, "no_such_col", "<", 0).collect()
+    assert rep and all(not r["skippable"] for r in rep)
+
+    some_key = t(spark, SF_SMALL, "orders").agg(F.max("o_orderkey")).collect()[0][0]
+    eq = skipping_report(stats, "o_orderkey", "=", some_key).collect()
+    hit = [r for r in eq if not r["skippable"]]
+    assert len(hit) == 1  # disjoint ranges: exactly one file can hold the max
