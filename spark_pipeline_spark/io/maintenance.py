@@ -31,27 +31,49 @@ __all__ = ["file_stats", "compact_parquet"]
 def _fs(spark: SparkSession, path: str):
     jvm = getattr(spark, "_jvm", None)
     if jvm is None:
+        # file_stats has a Connect fallback; the compaction swap needs a
+        # real filesystem delete, which the DataFrame API can't express
         raise RuntimeError(
-            "maintenance helpers need a classic SparkSession; Spark "
-            "Connect sessions don't expose spark._jvm"
+            "compact_parquet needs a classic SparkSession (staging delete "
+            "goes through the Hadoop FS API); Spark Connect sessions "
+            "don't expose spark._jvm"
         )
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+def _sizes_via_read(spark: SparkSession, path: str, suffix: str) -> list[int]:
+    """Connect-compatible recursive listing: ``binaryFile`` exposes
+    (path, length) as metadata columns — no content bytes move — and
+    hides ``_``/``.`` entries, matching the classic filter."""
+    rows = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", f"*{suffix}")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("length")
+        .collect()
+    )
+    return [int(r["length"]) for r in rows]
+
+
 def file_stats(spark: SparkSession, path: str, suffix: str = ".parquet") -> dict:
     """Recursive data-file census of ``path``: count, total/min/max/mean
     bytes. Driver-side listing via the Hadoop FS API — the same listing
-    every scan's planning phase performs; fine for maintenance cadence,
-    not for per-query hot paths."""
-    fs, hpath, _ = _fs(spark, path)
-    sizes: list[int] = []
-    it = fs.listFiles(hpath, True)  # recursive
-    while it.hasNext():
-        status = it.next()
-        name = status.getPath().getName()
-        if status.isFile() and name.endswith(suffix) and not name.startswith(("_", ".")):
-            sizes.append(int(status.getLen()))
+    every scan's planning phase performs (a metadata-only ``binaryFile``
+    listing on Spark Connect); fine for maintenance cadence, not for
+    per-query hot paths."""
+    if getattr(spark, "_jvm", None) is None:
+        sizes = _sizes_via_read(spark, path, suffix)
+    else:
+        fs, hpath, _ = _fs(spark, path)
+        sizes = []
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            status = it.next()
+            name = status.getPath().getName()
+            if status.isFile() and name.endswith(suffix) and not name.startswith(("_", ".")):
+                sizes.append(int(status.getLen()))
     if not sizes:
         return {"n_files": 0, "total_bytes": 0, "min_bytes": 0, "max_bytes": 0, "mean_bytes": 0.0}
     return {

@@ -9394,6 +9394,92 @@ def nll_quartile_bucket_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "nll_boundary_bucket_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term),
+        tot AS (SELECT sum(n) AS total FROM vocab),
+        lp AS (SELECT term, ln(n / total) AS logp FROM vocab, tot),
+        nll AS (
+          SELECT doc_id, round(avg(-logp) / ln(2), 6) AS avg_bits
+          FROM tok JOIN lp USING (term)
+          GROUP BY doc_id
+        ),
+        j AS (
+          SELECT d.lang, n.avg_bits
+          FROM nll n JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT lang, quantile_cont(avg_bits, [0.25, 0.5, 0.75]) AS bnds
+          FROM j GROUP BY lang
+        )
+        SELECT j.lang,
+               1 + len(list_filter(b.bnds, x -> j.avg_bits > x)) AS bucket,
+               count(*) AS n_docs,
+               min(j.avg_bits) AS min_bits,
+               max(j.avg_bits) AS max_bits
+        FROM j JOIN b USING (lang)
+        GROUP BY 1, 2
+    """,
+    tags=("text", "quality", "lm", "quantile", "llm-pipeline"),
+)
+def nll_boundary_bucket_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH companion to `nll_quartile_bucket_documents`:
+    instead of an exact per-language ntile (which sorts every document
+    within its language), compute the three quartile BOUNDARIES as one
+    tiny per-language aggregate, join them back, and bucket each
+    document with a pure comparison expression — the map-side binning
+    never sorts or re-shuffles the corpus (identical shape to
+    `quantile_bucket_orders`). Swapping `percentile` for
+    `approx_percentile` at 100 TB changes ONLY the boundary aggregate
+    (t-digest partials instead of a per-group sort); the bucketing plan
+    is untouched — that knob is the reason this variant exists. Counts
+    differ from the ntile variant only at boundary ties (ntile forces
+    equal sizes; boundary binning puts equals together)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    lp = vocab.join(F.broadcast(total)).select(
+        "term", F.log(F.col("n") / F.col("total")).alias("logp")
+    )
+    nll = (
+        toks.join(lp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.col("logp")) / F.log(F.lit(2.0)), 6).alias("avg_bits")
+        )
+    )
+    j = nll.join(t(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id")
+    b = j.groupBy("lang").agg(
+        F.percentile("avg_bits", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+        .alias("bnds")
+    )
+    bucketed = j.join(b, "lang").select(
+        "lang",
+        "avg_bits",
+        (
+            1
+            + F.size(
+                F.filter(F.col("bnds"), lambda x: F.col("avg_bits") > x)
+            )
+        ).alias("bucket"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("avg_bits").alias("min_bits"),
+        F.max("avg_bits").alias("max_bits"),
+    )
+
+
+@register(
     "zipf_fit_documents",
     oracle=r"""
         WITH tok AS (

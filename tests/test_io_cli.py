@@ -446,3 +446,31 @@ def test_pipeline_cli_multi_step_dag(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="duplicate step name"):
         main_pipeline(["--conf", bad])
+
+
+def test_file_stats_connect_fallback_matches_classic(spark, tmp_path):
+    """Without a JVM gateway, file_stats must fall back to the
+    binaryFile metadata listing and report the same census — including
+    recursive partition directories."""
+    from spark_pipeline_spark.io.maintenance import file_stats
+
+    class FakeConnectSession:
+        _jvm = None
+
+        def __init__(self, real):
+            self._real = real
+
+        @property
+        def read(self):
+            return self._real.read
+
+    p = str(tmp_path / "census")
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select("id", (F.col("id") % 2).alias("part"))
+    df.repartition(8).write.mode("overwrite").partitionBy("part").parquet(p)
+
+    classic = file_stats(spark, p)
+    connect = file_stats(FakeConnectSession(spark), p)
+    assert connect == classic
+    assert connect["n_files"] >= 2 and connect["total_bytes"] > 0

@@ -52,6 +52,7 @@ _NLJ_ALLOWED = {
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
     "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
     "nll_quartile_bucket_documents",  # one-row vocabulary-total broadcast
+    "nll_boundary_bucket_documents",  # one-row vocabulary-total broadcast
     "rrf_fusion_search_documents",  # one-row query-vector + bm25-stats broadcasts
 }
 
