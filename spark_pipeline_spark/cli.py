@@ -35,6 +35,7 @@ __all__ = [
     "main_trainer",
     "main_validator",
     "main_pipeline",
+    "main_refresher",
 ]
 
 
@@ -272,9 +273,65 @@ def main_pipeline(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_refresher(argv: list[str] | None = None) -> int:
+    """Incrementally refresh a persisted aggregate snapshot from a delta
+    source — the operational wrapper over ``operators/incremental.py``
+    that turns "maintain this rollup nightly" into a config + cron line
+    instead of a full-history recompute. First run (no snapshot yet)
+    bootstraps ``aggregate_snapshot(delta)``; every later run costs
+    O(|delta| + |snapshot|), never O(|history|).
+
+    Config shape::
+
+        {"snapshot": {"path": "..."},          # parquet snapshot dir
+         "delta":    {...},                    # any load() source
+         "keys":     ["k1", ...],
+         "aggregates": {"out_col": {"kind": "sum|count|min|max",
+                                    "column": "src_col"}, ...}}
+
+    The swap is staged (write ``__refresh_staging``, rewrite the
+    snapshot from it, drop staging) so a crash mid-refresh leaves the
+    previous committed snapshot readable — same discipline as
+    ``compact_parquet`` and the streaming sinks.
+    """
+    conf, _ = _parse_args(argv, "refresher")
+    t0 = time.time()
+    spark = _session(conf, "refresher")
+    from spark_pipeline_spark.io.sources import load
+    from spark_pipeline_spark.operators.incremental import (
+        aggregate_snapshot,
+        incremental_agg_merge,
+    )
+    from spark_pipeline_spark.streaming import committed_snapshot_exists
+
+    keys = list(conf["keys"])
+    spec = {
+        out: (a["kind"], a["column"]) for out, a in conf["aggregates"].items()
+    }
+    delta = load(spark, conf["delta"])
+    path = conf["snapshot"]["path"]
+    if committed_snapshot_exists(spark, path):
+        snap = spark.read.parquet(path).select(*keys, *spec)
+        new = incremental_agg_merge(snap, delta, keys, spec)
+        action = "merged"
+    else:
+        new = aggregate_snapshot(delta, keys, spec)
+        action = "bootstrapped"
+    staging = path.rstrip("/") + "__refresh_staging"
+    new.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+    jvm = getattr(spark, "_jvm", None)
+    if jvm is not None:
+        hpath = jvm.org.apache.hadoop.fs.Path(staging)
+        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+    print(f"{action} snapshot rows: {spark.read.parquet(path).count()}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(
-        "invoke via the mover/scorer/trainer/validator/pipeline console "
-        "scripts or call main_mover/main_scorer/main_trainer/"
-        "main_validator/main_pipeline directly"
+        "invoke via the mover/scorer/trainer/validator/pipeline/refresher "
+        "console scripts or call main_mover/main_scorer/main_trainer/"
+        "main_validator/main_pipeline/main_refresher directly"
     )

@@ -474,3 +474,61 @@ def test_file_stats_connect_fallback_matches_classic(spark, tmp_path):
     connect = file_stats(FakeConnectSession(spark), p)
     assert connect == classic
     assert connect["n_files"] >= 2 and connect["total_bytes"] > 0
+
+
+def test_refresher_cli_bootstrap_then_merge(spark, tmp_path):
+    """First run bootstraps the snapshot from the delta; the second run
+    merges new rows in; the final snapshot equals a from-scratch groupBy
+    over everything — without ever rescanning history."""
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.cli import main_refresher
+    from spark_pipeline_spark.queries import t as _t
+
+    o = _t(spark, SF_SMALL, "orders")
+    hist = o.filter(F.col("o_orderdate") < "1996-01-01")
+    late = o.filter(F.col("o_orderdate") >= "1996-01-01")
+    d1 = str(tmp_path / "delta1")
+    d2 = str(tmp_path / "delta2")
+    hist.write.parquet(d1)
+    late.write.parquet(d2)
+    snap = str(tmp_path / "rollup_snapshot")
+
+    def conf_for(delta_path):
+        return _write_conf(
+            tmp_path,
+            f"refresh_{abs(hash(delta_path)) % 1000}.json",
+            {
+                "snapshot": {"path": snap},
+                "delta": {"storage": "file", "path": delta_path},
+                "keys": ["o_orderstatus"],
+                "aggregates": {
+                    "total_price": {"kind": "sum", "column": "o_totalprice"},
+                    "n_orders": {"kind": "count", "column": "o_orderkey"},
+                    "max_key": {"kind": "max", "column": "o_orderkey"},
+                },
+            },
+        )
+
+    assert main_refresher(["--conf", conf_for(d1)]) == 0
+    assert main_refresher(["--conf", conf_for(d2)]) == 0
+
+    got = {
+        r["o_orderstatus"]: (round(r["total_price"], 2), r["n_orders"], r["max_key"])
+        for r in spark.read.parquet(snap).collect()
+    }
+    want = {
+        r["o_orderstatus"]: (round(r["total_price"], 2), r["n_orders"], r["max_key"])
+        for r in o.groupBy("o_orderstatus")
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count("o_orderkey").alias("n_orders"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .collect()
+    }
+    assert got == want
+    # staging cleaned up
+    import os
+
+    assert not os.path.exists(snap + "__refresh_staging")
