@@ -115,7 +115,12 @@ def quality_score(col: Column | str) -> Column:
     len_credit = F.least(token_count_ws(c) / F.lit(100.0), F.lit(1.0))
     punct_credit = F.lit(1.0) - F.least(punct_ratio(c) * 10.0, F.lit(1.0))
     stop_credit = F.least(stopword_ratio(c, "en") * 5.0, F.lit(1.0))
-    return len_credit * 0.4 + punct_credit * 0.3 + stop_credit * 0.3
+    score = len_credit * 0.4 + punct_credit * 0.3 + stop_credit * 0.3
+    # Explicit NULL guard: Spark's `least` SKIPS nulls, so without it a
+    # null document scores len_credit=1.0 → 0.7 total and sails through
+    # every keep-threshold. Null text is the worst document, not a good
+    # one.
+    return F.when(c.isNull(), F.lit(0.0)).otherwise(score)
 
 
 def detect_language(col: Column | str, langs: tuple[str, ...] = LANG_PRIORITY) -> Column:

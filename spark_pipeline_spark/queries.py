@@ -65,6 +65,21 @@ def _sql_stop_hits(lang: str) -> str:
     return f"len(list_filter({_SQL_TOKS}, tk -> tk IN ({words})))"
 
 
+# Document quality heuristic, in lock-step with text.quality_score —
+# defined ONCE so the six consuming oracles can't drift apart. NULL text
+# scores 0.0 (matching the operator's explicit guard); Spark's
+# null-skipping `least` would otherwise hand a null document 0.7 and
+# sail it through every keep-threshold.
+_SQL_QUALITY = (
+    f"CASE WHEN text IS NULL THEN 0.0 ELSE "
+    f"least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4 "
+    f"+ (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE "
+    f"/ greatest(length(text), 1) * 10.0, 1.0)) * 0.3 "
+    f"+ least({_sql_stop_hits('en')}::DOUBLE "
+    f"/ greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3 END"
+)
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as TIMESTAMP(NANOS) and as µs-NTZ;
@@ -871,12 +886,7 @@ def salted_join_lineitem_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_documents_clean",
     oracle=f"""
         WITH scored AS (
-          SELECT doc_id, lang, text,
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3 AS q
+          SELECT doc_id, lang, text, {_SQL_QUALITY} AS q
           FROM documents
         ),
         kept AS (SELECT * FROM scored WHERE q >= 0.45),
@@ -1230,13 +1240,7 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_quality_documents",
     oracle=f"""
         SELECT doc_id,
-               round(
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3,
-               6) AS quality
+               round({_SQL_QUALITY}, 6) AS quality
         FROM documents
     """,
     tags=("text", "llm-pipeline"),
@@ -4200,13 +4204,7 @@ def power_iteration_pc1_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     "corpus_prep_end_to_end",
     oracle=rf"""
         WITH scored AS (
-          SELECT doc_id, source, text,
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3
-                   AS quality
+          SELECT doc_id, source, text, {_SQL_QUALITY} AS quality
           FROM documents
         ),
         kept AS (SELECT * FROM scored WHERE quality >= 0.5),
@@ -7198,11 +7196,7 @@ def join_cardinality_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH scored AS (
           SELECT n_chars,
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3 AS q,
+                 {_SQL_QUALITY} AS q,
                  len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
                    / greatest(length(text), 1) AS pr
           FROM documents
@@ -9006,12 +9000,7 @@ def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT source, lang,
                  len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok,
                  n_chars,
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3
-                   AS quality
+                 {_SQL_QUALITY} AS quality
           FROM documents
         )
         SELECT source,
@@ -9281,13 +9270,7 @@ def rrf_fusion_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_cap_documents",
     oracle=rf"""
         WITH scored AS (
-          SELECT doc_id, source,
-                 least(len({_SQL_TOKS}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{_SQL_PUNCT_RE}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({_sql_stop_hits("en")}::DOUBLE
-                         / greatest(len({_SQL_TOKS}), 1) * 5.0, 1.0) * 0.3
-                   AS quality
+          SELECT doc_id, source, {_SQL_QUALITY} AS quality
           FROM documents
         )
         SELECT source, doc_id, round(quality, 6) AS quality,
@@ -9815,14 +9798,16 @@ def window_functions_showcase_orders(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("unpivot", "reshape", "relational"),
 )
 def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wide→long reshaping via the native `unpivot` operator (the melt
-    half of the pivot pair), immediately re-aggregated to a per-measure
-    profile. Spark's unpivot is an Expand node — each input row fans out
-    to 4 (measure, value) rows INSIDE the scan stage, then partial
-    aggregation collapses them before the one tiny exchange; the measure
-    mass sums as exact integer micro-units. The long-format profile is
+    """Unpivot as an AGGREGATION INPUT (distinct role from
+    `unpivot_lineitem_charges`, which demonstrates the row-level melt
+    output shape): all four measure columns collapse to one per-measure
+    (count, min, max, exact micro-unit sum) profile in a single job.
+    Spark's unpivot is an Expand node — each input row fans out to 4
+    (measure, value) rows INSIDE the scan stage, then partial
+    aggregation collapses them before the one tiny exchange. This is
     how a validation harness treats N measure columns uniformly without
-    N scans."""
+    N scans, and the Expand→partial-agg shape is what makes it one pass
+    at 100 TB."""
     li = t(spark, sf_dir, "lineitem")
     long = li.unpivot(
         ids=[],

@@ -223,3 +223,28 @@ def test_round7_operators_on_empty(spark, tmp_path):
     rows = z.collect()
     assert len(rows) == 1 and rows[0]["slope"] is None
     assert rows[0]["n_terms"] == 0
+
+
+def test_null_text_scores_zero_quality(spark):
+    """A NULL document must score quality 0.0 — Spark's null-skipping
+    `least` would otherwise award it 0.7 (length credit defaults to the
+    1.0 clamp) and pass every keep-threshold. Other text stats stay
+    null-propagating (null in → null out), which downstream filters
+    treat as not-keep."""
+    from spark_pipeline_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "the fast data table scan")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            T.quality_score("text").alias("q"),
+            T.token_count_ws("text").alias("n_tok"),
+        ).collect()
+    }
+    assert rows[1]["q"] == 0.0
+    assert rows[1]["n_tok"] is None  # null-propagating, not fabricated
+    assert 0.0 < rows[2]["q"] < rows[3]["q"]
