@@ -8793,6 +8793,107 @@ def ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ndcg_mrr_report",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        q AS (SELECT * FROM assign WHERE vec_id < 20),
+        exact AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+                 ) AS xr
+          FROM q JOIN e c ON q.vec_id != c.vec_id
+          QUALIFY xr <= 3
+        ),
+        approx AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+                 ) AS pos
+          FROM q JOIN assign c ON q.cell = c.cell AND q.vec_id != c.vec_id
+          QUALIFY pos <= 3
+        ),
+        idcg AS (
+          SELECT query_id,
+                 sum(round(1000000.0 / log2(xr + 1))::BIGINT) AS idcg_micro
+          FROM exact GROUP BY query_id
+        ),
+        hits AS (
+          SELECT a.query_id,
+                 sum(round(1000000.0 / log2(a.pos + 1))::BIGINT) AS dcg_micro,
+                 min(a.pos) AS first_hit
+          FROM approx a
+          JOIN exact x ON x.query_id = a.query_id
+                      AND x.neighbor_id = a.neighbor_id
+          GROUP BY a.query_id
+        )
+        SELECT i.query_id,
+               round(coalesce(h.dcg_micro, 0) / i.idcg_micro::DOUBLE, 6)
+                 AS ndcg_at_3,
+               round(coalesce(1.0 / h.first_hit, 0.0), 6) AS mrr
+        FROM idcg i LEFT JOIN hits h ON h.query_id = i.query_id
+    """,
+    tags=("similarity", "ann", "eval", "ranking", "llm-pipeline"),
+)
+def ann_ndcg_mrr_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded retrieval quality of the ANN scale path: per-query NDCG@3
+    and MRR of IVF (nprobe=1) against the exact top-3 — the
+    position-sensitive companion to `ivf_recall_report` (recall says
+    WHETHER the right neighbors were found; NDCG/MRR say whether they
+    were found EARLY, which is what a RAG context window actually
+    consumes). Gain terms are snapped to integer MICRO-units per
+    position before summing, and IDCG comes from the exact side's own
+    ranks through the identical expression — so both engines sum exact
+    int64s in any order and divide identical doubles. Same scale shape
+    as the recall gate: only top-k pairs leave the similarity
+    operators; the report join touches ≤ 3·|queries| rows."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+
+    def micro_gain(rank_col):
+        return F.round(1000000.0 / F.log2(rank_col + 1), 0).cast("long")
+
+    exact = cosine_topk(e, queries, k=3, exclude_self=True).select(
+        "query_id", "neighbor_id", F.col("rank").alias("xr")
+    )
+    approx = ivf_topk(e, queries, centroids, k=3, exclude_self=True).select(
+        "query_id", "neighbor_id", F.col("rank").alias("pos")
+    )
+    idcg = exact.groupBy("query_id").agg(
+        F.sum(micro_gain(F.col("xr"))).alias("idcg_micro")
+    )
+    hits = (
+        approx.join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(micro_gain(F.col("pos"))).alias("dcg_micro"),
+            F.min("pos").alias("first_hit"),
+        )
+    )
+    return idcg.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("dcg_micro"), F.lit(0))
+            / F.col("idcg_micro").cast("double"),
+            6,
+        ).alias("ndcg_at_3"),
+        F.round(F.coalesce(1.0 / F.col("first_hit"), F.lit(0.0)), 6).alias("mrr"),
+    )
+
+
+@register(
     "seasonal_naive_backtest_events",
     oracle="""
         WITH daily AS (

@@ -49,6 +49,7 @@ _NLJ_ALLOWED = {
     "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
     "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
     "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
+    "ann_ndcg_mrr_report",  # same exact-vs-approx shape as ivf_recall_report
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
     "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
     "nll_quartile_bucket_documents",  # one-row vocabulary-total broadcast
@@ -261,6 +262,7 @@ _BOUNDED_HINTS = {
     "embedding_near_dup_ivf": "seed centroids (fixed k cells)",
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
+    "ann_ndcg_mrr_report": "seed centroids + fixed query set",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
