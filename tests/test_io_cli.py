@@ -123,7 +123,7 @@ def _write_conf(tmp_path, name, conf):
     return str(p)
 
 
-def test_mover_cli_end_to_end(spark, tmp_path):
+def test_mover_cli_end_to_end(spark, tmp_path, capsys):
     from spark_pipeline_spark.cli import main_mover
 
     out = str(tmp_path / "moved")
@@ -144,8 +144,12 @@ def test_mover_cli_end_to_end(spark, tmp_path):
     out2 = str(tmp_path / "moved2")
     assert main_mover(["--conf", conf, f"target.path={out2}"]) == 0
     back = read_file(spark, out2)
-    assert back.count() == read_file(spark, f"{SF_SMALL}/customer.parquet").count()
+    n_src = read_file(spark, f"{SF_SMALL}/customer.parquet").count()
+    assert back.count() == n_src
     assert back.columns == ["c_custkey", "c_name", "c_acctbal"]
+    # log-count rides the write via Observation — the printed count must
+    # be the real moved-row count, with no second scan to produce it
+    assert f"moved rows: {n_src}" in capsys.readouterr().out
 
 
 def test_scorer_cli_end_to_end(spark, tmp_path):
