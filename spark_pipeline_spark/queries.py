@@ -10163,9 +10163,9 @@ _DRIVER_WINDOW = [
     "incremental_join_orders_customer", "psi_quantile_drift_lineitem",
 ]
 
-# Never driver-checked after this round (the 15 spilling to the r8
-# rotation, all registered during r6; every pre-r6 query has now been
-# driver-checked at least once):
+# Never driver-checked after this round — the r8 rotation queue.
+# 15 spilled from r6 (every pre-r6 query has now been driver-checked at
+# least once):
 # grouping_sets_orders, join_cardinality_advisor,
 # quality_filter_attrition_documents, seasonal_anomaly_hours_events,
 # embedding_mean_pool_chunks, k_anonymity_audit_customer,
@@ -10174,7 +10174,17 @@ _DRIVER_WINDOW = [
 # backfill_gaps_orders_daily, ivf_recall_report,
 # seasonal_naive_backtest_events, source_term_drift_kl,
 # dataset_card_documents
-# ...plus any queries ADDED in round 7 (registered after this rotation).
+# ...plus the 16 queries ADDED in round 7:
+# streaming_topk_merge_replay, streaming_incremental_merge_replay,
+# rrf_fusion_search_documents, source_cap_documents,
+# nll_quartile_bucket_documents, nll_boundary_bucket_documents,
+# zipf_fit_documents, cross_source_neardup_matrix,
+# bpe_merge_candidates_documents, label_centroid_similarity_embeddings,
+# window_functions_showcase_orders, unpivot_lineitem_measures,
+# array_ops_showcase_embeddings, sketch_rollup_distinct_users,
+# delete_propagation_customers, ann_ndcg_mrr_report
+# → 31 first-time candidates for r8's 50 slots; the remaining ~19 slots
+# can re-check queries whose code changed since their last green round.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]
