@@ -37,6 +37,7 @@ __all__ = [
     "jaccard_similarity",
     "minhash_band_keys",
     "minhash_near_dup_pairs",
+    "minhash_incremental_pairs",
     "containment_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
@@ -306,6 +307,82 @@ def minhash_near_dup_pairs(
             "id_a",
             "id_b",
             jaccard_similarity("__sh_a", "__sh_b").alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_incremental_pairs(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicates of NEW documents against an EXISTING corpus —
+    the daily-increment regime: yesterday's corpus must not re-pair
+    with itself, so candidate generation joins only the increment's
+    band keys against the corpus's. Cost per refresh is O(|new|)
+    banding plus the matched buckets, independent of how many times the
+    corpus has been deduplicated before — vs. re-running the full
+    self-join, which re-pays O(|corpus|) every day.
+
+    Returns ``(corpus_id, new_id, jaccard >= threshold)``. Same
+    never-all-pairs shape as :func:`minhash_near_dup_pairs` (banded
+    equi-join candidates, exact-Jaccard verify joining shingles back by
+    candidate id only). At production scale the corpus's ``(id, band,
+    key)`` table is the persisted dedup INDEX: written once, appended
+    with each accepted increment's bands — this function's corpus side
+    reads exactly that shape.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    def prep(df: DataFrame):
+        base = shingle_table(
+            ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        hashed = base.select(
+            "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+        )
+        banded = hashed.select(
+            "__id",
+            F.posexplode(
+                _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
+            ).alias("__band", "__key"),
+        )
+        return base, banded
+
+    base_c, banded_c = prep(corpus)
+    base_n, banded_n = prep(new)
+    cand = (
+        banded_n.alias("nw")
+        .join(
+            banded_c.alias("cp"),
+            (F.col("nw.__band") == F.col("cp.__band"))
+            & (F.col("nw.__key") == F.col("cp.__key")),
+        )
+        .select(
+            F.col("cp.__id").alias("corpus_id"),
+            F.col("nw.__id").alias("new_id"),
+        )
+        .distinct()
+    )
+    sc = base_c.select(F.col("__id").alias("corpus_id"), F.col("__sh").alias("__sh_c"))
+    sn = base_n.select(F.col("__id").alias("new_id"), F.col("__sh").alias("__sh_n"))
+    return (
+        cand.join(sc, "corpus_id")
+        .join(sn, "new_id")
+        .select(
+            "corpus_id",
+            "new_id",
+            jaccard_similarity("__sh_c", "__sh_n").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )

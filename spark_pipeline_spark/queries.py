@@ -9718,6 +9718,53 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_new_vs_corpus",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT c.doc_id AS corpus_id, nw.doc_id AS new_id
+          FROM banded c JOIN banded nw
+            ON c.band = nw.band AND c.key = nw.key
+          WHERE c.doc_id < 400 AND nw.doc_id >= 400
+        )
+        SELECT corpus_id, new_id,
+               round(len(list_intersect(sc.sh, sn.sh))::DOUBLE
+                     / greatest(len(sc.sh) + len(sn.sh)
+                                - len(list_intersect(sc.sh, sn.sh)), 1),
+                     6) AS jaccard
+        FROM cand
+          JOIN nonempty sc ON sc.doc_id = corpus_id
+          JOIN nonempty sn ON sn.doc_id = new_id
+        WHERE round(len(list_intersect(sc.sh, sn.sh))::DOUBLE
+                    / greatest(len(sc.sh) + len(sn.sh)
+                               - len(list_intersect(sc.sh, sn.sh)), 1),
+                    6) >= 0.5
+    """,
+    tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+)
+def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: candidates of a NEW increment (doc_id ≥
+    400 stands in for today's crawl) against the EXISTING corpus only
+    (doc_id < 400) — the daily-ingest regime where the corpus must not
+    re-pair with itself. Same banded-LSH + exact-Jaccard machinery as
+    `dedup_minhash_lsh_documents`, but the candidate join is
+    new-bands ⋈ corpus-bands, so each refresh costs O(|new|) banding
+    plus matched buckets, not a corpus self-join — at 100 TB the corpus
+    (id, band, key) table is the persisted dedup index this reads."""
+    from spark_pipeline_spark.operators.dedup import minhash_incremental_pairs
+
+    d = t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") < 400)
+    new = d.filter(F.col("doc_id") >= 400)
+    pairs = minhash_incremental_pairs(
+        corpus, new, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+    )
+    return pairs.select(
+        "corpus_id", "new_id", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.5)
+
+
+@register(
     "bpe_merge_candidates_documents",
     oracle=rf"""
         WITH w AS (SELECT {_SQL_WORDS} AS w FROM documents),

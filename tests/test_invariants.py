@@ -527,3 +527,36 @@ def test_join_delta_rule_property(spark, a_rows, b_rows):
     full = a.drop("dd").join(b.drop("dd"), ["k"])
     pairs = lambda d: sorted((r["aid"], r["bid"]) for r in d.collect())
     assert pairs(maintained) == pairs(full)
+
+
+def test_incremental_minhash_finds_planted_and_matches_full_pass(spark):
+    """The incremental (new-vs-corpus) path must (a) recall a corpus
+    document replanted in the increment, (b) emit ONLY cross-split
+    pairs, and (c) agree exactly with the full self-join restricted to
+    the same split — incrementality changes the COST, never the answer."""
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 400)
+    # increment: genuinely new docs + one replanted corpus doc (id 7 -> 9007)
+    replant = corpus.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9007).cast("long")
+    )
+    new = d.filter(F.col("doc_id") >= 400).unionByName(replant)
+
+    inc = minhash_incremental_pairs(corpus, new, "doc_id", "text", threshold=0.9)
+    got = {(r["corpus_id"], r["new_id"]) for r in inc.collect()}
+    assert (7, 9007) in got                      # planted duplicate recalled
+    assert all(c < 400 and n >= 400 for c, n in got)  # cross-split only
+
+    both = corpus.unionByName(new)
+    full = minhash_near_dup_pairs(both, "doc_id", "text", threshold=0.9)
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] < 400 and r["id_b"] >= 400
+    }
+    assert got == want
