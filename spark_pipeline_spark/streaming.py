@@ -30,6 +30,7 @@ __all__ = [
     "stream_incremental_agg_sink",
     "stream_topk_sink",
     "stream_quality_gate_sink",
+    "stream_dedup_lsh_sink",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -536,6 +537,170 @@ def stream_incremental_agg_sink(
             return incremental_agg_merge(current, batch_df, key_list, spec_d)
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_dedup_lsh_sink(
+    stream: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.7,
+    available_now: bool = True,
+    checkpoint: str | None = None,
+    on_batch=None,
+):
+    """Streaming NEAR-duplicate dedup against a persisted LSH index —
+    the arriving-crawl regime: each micro-batch is (1) deduped within
+    itself (lowest id survives a verified near-dup pair), (2) checked
+    against every PREVIOUSLY accepted document via the index, and (3)
+    its accepted documents' bands + shingles are appended to the index
+    for future batches. The index is exactly the structure
+    ``dedup.minhash_incremental_pairs`` reads: a ``bands/`` table of
+    (id, band, key) plus a ``shingles/`` table for exact-Jaccard verify
+    — each a few fixed-width rows per document, NEVER the text itself.
+
+    Exactly-once discipline: every write lands under ``batch=<id>``
+    with overwrite semantics (idempotent by path, same as
+    :func:`stream_quality_gate_sink`), and the index lookup EXCLUDES
+    the current batch id — so a foreachBatch replay that crashed after
+    writing its index rows does not match the batch against its own
+    half-committed state and drop everything.
+
+    Scale: per batch the cost is O(|batch|) shingling + banded bucket
+    joins against the index — the corpus is never re-paired with
+    itself, and index reads prune nothing-in-common batches to bucket
+    collisions only.
+    """
+    from spark_pipeline_spark.operators.dedup import (
+        _band_keys_from_hashes,
+        jaccard_similarity,
+        shingle_table,
+    )
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    spark = stream.sparkSession
+    bands_path = index_path.rstrip("/") + "/bands"
+    shingles_path = index_path.rstrip("/") + "/shingles"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        base = shingle_table(
+            ensure_min_partitions(batch_df.select(id_col, text_col)),
+            id_col,
+            text_col,
+            n,
+        ).persist()
+        banded = base.select(
+            "__id",
+            F.posexplode(
+                _band_keys_from_hashes(
+                    F.transform("__sh", lambda s: md5_int(s)), num_hashes, bands
+                )
+            ).alias("__band", "__key"),
+        ).persist()
+
+        # (1) within-batch dedup: verified near-dup pairs, higher id drops
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__key") == F.col("b.__key"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+        sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+        intra_drop = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(jaccard_similarity("__sh_a", "__sh_b") >= threshold)
+            .select(F.col("id_b").alias("__drop_id"))
+            .distinct()
+        )
+
+        # (2) cross-batch dedup against the index (excluding THIS batch's
+        # possibly half-committed replay rows). The index holds
+        # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
+        # committed parquet", probed by the read itself — a crash that
+        # left only _temporary content reads as absent.
+        def try_read(path):
+            from pyspark.errors import AnalysisException
+
+            try:
+                df = spark.read.parquet(path)
+                df.schema  # force analysis
+                return df
+            except AnalysisException as exc:
+                msg = str(exc)
+                if (
+                    "PATH_NOT_FOUND" in msg
+                    or "Path does not exist" in msg
+                    or "UNABLE_TO_INFER_SCHEMA" in msg
+                ):
+                    return None
+                raise
+
+        idx_bands = try_read(bands_path)
+        idx_sh = try_read(shingles_path)
+        if idx_bands is not None and idx_sh is not None:
+            idx_bands = idx_bands.filter(F.col("batch") != batch_id)
+            idx_sh = idx_sh.filter(F.col("batch") != batch_id)
+            xcand = (
+                banded.join(
+                    idx_bands,
+                    (banded["__band"] == idx_bands["__band"])
+                    & (banded["__key"] == idx_bands["__key"]),
+                )
+                .select(banded["__id"], idx_bands["__id"].alias("__cid"))
+                .distinct()
+            )
+            cross_drop = (
+                xcand.join(base.select("__id", "__sh"), "__id")
+                .join(
+                    idx_sh.select(
+                        F.col("__id").alias("__cid"), F.col("__sh").alias("__csh")
+                    ),
+                    "__cid",
+                )
+                .filter(jaccard_similarity("__sh", "__csh") >= threshold)
+                .select(F.col("__id").alias("__drop_id"))
+                .distinct()
+            )
+            drops = intra_drop.unionByName(cross_drop).distinct()
+        else:
+            drops = intra_drop
+
+        accepted = batch_df.join(
+            drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
+        ).persist()
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}"
+        )
+        kept_ids = accepted.select(F.col(id_col).alias("__id"))
+        banded.join(kept_ids, "__id").write.mode("overwrite").parquet(
+            f"{bands_path}/batch={batch_id}"
+        )
+        base.join(kept_ids, "__id").write.mode("overwrite").parquet(
+            f"{shingles_path}/batch={batch_id}"
+        )
+        if on_batch is not None:
+            on_batch(batch_id, accepted.count())
+        for df_ in (base, banded, accepted):
+            df_.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:

@@ -882,3 +882,76 @@ def test_stream_quality_gate_routes_batches(spark, tmp_path):
     failing = [rep for _, ok, rep in reports if not ok][0]
     assert failing["in_range:value"] == poisoned.count()
     assert failing["not_null:event_id"] == 0
+
+
+def test_stream_dedup_lsh_sink_drops_cross_batch_near_dups(spark, tmp_path):
+    """Streaming LSH dedup against the persisted index: a near-copy
+    arriving in a LATER micro-batch is dropped, a within-batch copy is
+    dropped (lowest id survives), genuinely new documents are accepted,
+    and the index accumulates only accepted documents."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    first = d.filter(F.col("doc_id") < 200)
+    # batch 2: new docs + a replant of doc 7 (cross-batch dup) + an
+    # intra-batch near-identical pair (9001 ~ copy of 9000's text)
+    base_new = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 400))
+    replant = first.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9007).cast("long")
+    )
+    intra_a = d.filter(F.col("doc_id") == 300).withColumn(
+        "doc_id", F.lit(9000).cast("long")
+    )
+    intra_b = d.filter(F.col("doc_id") == 300).withColumn(
+        "doc_id", F.lit(9001).cast("long")
+    )
+    second = base_new.unionByName(replant).unionByName(intra_a).unionByName(intra_b)
+
+    src = str(tmp_path / "docs_stream")
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+    second.coalesce(1).write.mode("append").parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    index = str(tmp_path / "dedup_index")
+    accepted = str(tmp_path / "accepted")
+    counts: list[tuple[int, int]] = []
+    q = stream_dedup_lsh_sink(
+        stream,
+        index,
+        accepted,
+        "doc_id",
+        "text",
+        threshold=0.9,
+        checkpoint=str(tmp_path / "ckpt_lsh"),
+        on_batch=lambda bid, n: counts.append((bid, n)),
+    )
+    q.awaitTermination(240)
+
+    out = spark.read.parquet(accepted)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 9007 not in ids  # cross-batch near-copy dropped via the index
+    assert 9001 not in ids  # intra-batch copy dropped (higher id)
+    # of the identical trio {300, 9000, 9001} in batch 2, exactly the
+    # lowest surviving id remains
+    assert len({300, 9000} & ids) == 1
+
+    # batch-1 drops are exactly the higher ids of its own verified
+    # near-dup pairs (the test corpus ships natural planted near-dups)
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    first_pairs = minhash_near_dup_pairs(first, "doc_id", "text", threshold=0.9)
+    expected_first_drops = {r["id_b"] for r in first_pairs.collect()}
+    first_ids = {r["doc_id"] for r in first.select("doc_id").collect()}
+    assert first_ids - ids == expected_first_drops
+
+    # the index holds only accepted ids
+    idx_ids = {
+        r["__id"] for r in spark.read.parquet(index + "/bands").select("__id").collect()
+    }
+    assert idx_ids == ids
+    assert len(counts) == 2
