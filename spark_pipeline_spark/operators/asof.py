@@ -35,6 +35,7 @@ def asof_join(
     left_ts: str,
     right_ts: str | None = None,
     right_prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Left as-of join: every left row, plus the columns of the latest
     right row with ``right_ts <= left_ts`` for the same key(s) (nulls
@@ -43,6 +44,13 @@ def asof_join(
     Right columns (except keys/timestamp) come back prefixed with
     ``right_prefix``. Keys must be equality keys; the timestamp is the
     as-of ordering column.
+
+    ``tolerance_seconds`` mirrors pandas ``merge_asof(tolerance=...)``:
+    a match older than the tolerance is DROPPED (nulls), not replaced by
+    an even older one — only the latest prior row ever counts, the
+    tolerance just decides whether it is still fresh enough. Applied as
+    a post-carry mask, so the plan shape (one shuffle + sort per side,
+    zero join nodes) is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
@@ -79,6 +87,16 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+
+    if tolerance_seconds is not None:
+        fresh = (
+            F.col("__ts").cast("double")
+            - F.col(f"__match.{right_ts}").cast("double")
+        ) <= float(tolerance_seconds)
+        carried = carried.withColumn(
+            "__match",
+            F.when(F.col("__match").isNotNull() & fresh, F.col("__match")),
+        )
 
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [

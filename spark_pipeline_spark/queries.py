@@ -2096,6 +2096,60 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_tolerance_24h",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'
+        ),
+        m AS (
+          SELECT e.event_id, e.ts, e.user_id, p.ts AS pts,
+                 p.event_id AS p_event_id, p.value AS p_value
+          FROM events e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+        )
+        SELECT event_id,
+               floor(epoch(ts))::BIGINT AS ts_epoch,
+               user_id,
+               CASE WHEN pts IS NOT NULL
+                     AND epoch(ts) - epoch(pts) <= 86400
+                    THEN p_event_id END AS asof_event_id,
+               CASE WHEN pts IS NOT NULL
+                     AND epoch(ts) - epoch(pts) <= 86400
+                    THEN round(p_value, 2) END AS asof_value
+        FROM m
+    """,
+    tags=("asof", "join", "events", "tolerance", "llm-pipeline"),
+)
+def events_asof_tolerance_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a freshness tolerance (pandas
+    `merge_asof(tolerance=...)` semantics): each event gets the user's
+    latest prior purchase ONLY if it happened within the trailing 24
+    hours — a stale match nulls out rather than falling back to an even
+    older row, which is the attribution-window contract. Same zero-join
+    union+carry plan as `events_asof_last_purchase`; the tolerance is a
+    post-carry mask, so the shape (and its plan gate) is unchanged."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(
+        e, purchases, on="user_id", left_ts="ts", tolerance_seconds=86400
+    )
+    return j.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
     "events_resample_6h_ffill",
     oracle="""
         WITH b AS (
