@@ -36,6 +36,7 @@ def asof_join(
     right_ts: str | None = None,
     right_prefix: str = "asof_",
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: every left row, plus the columns of the latest
     right row with ``right_ts <= left_ts`` for the same key(s) (nulls
@@ -51,7 +52,16 @@ def asof_join(
     tolerance just decides whether it is still fresh enough. Applied as
     a post-carry mask, so the plan shape (one shuffle + sort per side,
     zero join nodes) is unchanged.
+
+    ``direction``: ``"backward"`` (default) matches the latest right row
+    with ``right_ts <= left_ts``; ``"forward"`` matches the EARLIEST
+    right row with ``right_ts >= left_ts`` (the next-scheduled-event
+    pattern — pandas ``merge_asof(direction="forward")``). Forward is
+    the same carry over the time-reversed sort; with a tolerance, the
+    match must be within ``tolerance_seconds`` AFTER the left row.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
 
@@ -80,22 +90,29 @@ def asof_join(
     # md5 of the right payload as the final sort key: when the right side
     # has several rows at the same (key, ts), the carried match is the
     # max-md5 one — deterministic across partitionings and reruns instead
-    # of an arbitrary partition-dependent pick
+    # of an arbitrary partition-dependent pick. Forward direction = the
+    # identical carry over the time-REVERSED sort (right rows still sort
+    # before left rows at equal ts, preserving inclusive ties).
+    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts"), F.col("__tag"), F.md5(F.to_json(F.col("__r"))))
+        .orderBy(ts_order, F.col("__tag"), F.md5(F.to_json(F.col("__r"))))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
 
     if tolerance_seconds is not None:
-        fresh = (
-            F.col("__ts").cast("double")
-            - F.col(f"__match.{right_ts}").cast("double")
-        ) <= float(tolerance_seconds)
+        gap = F.col("__ts").cast("double") - F.col(f"__match.{right_ts}").cast(
+            "double"
+        )
+        if direction == "forward":
+            gap = -gap
         carried = carried.withColumn(
             "__match",
-            F.when(F.col("__match").isNotNull() & fresh, F.col("__match")),
+            F.when(
+                F.col("__match").isNotNull() & (gap <= float(tolerance_seconds)),
+                F.col("__match"),
+            ),
         )
 
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]

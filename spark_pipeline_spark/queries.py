@@ -2096,6 +2096,50 @@ def events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_next_purchase",
+    oracle="""
+        WITH e2 AS (
+          SELECT event_id, ts, user_id, -epoch(ts) AS rev FROM events
+        ),
+        p AS (
+          SELECT user_id, event_id, value, -epoch(ts) AS rev FROM events
+          WHERE event_type = 'purchase'
+        )
+        SELECT e2.event_id,
+               floor(epoch(e2.ts))::BIGINT AS ts_epoch,
+               e2.user_id,
+               p.event_id AS asof_event_id,
+               round(p.value, 2) AS asof_value
+        FROM e2 ASOF LEFT JOIN p
+          ON e2.user_id = p.user_id AND e2.rev >= p.rev
+    """,
+    tags=("asof", "join", "events", "forward", "llm-pipeline"),
+)
+def events_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: every event annotated with the user's NEXT
+    purchase at-or-after it — the time-to-conversion / next-scheduled-
+    event pattern (pandas `merge_asof(direction="forward")`). Same
+    zero-join union+carry plan over the time-reversed sort; the oracle
+    replays it as DuckDB's native backward ASOF over negated epochs."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(e, purchases, on="user_id", left_ts="ts", direction="forward")
+    return j.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
     "events_asof_tolerance_24h",
     oracle="""
         WITH p AS (
