@@ -248,3 +248,22 @@ def test_null_text_scores_zero_quality(spark):
     assert rows[1]["q"] == 0.0
     assert rows[1]["n_tok"] is None  # null-propagating, not fabricated
     assert 0.0 < rows[2]["q"] < rows[3]["q"]
+
+
+def test_asof_variants_on_empty_right(spark):
+    """As-of with an EMPTY right side (no purchases yet): every left row
+    survives with null match columns, in both directions and with a
+    tolerance — the bootstrap day of an attribution pipeline."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, SF_SMALL, "events").select("event_id", "ts", "user_id", "value")
+    empty_right = e.filter(F.lit(False)).select("user_id", "ts", "event_id", "value")
+    n = e.count()
+    for kwargs in (
+        {},
+        {"direction": "forward"},
+        {"tolerance_seconds": 3600.0},
+    ):
+        j = asof_join(e, empty_right, on="user_id", left_ts="ts", **kwargs)
+        assert j.count() == n
+        assert j.filter(F.col("asof_event_id").isNotNull()).count() == 0
