@@ -292,18 +292,28 @@ def main_refresher(argv: list[str] | None = None) -> int:
 
         {"snapshot": {"path": "..."},          # parquet snapshot dir
          "delta":    {...},                    # any load() source
+         "delta-id": "2026-08-14",             # optional: retry guard id
          "keys":     ["k1", ...],
          "aggregates": {"out_col": {"kind": "sum|count|min|max",
                                     "column": "src_col"}, ...}}
 
-    The swap is staged (write ``__refresh_staging``, rewrite the
-    snapshot from it, drop staging) so a crash mid-refresh leaves the
-    previous committed snapshot readable — same discipline as
-    ``compact_parquet`` and the streaming sinks.
+    Crash safety (same discipline as the streaming sinks'
+    ``_replay_guarded_swap``): the merged result is written to
+    ``__refresh_staging`` FIRST, then the snapshot is rewritten from it,
+    and staging is KEPT as the recovery copy. A crash mid-rewrite (old
+    snapshot deleted, new one uncommitted) is detected on the next run —
+    committed staging + uncommitted snapshot — and the snapshot is
+    restored from staging before anything else happens; history is never
+    silently discarded into a delta-only bootstrap. With ``delta-id``
+    set, the snapshot additionally carries a ``__last_delta_id`` column
+    and a rerun with the same id is a NO-OP — the guard that makes
+    "re-run the failed cron job" safe against double-merging a delta.
     """
     conf, _ = _parse_args(argv, "refresher")
     t0 = time.time()
     spark = _session(conf, "refresher")
+    from pyspark.sql import functions as F
+
     from spark_pipeline_spark.io.sources import load
     from spark_pipeline_spark.operators.incremental import (
         aggregate_snapshot,
@@ -315,22 +325,40 @@ def main_refresher(argv: list[str] | None = None) -> int:
     spec = {
         out: (a["kind"], a["column"]) for out, a in conf["aggregates"].items()
     }
-    delta = load(spark, conf["delta"])
+    delta_id = conf.get("delta-id")
     path = conf["snapshot"]["path"]
-    if committed_snapshot_exists(spark, path):
-        snap = spark.read.parquet(path).select(*keys, *spec)
+    staging = path.rstrip("/") + "__refresh_staging"
+
+    target_ok = committed_snapshot_exists(spark, path)
+    if not target_ok and committed_snapshot_exists(spark, staging):
+        # crash window: staging committed, snapshot torn mid-rewrite —
+        # restore the snapshot from the recovery copy before proceeding
+        spark.read.parquet(staging).write.mode("overwrite").parquet(path)
+        target_ok = True
+        print("recovered snapshot from staging")
+
+    if target_ok:
+        snap_full = spark.read.parquet(path)
+        if delta_id is not None and "__last_delta_id" in snap_full.columns:
+            last = snap_full.select(F.max("__last_delta_id")).collect()[0][0]
+            if last == str(delta_id):
+                print(f"delta {delta_id!r} already applied: no-op")
+                print(f"execution time: {time.time() - t0:.1f}s")
+                return 0
+        delta = load(spark, conf["delta"])
+        snap = snap_full.select(*keys, *spec)
         new = incremental_agg_merge(snap, delta, keys, spec)
         action = "merged"
     else:
+        delta = load(spark, conf["delta"])
         new = aggregate_snapshot(delta, keys, spec)
         action = "bootstrapped"
-    staging = path.rstrip("/") + "__refresh_staging"
+    if delta_id is not None:
+        new = new.withColumn("__last_delta_id", F.lit(str(delta_id)))
     new.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    jvm = getattr(spark, "_jvm", None)
-    if jvm is not None:
-        hpath = jvm.org.apache.hadoop.fs.Path(staging)
-        hpath.getFileSystem(spark._jsc.hadoopConfiguration()).delete(hpath, True)
+    # staging is deliberately KEPT: it is the recovery copy for the
+    # rewrite crash window (the next refresh overwrites it)
     print(f"{action} snapshot rows: {spark.read.parquet(path).count()}")
     print(f"execution time: {time.time() - t0:.1f}s")
     return 0

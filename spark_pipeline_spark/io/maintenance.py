@@ -103,6 +103,12 @@ def compact_parquet(
     bytes, which for parquet→parquet rewrites is the right first-order
     estimate (same encoding, same compression family).
     """
+    # fail fast BEFORE any mutation: the final staging delete needs the
+    # Hadoop FS API, and discovering that only after the table has been
+    # rewritten would leave staging debris behind a surprise exception
+    if getattr(spark, "_jvm", None) is None:
+        _fs(spark, path)  # raises the canonical Connect error
+
     before = file_stats(spark, path)
     if before["n_files"] < min_skip_files:
         return {"before": before, "after": before, "compacted": False}

@@ -41,16 +41,29 @@ def file_column_stats(
     max of maxes) — the granularity file pruning operates at.
     """
     cols = list(columns)
-    files = spark.read.format("binaryFile").load(path).select("path")
+    # glob to parquet only: a visible sidecar (report.csv, an exported
+    # README) must not reach the footer parser and crash the job
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path")
+    )
 
     def read_footers(batches):
+        from urllib.parse import unquote, urlparse
+
         import pandas as pd
         import pyarrow.parquet as pq
 
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                local = p[len("file:"):] if p.startswith("file:") else p
+                parsed = urlparse(p)
+                # file: URIs become local paths; other schemes (s3, hdfs)
+                # pass through for pyarrow's own filesystem resolution
+                local = unquote(parsed.path) if parsed.scheme == "file" else p
                 md = pq.read_metadata(local)
                 names = md.schema.names
                 for col in cols:
@@ -131,7 +144,13 @@ def skipping_report(
         keep = (lo <= v) & (hi >= v)
     else:
         raise ValueError(f"unsupported op {op!r}")
-    skippable = F.when(~F.col("has_stats"), F.lit(False)).otherwise(~keep)
+    # conservative on every unknown: no stats, or stats strings that
+    # don't cast under the requested comparison type (e.g. numeric=True
+    # on a date column) → NOT skippable, never NULL — a NULL here would
+    # silently drop the file from both the skip and keep sets
+    skippable = F.when(
+        ~F.col("has_stats") | keep.isNull(), F.lit(False)
+    ).otherwise(~keep)
     return s.select(
         "path", "num_rows", skippable.alias("skippable")
     )

@@ -321,27 +321,36 @@ def minhash_incremental_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    corpus_bands: DataFrame | None = None,
+    corpus_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of NEW documents against an EXISTING corpus —
     the daily-increment regime: yesterday's corpus must not re-pair
     with itself, so candidate generation joins only the increment's
-    band keys against the corpus's. Cost per refresh is O(|new|)
-    banding plus the matched buckets, independent of how many times the
-    corpus has been deduplicated before — vs. re-running the full
-    self-join, which re-pays O(|corpus|) every day.
+    band keys against the corpus's.
+
+    Cost: with ``corpus_bands``/``corpus_shingles`` supplied — the
+    persisted dedup INDEX (``(__id, __band, __key)`` band rows and
+    ``(__id, __sh)`` shingle sets, the tables
+    ``streaming.stream_dedup_lsh_sink`` maintains) — a refresh costs
+    O(|new|) shingling/banding plus the matched buckets, independent of
+    corpus size or how often it has run before. WITHOUT them this
+    function derives the corpus side from ``corpus``'s raw text, which
+    re-pays the corpus shingle/band scan on every call (still never a
+    corpus self-join) — fine for one-shot splits, wrong for a daily
+    loop; persist the index.
 
     Returns ``(corpus_id, new_id, jaccard >= threshold)``. Same
     never-all-pairs shape as :func:`minhash_near_dup_pairs` (banded
     equi-join candidates, exact-Jaccard verify joining shingles back by
-    candidate id only). At production scale the corpus's ``(id, band,
-    key)`` table is the persisted dedup INDEX: written once, appended
-    with each accepted increment's bands — this function's corpus side
-    reads exactly that shape.
+    candidate id only).
     """
     from pyspark.storagelevel import StorageLevel
 
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    if (corpus_bands is None) != (corpus_shingles is None):
+        raise ValueError("corpus_bands and corpus_shingles come as a pair")
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
     def prep(df: DataFrame):
@@ -359,7 +368,11 @@ def minhash_incremental_pairs(
         )
         return base, banded
 
-    base_c, banded_c = prep(corpus)
+    if corpus_bands is not None:
+        base_c = corpus_shingles.select("__id", "__sh")
+        banded_c = corpus_bands.select("__id", "__band", "__key")
+    else:
+        base_c, banded_c = prep(corpus)
     base_n, banded_n = prep(new)
     cand = (
         banded_n.alias("nw")

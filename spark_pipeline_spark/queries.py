@@ -4974,12 +4974,7 @@ def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY n.id
         ),
         q AS (
-          SELECT doc_id,
-                 least(len({{toks}}) / 100.0, 1.0) * 0.4
-                 + (1.0 - least(len(regexp_extract_all(text, '{{punct}}'))::DOUBLE
-                                / greatest(length(text), 1) * 10.0, 1.0)) * 0.3
-                 + least({{stop}}::DOUBLE
-                         / greatest(len({{toks}}), 1) * 5.0, 1.0) * 0.3 AS quality
+          SELECT doc_id, {{quality}} AS quality
           FROM documents
         )
         SELECT component, doc_id AS keep_id, n_members,
@@ -4994,9 +4989,7 @@ def interval_coverage_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE rn = 1
     """.format(
         minhash_cte=_sql_minhash_cte(16, 4),
-        toks=_SQL_TOKS,
-        punct=_SQL_PUNCT_RE,
-        stop=_sql_stop_hits("en"),
+        quality=_SQL_QUALITY,
     ),
     tags=("dedup", "canonical", "llm-pipeline"),
 )

@@ -560,3 +560,45 @@ def test_incremental_minhash_finds_planted_and_matches_full_pass(spark):
         if r["id_a"] < 400 and r["id_b"] >= 400
     }
     assert got == want
+
+
+def test_incremental_minhash_with_prebuilt_index_matches_text_path(spark, tmp_path):
+    """Supplying the persisted index (bands + shingles) must give
+    exactly the pairs the from-text corpus path gives — the index is a
+    cost lever, never a semantics change."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+    from spark_pipeline_spark.operators.dedup import minhash_incremental_pairs
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 300)
+    new = d.filter(F.col("doc_id") >= 300)
+
+    # build the index via the streaming sink over a single batch
+    src = str(tmp_path / "corpus_stream")
+    corpus.coalesce(1).write.parquet(src)
+    stream = read_parquet_stream(spark, src, "doc_id bigint, text string")
+    index = str(tmp_path / "index")
+    q = stream_dedup_lsh_sink(
+        stream, index, str(tmp_path / "acc"), "doc_id", "text", threshold=0.9,
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    idx_bands = spark.read.parquet(index + "/bands")
+    idx_sh = spark.read.parquet(index + "/shingles")
+    accepted_corpus = spark.read.parquet(str(tmp_path / "acc")).select(
+        "doc_id", "text"
+    )
+
+    via_index = minhash_incremental_pairs(
+        accepted_corpus, new, "doc_id", "text", threshold=0.9,
+        corpus_bands=idx_bands, corpus_shingles=idx_sh,
+    )
+    via_text = minhash_incremental_pairs(
+        accepted_corpus, new, "doc_id", "text", threshold=0.9
+    )
+    a = {(r["corpus_id"], r["new_id"]) for r in via_index.collect()}
+    b = {(r["corpus_id"], r["new_id"]) for r in via_text.collect()}
+    assert a == b

@@ -532,7 +532,66 @@ def test_refresher_cli_bootstrap_then_merge(spark, tmp_path):
         .collect()
     }
     assert got == want
-    # staging cleaned up
-    import os
+    # staging is KEPT as the recovery copy and matches the snapshot
+    staging = snap + "__refresh_staging"
+    assert spark.read.parquet(staging).count() == spark.read.parquet(snap).count()
 
-    assert not os.path.exists(snap + "__refresh_staging")
+
+def test_refresher_recovers_torn_snapshot_and_skips_replayed_delta(
+    spark, tmp_path, capsys
+):
+    """Crash mid-rewrite (snapshot torn, staging committed) must restore
+    from staging instead of silently bootstrapping from the delta; and a
+    rerun with the same delta-id must be a no-op, not a double merge."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.cli import main_refresher
+    from spark_pipeline_spark.queries import t as _t
+
+    o = _t(spark, SF_SMALL, "orders")
+    d1 = str(tmp_path / "delta1")
+    o.filter(F.col("o_orderdate") < "1996-01-01").write.parquet(d1)
+    d2 = str(tmp_path / "delta2")
+    o.filter(F.col("o_orderdate") >= "1996-01-01").write.parquet(d2)
+    snap = str(tmp_path / "snapshot")
+
+    def conf_for(delta_path, delta_id):
+        return _write_conf(
+            tmp_path,
+            f"refresh_{delta_id}.json",
+            {
+                "snapshot": {"path": snap},
+                "delta": {"storage": "file", "path": delta_path},
+                "delta-id": delta_id,
+                "keys": ["o_orderstatus"],
+                "aggregates": {
+                    "n_orders": {"kind": "count", "column": "o_orderkey"}
+                },
+            },
+        )
+
+    assert main_refresher(["--conf", conf_for(d1, "day1")]) == 0
+    assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
+    want = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in spark.read.parquet(snap).collect()
+    }
+
+    # simulate the rewrite crash: snapshot destroyed, staging committed
+    shutil.rmtree(snap)
+    capsys.readouterr()
+    assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
+    out = capsys.readouterr().out
+    assert "recovered snapshot from staging" in out
+    assert "already applied: no-op" in out  # day2 was already merged
+    got = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == want  # history intact, delta NOT double-counted
+
+    # replaying day2 again on a healthy snapshot is also a no-op
+    assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
+    assert "no-op" in capsys.readouterr().out
