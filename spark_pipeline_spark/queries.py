@@ -7907,14 +7907,22 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd scan + one single-row exchange."""
     from pyspark.sql import Window
 
-    toks = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    # materialize the token array ONCE before fanning it into the dl +
+    # per-term tf expressions: inlined, each of the 5 consumers re-runs
+    # the full split/lower/trim (the same Generate/CSE trap documented
+    # for shingling — measured ~30% of this query's wall at sf0.1)
+    tokenized = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
 
     def tf_of(word):
         # single-arg lambda: a 2-arg lambda (even via default args) would
         # be treated as the (element, index) higher-order form
         return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
 
-    perdoc = t(spark, sf_dir, "documents").select(
+    perdoc = tokenized.select(
         "doc_id",
         F.size(toks).alias("dl"),
         *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
