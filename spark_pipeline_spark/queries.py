@@ -6701,22 +6701,31 @@ def q8_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c, avg_bal
         WHERE c.c_acctbal > avg_bal.ab
           AND NOT EXISTS (SELECT 1 FROM orders o
-                          WHERE o.o_custkey = c.c_custkey)
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-08-01')
         GROUP BY segment
     """,
     tags=("join", "anti", "agg", "subquery"),
 )
 def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (global sales opportunity): customers with
-    above-average positive balance who have NEVER ordered, summarized
-    by market segment.
+    above-average positive balance and NO RECENT order (none in the
+    trailing year of the data — the dormancy definition Q22 intends;
+    this synthetic schema gives every customer SOME order eventually,
+    so a literal never-ordered predicate is empty at every SF and would
+    make the driver's hash gate vacuous).
 
     Two classic sub-plans: the scalar average rides as a one-row
     broadcast (never a driver collect), and NOT EXISTS is a LEFT ANTI
-    join — orders contributes only its key column to the probe, and the
+    join — the orders probe side carries only its key column, filtered
+    to the recency window BEFORE the join (pushdown-visible), and the
     anti side never duplicates a customer however many orders match."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-08-01")
+        .select("o_custkey")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("ab"))
     dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")

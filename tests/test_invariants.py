@@ -602,3 +602,21 @@ def test_incremental_minhash_with_prebuilt_index_matches_text_path(spark, tmp_pa
     a = {(r["corpus_id"], r["new_id"]) for r in via_index.collect()}
     b = {(r["corpus_id"], r["new_id"]) for r in via_text.collect()}
     assert a == b
+
+
+def test_driver_window_queries_nonempty_at_driver_scale(spark):
+    """Every query inside the driver's 50-slot CORRECTNESS window must
+    return at least one row at the driver's own sf0.01 — a 0-row result
+    hash-matches trivially, making that slot a vacuous gate (caught live:
+    q22's literal never-ordered predicate was empty at every SF until it
+    became recency-dormancy)."""
+    from tests.conftest import SF_ORACLE
+
+    from spark_pipeline_spark.queries import REGISTRY
+
+    empty = [
+        name
+        for name in list(REGISTRY)[:50]
+        if REGISTRY[name].fn(spark, SF_ORACLE).count() == 0
+    ]
+    assert not empty, f"vacuous driver-window gates: {empty}"
