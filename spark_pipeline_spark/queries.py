@@ -8054,6 +8054,79 @@ def _eval_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_average_precision_binned",
+    oracle=f"""
+        WITH {_SQL_EVAL_LABELED},
+        binned AS (
+          SELECT least(floor(s * 200), 199)::BIGINT AS bin,
+                 count(*) AS n, sum(label) AS n_pos
+          FROM labeled GROUP BY 1
+        ),
+        tot AS (SELECT sum(n_pos)::BIGINT AS p FROM binned),
+        c AS (
+          SELECT bin, n_pos,
+                 sum(n_pos) OVER w AS cp, sum(n) OVER w AS cn
+          FROM binned
+          WINDOW w AS (ORDER BY bin DESC)
+        ),
+        terms AS (
+          SELECT round((cp::DOUBLE / cn) * (n_pos::DOUBLE / t.p)
+                       * 1000000000000)::BIGINT AS tm
+          FROM c, tot t
+        )
+        SELECT round(sum(tm) / 1000000000000.0, 6) AS average_precision,
+               (SELECT p FROM tot) AS n_pos,
+               count(*)::BIGINT AS n_bins
+        FROM terms
+    """,
+    tags=("eval", "scoring", "ranking", "ml-ops"),
+)
+def eval_average_precision_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned average precision (the PR-curve summary) next to the
+    binned ROC-AUC: AP = Σ over descending score bins of
+    precision(≥bin) × Δrecall(bin) — the metric that, unlike AUC, stays
+    informative under heavy class imbalance. Same exact-at-scale shape
+    as `eval_roc_auc_binned`: one map-side-combined groupBy to ≤200
+    (bin, n, n_pos) rows, windows only over that tiny frame, the
+    positives total as a one-row broadcast. Each bin's
+    precision×Δrecall term is snapped to an integer PICO-unit before
+    summing, so the 200-term sum is exact int64 arithmetic in any
+    accumulation order on either engine."""
+    from pyspark.sql import Window
+
+    labeled = _eval_labeled(spark, sf_dir)
+    binned = labeled.groupBy(
+        F.least(F.floor(F.col("s") * 200), F.lit(199)).cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("label").alias("n_pos"))
+    tot = binned.agg(F.sum("n_pos").alias("p"))
+    w = Window.orderBy(F.desc("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    c = binned.select(
+        "bin",
+        "n_pos",
+        F.sum("n_pos").over(w).alias("cp"),
+        F.sum("n").over(w).alias("cn"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        F.round(
+            (F.col("cp").cast("double") / F.col("cn"))
+            * (F.col("n_pos").cast("double") / F.col("p"))
+            * 1000000000000,
+            0,
+        )
+        .cast("long")
+        .alias("tm")
+    )
+    return (
+        terms.agg(
+            F.round(F.sum("tm") / 1000000000000.0, 6).alias("average_precision"),
+            F.count(F.lit(1)).alias("n_bins"),
+        )
+        .crossJoin(F.broadcast(tot.select(F.col("p").alias("n_pos"))))
+        .select("average_precision", "n_pos", "n_bins")
+    )
+
+
+@register(
     "eval_calibration_bins",
     oracle=f"""
         WITH {_SQL_EVAL_LABELED},
