@@ -9946,6 +9946,84 @@ def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "dup_rate_by_source",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               count(DISTINCT md5(text)) AS n_unique,
+               round(1.0 - count(DISTINCT md5(text))::DOUBLE / count(*), 6)
+                 AS dup_rate
+        FROM documents
+        GROUP BY source
+    """,
+    tags=("dedup", "profile", "provenance", "llm-pipeline"),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate per source — the dedup-sizing number a mix
+    designer reads BEFORE running any dedup: which sources are mostly
+    mirrors (high dup_rate → their token quota overstates their real
+    contribution). One scan; text collapses to its md5 before the
+    distinct-aggregate shuffle, so the wire carries 16-byte digests, not
+    documents — the same digest-not-payload discipline as exact dedup."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.md5(F.col("text")).alias("__h")
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("__h").alias("n_unique"),
+        F.round(
+            1.0 - F.countDistinct("__h").cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )
+
+
+@register(
+    "token_length_log_bins",
+    oracle=r"""
+        WITH n AS (
+          SELECT source,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok
+          FROM documents
+        )
+        SELECT source,
+               floor(log2(greatest(n_tok, 1)))::BIGINT AS log2_bin,
+               count(*) AS n_docs,
+               min(n_tok) AS min_tok,
+               max(n_tok) AS max_tok
+        FROM n
+        GROUP BY 1, 2
+    """,
+    tags=("text", "profile", "histogram", "llm-pipeline"),
+)
+def token_length_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram in LOG2 bins — the
+    length-distribution view that exposes truncation cliffs and
+    padding waste before choosing sequence lengths (linear bins bury
+    the long tail that dominates packing cost). Pure expressions + one
+    map-side-combined groupBy; bin boundaries are exact powers of two,
+    where IEEE log2 is exact, so bucketing can't flip across engines."""
+    n = t(spark, sf_dir, "documents").select(
+        "source",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("n_tok"),
+    )
+    return (
+        n.select(
+            "source",
+            "n_tok",
+            F.floor(F.log2(F.greatest(F.col("n_tok"), F.lit(1))))
+            .cast("long")
+            .alias("log2_bin"),
+        )
+        .groupBy("source", "log2_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_tok").alias("min_tok"),
+            F.max("n_tok").alias("max_tok"),
+        )
+    )
+
+
+@register(
     "bpe_merge_candidates_documents",
     oracle=rf"""
         WITH w AS (SELECT {_SQL_WORDS} AS w FROM documents),

@@ -91,3 +91,29 @@ def test_missing_column_and_equality_op(spark, tmp_path):
     eq = skipping_report(stats, "o_orderkey", "=", some_key).collect()
     hit = [r for r in eq if not r["skippable"]]
     assert len(hit) == 1  # disjoint ranges: exactly one file can hold the max
+
+
+def test_skip_verdicts_ground_truth_all_ops(spark, tmp_path):
+    """For every supported operator and several pivot values, a file the
+    advisor marks skippable must contain ZERO matching rows — the
+    conservative contract across the whole predicate surface."""
+    out = _write_range_layout(spark, tmp_path)
+    stats = file_column_stats(spark, out, ["o_orderkey"]).cache()
+    lo, med, hi = (
+        t(spark, SF_SMALL, "orders")
+        .agg(
+            F.min("o_orderkey"),
+            F.expr("percentile(o_orderkey, 0.5)"),
+            F.max("o_orderkey"),
+        )
+        .collect()[0]
+    )
+    spark_ops = {"<": "<", "<=": "<=", ">": ">", ">=": ">=", "=": "="}
+    for op in spark_ops:
+        for v in (lo, med, hi):
+            for r in skipping_report(stats, "o_orderkey", op, v).collect():
+                if not r["skippable"]:
+                    continue
+                expr = f"o_orderkey {'==' if op == '=' else op} {v}"
+                matches = spark.read.parquet(r["path"]).filter(expr).count()
+                assert matches == 0, f"{op} {v}: skipped file has {matches} rows"
