@@ -27,6 +27,12 @@ import time
 from collections.abc import Mapping
 from typing import Any
 
+# Refresher replay-guard horizon: how many recent delta ids the snapshot
+# remembers. Bounded so the per-row ledger string stays ~O(1 KB) on the
+# (aggregate, rows==groups) snapshot; 64 covers any realistic cron retry
+# skew while keeping a 100 TB-scale snapshot's metadata overhead trivial.
+_LEDGER_CAP = 64
+
 __all__ = [
     "load_config",
     "apply_overrides",
@@ -305,9 +311,12 @@ def main_refresher(argv: list[str] | None = None) -> int:
     committed staging + uncommitted snapshot — and the snapshot is
     restored from staging before anything else happens; history is never
     silently discarded into a delta-only bootstrap. With ``delta-id``
-    set, the snapshot additionally carries a ``__last_delta_id`` column
-    and a rerun with the same id is a NO-OP — the guard that makes
-    "re-run the failed cron job" safe against double-merging a delta.
+    set, the snapshot carries a bounded ledger of the last ``_LEDGER_CAP``
+    applied ids (``__applied_delta_ids``, plus ``__last_delta_id`` for
+    inspection) and a rerun with ANY ledgered id is a NO-OP — covering
+    both "re-run the failed cron job" and the out-of-order retry of an
+    older delta after newer ones applied. Replays older than the ledger
+    horizon (> ``_LEDGER_CAP`` refreshes back) are not detectable.
     """
     conf, _ = _parse_args(argv, "refresher")
     t0 = time.time()
@@ -337,14 +346,30 @@ def main_refresher(argv: list[str] | None = None) -> int:
         target_ok = True
         print("recovered snapshot from staging")
 
+    applied: list[str] = []
     if target_ok:
         snap_full = spark.read.parquet(path)
-        if delta_id is not None and "__last_delta_id" in snap_full.columns:
+        # replay ledger: the last _LEDGER_CAP applied delta ids ride in the
+        # snapshot itself (same column value on every row — the snapshot is
+        # an aggregate, so rows = groups, and the ledger string is bounded),
+        # which keeps the guard inside the staging-swap atomicity. A
+        # bounded ledger protects against ANY retry within the last
+        # _LEDGER_CAP refreshes — including out-of-order cron retries of an
+        # OLDER delta after newer ones applied, which a latest-id-only
+        # guard silently double-merges (ADVICE r7). Replays older than the
+        # ledger horizon are operator error and documented as such.
+        if "__applied_delta_ids" in snap_full.columns:
+            row = snap_full.select("__applied_delta_ids").first()
+            if row and row[0]:
+                applied = row[0].split("\x1f")
+        elif "__last_delta_id" in snap_full.columns:  # pre-ledger snapshots
             last = snap_full.select(F.max("__last_delta_id")).collect()[0][0]
-            if last == str(delta_id):
-                print(f"delta {delta_id!r} already applied: no-op")
-                print(f"execution time: {time.time() - t0:.1f}s")
-                return 0
+            if last is not None:
+                applied = [last]
+        if delta_id is not None and str(delta_id) in applied:
+            print(f"delta {delta_id!r} already applied: no-op")
+            print(f"execution time: {time.time() - t0:.1f}s")
+            return 0
         delta = load(spark, conf["delta"])
         snap = snap_full.select(*keys, *spec)
         new = incremental_agg_merge(snap, delta, keys, spec)
@@ -354,7 +379,10 @@ def main_refresher(argv: list[str] | None = None) -> int:
         new = aggregate_snapshot(delta, keys, spec)
         action = "bootstrapped"
     if delta_id is not None:
-        new = new.withColumn("__last_delta_id", F.lit(str(delta_id)))
+        ledger = (applied + [str(delta_id)])[-_LEDGER_CAP:]
+        new = new.withColumn(
+            "__applied_delta_ids", F.lit("\x1f".join(ledger))
+        ).withColumn("__last_delta_id", F.lit(str(delta_id)))
     new.write.mode("overwrite").parquet(staging)
     spark.read.parquet(staging).write.mode("overwrite").parquet(path)
     # staging is deliberately KEPT: it is the recovery copy for the

@@ -67,12 +67,30 @@ def file_stats(spark: SparkSession, path: str, suffix: str = ".parquet") -> dict
         sizes = _sizes_via_read(spark, path, suffix)
     else:
         fs, hpath, _ = _fs(spark, path)
+        base = hpath.toUri().getPath()
         sizes = []
         it = fs.listFiles(hpath, True)  # recursive
         while it.hasNext():
             status = it.next()
-            name = status.getPath().getName()
-            if status.isFile() and name.endswith(suffix) and not name.startswith(("_", ".")):
+            p = status.getPath()
+            name = p.getName()
+            # skip hidden ANCESTOR DIRECTORIES too (_temporary/ debris from
+            # a crashed write, .staging/), not just hidden file names —
+            # matching the FileIndex semantics the Connect binaryFile
+            # fallback inherits; without this the two session types report
+            # different censuses on a torn table (ADVICE r7)
+            rel = p.toUri().getPath()
+            if rel.startswith(base):
+                rel = rel[len(base):]
+            hidden_dir = any(
+                seg.startswith(("_", ".")) for seg in rel.split("/")[:-1] if seg
+            )
+            if (
+                status.isFile()
+                and name.endswith(suffix)
+                and not name.startswith(("_", "."))
+                and not hidden_dir
+            ):
                 sizes.append(int(status.getLen()))
     if not sizes:
         return {"n_files": 0, "total_bytes": 0, "min_bytes": 0, "max_bytes": 0, "mean_bytes": 0.0}

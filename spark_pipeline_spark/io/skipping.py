@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["file_column_stats", "skipping_report"]
+__all__ = ["file_column_stats", "pruned_read", "skipping_report"]
 
 _STATS_SCHEMA = (
     "path string, column string, min_value string, max_value string, "
@@ -57,14 +57,33 @@ def file_column_stats(
         import pandas as pd
         import pyarrow.parquet as pq
 
+        def render(stat):
+            # bytes stats (BYTE_ARRAY physical type) must be DECODED, not
+            # repr'd — str(b'ab') is "b'ab'", which corrupts lexical
+            # comparisons. UTF-8 bytewise order equals code-point order,
+            # so decoding preserves the footer's ordering semantics.
+            if isinstance(stat, bytes):
+                return stat.decode("utf-8", "replace")
+            return str(stat)
+
+        def read_metadata(p):
+            parsed = urlparse(p)
+            if parsed.scheme in ("", "file"):
+                return pq.read_metadata(unquote(parsed.path) if parsed.scheme else p)
+            # pyarrow resolves s3:// but not Hadoop's s3a:// alias; other
+            # schemes (hdfs, gs, abfs) go through FileSystem.from_uri so
+            # the right pyarrow filesystem is constructed explicitly
+            # instead of hoping read_metadata guesses it from a string.
+            from pyarrow import fs as pafs
+
+            uri = "s3://" + p[len("s3a://"):] if p.startswith("s3a://") else p
+            filesystem, fpath = pafs.FileSystem.from_uri(uri)
+            return pq.read_metadata(fpath, filesystem=filesystem)
+
         for pdf in batches:
             rows = []
             for p in pdf["path"]:
-                parsed = urlparse(p)
-                # file: URIs become local paths; other schemes (s3, hdfs)
-                # pass through for pyarrow's own filesystem resolution
-                local = unquote(parsed.path) if parsed.scheme == "file" else p
-                md = pq.read_metadata(local)
+                md = read_metadata(p)
                 names = md.schema.names
                 for col in cols:
                     if col not in names:
@@ -89,8 +108,8 @@ def file_column_stats(
                             (
                                 p,
                                 col,
-                                str(min(mins)),
-                                str(max(maxs)),
+                                render(min(mins)),
+                                render(max(maxs)),
                                 nulls,
                                 md.num_rows,
                                 True,
@@ -121,29 +140,67 @@ def skipping_report(
 
     Returns one row per file: ``(path, num_rows, skippable)`` — feed it
     to an aggregate for the skip ratio, or join back to a file list to
-    build a pruned scan. Comparison is numeric by default (footer
-    strings cast to double); pass ``numeric=False`` for lexical
-    columns.
+    build a pruned scan. Comparison is numeric by default; pass
+    ``numeric=False`` for lexical columns.
+
+    Numeric comparisons are EXACT for integer columns: a double cast of
+    an int64 stat loses precision above 2^53 (hashed ids live there), and
+    a rounded-up ``max`` could mark a file skippable that actually holds
+    matching rows — breaking the conservative contract. Integral stats
+    strings (which :func:`file_column_stats` emits iff the physical type
+    is integral) therefore compare as ``decimal(38,0)``; only true float
+    stats take the double path.
     """
+    if op not in ("<", "<=", ">", ">=", "="):
+        raise ValueError(f"unsupported op {op!r}")
+
+    def _keep(lo, hi, v):
+        if op == "<":
+            return lo < v
+        if op == "<=":
+            return lo <= v
+        if op == ">":
+            return hi > v
+        if op == ">=":
+            return hi >= v
+        return (lo <= v) & (hi >= v)
+
     s = stats.filter(F.col("column") == column)
     if numeric:
-        lo = F.col("min_value").cast("double")
-        hi = F.col("max_value").cast("double")
-        v = F.lit(float(value))
+        import math
+
+        keep_dbl = _keep(
+            F.col("min_value").cast("double"),
+            F.col("max_value").cast("double"),
+            F.lit(float(value)),
+        )
+        stats_integral = F.col("min_value").rlike("^-?[0-9]+$") & F.col(
+            "max_value"
+        ).rlike("^-?[0-9]+$")
+        lo_d = F.col("min_value").cast("decimal(38,0)")
+        hi_d = F.col("max_value").cast("decimal(38,0)")
+        # isinstance check first: float(2^63-1) rounds AWAY from the int,
+        # so a float()==int() probe would misroute huge exact ints into
+        # the fractional branch; the string-literal cast keeps values
+        # beyond float precision exact all the way into the comparison
+        if isinstance(value, int) or float(value) == int(value):
+            v_d = F.lit(str(int(value))).cast("decimal(38,0)")
+            keep_int = _keep(lo_d, hi_d, v_d)
+        else:
+            # fractional predicate against an integer column: rewrite the
+            # bound onto the integer domain (exists int < v ⟺ min <=
+            # floor(v); exists int > v ⟺ max >= ceil(v); no int = v)
+            v_floor = F.lit(math.floor(value)).cast("decimal(38,0)")
+            v_ceil = F.lit(math.ceil(value)).cast("decimal(38,0)")
+            if op in ("<", "<="):
+                keep_int = lo_d <= v_floor
+            elif op in (">", ">="):
+                keep_int = hi_d >= v_ceil
+            else:
+                keep_int = F.lit(False)
+        keep = F.when(stats_integral, keep_int).otherwise(keep_dbl)
     else:
-        lo, hi, v = F.col("min_value"), F.col("max_value"), F.lit(str(value))
-    if op == "<":
-        keep = lo < v
-    elif op == "<=":
-        keep = lo <= v
-    elif op == ">":
-        keep = hi > v
-    elif op == ">=":
-        keep = hi >= v
-    elif op == "=":
-        keep = (lo <= v) & (hi >= v)
-    else:
-        raise ValueError(f"unsupported op {op!r}")
+        keep = _keep(F.col("min_value"), F.col("max_value"), F.lit(str(value)))
     # conservative on every unknown: no stats, or stats strings that
     # don't cast under the requested comparison type (e.g. numeric=True
     # on a date column) → NOT skippable, never NULL — a NULL here would
@@ -154,3 +211,46 @@ def skipping_report(
     return s.select(
         "path", "num_rows", skippable.alias("skippable")
     )
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    column: str,
+    op: str,
+    value,
+    numeric: bool = True,
+) -> DataFrame:
+    """Read only the files a ``column <op> value`` predicate cannot
+    prune, with the predicate applied — the manifest-style scan the
+    advisor's report enables on plain parquet directories.
+
+    Semantics contract: ``pruned_read(...)`` ≡
+    ``spark.read.parquet(path).filter(column <op> value)`` — the skip
+    verdicts are conservative (a skipped file provably holds no matching
+    rows), so pruning never changes the answer, only the bytes read.
+
+    Scale: the footer sweep is a metadata-only distributed job (a few KB
+    per file); the kept-file list collects to the driver as PATHS ONLY —
+    one short string per kept file, the same driver footprint as
+    Spark's own file-index planning. The row filter stays on the scan,
+    so parquet row-group stats prune further WITHIN kept files.
+    """
+    stats = file_column_stats(spark, path, [column])
+    report = skipping_report(stats, column, op, value, numeric=numeric)
+    kept = [r["path"] for r in report.filter(~F.col("skippable")).collect()]
+    pred = F.col(column).isNotNull() & F.lit(False)  # empty-kept: 0 rows
+    if op == "<":
+        pred = F.col(column) < F.lit(value)
+    elif op == "<=":
+        pred = F.col(column) <= F.lit(value)
+    elif op == ">":
+        pred = F.col(column) > F.lit(value)
+    elif op == ">=":
+        pred = F.col(column) >= F.lit(value)
+    elif op == "=":
+        pred = F.col(column) == F.lit(value)
+    if not kept:
+        # every file pruned: an empty frame with the table's real schema
+        return spark.read.parquet(path).filter(F.lit(False))
+    return spark.read.parquet(*kept).filter(pred)

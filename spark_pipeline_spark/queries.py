@@ -9430,6 +9430,146 @@ def streaming_incremental_merge_replay(spark: SparkSession, sf_dir: str) -> Data
     return snapshot
 
 
+@register(
+    "streaming_dedup_lsh_replay",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        docs AS (SELECT doc_id, doc_id % 3 AS b FROM documents),
+        e AS (
+          SELECT s.src, s.dst, ds.b AS sb, dd.b AS db
+          FROM (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM ver) s
+            JOIN docs ds ON ds.doc_id = s.src
+            JOIN docs dd ON dd.doc_id = s.dst
+        ),
+        acc0 AS (
+          SELECT doc_id FROM docs WHERE b = 0 AND doc_id NOT IN
+            (SELECT dst FROM e WHERE sb = 0 AND db = 0 AND src < dst)
+        ),
+        drop1 AS (
+          SELECT dst FROM e WHERE sb = 1 AND db = 1 AND src < dst
+          UNION
+          SELECT dst FROM e
+          WHERE db = 1 AND src IN (SELECT doc_id FROM acc0)
+        ),
+        acc1 AS (
+          SELECT doc_id FROM docs
+          WHERE b = 1 AND doc_id NOT IN (SELECT dst FROM drop1)
+        ),
+        drop2 AS (
+          SELECT dst FROM e WHERE sb = 2 AND db = 2 AND src < dst
+          UNION
+          SELECT dst FROM e
+          WHERE db = 2 AND src IN (SELECT doc_id FROM acc0
+                                   UNION SELECT doc_id FROM acc1)
+        ),
+        acc2 AS (
+          SELECT doc_id FROM docs
+          WHERE b = 2 AND doc_id NOT IN (SELECT dst FROM drop2)
+        ),
+        acc AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+                UNION ALL SELECT doc_id FROM acc2)
+        SELECT d.b AS batch,
+               count(*) AS n_in,
+               count(a.doc_id) AS n_accepted,
+               count(*) - count(a.doc_id) AS n_rejected
+        FROM docs d LEFT JOIN acc a ON a.doc_id = d.doc_id
+        GROUP BY d.b
+    """,
+    tags=("streaming", "dedup", "lsh", "replay", "llm-pipeline"),
+)
+def streaming_dedup_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_dedup_lsh_sink`'s accept/reject + index-append protocol
+    (streaming.py:549) replayed as one driver-hashable batch query. The
+    documents table is split into 3 synthetic micro-batches (doc_id mod
+    3); each batch is deduped WITHIN itself (verified near-dup pair ⇒
+    the higher id drops), then checked against every doc the EARLIER
+    batches accepted — exactly the sink's rule that only ACCEPTED docs'
+    bands/shingles enter the index, so a doc rejected in batch 0 cannot
+    veto a batch-1 doc. Returns per-batch (n_in, n_accepted,
+    n_rejected), the protocol's observable trace.
+
+    Plan shape: the verified-pair set is computed ONCE by the banded-LSH
+    equi-join (never all-pairs); the 3-step sequential fold is unrolled
+    into anti-joins over that one small pair frame, so the corpus text
+    is shingled exactly once regardless of batch count."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    docs = d.select("doc_id", F.pmod("doc_id", F.lit(3)).alias("b"))
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    e = (
+        sym.join(docs.select(F.col("doc_id").alias("src"), F.col("b").alias("sb")), "src")
+        .join(docs.select(F.col("doc_id").alias("dst"), F.col("b").alias("db")), "dst")
+        .persist()
+    )
+
+    flagged = []
+    prev_accepted = None  # ids accepted by earlier batches
+    for b in range(3):
+        batch_docs = docs.filter(F.col("b") == b)
+        drops = (
+            e.filter((F.col("sb") == b) & (F.col("db") == b) & (F.col("src") < F.col("dst")))
+            .select("dst")
+        )
+        if prev_accepted is not None:
+            drops = drops.unionByName(
+                e.filter(F.col("db") == b)
+                .join(prev_accepted.withColumnRenamed("doc_id", "src"), "src")
+                .select("dst")
+            )
+        drops = drops.distinct()
+        accepted_b = batch_docs.join(
+            drops, batch_docs["doc_id"] == drops["dst"], "left_anti"
+        ).select("doc_id")
+        prev_accepted = (
+            accepted_b if prev_accepted is None
+            else prev_accepted.unionByName(accepted_b)
+        )
+        flagged.append(
+            batch_docs.join(
+                drops.withColumnRenamed("dst", "doc_id").withColumn(
+                    "__dropped", F.lit(1)
+                ),
+                "doc_id",
+                "left",
+            ).select("b", "__dropped")
+        )
+
+    tagged = flagged[0]
+    for f_ in flagged[1:]:
+        tagged = tagged.unionByName(f_)
+    return tagged.groupBy(F.col("b").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        (F.count(F.lit(1)) - F.count("__dropped")).alias("n_accepted"),
+        F.count("__dropped").alias("n_rejected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-7 LLM-pipeline additions: hybrid retrieval fusion, per-source
 # caps, perplexity-quartile bucketing, Zipf diagnostics, cross-source
@@ -9498,6 +9638,7 @@ def streaming_incremental_merge_replay(spark: SparkSession, sf_dir: str) -> Data
         FROM fused QUALIFY rank <= 10
     """,
     tags=("retrieval", "search", "fusion", "llm-pipeline"),
+    bench=True,
 )
 def rrf_fusion_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the BM25
@@ -9545,6 +9686,378 @@ def rrf_fusion_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         fused.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 10)
         .select("doc_id", F.round("rrf", 6).alias("rrf_score"), "n_lists", "rank")
+    )
+
+
+_MMR_K, _MMR_CAND, _MMR_LAM = 10, 25, 0.7
+
+
+def _sql_mmr_oracle() -> str:
+    """Unrolled greedy-MMR oracle: the same BM25 candidate CTEs as
+    `bm25_search_documents`, then ``_MMR_K`` generated selection steps —
+    each picks the remaining candidate maximizing λ·rel − (1−λ)·max-sim
+    -to-selected (ties → lower doc_id), mirroring the driver-side greedy
+    the Spark query runs on the same contract-bounded frame."""
+    bm25_ctes = rf"""
+        perdoc AS (
+          SELECT doc_id,
+                 len({_SQL_TOKS}) AS dl,
+                 {", ".join(
+                     f"len(list_filter({_SQL_TOKS}, tk -> tk = '{w}')) AS tf_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM documents
+        ),
+        stats AS (
+          SELECT count(*) AS n_docs, avg(dl) AS avgdl,
+                 {", ".join(
+                     f"sum(CASE WHEN tf_{w} > 0 THEN 1 ELSE 0 END) AS df_{w}"
+                     for w in _SEARCH_TERMS
+                 )}
+          FROM perdoc
+        ),
+        scored AS (
+          SELECT p.doc_id,
+                 {" + ".join(
+                     f"ln((s.n_docs - s.df_{w} + 0.5) / (s.df_{w} + 0.5) + 1.0)"
+                     f" * p.tf_{w} * ({_BM25_K1} + 1.0)"
+                     f" / (p.tf_{w} + {_BM25_K1} * (1.0 - {_BM25_B}"
+                     f"    + {_BM25_B} * p.dl / s.avgdl))"
+                     for w in _SEARCH_TERMS
+                 )} AS score_raw
+          FROM perdoc p, stats s
+          WHERE {" + ".join(f"p.tf_{w}" for w in _SEARCH_TERMS)} > 0
+        ),
+        cand AS MATERIALIZED (
+          SELECT doc_id, score_raw FROM scored
+          ORDER BY score_raw DESC, doc_id LIMIT {_MMR_CAND}
+        ),
+        reln AS MATERIALIZED (
+          SELECT doc_id, score_raw / (SELECT max(score_raw) FROM cand) AS rel
+          FROM cand
+        ),
+        ctoks AS MATERIALIZED (
+          SELECT d.doc_id, list_distinct({_SQL_TOKS}) AS ts
+          FROM documents d JOIN cand c ON c.doc_id = d.doc_id
+        ),
+        sim AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / greatest(len(a.ts) + len(b.ts)
+                            - len(list_intersect(a.ts, b.ts)), 1) AS s
+          FROM ctoks a JOIN ctoks b ON a.doc_id <> b.doc_id
+        )"""
+    steps = [
+        "sel1 AS MATERIALIZED "
+        "(SELECT doc_id FROM reln ORDER BY rel DESC, doc_id LIMIT 1)",
+        "acc1 AS MATERIALIZED (SELECT doc_id FROM sel1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        steps.append(f"""
+        sel{i} AS MATERIALIZED (
+          SELECT r.doc_id FROM reln r
+          WHERE r.doc_id NOT IN (SELECT doc_id FROM acc{i - 1})
+          ORDER BY {_MMR_LAM}::DOUBLE * r.rel
+                   - {1 - _MMR_LAM}::DOUBLE * coalesce(
+                       (SELECT max(s.s) FROM sim s
+                        WHERE s.id_a = r.doc_id
+                          AND s.id_b IN (SELECT doc_id FROM acc{i - 1})), 0)
+                   DESC, r.doc_id
+          LIMIT 1
+        )""")
+        steps.append(
+            f"acc{i} AS MATERIALIZED (SELECT doc_id FROM acc{i - 1} "
+            f"UNION ALL SELECT doc_id FROM sel{i})"
+        )
+    ranked = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS rank FROM sel{i}" for i in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + bm25_ctes + "," + ",".join(steps)
+        + f""",
+        ranked AS ({ranked})
+        SELECT k.rank, k.doc_id, round(r.rel, 6) AS relevance
+        FROM ranked k JOIN reln r USING (doc_id)
+        """
+    )
+
+
+@register(
+    "mmr_diversified_search_documents",
+    oracle=_sql_mmr_oracle(),
+    tags=("retrieval", "search", "mmr", "diversity", "llm-pipeline"),
+)
+def mmr_diversified_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the BM25 top-25: pick
+    {_MMR_K} results greedily maximizing λ·relevance − (1−λ)·max
+    token-Jaccard to the already-picked set (λ=0.7) — the standard
+    diversified-retrieval step a RAG context builder runs so the k
+    passages aren't near-copies of each other.
+
+    Scale shape: relevance scoring and the top-{_MMR_CAND} cut are the
+    `bm25_search_documents` plan (one codegen'd scan + a one-row stats
+    broadcast + WindowGroupLimit top-k); the greedy selection is
+    SEQUENTIAL BY DEFINITION and operates on a contract-bounded frame
+    (≤{_MMR_CAND} candidates), so it runs driver-side on the collected
+    top-k — the same boundedness argument as the broadcast query set in
+    `embedding_topk_bruteforce`, and the only honest architecture: an
+    unrolled in-plan greedy would re-expand the candidate lineage
+    exponentially for zero distribution benefit. Driver cost is
+    O(k·cand) on ≤{_MMR_CAND} rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    tokenized = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def tf_of(word):
+        return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
+
+    perdoc = tokenized.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in _SEARCH_TERMS
+        ],
+    )
+    score_raw = None
+    for w in _SEARCH_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
+            + 1.0
+        )
+        contrib = (
+            idf
+            * F.col(f"tf_{w}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{w}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score_raw = contrib if score_raw is None else score_raw + contrib
+    any_hit = sum(F.col(f"tf_{w}") for w in _SEARCH_TERMS) > 0
+    w_rank = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
+    cand_rows = (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", score_raw.alias("score_raw"))
+        .withColumn("__r", F.row_number().over(w_rank))
+        .filter(F.col("__r") <= _MMR_CAND)
+        .select("doc_id", "score_raw")
+        .collect()
+    )
+    if not cand_rows:
+        return spark.createDataFrame([], "rank int, doc_id long, relevance double")
+
+    max_score = max(r["score_raw"] for r in cand_rows)
+    rel = {r["doc_id"]: r["score_raw"] / max_score for r in cand_rows}
+    cand_ids = sorted(rel)
+
+    tok_rows = (
+        tokenized.select("doc_id", F.array_distinct("__toks").alias("__ts"))
+        .filter(F.col("doc_id").isin(cand_ids))
+        .collect()
+    )
+    ts = {r["doc_id"]: set(r["__ts"]) for r in tok_rows}
+
+    def jac(a, b):
+        inter = len(ts[a] & ts[b])
+        return inter / max(len(ts[a]) + len(ts[b]) - inter, 1)
+
+    lam, one_m = _MMR_LAM, 1 - _MMR_LAM
+    selected: list[int] = []
+    remaining = set(cand_ids)
+    while remaining and len(selected) < _MMR_K:
+        if not selected:
+            pick = min(remaining, key=lambda i: (-rel[i], i))
+        else:
+            pick = min(
+                remaining,
+                key=lambda i: (
+                    -(lam * rel[i] - one_m * max(jac(i, s) for s in selected)),
+                    i,
+                ),
+            )
+        selected.append(pick)
+        remaining.discard(pick)
+
+    rows = [(k + 1, did, rel[did]) for k, did in enumerate(selected)]
+    out = spark.createDataFrame(rows, "rank int, doc_id long, relevance double")
+    return out.select("rank", "doc_id", F.round("relevance", 6).alias("relevance"))
+
+
+_SPARSE_DF_MIN, _SPARSE_DF_MAX, _SPARSE_COS_MIN = 2, 100, 0.3
+
+
+@register(
+    "sparse_cosine_related_documents",
+    oracle=rf"""
+        WITH tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents)
+          GROUP BY doc_id, term
+        ),
+        kept AS (
+          SELECT term FROM tf GROUP BY term
+          HAVING count(*) BETWEEN {_SPARSE_DF_MIN} AND {_SPARSE_DF_MAX}
+        ),
+        post AS (SELECT tf.* FROM tf JOIN kept USING (term)),
+        norm AS (
+          SELECT doc_id, sum(tf * tf)::BIGINT AS n2 FROM post GROUP BY doc_id
+        ),
+        pair AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 sum(a.tf * b.tf)::BIGINT AS dot,
+                 count(*)::BIGINT AS shared_terms
+          FROM post a JOIN post b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared_terms,
+               round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) AS cosine
+        FROM pair
+          JOIN norm na ON na.doc_id = id_a
+          JOIN norm nb ON nb.doc_id = id_b
+        WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {_SPARSE_COS_MIN}
+    """,
+    tags=("text", "similarity", "retrieval", "llm-pipeline"),
+)
+def sparse_cosine_related_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-document pairs by sparse term-vector cosine through a
+    posting-list self-join — the classic inverted-index similarity that
+    complements dense ANN (`embedding_*`) and query search (`bm25_*`):
+    no embeddings needed, candidates come from shared TERMS, never an
+    all-pairs scan.
+
+    Exactness + scale: term frequencies, dot products, and squared norms
+    are INTEGER sums (associative — immune to the float summation-order
+    divergence a double-weighted dot would have across engines); the
+    single float division happens once per pair. Candidate generation
+    is blocked on document frequency ({_SPARSE_DF_MIN} ≤ df ≤
+    {_SPARSE_DF_MAX}): df=1 terms cannot form pairs, and df>cap terms
+    (stopwords/boilerplate) would each fan out df² candidate pairs —
+    the cap bounds per-term join fanout at any corpus size, the same
+    blocking argument as the LSH band join. The shuffle key is the term
+    string; posting rows are (doc_id, tf) — fixed width, never text."""
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    kept = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
+        .select("term")
+    )
+    post = tf.join(kept, "term")
+    norm = post.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = post.select(
+        F.col("term"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        F.col("term"), F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    pair = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"),
+            F.count(F.lit(1)).alias("shared_terms"),
+        )
+    )
+    cos = F.round(
+        F.col("dot")
+        / (F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))),
+        6,
+    )
+    return (
+        pair.join(norm.alias("na"), F.col("id_a") == F.col("na.doc_id"))
+        .join(norm.alias("nb"), F.col("id_b") == F.col("nb.doc_id"))
+        .select("id_a", "id_b", "shared_terms", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SPARSE_COS_MIN)
+    )
+
+
+_SPAN_W, _SPAN_DF_MAX = 8, 16
+
+
+@register(
+    "exact_span_dedup_documents",
+    oracle=rf"""
+        WITH grams AS (
+          SELECT doc_id, unnest(
+            list_distinct(list_transform(
+              range(1, len(w) - {_SPAN_W - 2}),
+              i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+            ))) AS g
+          FROM (SELECT doc_id, {_SQL_WORDS} AS w FROM documents)
+          WHERE len(w) >= {_SPAN_W}
+        ),
+        kept AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING count(*) BETWEEN 2 AND {_SPAN_DF_MAX}
+        ),
+        post AS (SELECT grams.* FROM grams JOIN kept USING (g))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               count(*)::BIGINT AS n_shared_spans
+        FROM post a JOIN post b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
+    tags=("dedup", "substring", "llm-pipeline"),
+)
+def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection (the Lee et al. 2022
+    "Deduplicating Training Data" regime, re-expressed relationally):
+    document pairs sharing at least one EXACT {_SPAN_W}-word span, with
+    the count of distinct shared spans — catches verbatim quotation /
+    template reuse that token-set Jaccard dilutes away on long docs.
+
+    Scale shape: rolling {_SPAN_W}-word grams are built through the same
+    materialize-once projection as shingling (dedup.shingle_table — the
+    Generate-trap-safe plan), deduped per doc, then paired through a
+    gram equi-join. Blocking: grams with document frequency >
+    {_SPAN_DF_MAX} are excluded from pairing — a boilerplate span shared
+    by 10k docs would fan out 10⁸ pairs; such spans belong to the
+    `boilerplate_ngrams_documents` report, not the pair list. The gram
+    text crosses the exchange as the join key once; a production 100 TB
+    run would hash grams to 16 bytes first (same plan, narrower key)."""
+    from spark_pipeline_spark.operators.dedup import shingle_table
+
+    grams_t = shingle_table(
+        t(spark, sf_dir, "documents"), "doc_id", "text", n=_SPAN_W
+    )
+    # explode_outer + isNotNull per shingle_table's consumer warning
+    # (plain explode re-inlines the gram expression below the exchange)
+    post_all = grams_t.select(
+        F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g")
+    ).filter(F.col("g").isNotNull())
+    kept = (
+        post_all.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _SPAN_DF_MAX))
+        .select("g")
+    )
+    post = post_all.join(kept, "g")
+    a = post.select("g", F.col("doc_id").alias("id_a"))
+    b = post.select("g", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
 
 
@@ -9861,6 +10374,7 @@ def zipf_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     """,
     tags=("dedup", "minhash", "provenance", "llm-pipeline"),
+    bench=True,
 )
 def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source near-duplicate contamination matrix: the MinHash-LSH
@@ -9922,6 +10436,7 @@ def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6) >= 0.5
     """,
     tags=("dedup", "minhash", "incremental", "llm-pipeline"),
+    bench=True,
 )
 def dedup_incremental_new_vs_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup: candidates of a NEW increment (doc_id ≥
@@ -10037,6 +10552,7 @@ def token_length_log_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM freq QUALIFY rank <= 50
     """,
     tags=("text", "tokenizer", "llm-pipeline"),
+    bench=True,
 )
 def bpe_merge_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The first BPE training step at corpus scale: count ADJACENT token
@@ -10294,6 +10810,7 @@ def array_ops_showcase_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
         GROUP BY ROLLUP (event_type, strftime(ts, '%Y-%m'))
     """,
     tags=("sketch", "cardinality", "rollup"),
+    bench=True,
 )
 def sketch_rollup_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-user estimates at THREE grains in one pass — (type,
@@ -10432,65 +10949,54 @@ def delete_propagation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-7 rotation. After r6, 111 of 176 registered queries had been
-    # driver-checked at least once; 65 never had (24 pre-r6 stragglers +
-    # 41 queries registered during r6). This window spends ALL 50 slots
-    # on first-time-checked queries — no sentinels — lifting all-time
-    # driver coverage to 161/176. Priorities: the full TPC-H remainder
-    # (including every query de-hinted this round: q2/q9/q11/q16/q20/q21)
-    # and the eval family, per VERDICT r6 item 2. The 15 spilling to the
-    # r8 rotation are listed below.
-    # --- the 24 pre-r6 stragglers ---
-    "time_rollup_orders_multigrain", "grouped_topk_with_ties",
-    "null_profile_orders", "join_skew_advisor_lineitem",
-    "duplicate_row_profile_orders", "events_hourly_seasonality",
-    "joint_histogram_lineitem", "embedding_norm_profile",
-    "user_survival_curve", "user_burstiness_profile",
-    "global_row_number_documents", "ewma_user_value",
-    "embedding_ann_ivf_nprobe2", "q7_nation_volume_shipping",
-    "q18_large_volume_customers", "user_growth_accounting",
-    "sliding_distinct_users_7d", "q14_promo_revenue_ratio",
-    "pagerank_customer_supplier", "pit_dimension_join_shipments",
-    "grouped_ols_lineitem", "capped_sessions_events",
-    "rag_prep_end_to_end", "kfold_assignment_documents",
-    # --- 26 round-6 additions: TPC-H remainder + eval + high-value ---
-    "q2_min_cost_supplier", "q4_priority_late_shipping",
-    "q6_forecast_revenue", "q8_nation_market_share",
-    "q9_nation_year_profit", "q11_important_parts",
-    "q12_shipmode_priority", "q13_customer_order_distribution",
-    "q15_top_revenue_supplier", "q16_supplier_diversity",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q20_dominant_suppliers", "q21_sole_late_supplier",
-    "q22_dormant_high_balance", "eval_calibration_bins",
-    "eval_roc_auc_binned", "eval_cv_auc_by_fold",
-    "bm25_search_documents", "entity_resolution_parts",
-    "dedup_containment_documents", "hard_negative_mining_embeddings",
-    "embedding_quantize_int8", "merge_cdc_tombstones_orders",
-    "incremental_join_orders_customer", "psi_quantile_drift_lineitem",
+    # Round-8 rotation, generated by ``python tools/recheck_queue.py``
+    # (git-derived; no hand-maintained manifest). After r7, 161 of 198
+    # registered queries are driver-green all-time; the 37 that never
+    # were fill the first 37 slots — closing all-time driver coverage to
+    # 198/198 once this window is green. The remaining 13 slots re-check
+    # (a) the 7 queries whose queries.py registration block changed
+    # since their green round (recheck_queue.py "changed-since-green"),
+    # and (b) 6 canaries whose backing operator MODULE was reworked in
+    # r7 after their green round (asof.py merge_asof surface → the asof
+    # query; dedup.py incremental index → minhash) plus the three
+    # events watch items from VERDICT r7 item 6 and the q1 flagship.
+    # --- 15 r6 spillovers (never checked) ---
+    "grouping_sets_orders", "join_cardinality_advisor",
+    "quality_filter_attrition_documents", "seasonal_anomaly_hours_events",
+    "embedding_mean_pool_chunks", "k_anonymity_audit_customer",
+    "target_encode_oof_orders", "table_sync_buckets_orders",
+    "sliding_p95_value_7d", "cusum_changepoint_daily_value",
+    "backfill_gaps_orders_daily", "ivf_recall_report",
+    "seasonal_naive_backtest_events", "source_term_drift_kl",
+    "dataset_card_documents",
+    # --- 22 round-7 additions (never checked) ---
+    "streaming_topk_merge_replay", "streaming_incremental_merge_replay",
+    "rrf_fusion_search_documents", "source_cap_documents",
+    "nll_quartile_bucket_documents", "nll_boundary_bucket_documents",
+    "zipf_fit_documents", "cross_source_neardup_matrix",
+    "bpe_merge_candidates_documents", "label_centroid_similarity_embeddings",
+    "window_functions_showcase_orders", "unpivot_lineitem_measures",
+    "array_ops_showcase_embeddings", "sketch_rollup_distinct_users",
+    "delete_propagation_customers", "ann_ndcg_mrr_report",
+    "events_asof_next_purchase", "events_asof_tolerance_24h",
+    "eval_average_precision_binned", "dedup_incremental_new_vs_corpus",
+    "dup_rate_by_source", "token_length_log_bins",
+    # --- 7 changed-since-green (recheck_queue.py block diff) ---
+    "corpus_prep_end_to_end", "dedup_canonical_selection",
+    "pipeline_documents_clean", "score_logistic_model",
+    "semi_anti_join_customers", "table_diff_orders_feed",
+    "text_quality_documents",
+    # --- 5 module-changed / watch-item / family-coverage canaries ---
+    # (events_tumbling_daily stays bench-watched for TIMING; its slot
+    # goes to a sampling-family representative so the window keeps one
+    # query per operator family — the window-contract invariant)
+    "events_asof_last_purchase", "dedup_minhash_lsh_documents",
+    "token_budget_sample_documents",
+    "q9_nation_year_profit",
+    # --- round-8 additions (first-time checked this round) ---
+    "streaming_dedup_lsh_replay",
+    "mmr_diversified_search_documents",
 ]
-
-# Never driver-checked after this round — the r8 rotation queue.
-# 15 spilled from r6 (every pre-r6 query has now been driver-checked at
-# least once):
-# grouping_sets_orders, join_cardinality_advisor,
-# quality_filter_attrition_documents, seasonal_anomaly_hours_events,
-# embedding_mean_pool_chunks, k_anonymity_audit_customer,
-# target_encode_oof_orders, table_sync_buckets_orders,
-# sliding_p95_value_7d, cusum_changepoint_daily_value,
-# backfill_gaps_orders_daily, ivf_recall_report,
-# seasonal_naive_backtest_events, source_term_drift_kl,
-# dataset_card_documents
-# ...plus the 16 queries ADDED in round 7:
-# streaming_topk_merge_replay, streaming_incremental_merge_replay,
-# rrf_fusion_search_documents, source_cap_documents,
-# nll_quartile_bucket_documents, nll_boundary_bucket_documents,
-# zipf_fit_documents, cross_source_neardup_matrix,
-# bpe_merge_candidates_documents, label_centroid_similarity_embeddings,
-# window_functions_showcase_orders, unpivot_lineitem_measures,
-# array_ops_showcase_embeddings, sketch_rollup_distinct_users,
-# delete_propagation_customers, ann_ndcg_mrr_report
-# → 31 first-time candidates for r8's 50 slots; the remaining ~19 slots
-# can re-check queries whose code changed since their last green round.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

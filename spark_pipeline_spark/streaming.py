@@ -31,6 +31,7 @@ __all__ = [
     "stream_topk_sink",
     "stream_quality_gate_sink",
     "stream_dedup_lsh_sink",
+    "purge_ids_from_dedup_index",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -846,3 +847,77 @@ def run_available_now_to_memory(
     q.awaitTermination(timeout_sec)
     spark = df.sparkSession
     return spark.table(query_name)
+
+
+def purge_ids_from_dedup_index(
+    spark: SparkSession,
+    index_path: str,
+    ids,
+    accepted_path: str | None = None,
+    id_col: str = "doc_id",
+) -> dict:
+    """Right-to-be-forgotten for the streaming LSH dedup state: remove
+    every trace of the given doc ids from the persisted index
+    (``bands/`` + ``shingles/``) and, when ``accepted_path`` is given,
+    from the accepted-documents table — the delete-propagation step that
+    makes `delete_propagation_customers`-style compliance cover DERIVED
+    state, not just primary tables. A forgotten document stops vetoing
+    future near-duplicates: its bands can no longer generate candidates.
+
+    ``ids`` is a one-column DataFrame of ids to forget (an arbitrary-size
+    tombstone set — it joins, it is never collected or broadcast by
+    hint).
+
+    Crash safety: each sub-table is rewritten through a ``__purge_staging``
+    copy first, then overwritten from it (the compact_parquet discipline —
+    parquet reads are lazy, so overwriting the path being read would
+    corrupt it). The ``batch=<id>`` partition layout is preserved via
+    ``partitionBy`` so the sink's self-batch replay exclusion keeps
+    working; a batch whose rows are all purged disappears entirely, which
+    readers already treat as absent. Scale: two anti-joins keyed on the
+    id — cost O(|index|), no text ever moves (the index stores only
+    fixed-width band keys and shingle arrays).
+    """
+    from pyspark.errors import AnalysisException
+
+    tomb = ids.toDF("__purge_id")
+    out = {}
+    sub_tables = [("bands", index_path.rstrip("/") + "/bands", "__id"),
+                  ("shingles", index_path.rstrip("/") + "/shingles", "__id")]
+    if accepted_path is not None:
+        sub_tables.append(("accepted", accepted_path, id_col))
+
+    for name, path, col in sub_tables:
+        try:
+            df = spark.read.parquet(path)
+            df.schema
+        except AnalysisException:
+            out[f"{name}_removed"] = 0
+            continue
+        before = df.count()
+        survivors = df.join(
+            tomb, df[col] == tomb["__purge_id"], "left_anti"
+        ).persist()
+        n_surv = survivors.count()
+        if n_surv == 0:
+            # a fully-purged table can't round-trip through parquet (no
+            # rows → no schema to re-read); absence IS the empty state
+            # every reader of this layout already handles
+            _hadoop_delete(spark, path)
+        else:
+            staging = path.rstrip("/") + "__purge_staging"
+            survivors.write.mode("overwrite").partitionBy("batch").parquet(staging)
+            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                "batch"
+            ).parquet(path)
+            _hadoop_delete(spark, staging)
+        survivors.unpersist()
+        out[f"{name}_removed"] = before - n_surv
+    return out
+
+
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(hpath, True)

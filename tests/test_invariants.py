@@ -378,20 +378,27 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # The r7 window spends every slot on never-driver-checked queries
-    # (coverage-max rotation; sentinels resume once all-time coverage is
-    # complete). The priorities that round committed to must be inside:
-    # the full TPC-H remainder — including every query whose broadcast
-    # hints were removed in r7 — and the eval family.
+    # The r8 rotation closes all-time driver coverage: every query that
+    # has never appeared in a CORRECTNESS_r*.json (37 as of r7 —
+    # enumerated by `python tools/recheck_queue.py` from git history)
+    # must be inside, plus the changed-since-green re-checks. Spot-check
+    # the commitments rather than re-deriving git state in a unit test.
     must_cover = {
-        "q2_min_cost_supplier", "q9_nation_year_profit",
-        "q11_important_parts", "q16_supplier_diversity",
-        "q20_dominant_suppliers", "q21_sole_late_supplier",
-        "eval_calibration_bins", "eval_roc_auc_binned",
-        "eval_cv_auc_by_fold",
+        # r6 spillovers (never checked through r7)
+        "grouping_sets_orders", "ivf_recall_report", "dataset_card_documents",
+        "sliding_p95_value_7d", "k_anonymity_audit_customer",
+        # r7 additions (never checked)
+        "rrf_fusion_search_documents", "bpe_merge_candidates_documents",
+        "cross_source_neardup_matrix", "sketch_rollup_distinct_users",
+        "dedup_incremental_new_vs_corpus", "events_asof_tolerance_24h",
+        # changed-since-green re-checks (tools/recheck_queue.py)
+        "corpus_prep_end_to_end", "semi_anti_join_customers",
+        "text_quality_documents",
+        # module-changed canaries (asof.py / dedup.py reworked in r7)
+        "events_asof_last_purchase", "dedup_minhash_lsh_documents",
     }
     missing = must_cover - set(window)
-    assert not missing, f"r7 priority queries outside the window: {missing}"
+    assert not missing, f"r8 priority queries outside the window: {missing}"
 
     tags = {tg for n in window for tg in REGISTRY[n].tags}
     assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"

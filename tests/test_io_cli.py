@@ -595,3 +595,50 @@ def test_refresher_recovers_torn_snapshot_and_skips_replayed_delta(
     # replaying day2 again on a healthy snapshot is also a no-op
     assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
     assert "no-op" in capsys.readouterr().out
+
+def test_refresher_out_of_order_replay_is_noop(spark, tmp_path, capsys):
+    """ADVICE r7: replaying an OLDER delta after newer ones applied (the
+    out-of-order cron retry) must be a no-op too — the bounded ledger
+    remembers more than just the latest id."""
+    from pyspark.sql import functions as F
+
+    from spark_pipeline_spark.cli import main_refresher
+    from spark_pipeline_spark.queries import t as _t
+
+    o = _t(spark, SF_SMALL, "orders")
+    d1 = str(tmp_path / "delta1")
+    o.filter(F.col("o_orderdate") < "1996-01-01").write.parquet(d1)
+    d2 = str(tmp_path / "delta2")
+    o.filter(F.col("o_orderdate") >= "1996-01-01").write.parquet(d2)
+    snap = str(tmp_path / "snapshot")
+
+    def conf_for(delta_path, delta_id):
+        return _write_conf(
+            tmp_path,
+            f"refresh_ooo_{delta_id}.json",
+            {
+                "snapshot": {"path": snap},
+                "delta": {"storage": "file", "path": delta_path},
+                "delta-id": delta_id,
+                "keys": ["o_orderstatus"],
+                "aggregates": {
+                    "n_orders": {"kind": "count", "column": "o_orderkey"}
+                },
+            },
+        )
+
+    assert main_refresher(["--conf", conf_for(d1, "day1")]) == 0
+    assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
+    want = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    capsys.readouterr()
+    # day1 retry arrives AFTER day2 applied: latest-id-only guards miss this
+    assert main_refresher(["--conf", conf_for(d1, "day1")]) == 0
+    assert "already applied: no-op" in capsys.readouterr().out
+    got = {
+        r["o_orderstatus"]: r["n_orders"]
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert got == want  # day1 NOT double-counted

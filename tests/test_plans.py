@@ -169,16 +169,33 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
     assert len(agg_nodes) >= 2, plan  # partial + final around the exchange
 
 
-def test_boilerplate_explode_filter_not_reinlined(spark):
-    """Regression gate for the Generate pushdown trap: the boilerplate
-    query's scan-side Filter must never re-derive the gram expression
-    (split re-inlined per element — measured 9×). With explode_outer no
-    size/isnotnull filter is pushed below the exchange at all."""
-    plan = _plan(REGISTRY["boilerplate_ngrams_documents"].fn(spark, SF_SMALL))
-    scan_side = plan.split("Exchange")[-1]  # text below the last exchange detail
+@pytest.mark.parametrize(
+    "name",
+    [
+        "boilerplate_ngrams_documents",
+        # r8: the BPE pair counter and the LSH shingle path claim the same
+        # materialize-once shape in their docstrings — pin it here so a
+        # refactor can't silently re-inline split() per element.
+        "bpe_merge_candidates_documents",
+        "dedup_minhash_lsh_documents",
+    ],
+)
+def test_gram_expression_not_reinlined(spark, name):
+    """Regression gate for the Generate pushdown trap: no Filter may
+    re-derive the gram/pair TRANSFORM expression (split re-inlined per
+    element — measured 9–20×). A Filter on the cheap token-count
+    (`size(split(...)) >= n`) is the intended design and is allowed; the
+    failure mode is `transform(...)` appearing in a Condition, or the
+    split expression multiplying through the lambda (count > 2: one
+    Project materialization + at most one pushed size-filter)."""
+    plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
     for line in plan.splitlines():
         if line.strip().startswith("Condition :"):
             assert "transform" not in line, f"re-inlined gram filter: {line[:200]}"
+    assert plan.count("split(") <= 2, (
+        f"{name}: split() appears {plan.count('split(')}× — token array no "
+        f"longer materialized once before the gram/pair lambda"
+    )
 
 
 def test_partitioned_write_prunes_partitions_at_read(spark, tmp_path):
@@ -317,7 +334,13 @@ def test_source_cap_and_zipf_get_group_limit_pushdown(spark):
     windows execute as WindowGroupLimit (per-partition top-k before the
     shuffle) — the property that makes a cap a data REDUCTION instead of
     a full-corpus window sort."""
-    for name in ("source_cap_documents", "zipf_fit_documents"):
+    for name in (
+        "source_cap_documents",
+        "zipf_fit_documents",
+        # r8: rrf's two top-25 lists rely on the same rewrite
+        # (docstring claim at queries.py rrf_fusion_search_documents).
+        "rrf_fusion_search_documents",
+    ):
         plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
         # an unpartitioned rank window optimizes further, to TakeOrdered
         # (partial top-k per partition + driver merge of k×P rows)

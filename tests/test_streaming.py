@@ -955,3 +955,120 @@ def test_stream_dedup_lsh_sink_drops_cross_batch_near_dups(spark, tmp_path):
     }
     assert idx_ids == ids
     assert len(counts) == 2
+
+def test_stream_dedup_lsh_sink_matches_batch_replay_query(spark, tmp_path):
+    """The registered `streaming_dedup_lsh_replay` oracle query claims to
+    encode the sink's accept/reject protocol — prove it: drive the REAL
+    sink over the same doc_id-mod-3 batch split (in batch order) and
+    assert the per-batch accepted counts and the final accepted id set
+    equal the replay query's answer."""
+    from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_stream_replay")
+    for b in range(3):
+        d.filter(F.pmod("doc_id", F.lit(3)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # one file per batch, in write order: maxFilesPerTrigger=1 replays the
+    # same 3-batch sequence the registered query folds
+    stream = read_parquet_stream(
+        spark, src, "doc_id bigint, text string", max_files_per_trigger=1
+    )
+    counts: dict[int, int] = {}
+    q = stream_dedup_lsh_sink(
+        stream,
+        str(tmp_path / "idx"),
+        str(tmp_path / "acc"),
+        "doc_id",
+        "text",
+        threshold=0.7,
+        checkpoint=str(tmp_path / "ckpt_replay"),
+        on_batch=lambda bid, n: counts.__setitem__(bid, n),
+    )
+    q.awaitTermination(240)
+
+    replay = {
+        r["batch"]: (r["n_in"], r["n_accepted"])
+        for r in REGISTRY["streaming_dedup_lsh_replay"].fn(spark, SF_SMALL).collect()
+    }
+    # parquet file listing order == write order here, so stream batch id
+    # b corresponds to doc_id%3==b; verify via n_in to catch reordering
+    sink_sizes = {
+        b: d.filter(F.pmod("doc_id", F.lit(3)) == b).count() for b in range(3)
+    }
+    for b in range(3):
+        n_in, n_accepted = replay[b]
+        assert sink_sizes[b] == n_in
+        assert counts[b] == n_accepted, (b, counts, replay)
+
+def test_purge_ids_from_dedup_index_forgets_vetoes(spark, tmp_path):
+    """GDPR delete-propagation into DERIVED state: after purging a doc
+    from the LSH index, (a) no trace of it remains in bands/shingles/
+    accepted, (b) the batch partition layout survives, and (c) a
+    near-copy arriving later is ACCEPTED — the forgotten doc no longer
+    vetoes near-duplicates."""
+    from spark_pipeline_spark.streaming import (
+        purge_ids_from_dedup_index,
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    index = str(tmp_path / "purge_idx")
+    accepted = str(tmp_path / "purge_acc")
+    ckpt = str(tmp_path / "purge_ckpt")
+
+    def run_once():
+        stream = read_parquet_stream(
+            spark, src, "doc_id bigint, text string", max_files_per_trigger=100
+        )
+        q = stream_dedup_lsh_sink(
+            stream, index, accepted, "doc_id", "text",
+            threshold=0.9, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    # batch 0: the base corpus slice (doc 7 gets accepted)
+    d.filter(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    # batch 1: a near-copy of doc 7 → vetoed by the index
+    d.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9007).cast("long")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    acc_ids = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert 7 in acc_ids and 9007 not in acc_ids
+
+    removed = purge_ids_from_dedup_index(
+        spark,
+        index,
+        spark.createDataFrame([(7,)], "id long"),
+        accepted_path=accepted,
+    )
+    assert removed["bands_removed"] > 0
+    assert removed["shingles_removed"] > 0
+    assert removed["accepted_removed"] == 1
+
+    bands = spark.read.parquet(index + "/bands")
+    shingles = spark.read.parquet(index + "/shingles")
+    acc2 = spark.read.parquet(accepted)
+    assert bands.filter(F.col("__id") == 7).count() == 0
+    assert shingles.filter(F.col("__id") == 7).count() == 0
+    assert acc2.filter(F.col("doc_id") == 7).count() == 0
+    # partition layout preserved (batch column still discoverable)
+    assert "batch" in bands.columns and bands.select("batch").distinct().count() >= 1
+
+    # batch 2: the same text again under a new id → now ACCEPTED
+    d.filter(F.col("doc_id") == 7).withColumn(
+        "doc_id", F.lit(9107).cast("long")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    final_ids = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
+    assert 9107 in final_ids, "purged doc still vetoes near-duplicates"

@@ -1,0 +1,174 @@
+"""Generate the driver-window re-check queue from git history.
+
+The grading driver hash-checks only the first 50 registered queries per
+round, so each round's window must be chosen deliberately.  Two sets
+matter:
+
+1. **never-checked** — registered queries that have not appeared in any
+   ``CORRECTNESS_r*.json`` yet (the hard gap the window must close);
+2. **changed-since-green** — queries that WERE green in some round N but
+   whose registration block (decorator + oracle SQL + function body) in
+   ``queries.py`` has changed since the end-of-round-N commit, so the
+   green result no longer vouches for the current code.
+
+Rather than hand-maintaining a manifest, this tool derives both sets from
+git: it textually extracts each ``@register("name", ...)`` block from
+``queries.py`` at HEAD and at each round's snapshot commit, hashes the
+blocks, and diffs.  Textual block extraction (not ``inspect.getsource``)
+means old revisions never have to be imported.
+
+Limitations (documented, acceptable): a query whose behavior changed only
+via an ``operators/`` module it calls is NOT flagged — to stay honest the
+tool also reports which operator modules changed since each round so the
+window author can pull in representatives of those families by hand.
+
+Usage::
+
+    python tools/recheck_queue.py            # human-readable report
+    python tools/recheck_queue.py --json     # machine-readable
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import re
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+QUERIES_PATH = "spark_pipeline_spark/queries.py"
+
+# Code state each CORRECTNESS_rN.json was measured against: the last work
+# commit of round N ("end-of-round snapshot" where one exists, else the
+# parent of the "round N: verdict" commit).
+ROUND_COMMITS: dict[int, str] = {
+    1: "1dbfcef",
+    2: "2100ba0~1",
+    3: "4ad8639~1",
+    4: "700e924",
+    5: "c11717e",
+    6: "2f020c2",
+    7: "99e1797",
+}
+
+_BLOCK_RE = re.compile(r'^@register\(\s*\n\s*"([a-z0-9_]+)"', re.M)
+
+
+def _git_show(ref: str, path: str) -> str:
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "show", f"{ref}:{path}"],
+        capture_output=True,
+        text=True,
+    )
+    if out.returncode != 0:
+        return ""
+    return out.stdout
+
+
+def extract_blocks(text: str) -> dict[str, str]:
+    """Map query name -> its full registration block text.
+
+    A block runs from its ``@register(`` line to the next ``@register(``
+    (or EOF); that span covers the oracle SQL, tags, docstring, and body,
+    which is exactly what the driver's hash check exercises.
+    """
+    matches = list(_BLOCK_RE.finditer(text))
+    blocks: dict[str, str] = {}
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
+        blocks[m.group(1)] = text[m.start() : end]
+    return blocks
+
+
+def _hash(block: str) -> str:
+    return hashlib.sha256(block.encode()).hexdigest()[:16]
+
+
+def _green(entry: dict) -> bool:
+    if entry.get("err"):
+        return False
+    if entry.get("hash_match") is not None:
+        return bool(entry["hash_match"])
+    return bool(entry.get("rows_match"))
+
+
+def last_green_rounds() -> dict[str, int]:
+    """Query name -> highest round in which the driver marked it green."""
+    out: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for name, entry in json.load(open(f)).items():
+            if isinstance(entry, dict) and _green(entry):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def changed_modules_since(ref: str) -> list[str]:
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "diff", "--name-only", ref, "HEAD", "--",
+         "spark_pipeline_spark/operators", "spark_pipeline_spark/functions",
+         "spark_pipeline_spark/io", "spark_pipeline_spark/streaming.py"],
+        capture_output=True,
+        text=True,
+    )
+    return [p for p in out.stdout.splitlines() if p]
+
+
+def compute() -> dict:
+    head_blocks = extract_blocks((REPO / QUERIES_PATH).read_text())
+    greens = last_green_rounds()
+
+    never = [n for n in head_blocks if n not in greens]
+
+    # hash old revisions lazily, one git show per distinct round
+    old_blocks: dict[int, dict[str, str]] = {}
+    changed: list[dict] = []
+    for name, rnd in sorted(greens.items()):
+        if name not in head_blocks:
+            continue  # renamed/retired
+        if rnd not in old_blocks:
+            old_blocks[rnd] = extract_blocks(_git_show(ROUND_COMMITS[rnd], QUERIES_PATH))
+        old = old_blocks[rnd].get(name)
+        if old is None:
+            changed.append({"query": name, "green_round": rnd, "reason": "absent-at-green-commit"})
+        elif _hash(old) != _hash(head_blocks[name]):
+            changed.append({"query": name, "green_round": rnd, "reason": "block-changed"})
+
+    max_round = max(ROUND_COMMITS)
+    return {
+        "registered": len(head_blocks),
+        "never_checked": never,
+        "changed_since_green": changed,
+        "operator_modules_changed_since_last_round": changed_modules_since(
+            ROUND_COMMITS[max_round]
+        ),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
+    r = compute()
+    if args.json:
+        json.dump(r, sys.stdout, indent=1)
+        print()
+        return
+    print(f"registered queries: {r['registered']}")
+    print(f"\nnever driver-checked ({len(r['never_checked'])}):")
+    for n in r["never_checked"]:
+        print(f"  {n}")
+    print(f"\nchanged since green ({len(r['changed_since_green'])}):")
+    for c in r["changed_since_green"]:
+        print(f"  {c['query']} (green r{c['green_round']}, {c['reason']})")
+    mods = r["operator_modules_changed_since_last_round"]
+    print(f"\noperator modules changed since last snapshot ({len(mods)}):")
+    for m in mods:
+        print(f"  {m}")
+
+
+if __name__ == "__main__":
+    main()
