@@ -1096,6 +1096,74 @@ def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TEMP_ALPHA = 0.3
+
+
+@register(
+    "temperature_mixture_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, sum(n_tok)::BIGINT AS stok, count(*)::BIGINT AS n_docs
+          FROM tok GROUP BY source
+        ),
+        p AS (
+          SELECT source, stok, n_docs,
+                 stok / (SELECT sum(stok)::DOUBLE FROM tot) AS share
+          FROM tot
+        )
+        SELECT source, n_docs, stok AS n_tokens,
+               round(share, 6) AS share,
+               round(pow(share, {_TEMP_ALPHA!r})
+                     / (SELECT sum(pow(share, {_TEMP_ALPHA!r})) FROM p), 6)
+                 AS weight,
+               round(pow(share, {_TEMP_ALPHA!r})
+                     / (SELECT sum(pow(share, {_TEMP_ALPHA!r})) FROM p)
+                     / share, 6) AS boost
+        FROM p
+    """,
+    tags=("sample", "mixture", "temperature", "llm-pipeline"),
+)
+def temperature_mixture_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the mT5/XLM-R multilingual
+    sampling rule): source weight ∝ share^α with α={_TEMP_ALPHA}, which
+    up-samples tail sources and damps the head relative to natural token
+    shares. Reports natural share, the temperature weight, and the boost
+    factor (weight/share — >1 means the source is over-sampled vs
+    natural). Feed the weights to `mixture_sample_documents` for the
+    actual draw.
+
+    Scale shape: one map-side-combined per-source aggregate (≤|sources|
+    rows), then pure arithmetic on that tiny frame; the corpus is
+    scanned once and never shuffled."""
+    from spark_pipeline_spark.operators import text as T
+
+    tot = (
+        t(spark, sf_dir, "documents")
+        .select("source", T.token_count_regex("text").cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("stok"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    gsum = tot.agg(F.sum("stok").cast("double").alias("__g"))
+    p = tot.crossJoin(F.broadcast(gsum)).select(
+        "source", "n_docs", "stok", (F.col("stok") / F.col("__g")).alias("share")
+    )
+    wsum = p.agg(F.sum(F.pow("share", F.lit(_TEMP_ALPHA))).alias("__w"))
+    w = F.pow("share", F.lit(_TEMP_ALPHA)) / F.col("__w")
+    return p.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.col("stok").alias("n_tokens"),
+        F.round("share", 6).alias("share"),
+        F.round(w, 6).alias("weight"),
+        F.round(w / F.col("share"), 6).alias("boost"),
+    )
+
+
 _SEQ_LEN = 2048
 
 @register(
@@ -4143,6 +4211,110 @@ def dataset_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("source", "split")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+
+
+@register(
+    "split_leakage_report_documents",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_TRAIN!r} THEN 'train'
+                      WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_VAL!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM ver),
+        leaked AS (
+          SELECT DISTINCT d.doc_id
+          FROM sym e
+            JOIN sp s ON s.doc_id = e.src AND s.split = 'train'
+            JOIN sp d ON d.doc_id = e.dst AND d.split <> 'train'
+        )
+        SELECT sp.split, count(*) AS n_docs,
+               count(l.doc_id) AS n_leaked,
+               round(count(l.doc_id)::DOUBLE / count(*), 6) AS leak_rate
+        FROM sp LEFT JOIN leaked l ON l.doc_id = sp.doc_id
+        WHERE sp.split <> 'train'
+        GROUP BY sp.split
+    """,
+    tags=("dedup", "split", "leakage", "eval", "llm-pipeline"),
+)
+def split_leakage_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval contamination gate: how many val/test documents have a
+    verified near-duplicate (MinHash-LSH candidates, exact 3-gram
+    Jaccard ≥ 0.7) inside the TRAIN split — the release check that the
+    random split didn't put both halves of a near-dup pair on opposite
+    sides of the train/eval boundary (which silently inflates eval
+    scores). Uses the same seeded content-hash split as
+    `dataset_split_documents`, so the report matches the split the
+    pipeline would actually ship.
+
+    Scale: the pair set is the banded-LSH equi-join (never all-pairs);
+    split assignment is a pure projection; the report is two rows."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    u = md5_unit(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < _SPLIT_TRAIN, F.lit("train"))
+        .when(u < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = d.select("doc_id", split.alias("split"))
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    leaked = (
+        sym.join(
+            sp.select(F.col("doc_id").alias("src"), F.col("split").alias("ssp")), "src"
+        )
+        .filter(F.col("ssp") == "train")
+        .join(
+            sp.select(F.col("doc_id").alias("dst"), F.col("split").alias("dsp")), "dst"
+        )
+        .filter(F.col("dsp") != "train")
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("__leak", F.lit(1))
+    )
+    return (
+        sp.filter(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("__leak").alias("n_leaked"),
+            F.round(F.count("__leak") / F.count(F.lit(1)), 6).alias("leak_rate"),
+        )
     )
 
 
@@ -9953,14 +10125,18 @@ def sparse_cosine_related_documents(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df cut and the postings; the postings feed norms
+    # and BOTH join sides — persist (spillable) so the corpus is
+    # tokenized ONCE, not re-scanned per consumer (measured 8 scans of
+    # the text column without these)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     kept = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
         .select("term")
     )
-    post = tf.join(kept, "term")
+    post = tf.join(kept, "term").persist()
     norm = post.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = post.select(
         F.col("term"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
@@ -10041,9 +10217,16 @@ def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explode_outer + isNotNull per shingle_table's consumer warning
     # (plain explode re-inlines the gram expression below the exchange)
-    post_all = grams_t.select(
-        F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g")
-    ).filter(F.col("g").isNotNull())
+    # gram generation is the expensive pass — persist the exploded
+    # postings so df-cut, join side a, and join side b all read the one
+    # materialization instead of re-shingling the corpus per consumer
+    post_all = (
+        grams_t.select(
+            F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
     kept = (
         post_all.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -10997,6 +11180,13 @@ _DRIVER_WINDOW = [
     "streaming_dedup_lsh_replay",
     "mmr_diversified_search_documents",
 ]
+
+# r9 rotation queue (derive authoritatively with `python
+# tools/recheck_queue.py` AFTER CORRECTNESS_r08 lands): the four r8
+# additions that didn't fit this window — sparse_cosine_related_documents,
+# exact_span_dedup_documents, temperature_mixture_documents,
+# split_leakage_report_documents — plus whatever the tool's
+# changed-since-green block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -40,6 +40,7 @@ _NLJ_ALLOWED = {
     "global_row_number_documents",  # one-row quantile-bounds broadcast
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
+    "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
@@ -187,7 +188,12 @@ def test_gram_expression_not_reinlined(spark, name):
     (`size(split(...)) >= n`) is the intended design and is allowed; the
     failure mode is `transform(...)` appearing in a Condition, or the
     split expression multiplying through the lambda (count > 2: one
-    Project materialization + at most one pushed size-filter)."""
+    Project materialization + at most one pushed size-filter).
+
+    Cache cleared first: queries that persist their shingle frame render
+    any still-cached InMemoryRelation's build plan inline, which would
+    double-count split() occurrences depending on test order."""
+    spark.catalog.clearCache()
     plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
     for line in plan.splitlines():
         if line.strip().startswith("Condition :"):

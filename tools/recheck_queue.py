@@ -42,17 +42,35 @@ REPO = Path(__file__).resolve().parent.parent
 QUERIES_PATH = "spark_pipeline_spark/queries.py"
 
 # Code state each CORRECTNESS_rN.json was measured against: the last work
-# commit of round N ("end-of-round snapshot" where one exists, else the
-# parent of the "round N: verdict" commit).
-ROUND_COMMITS: dict[int, str] = {
-    1: "1dbfcef",
-    2: "2100ba0~1",
-    3: "4ad8639~1",
-    4: "700e924",
-    5: "c11717e",
-    6: "2f020c2",
-    7: "99e1797",
-}
+# commit of round N — discovered from the driver's own commit messages
+# ("round N: end-of-round snapshot" where one exists, else the parent of
+# "round N: verdict/..."), so new rounds need no edits here.
+_ROUND_COMMIT_OVERRIDES: dict[int, str] = {}
+
+
+def round_commits() -> dict[int, str]:
+    out = subprocess.run(
+        ["git", "-C", str(REPO), "log", "--format=%h %s"],
+        capture_output=True,
+        text=True,
+    ).stdout
+    found: dict[int, str] = {}
+    for line in out.splitlines():
+        sha, _, subject = line.partition(" ")
+        m = re.match(r"round (\d+): end-of-round snapshot", subject)
+        if m:
+            found.setdefault(int(m.group(1)), sha)
+            continue
+        m = re.match(r"round (\d+): verdict", subject)
+        if m:
+            # verdict commit carries only driver artifacts; the code the
+            # driver ran is its parent (unless a snapshot commit exists)
+            found.setdefault(int(m.group(1)), f"{sha}~1")
+    found.update(_ROUND_COMMIT_OVERRIDES)
+    return found
+
+
+ROUND_COMMITS = round_commits()
 
 _BLOCK_RE = re.compile(r'^@register\(\s*\n\s*"([a-z0-9_]+)"', re.M)
 
