@@ -8035,6 +8035,64 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(doc_id, score_raw)`` for every document matching at least one
+    `_SEARCH_TERMS` term — the shared BM25 scoring plan behind
+    `bm25_search_documents`, the RRF fusion lexical list, and the MMR
+    candidate pool. One explode-free scan; df/N/avgdl collapse to a
+    one-row broadcast."""
+    # materialize the token array ONCE before fanning it into the dl +
+    # per-term tf expressions: inlined, each of the 5 consumers re-runs
+    # the full split/lower/trim (the same Generate/CSE trap documented
+    # for shingling — measured ~30% of this query's wall at sf0.1)
+    tokenized = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__toks"),
+    )
+    toks = F.col("__toks")
+
+    def tf_of(word):
+        # single-arg lambda: a 2-arg lambda (even via default args) would
+        # be treated as the (element, index) higher-order form
+        return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
+
+    perdoc = tokenized.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
+    )
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
+            for w in _SEARCH_TERMS
+        ],
+    )
+    score_raw = None
+    for w in _SEARCH_TERMS:
+        idf = F.log(
+            (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
+            + 1.0
+        )
+        contrib = (
+            idf
+            * F.col(f"tf_{w}")
+            * (_BM25_K1 + 1.0)
+            / (
+                F.col(f"tf_{w}")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            )
+        )
+        score_raw = contrib if score_raw is None else score_raw + contrib
+    any_hit = sum(F.col(f"tf_{w}") for w in _SEARCH_TERMS) > 0
+    return (
+        perdoc.crossJoin(F.broadcast(stats))
+        .filter(any_hit)
+        .select("doc_id", score_raw.alias("score_raw"))
+    )
+
+
 @register(
     "bm25_search_documents",
     oracle=rf"""
@@ -8088,56 +8146,7 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd scan + one single-row exchange."""
     from pyspark.sql import Window
 
-    # materialize the token array ONCE before fanning it into the dl +
-    # per-term tf expressions: inlined, each of the 5 consumers re-runs
-    # the full split/lower/trim (the same Generate/CSE trap documented
-    # for shingling — measured ~30% of this query's wall at sf0.1)
-    tokenized = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__toks"),
-    )
-    toks = F.col("__toks")
-
-    def tf_of(word):
-        # single-arg lambda: a 2-arg lambda (even via default args) would
-        # be treated as the (element, index) higher-order form
-        return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
-
-    perdoc = tokenized.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
-    )
-    stats = perdoc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
-            for w in _SEARCH_TERMS
-        ],
-    )
-    score_raw = None
-    for w in _SEARCH_TERMS:
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
-            + 1.0
-        )
-        contrib = (
-            idf
-            * F.col(f"tf_{w}")
-            * (_BM25_K1 + 1.0)
-            / (
-                F.col(f"tf_{w}")
-                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        score_raw = contrib if score_raw is None else score_raw + contrib
-    any_hit = sum(F.col(f"tf_{w}") for w in _SEARCH_TERMS) > 0
-    scored = (
-        perdoc.crossJoin(F.broadcast(stats))
-        .filter(any_hit)
-        .select("doc_id", score_raw.alias("score_raw"))
-    )
+    scored = _bm25_scored_frame(spark, sf_dir)
     w_rank = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w_rank))
@@ -9978,51 +9987,13 @@ def mmr_diversified_search_documents(spark: SparkSession, sf_dir: str) -> DataFr
     O(k·cand) on ≤{_MMR_CAND} rows regardless of corpus size."""
     from pyspark.sql import Window
 
-    d = t(spark, sf_dir, "documents")
-    tokenized = d.select(
+    tokenized = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("__toks"),
     )
-    toks = F.col("__toks")
-
-    def tf_of(word):
-        return F.size(F.filter(toks, lambda tk: tk == F.lit(word)))
-
-    perdoc = tokenized.select(
-        "doc_id",
-        F.size(toks).alias("dl"),
-        *[tf_of(w).alias(f"tf_{w}") for w in _SEARCH_TERMS],
-    )
-    stats = perdoc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        *[
-            F.sum(F.when(F.col(f"tf_{w}") > 0, 1).otherwise(0)).alias(f"df_{w}")
-            for w in _SEARCH_TERMS
-        ],
-    )
-    score_raw = None
-    for w in _SEARCH_TERMS:
-        idf = F.log(
-            (F.col("n_docs") - F.col(f"df_{w}") + 0.5) / (F.col(f"df_{w}") + 0.5)
-            + 1.0
-        )
-        contrib = (
-            idf
-            * F.col(f"tf_{w}")
-            * (_BM25_K1 + 1.0)
-            / (
-                F.col(f"tf_{w}")
-                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        )
-        score_raw = contrib if score_raw is None else score_raw + contrib
-    any_hit = sum(F.col(f"tf_{w}") for w in _SEARCH_TERMS) > 0
     w_rank = Window.orderBy(F.desc("score_raw"), F.asc("doc_id"))
     cand_rows = (
-        perdoc.crossJoin(F.broadcast(stats))
-        .filter(any_hit)
-        .select("doc_id", score_raw.alias("score_raw"))
+        _bm25_scored_frame(spark, sf_dir)
         .withColumn("__r", F.row_number().over(w_rank))
         .filter(F.col("__r") <= _MMR_CAND)
         .select("doc_id", "score_raw")
@@ -10103,6 +10074,7 @@ _SPARSE_DF_MIN, _SPARSE_DF_MAX, _SPARSE_COS_MIN = 2, 100, 0.3
         WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {_SPARSE_COS_MIN}
     """,
     tags=("text", "similarity", "retrieval", "llm-pipeline"),
+    bench=True,
 )
 def sparse_cosine_related_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-document pairs by sparse term-vector cosine through a
@@ -10193,6 +10165,7 @@ _SPAN_W, _SPAN_DF_MAX = 8, 16
         GROUP BY 1, 2
     """,
     tags=("dedup", "substring", "llm-pipeline"),
+    bench=True,
 )
 def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate detection (the Lee et al. 2022
