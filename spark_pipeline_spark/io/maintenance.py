@@ -67,7 +67,10 @@ def file_stats(spark: SparkSession, path: str, suffix: str = ".parquet") -> dict
         sizes = _sizes_via_read(spark, path, suffix)
     else:
         fs, hpath, _ = _fs(spark, path)
-        base = hpath.toUri().getPath()
+        # qualify BEFORE comparing: listFiles returns fully-qualified
+        # URIs, so a relative caller path would never prefix-match and
+        # every ancestor of the cwd would be scanned for hidden segments
+        base = fs.makeQualified(hpath).toUri().getPath()
         sizes = []
         it = fs.listFiles(hpath, True)  # recursive
         while it.hasNext():

@@ -180,24 +180,34 @@ def skipping_report(
         lo_d = F.col("min_value").cast("decimal(38,0)")
         hi_d = F.col("max_value").cast("decimal(38,0)")
         # isinstance check first: float(2^63-1) rounds AWAY from the int,
-        # so a float()==int() probe would misroute huge exact ints into
+        # so a float-equality probe would misroute huge exact ints into
         # the fractional branch; the string-literal cast keeps values
-        # beyond float precision exact all the way into the comparison
-        if isinstance(value, int) or float(value) == int(value):
-            v_d = F.lit(str(int(value))).cast("decimal(38,0)")
+        # beyond float precision exact all the way into the comparison.
+        # Everything else (numeric strings like '10.5', floats, inf/nan)
+        # routes off the parsed float — is_integer() is False for
+        # inf/nan, so non-finite pivots take the double path, where IEEE
+        # comparison semantics give the right keep answer.
+        fv = float(value)
+        if isinstance(value, int) and not isinstance(value, bool):
+            v_d = F.lit(str(value)).cast("decimal(38,0)")
             keep_int = _keep(lo_d, hi_d, v_d)
-        else:
+        elif fv.is_integer():
+            v_d = F.lit(str(int(fv))).cast("decimal(38,0)")
+            keep_int = _keep(lo_d, hi_d, v_d)
+        elif math.isfinite(fv):
             # fractional predicate against an integer column: rewrite the
             # bound onto the integer domain (exists int < v ⟺ min <=
             # floor(v); exists int > v ⟺ max >= ceil(v); no int = v)
-            v_floor = F.lit(math.floor(value)).cast("decimal(38,0)")
-            v_ceil = F.lit(math.ceil(value)).cast("decimal(38,0)")
+            v_floor = F.lit(math.floor(fv)).cast("decimal(38,0)")
+            v_ceil = F.lit(math.ceil(fv)).cast("decimal(38,0)")
             if op in ("<", "<="):
                 keep_int = lo_d <= v_floor
             elif op in (">", ">="):
                 keep_int = hi_d >= v_ceil
             else:
                 keep_int = F.lit(False)
+        else:
+            keep_int = keep_dbl  # ±inf / nan: double semantics for ints too
         keep = F.when(stats_integral, keep_int).otherwise(keep_dbl)
     else:
         keep = _keep(F.col("min_value"), F.col("max_value"), F.lit(str(value)))
@@ -235,11 +245,24 @@ def pruned_read(
     one short string per kept file, the same driver footprint as
     Spark's own file-index planning. The row filter stays on the scan,
     so parquet row-group stats prune further WITHIN kept files.
+
+    Works on Hive-partitioned layouts too: the kept-leaf-file read
+    anchors partition discovery with ``basePath``, so partition columns
+    survive (footers don't carry them, so every file is conservatively
+    kept when filtering on one — correct, just unpruned; partition
+    filters belong to the directory layout, not the footer advisor).
     """
     stats = file_column_stats(spark, path, [column])
     report = skipping_report(stats, column, op, value, numeric=numeric)
     kept = [r["path"] for r in report.filter(~F.col("skippable")).collect()]
-    pred = F.col(column).isNotNull() & F.lit(False)  # empty-kept: 0 rows
+    if numeric and isinstance(value, str):
+        # the row predicate must be a NUMERIC literal when the verdicts
+        # were numeric — a string literal against a bigint column throws
+        # NumberFormatException at execution under ANSI casts
+        try:
+            value = int(value)
+        except ValueError:
+            value = float(value)
     if op == "<":
         pred = F.col(column) < F.lit(value)
     elif op == "<=":
@@ -248,9 +271,9 @@ def pruned_read(
         pred = F.col(column) > F.lit(value)
     elif op == ">=":
         pred = F.col(column) >= F.lit(value)
-    elif op == "=":
+    else:  # "=" — skipping_report already rejected anything else
         pred = F.col(column) == F.lit(value)
     if not kept:
         # every file pruned: an empty frame with the table's real schema
         return spark.read.parquet(path).filter(F.lit(False))
-    return spark.read.parquet(*kept).filter(pred)
+    return spark.read.option("basePath", path).parquet(*kept).filter(pred)

@@ -11105,17 +11105,24 @@ def delete_propagation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-8 rotation, generated by ``python tools/recheck_queue.py``
+    # Round-8 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; no hand-maintained manifest). After r7, 161 of 198
-    # registered queries are driver-green all-time; the 37 that never
-    # were fill the first 37 slots — closing all-time driver coverage to
-    # 198/198 once this window is green. The remaining 13 slots re-check
-    # (a) the 7 queries whose queries.py registration block changed
-    # since their green round (recheck_queue.py "changed-since-green"),
-    # and (b) 6 canaries whose backing operator MODULE was reworked in
-    # r7 after their green round (asof.py merge_asof surface → the asof
-    # query; dedup.py incremental index → minhash) plus the three
-    # events watch items from VERDICT r7 item 6 and the q1 flagship.
+    # registered queries were driver-green all-time; the 37 that never
+    # were fill the first 37 slots — closing all-time driver coverage
+    # once this window is green. The remaining 13 slots: (a) the 7
+    # queries whose registration block changed since their green round
+    # at rotation time, (b) 4 canaries — two whose backing operator
+    # MODULE was reworked in r7 after their green round (asof.py
+    # merge_asof surface → events_asof_last_purchase; dedup.py
+    # incremental index → dedup_minhash), one sampling-family
+    # representative (window-contract tag invariant), and q9 (the
+    # de-hinted TPC-H watch item, tpch tag invariant) — and (c) two
+    # round-8 additions. NOTE: the late-r8 BM25 refactor makes
+    # bm25_search_documents changed-since-green at HEAD; it has no slot
+    # here, but the shared `_bm25_scored_frame` it now delegates to IS
+    # exercised by two window entries (rrf_fusion_search_documents and
+    # mmr_diversified_search_documents consume the same frame), and
+    # bm25 itself heads the r9 queue below.
     # --- 15 r6 spillovers (never checked) ---
     "grouping_sets_orders", "join_cardinality_advisor",
     "quality_filter_attrition_documents", "seasonal_anomaly_hours_events",
@@ -11142,10 +11149,10 @@ _DRIVER_WINDOW = [
     "pipeline_documents_clean", "score_logistic_model",
     "semi_anti_join_customers", "table_diff_orders_feed",
     "text_quality_documents",
-    # --- 5 module-changed / watch-item / family-coverage canaries ---
-    # (events_tumbling_daily stays bench-watched for TIMING; its slot
-    # goes to a sampling-family representative so the window keeps one
-    # query per operator family — the window-contract invariant)
+    # --- 4 module-changed / watch-item / family-coverage canaries ---
+    # (events_tumbling_daily / events_sessions_30m stay bench-watched
+    # for TIMING; their slots went to a sampling-family representative
+    # and the round-8 additions)
     "events_asof_last_purchase", "dedup_minhash_lsh_documents",
     "token_budget_sample_documents",
     "q9_nation_year_profit",
@@ -11155,11 +11162,12 @@ _DRIVER_WINDOW = [
 ]
 
 # r9 rotation queue (derive authoritatively with `python
-# tools/recheck_queue.py` AFTER CORRECTNESS_r08 lands): the four r8
-# additions that didn't fit this window — sparse_cosine_related_documents,
-# exact_span_dedup_documents, temperature_mixture_documents,
-# split_leakage_report_documents — plus whatever the tool's
-# changed-since-green block diff flags at that point.
+# tools/recheck_queue.py` AFTER CORRECTNESS_r08 lands):
+# bm25_search_documents (refactored onto _bm25_scored_frame after its
+# r7 green), the four r8 additions that didn't fit this window —
+# sparse_cosine_related_documents, exact_span_dedup_documents,
+# temperature_mixture_documents, split_leakage_report_documents — plus
+# whatever the tool's block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
 _missing = [n for n in _DRIVER_WINDOW if n not in REGISTRY]

@@ -203,6 +203,30 @@ def _replay_guarded_swap(spark, target_path: str, batch_id: int, merge_fn) -> No
     spark.read.parquet(staging).write.mode("overwrite").parquet(target_path)
 
 
+
+def _try_read_parquet(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read committed parquet at ``path`` or return None when it is
+    ABSENT (missing path / only uncommitted ``_temporary`` debris).
+    Any other AnalysisException — e.g. conflicting schemas across batch
+    partitions — re-raises: treating it as "absent" would silently turn
+    real corruption into a no-op for callers like the purge routine."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force analysis
+        return df
+    except AnalysisException as exc:
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+        ):
+            return None
+        raise
+
+
 def read_parquet_stream(
     spark: SparkSession, path: str, schema_ddl: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -645,25 +669,8 @@ def stream_dedup_lsh_sink(
         # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
         # committed parquet", probed by the read itself — a crash that
         # left only _temporary content reads as absent.
-        def try_read(path):
-            from pyspark.errors import AnalysisException
-
-            try:
-                df = spark.read.parquet(path)
-                df.schema  # force analysis
-                return df
-            except AnalysisException as exc:
-                msg = str(exc)
-                if (
-                    "PATH_NOT_FOUND" in msg
-                    or "Path does not exist" in msg
-                    or "UNABLE_TO_INFER_SCHEMA" in msg
-                ):
-                    return None
-                raise
-
-        idx_bands = try_read(bands_path)
-        idx_sh = try_read(shingles_path)
+        idx_bands = _try_read_parquet(spark, bands_path)
+        idx_sh = _try_read_parquet(spark, shingles_path)
         if idx_bands is not None and idx_sh is not None:
             idx_bands = idx_bands.filter(F.col("batch") != batch_id)
             idx_sh = idx_sh.filter(F.col("batch") != batch_id)
@@ -874,12 +881,11 @@ def purge_ids_from_dedup_index(
     corrupt it). The ``batch=<id>`` partition layout is preserved via
     ``partitionBy`` so the sink's self-batch replay exclusion keeps
     working; a batch whose rows are all purged disappears entirely, which
-    readers already treat as absent. Scale: two anti-joins keyed on the
-    id — cost O(|index|), no text ever moves (the index stores only
-    fixed-width band keys and shingle arrays).
+    readers already treat as absent. Scale: anti-joins keyed on the id —
+    cost O(|index|); the index rewrite moves only fixed-width band keys
+    and shingle arrays (the optional ``accepted_path`` rewrite does move
+    document payloads — that IS the table being redacted).
     """
-    from pyspark.errors import AnalysisException
-
     tomb = ids.toDF("__purge_id")
     out = {}
     sub_tables = [("bands", index_path.rstrip("/") + "/bands", "__id"),
@@ -888,10 +894,8 @@ def purge_ids_from_dedup_index(
         sub_tables.append(("accepted", accepted_path, id_col))
 
     for name, path, col in sub_tables:
-        try:
-            df = spark.read.parquet(path)
-            df.schema
-        except AnalysisException:
+        df = _try_read_parquet(spark, path)
+        if df is None:
             out[f"{name}_removed"] = 0
             continue
         before = df.count()

@@ -627,3 +627,25 @@ def test_driver_window_queries_nonempty_at_driver_scale(spark):
         if REGISTRY[name].fn(spark, SF_ORACLE).count() == 0
     ]
     assert not empty, f"vacuous driver-window gates: {empty}"
+
+
+def test_recheck_tool_block_extraction_matches_registry():
+    """tools/recheck_queue.py derives the re-check queue from textual
+    @register-block extraction — it must see exactly the queries the live
+    REGISTRY registers, or the window rotation planner silently drops
+    queries from coverage accounting."""
+    import pathlib
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent / "tools"))
+    from recheck_queue import QUERIES_PATH, REPO, extract_blocks
+
+    from spark_pipeline_spark.queries import REGISTRY
+
+    blocks = extract_blocks((REPO / QUERIES_PATH).read_text())
+    assert set(blocks) == set(REGISTRY), (
+        set(blocks) ^ set(REGISTRY)
+    )
+    # every block must contain its own def (sanity of the span logic)
+    missing_def = [n for n, b in blocks.items() if "def " not in b]
+    assert not missing_def, missing_def

@@ -203,3 +203,62 @@ def test_pruned_read_equals_full_filter(spark, tmp_path):
     empty = pruned_read(spark, out, "o_orderkey", "<", -1)
     assert empty.count() == 0
     assert empty.schema == spark.read.parquet(out).schema
+
+
+def test_pruned_read_equals_full_filter_all_ops(spark, tmp_path):
+    """pruned_read ≡ full scan + filter for every supported operator and
+    pivot (the conservative contract end-to-end, not just for '<')."""
+    from spark_pipeline_spark.io.skipping import pruned_read
+
+    out = _write_range_layout(spark, tmp_path)
+    lo, med, hi = (
+        t(spark, SF_SMALL, "orders")
+        .agg(
+            F.min("o_orderkey"),
+            F.expr("percentile(o_orderkey, 0.5)"),
+            F.max("o_orderkey"),
+        )
+        .collect()[0]
+    )
+    for op in ("<", "<=", ">", ">=", "="):
+        for v in (lo, int(med), hi):
+            got = pruned_read(spark, out, "o_orderkey", op, v).count()
+            expr = f"o_orderkey {'==' if op == '=' else op} {v}"
+            want = spark.read.parquet(out).filter(expr).count()
+            assert got == want, (op, v, got, want)
+
+
+def test_pruned_read_on_hive_partitioned_layout(spark, tmp_path):
+    """Partition columns live in the DIRECTORY layout, not footers — the
+    pruned scan must anchor discovery with basePath so they survive, on
+    both the kept-files and the filter-on-partition-column paths."""
+    from spark_pipeline_spark.io.skipping import pruned_read
+
+    out = str(tmp_path / "orders_part")
+    (
+        t(spark, SF_SMALL, "orders")
+        .withColumn("bucket", (F.col("o_orderkey") % 4).cast("int"))
+        .repartition("bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    full = spark.read.parquet(out)
+
+    # filter on a DATA column: schema (incl. partition col) must survive
+    med = t(spark, SF_SMALL, "orders").agg(
+        F.expr("percentile(o_orderkey, 0.5)")
+    ).collect()[0][0]
+    pruned = pruned_read(spark, out, "o_orderkey", "<", med)
+    assert set(pruned.columns) == set(full.columns)
+    assert pruned.count() == full.filter(F.col("o_orderkey") < med).count()
+
+    # filter on the PARTITION column: footers can't judge it (all files
+    # conservatively kept), but the predicate must still work
+    pruned_p = pruned_read(spark, out, "bucket", "=", 2)
+    assert pruned_p.count() == full.filter(F.col("bucket") == 2).count()
+    assert pruned_p.count() > 0
+
+    # numeric-string pivot regression (crashed via int('10.5') before)
+    ok = pruned_read(spark, out, "o_orderkey", "<", str(float(med) + 0.5))
+    assert ok.count() == full.filter(F.col("o_orderkey") < float(med) + 0.5).count()

@@ -87,18 +87,52 @@ def _git_show(ref: str, path: str) -> str:
 
 
 def extract_blocks(text: str) -> dict[str, str]:
-    """Map query name -> its full registration block text.
-
-    A block runs from its ``@register(`` line to the next ``@register(``
-    (or EOF); that span covers the oracle SQL, tags, docstring, and body,
-    which is exactly what the driver's hash check exercises.
+    """Map query name -> its registration block text: the ``@register(``
+    decorator (oracle SQL, tags) through the END of the decorated
+    function — i.e. up to the first column-0 statement after the
+    ``def`` line. Ending at the function boundary (not at the next
+    ``@register``) keeps module-level constants/helpers BETWEEN
+    registrations out of every block, so inserting a new query or helper
+    no longer flags its textual neighbor as changed, and an edit to an
+    inter-block helper is reported via the scaffolding hash instead of
+    being mis-attributed to an unrelated query.
     """
+    lines = text.splitlines(keepends=True)
+    # byte offset of each line start
+    offs = [0]
+    for ln in lines:
+        offs.append(offs[-1] + len(ln))
     matches = list(_BLOCK_RE.finditer(text))
     blocks: dict[str, str] = {}
-    for i, m in enumerate(matches):
-        end = matches[i + 1].start() if i + 1 < len(matches) else len(text)
-        blocks[m.group(1)] = text[m.start() : end]
+    import bisect
+
+    for m in matches:
+        start_line = bisect.bisect_right(offs, m.start()) - 1
+        # find the "def " line for this registration, then the first
+        # column-0 statement line after it
+        i = start_line
+        while i < len(lines) and not lines[i].startswith("def "):
+            i += 1
+        j = i + 1
+        while j < len(lines):
+            ln = lines[j]
+            if ln.strip() and not ln[0] in (" ", "\t", ")", "]", "}"):
+                break
+            j += 1
+        blocks[m.group(1)] = text[m.start() : offs[j]]
     return blocks
+
+
+def scaffolding(text: str) -> str:
+    """Everything in queries.py OUTSIDE the registration blocks —
+    module-level constants, SQL-CTE generators, shared frames like
+    ``_bm25_scored_frame``. A change here can affect MANY queries, so
+    the tool reports it as its own signal rather than guessing an
+    attribution."""
+    out = text
+    for block in extract_blocks(text).values():
+        out = out.replace(block, "", 1)
+    return out
 
 
 def _hash(block: str) -> str:
@@ -156,10 +190,14 @@ def compute() -> dict:
             changed.append({"query": name, "green_round": rnd, "reason": "block-changed"})
 
     max_round = max(ROUND_COMMITS)
+    head_scaffold = _hash(scaffolding((REPO / QUERIES_PATH).read_text()))
+    old_text = _git_show(ROUND_COMMITS[max_round], QUERIES_PATH)
+    scaffold_changed = _hash(scaffolding(old_text)) != head_scaffold if old_text else True
     return {
         "registered": len(head_blocks),
         "never_checked": never,
         "changed_since_green": changed,
+        "queries_scaffolding_changed_since_last_round": scaffold_changed,
         "operator_modules_changed_since_last_round": changed_modules_since(
             ROUND_COMMITS[max_round]
         ),
@@ -182,6 +220,10 @@ def main() -> None:
     print(f"\nchanged since green ({len(r['changed_since_green'])}):")
     for c in r["changed_since_green"]:
         print(f"  {c['query']} (green r{c['green_round']}, {c['reason']})")
+    print(
+        "\nqueries.py scaffolding (inter-block helpers/constants) changed "
+        f"since last snapshot: {r['queries_scaffolding_changed_since_last_round']}"
+    )
     mods = r["operator_modules_changed_since_last_round"]
     print(f"\noperator modules changed since last snapshot ({len(mods)}):")
     for m in mods:
