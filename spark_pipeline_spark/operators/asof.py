@@ -59,9 +59,16 @@ def asof_join(
     pattern — pandas ``merge_asof(direction="forward")``). Forward is
     the same carry over the time-reversed sort; with a tolerance, the
     match must be within ``tolerance_seconds`` AFTER the left row.
+    ``"nearest"`` takes whichever of the two is closer in time (equal
+    distance → backward, matching pandas); implemented as BOTH carries
+    over ONE exchange — same hash partitioning, two in-partition sorts,
+    still zero join nodes — with a per-row closest-gap choice. A
+    tolerance bounds the winning gap's absolute size.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     right_ts = right_ts or left_ts
 
@@ -93,27 +100,56 @@ def asof_join(
     # of an arbitrary partition-dependent pick. Forward direction = the
     # identical carry over the time-REVERSED sort (right rows still sort
     # before left rows at equal ts, preserving inclusive ties).
-    ts_order = F.col("__ts") if direction == "backward" else F.col("__ts").desc()
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(ts_order, F.col("__tag"), F.md5(F.to_json(F.col("__r"))))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = unioned.withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    def _window(ts_order):
+        return (
+            Window.partitionBy(*keys)
+            .orderBy(ts_order, F.col("__tag"), F.md5(F.to_json(F.col("__r"))))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
 
-    if tolerance_seconds is not None:
-        gap = F.col("__ts").cast("double") - F.col(f"__match.{right_ts}").cast(
-            "double"
+    if direction == "nearest":
+        # both carries share the hash partitioning on the keys: one
+        # exchange, two in-partition sorts, then a per-row gap compare
+        back = F.last("__r", ignorenulls=True).over(_window(F.col("__ts")))
+        fwd = F.last("__r", ignorenulls=True).over(_window(F.col("__ts").desc()))
+        carried = unioned.withColumn("__mb", back).withColumn("__mf", fwd)
+        gb = F.col("__ts").cast("double") - F.col(f"__mb.{right_ts}").cast("double")
+        gf = F.col(f"__mf.{right_ts}").cast("double") - F.col("__ts").cast("double")
+        if tolerance_seconds is not None:
+            tol = float(tolerance_seconds)
+            carried = carried.withColumn(
+                "__mb", F.when(F.col("__mb").isNotNull() & (gb <= tol), F.col("__mb"))
+            ).withColumn(
+                "__mf", F.when(F.col("__mf").isNotNull() & (gf <= tol), F.col("__mf"))
+            )
+        take_back = F.col("__mb").isNotNull() & (
+            F.col("__mf").isNull() | (gb <= gf)
         )
-        if direction == "forward":
-            gap = -gap
         carried = carried.withColumn(
-            "__match",
-            F.when(
-                F.col("__match").isNotNull() & (gap <= float(tolerance_seconds)),
-                F.col("__match"),
-            ),
+            "__match", F.when(take_back, F.col("__mb")).otherwise(F.col("__mf"))
         )
+    else:
+        ts_order = (
+            F.col("__ts") if direction == "backward" else F.col("__ts").desc()
+        )
+        carried = unioned.withColumn(
+            "__match", F.last("__r", ignorenulls=True).over(_window(ts_order))
+        )
+
+        if tolerance_seconds is not None:
+            gap = F.col("__ts").cast("double") - F.col(f"__match.{right_ts}").cast(
+                "double"
+            )
+            if direction == "forward":
+                gap = -gap
+            carried = carried.withColumn(
+                "__match",
+                F.when(
+                    F.col("__match").isNotNull()
+                    & (gap <= float(tolerance_seconds)),
+                    F.col("__match"),
+                ),
+            )
 
     out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
     out_cols += [

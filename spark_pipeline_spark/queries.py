@@ -2262,6 +2262,74 @@ def events_asof_tolerance_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof_nearest_purchase",
+    oracle="""
+        WITH p AS (
+          SELECT user_id, ts, event_id, value FROM events
+          WHERE event_type = 'purchase'
+        ),
+        b AS (
+          SELECT e.event_id, e.ts, e.user_id, p.ts AS bts,
+                 p.event_id AS b_id, p.value AS b_val
+          FROM events e ASOF LEFT JOIN p
+            ON e.user_id = p.user_id AND e.ts >= p.ts
+        ),
+        e2 AS (SELECT event_id, user_id, -epoch(ts) AS rev FROM events),
+        p2 AS (
+          SELECT user_id, event_id, value, ts, -epoch(ts) AS rev FROM p
+        ),
+        f AS (
+          SELECT e2.event_id, p2.ts AS fts, p2.event_id AS f_id,
+                 p2.value AS f_val
+          FROM e2 ASOF LEFT JOIN p2
+            ON e2.user_id = p2.user_id AND e2.rev >= p2.rev
+        ),
+        chosen AS (
+          SELECT b.event_id, b.ts, b.user_id,
+                 CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL
+                        OR epoch(b.ts) - epoch(b.bts)
+                           <= epoch(f.fts) - epoch(b.ts))
+                      THEN TRUE ELSE FALSE END AS take_back,
+                 b.b_id, b.b_val, f.f_id, f.f_val
+          FROM b JOIN f USING (event_id)
+        )
+        SELECT event_id,
+               floor(epoch(ts))::BIGINT AS ts_epoch,
+               user_id,
+               CASE WHEN take_back THEN b_id ELSE f_id END AS asof_event_id,
+               round(CASE WHEN take_back THEN b_val ELSE f_val END, 2)
+                 AS asof_value
+        FROM chosen
+    """,
+    tags=("asof", "join", "events", "nearest", "llm-pipeline"),
+)
+def events_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — the last merge_asof direction: every event
+    annotated with the user's purchase CLOSEST in time, before or after
+    (equal distance → the prior one, pandas' tie rule). One exchange,
+    two in-partition sorts (backward + forward carry over the same hash
+    partitioning), zero join nodes — the oracle composes DuckDB's native
+    backward ASOF with its negated-epoch forward replay and picks
+    per-row by gap."""
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    j = asof_join(e, purchases, on="user_id", left_ts="ts", direction="nearest")
+    return j.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "user_id",
+        F.col("asof_event_id"),
+        F.round("asof_value", 2).alias("asof_value"),
+    )
+
+
+@register(
     "events_resample_6h_ffill",
     oracle="""
         WITH b AS (
@@ -11164,9 +11232,10 @@ _DRIVER_WINDOW = [
 # r9 rotation queue (derive authoritatively with `python
 # tools/recheck_queue.py` AFTER CORRECTNESS_r08 lands):
 # bm25_search_documents (refactored onto _bm25_scored_frame after its
-# r7 green), the four r8 additions that didn't fit this window —
+# r7 green), the five r8 additions that didn't fit this window —
 # sparse_cosine_related_documents, exact_span_dedup_documents,
-# temperature_mixture_documents, split_leakage_report_documents — plus
+# temperature_mixture_documents, split_leakage_report_documents,
+# events_asof_nearest_purchase — plus
 # whatever the tool's block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

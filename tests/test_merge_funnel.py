@@ -390,3 +390,52 @@ def test_merge_apply_cdc_out_of_order_feed(spark):
     )
     out = merge_apply_cdc(base, feed, ["k"], "version").collect()
     assert [(r["k"], r["v"], r["version"]) for r in out] == [(1, "live", 5)]
+
+
+def test_asof_nearest_semantics_and_tolerance(spark):
+    """Nearest direction edge cases pinned: closer-after wins, closer-
+    before wins, equal distance breaks to the PRIOR row (pandas tie
+    rule), no-match nulls, and the tolerance bounds the WINNING gap on
+    both sides."""
+    import datetime as dt
+
+    from spark_pipeline_spark.operators.asof import asof_join
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    left = spark.createDataFrame(
+        [
+            (1, ts(10)),  # prior@9 (1h), next@12 (2h)  -> prior 'p9'
+            (2, ts(10)),  # prior@6 (4h), next@11 (1h)  -> next  'n11'
+            (3, ts(10)),  # prior@8 (2h), next@12 (2h)  -> tie -> prior 'p8'
+            (4, ts(10)),  # no right rows                -> null
+        ],
+        "k int, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts(9), "p9"), (1, ts(12), "n12"),
+            (2, ts(6), "p6"), (2, ts(11), "n11"),
+            (3, ts(8), "p8"), (3, ts(12), "n12b"),
+        ],
+        "k int, ts timestamp, v string",
+    )
+    got = {
+        r["k"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", direction="nearest"
+        ).collect()
+    }
+    assert got == {1: "p9", 2: "n11", 3: "p8", 4: None}
+
+    # tolerance 90 minutes: k=1 keeps its 1h prior, k=2 keeps its 1h
+    # next, k=3's best gap is 2h on both sides -> masked to null
+    got_tol = {
+        r["k"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts",
+            direction="nearest", tolerance_seconds=5400,
+        ).collect()
+    }
+    assert got_tol == {1: "p9", 2: "n11", 3: None, 4: None}

@@ -95,10 +95,12 @@ def test_text_stats_scan_prunes_to_two_columns(spark):
 
 def test_asof_join_is_single_window_no_join_node(spark):
     """The as-of operator must stay union + window — no join node, one
-    Window over the unioned stream."""
-    plan = _plan(REGISTRY["events_asof_last_purchase"].fn(spark, SF_SMALL))
-    assert "Join" not in plan
-    assert plan.count("Window") >= 1
+    Window over the unioned stream (two for nearest: backward + forward
+    carries over the same partitioning, still joinless)."""
+    for name in ("events_asof_last_purchase", "events_asof_nearest_purchase"):
+        plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
+        assert "Join" not in plan, name
+        assert plan.count("Window") >= 1, name
 
 
 def test_topk_window_gets_group_limit_pushdown(spark):
