@@ -3610,6 +3610,108 @@ def text_unigram_nll_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doremi_domain_reweight_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY term),
+        tot AS (SELECT sum(n) AS total FROM vocab),
+        lp AS (SELECT term, ln(n / total) / ln(2) AS logp2 FROM vocab, tot),
+        dom AS (
+          SELECT source, count(*)::DOUBLE AS n_tok, avg(-logp2) AS bits
+          FROM tok JOIN lp USING (term)
+          GROUP BY source
+        ),
+        base AS (
+          SELECT sum(n_tok * bits) / sum(n_tok) AS ref_bits,
+                 sum(n_tok) AS all_tok
+          FROM dom
+        ),
+        upd AS (
+          SELECT source, n_tok, bits,
+                 greatest(bits - ref_bits, 0) AS excess,
+                 n_tok / all_tok AS w0,
+                 (n_tok / all_tok) * exp(greatest(bits - ref_bits, 0)) AS raw
+          FROM dom, base
+        ),
+        z AS (SELECT sum(raw) AS z, count(*)::DOUBLE AS k FROM upd)
+        SELECT source,
+               n_tok::BIGINT AS n_tok,
+               round(bits, 6) AS avg_bits,
+               round(excess, 6) AS excess_bits,
+               round(w0, 6) AS w0,
+               round(0.99 * raw / z + 0.01 / k, 6) AS w_new
+        FROM upd, z
+    """,
+    tags=("text", "mixture", "doremi", "llm-pipeline"),
+)
+def doremi_domain_reweight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023), one
+    exponentiated-gradient step: each source's training-mix weight is
+    multiplied by exp(excess loss) and renormalized, then smoothed with
+    a 1% uniform mixture — domains the model finds HARDER than the
+    corpus-weighted reference gain weight. The per-domain loss proxy is
+    the corpus's own unigram LM bits/token (the `text_unigram_nll`
+    machinery aggregated per source); excess clips at zero as in the
+    paper. Scale shape: one tokenize pass, one vocabulary aggregate, a
+    shuffle join token↔vocab, then everything from `dom` down is
+    |sources| rows — the corpus never crosses an exchange twice, and
+    every broadcast side is a global (≤1-row) aggregate."""
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    d = ensure_min_partitions(
+        t(spark, sf_dir, "documents").select("source", "text")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    total = vocab.agg(F.sum("n").alias("total"))
+    ln2 = F.log(F.lit(2.0))
+    lp = vocab.join(F.broadcast(total)).select(
+        "term", (F.log(F.col("n") / F.col("total")) / ln2).alias("logp2")
+    )
+    dom = (
+        toks.join(lp, "term")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_tok"),
+            F.avg(-F.col("logp2")).alias("bits"),
+        )
+    )
+    base = dom.agg(
+        (F.sum(F.col("n_tok") * F.col("bits")) / F.sum("n_tok")).alias("ref_bits"),
+        F.sum("n_tok").alias("all_tok"),
+    )
+    excess = F.greatest(F.col("bits") - F.col("ref_bits"), F.lit(0.0))
+    upd = dom.join(F.broadcast(base)).select(
+        "source",
+        "n_tok",
+        "bits",
+        excess.alias("excess"),
+        (F.col("n_tok") / F.col("all_tok")).alias("w0"),
+        ((F.col("n_tok") / F.col("all_tok")) * F.exp(excess)).alias("raw"),
+    )
+    z = upd.agg(
+        F.sum("raw").alias("z"), F.count(F.lit(1)).cast("double").alias("k")
+    )
+    return upd.join(F.broadcast(z)).select(
+        "source",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.round("bits", 6).alias("avg_bits"),
+        F.round("excess", 6).alias("excess_bits"),
+        F.round("w0", 6).alias("w0"),
+        F.round(
+            F.lit(0.99) * F.col("raw") / F.col("z") + F.lit(0.01) / F.col("k"), 6
+        ).alias("w_new"),
+    )
+
+
+@register(
     "kmeans_update_centroids",
     oracle=f"""
         WITH {_SQL_IVF_ASSIGN},
@@ -3649,6 +3751,95 @@ def kmeans_update_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("c_val"))
         .join(F.broadcast(members), "cell")
         .select("cell", "pos", "c_val", "n_members")
+    )
+
+
+@register(
+    "semdedup_prune_embeddings",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        csim AS (
+          SELECT a.vec_id, a.v, a.cell,
+                 round(list_cosine_similarity(a.v, c.cv), 6) AS centroid_sim
+          FROM assign a JOIN cen c ON a.cell = c.cell
+        ),
+        dropped AS (
+          SELECT DISTINCT b.vec_id
+          FROM csim a JOIN csim b
+            ON a.cell = b.cell AND a.vec_id != b.vec_id
+           AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+           AND (a.centroid_sim < b.centroid_sim
+                OR (a.centroid_sim = b.centroid_sim AND a.vec_id < b.vec_id))
+        )
+        SELECT s.vec_id, s.cell, s.centroid_sim,
+               (d.vec_id IS NULL)::INT AS kept
+        FROM csim s LEFT JOIN dropped d ON s.vec_id = d.vec_id
+    """,
+    tags=("similarity", "dedup", "semdedup", "llm-pipeline"),
+)
+def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (Abbas et al. 2023): cluster the
+    embedding space (the seed-centroid IVF cells stand in for the
+    k-means step, whose Lloyd iteration is `kmeans_update_centroids`),
+    then within each cluster drop any member that has a cosine-
+    near-duplicate (≥ 0.4) with LOWER similarity to the centroid — the
+    paper's keep-the-example-least-like-the-centroid policy, made
+    single-pass and order-free (any pair loss drops the higher-sim
+    member; the greedy-sequential variant is order-dependent and
+    therefore not reproducible across engines). Scale shape: centroids
+    broadcast, pairs form only WITHIN cells (k ∝ N keeps cells bounded
+    in a real run — never all-pairs), and the drop decision rejoins ids
+    only. Cosines are rounded to 6dp BEFORE the precedence compare so
+    both engines break ties identically."""
+    from spark_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cs = (
+        ivf_assign(e, centroids)
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.round(cosine_similarity("embedding", "centroid"), 6).alias(
+                "centroid_sim"
+            ),
+        )
+    )
+    a = cs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        "cell",
+        F.col("centroid_sim").alias("sa"),
+    )
+    b = cs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.col("cell").alias("cell_b"),
+        F.col("centroid_sim").alias("sb"),
+    )
+    dropped = (
+        a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") != F.col("id_b")))
+        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.4)
+        .filter(
+            (F.col("sa") < F.col("sb"))
+            | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return cs.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cell",
+        "centroid_sim",
+        F.col("__dropped").isNull().cast("int").alias("kept"),
     )
 
 
@@ -11232,10 +11423,11 @@ _DRIVER_WINDOW = [
 # r9 rotation queue (derive authoritatively with `python
 # tools/recheck_queue.py` AFTER CORRECTNESS_r08 lands):
 # bm25_search_documents (refactored onto _bm25_scored_frame after its
-# r7 green), the five r8 additions that didn't fit this window —
+# r7 green), the seven r8 additions that didn't fit this window —
 # sparse_cosine_related_documents, exact_span_dedup_documents,
 # temperature_mixture_documents, split_leakage_report_documents,
-# events_asof_nearest_purchase — plus
+# events_asof_nearest_purchase, semdedup_prune_embeddings,
+# doremi_domain_reweight_documents — plus
 # whatever the tool's block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -54,6 +54,8 @@ _NLJ_ALLOWED = {
     "ann_ndcg_mrr_report",  # same exact-vs-approx shape as ivf_recall_report
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
     "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
+    "semdedup_prune_embeddings",  # k-centroid frames broadcast (ivf_assign shape)
+    "doremi_domain_reweight_documents",  # one-row vocab-total/ref-bits/Z broadcasts
     "nll_quartile_bucket_documents",  # one-row vocabulary-total broadcast
     "nll_boundary_bucket_documents",  # one-row vocabulary-total broadcast
     "rrf_fusion_search_documents",  # one-row query-vector + bm25-stats broadcasts
@@ -286,6 +288,7 @@ _BOUNDED_HINTS = {
     "embedding_ann_ivf": "seed centroids + fixed query set",
     "embedding_ann_ivf_nprobe2": "seed centroids + fixed query set",
     "embedding_near_dup_ivf": "seed centroids (fixed k cells)",
+    "semdedup_prune_embeddings": "seed centroids (fixed k cells)",
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",
