@@ -8691,6 +8691,76 @@ def eval_roc_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "eval_calibration_ece_binned",
+    oracle=f"""
+        WITH {_SQL_EVAL_LABELED},
+        binned AS (
+          SELECT least(floor(s * 10), 9)::BIGINT AS bin,
+                 count(*)::BIGINT AS n,
+                 sum(label)::DOUBLE AS n_pos,
+                 sum(s) AS sum_s
+          FROM labeled GROUP BY 1
+        ),
+        tot AS (SELECT sum(n)::DOUBLE AS total FROM binned),
+        rel AS (
+          SELECT bin, n,
+                 sum_s / n AS conf,
+                 n_pos / n AS acc,
+                 abs(n_pos / n - sum_s / n) AS gap,
+                 n / total AS wt
+          FROM binned, tot
+        ),
+        e AS (SELECT sum(wt * gap) AS ece FROM rel)
+        SELECT bin, n,
+               round(conf, 6) AS conf,
+               round(acc, 6) AS acc,
+               round(gap, 6) AS gap,
+               round((SELECT ece FROM e), 6) AS ece
+        FROM rel
+    """,
+    tags=("eval", "scoring", "calibration", "ml-ops"),
+)
+def eval_calibration_ece_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error over the shared
+    scored/labeled eval frame: 10 equal-width confidence bins, per-bin
+    mean confidence vs empirical accuracy, and the bin-weighted ECE
+    (Guo et al. 2017's standard estimator) carried on every row. Same
+    exact-at-scale shape as the binned ROC: the scored table collapses
+    to ≤10 (bin, n, n_pos, sum_s) rows in one map-side-combined groupBy;
+    the ECE reduction and the count total are one-row broadcasts over
+    that tiny frame."""
+    labeled = _eval_labeled(spark, sf_dir)
+    binned = (
+        labeled.groupBy(
+            F.least(F.floor(F.col("s") * 10), F.lit(9)).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("label").cast("double").alias("n_pos"),
+            F.sum("s").alias("sum_s"),
+        )
+    )
+    tot = binned.agg(F.sum("n").cast("double").alias("total"))
+    rel = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        (F.col("sum_s") / F.col("n")).alias("conf"),
+        (F.col("n_pos") / F.col("n")).alias("acc"),
+        F.abs(F.col("n_pos") / F.col("n") - F.col("sum_s") / F.col("n")).alias("gap"),
+        (F.col("n") / F.col("total")).alias("wt"),
+    )
+    e = rel.agg(F.sum(F.col("wt") * F.col("gap")).alias("ece"))
+    return rel.crossJoin(F.broadcast(e)).select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("gap", 6).alias("gap"),
+        F.round("ece", 6).alias("ece"),
+    )
+
+
+@register(
     "k_anonymity_audit_customer",
     oracle="""
         WITH qi AS (
@@ -10477,6 +10547,129 @@ def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_scrub_documents",
+    oracle=rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS term
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)
+        ),
+        starts AS (
+          SELECT doc_id, i - 1 AS s, gs[i] AS g
+          FROM (
+            SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS i
+            FROM (
+              SELECT doc_id, list_transform(
+                range(1, len(w) - {_SPAN_W - 2}),
+                i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+              ) AS gs
+              FROM w WHERE len(w) >= {_SPAN_W}
+            )
+          )
+        ),
+        freq AS (
+          SELECT g FROM (SELECT DISTINCT g, doc_id FROM starts)
+          GROUP BY g HAVING count(*) >= 2
+        ),
+        cov AS (
+          SELECT DISTINCT s.doc_id, s.s + u.d AS pos
+          FROM starts s JOIN freq USING (g)
+          CROSS JOIN (SELECT unnest(range(0, {_SPAN_W})) AS d) u
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.term FROM toks t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(term, ' ' ORDER BY pos) AS scrubbed_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               len(w.w)::BIGINT AS n_tokens,
+               (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(a.scrubbed_text, '') AS scrubbed_text
+        FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "dedup", "scrub", "llm-pipeline"),
+)
+def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span scrubbing (the C4/RefinedWeb boilerplate-removal
+    regime at span granularity): any exact {_SPAN_W}-word span occurring
+    in ≥ 2 distinct documents is boilerplate; every token covered by
+    such a span is removed and the remaining text is reconstructed in
+    order, with per-doc kept/removed counts. The detection SIDE of this
+    is `exact_span_dedup_documents`; this is the mutation side a corpus
+    cleaning pass actually applies.
+
+    Scale shape: positional grams materialize once behind a projection
+    barrier and are persisted across their two consumers (frequency cut
+    + coverage join) — the Generate-trap discipline of the shingle path.
+    Gram text crosses an exchange once as a join key; coverage expansion
+    is O(occurrences × {_SPAN_W}) rows of (id, int) — linear, never
+    pairwise; reconstruction is a per-doc collect_list bounded by doc
+    length, no global sort."""
+    W = _SPAN_W
+    words = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
+        .persist()
+    )
+    toks = words.select(
+        "doc_id", F.posexplode_outer("w").alias("pos", "term")
+    ).filter(F.col("term").isNotNull())
+    grams = words.filter(F.size("w") >= W).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - W),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
+        ).alias("gs"),
+    )
+    starts = (
+        grams.select("doc_id", F.posexplode_outer("gs").alias("s", "g"))
+        .filter(F.col("g").isNotNull())
+        .persist()
+    )
+    freq = (
+        starts.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    cov = (
+        starts.join(freq, "g")
+        .select("doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + W - 1)).alias("pos"))
+        .distinct()
+    )
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return (
+        words.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+@register(
     "source_cap_documents",
     oracle=rf"""
         WITH scored AS (
@@ -11006,6 +11199,144 @@ def bpe_merge_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_TOKV = 96  # subword vocab size: top char-{2,3,4}-grams by corpus frequency
+
+
+@register(
+    "tokenizer_fertility_documents",
+    oracle=rf"""
+        WITH RECURSIVE tok AS (
+          SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+        ),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+        grams AS (
+          SELECT substr(term, i, 2) AS g
+          FROM (SELECT term, unnest(range(1, length(term))) AS i FROM tok2)
+          UNION ALL
+          SELECT substr(term, i, 3)
+          FROM (SELECT term, unnest(range(1, length(term) - 1)) AS i FROM tok2)
+          UNION ALL
+          SELECT substr(term, i, 4)
+          FROM (SELECT term, unnest(range(1, length(term) - 2)) AS i FROM tok2)
+        ),
+        vocab AS (
+          SELECT g FROM grams GROUP BY g
+          ORDER BY count(*) DESC, g ASC LIMIT {_TOKV}
+        ),
+        uw AS (SELECT DISTINCT term FROM tok2),
+        r AS (
+          SELECT term, 1 AS pos, 0 AS n FROM uw
+          UNION ALL
+          SELECT r.term,
+                 r.pos + CASE WHEN v4.g IS NOT NULL THEN 4
+                              WHEN v3.g IS NOT NULL THEN 3
+                              WHEN v2.g IS NOT NULL THEN 2
+                              ELSE 1 END,
+                 r.n + 1
+          FROM r
+          LEFT JOIN vocab v4
+            ON length(substr(r.term, r.pos, 4)) = 4
+           AND v4.g = substr(r.term, r.pos, 4)
+          LEFT JOIN vocab v3
+            ON length(substr(r.term, r.pos, 3)) = 3
+           AND v3.g = substr(r.term, r.pos, 3)
+          LEFT JOIN vocab v2
+            ON length(substr(r.term, r.pos, 2)) = 2
+           AND v2.g = substr(r.term, r.pos, 2)
+          WHERE r.pos <= length(r.term)
+        ),
+        wp AS (
+          SELECT term, max(n) AS n_pieces FROM r
+          WHERE pos > length(term) GROUP BY term
+        )
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(wp.n_pieces)::BIGINT AS n_pieces,
+               round(sum(wp.n_pieces)::DOUBLE / count(*), 6) AS fertility
+        FROM tok2 t JOIN wp USING (term)
+        GROUP BY t.doc_id
+    """,
+    tags=("text", "tokenizer", "llm-pipeline"),
+)
+def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side subword tokenization + fertility: derive a {_TOKV}-entry
+    subword vocabulary from the corpus itself (top char-2/3/4-grams,
+    count-desc / gram-asc tie break), ENCODE every word by greedy
+    longest-match (4→3→2→single char, the WordPiece matching rule), and
+    report tokens-per-word fertility per document — the metric tokenizer
+    designers grade a vocabulary by. Complements the training side
+    (`bpe_merge_candidates_documents`): that op picks merges, this op
+    measures what an encode pass does to the corpus.
+
+    Scale shape: the encode runs ONCE PER DISTINCT WORD (the corpus
+    joins tokens→pieces by term; a 100 TB corpus has a vocabulary
+    orders of magnitude smaller than its token stream), the greedy
+    match is a pure Catalyst `aggregate` left-fold with the vocabulary
+    embedded as a literal array (no Python, no UDF), and the vocab
+    derivation is a LIMIT-bounded top-k collected to the driver — the
+    same tiny-driver-aggregate contract as the JDBC bounds. The oracle
+    replays the identical greedy walk as a recursive CTE."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    ).filter(F.col("term") != "")
+    gram_frames = [
+        toks.filter(F.length("term") >= n).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(term) - {n} + 1),"
+                    f" i -> substring(term, i, {n}))"
+                )
+            ).alias("g")
+        )
+        for n in (2, 3, 4)
+    ]
+    grams = gram_frames[0].unionAll(gram_frames[1]).unionAll(gram_frames[2])
+    top = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("g"))
+        .limit(_TOKV)
+        .collect()
+    )
+    vocab_sql = (
+        "array(" + ", ".join("'" + r["g"].replace("'", "''") + "'" for r in top) + ")"
+    )
+
+    def piece(p: str) -> str:
+        return (
+            f"CASE WHEN length(substring(term, {p}, 4)) = 4"
+            f" AND array_contains({vocab_sql}, substring(term, {p}, 4)) THEN 4"
+            f" WHEN length(substring(term, {p}, 3)) = 3"
+            f" AND array_contains({vocab_sql}, substring(term, {p}, 3)) THEN 3"
+            f" WHEN length(substring(term, {p}, 2)) = 2"
+            f" AND array_contains({vocab_sql}, substring(term, {p}, 2)) THEN 2"
+            f" ELSE 1 END"
+        )
+
+    encode = (
+        "aggregate(sequence(1, length(term)),"
+        " named_struct('p', 1, 'n', 0),"
+        " (acc, i) -> IF(i != acc.p, acc,"
+        f" named_struct('p', acc.p + {piece('acc.p')}, 'n', acc.n + 1))).n"
+    )
+    wp = toks.select("term").distinct().select(
+        "term", F.expr(encode).alias("n_pieces")
+    )
+    return (
+        toks.join(wp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 @register(
     "label_centroid_similarity_embeddings",
     oracle="""
@@ -11427,7 +11758,8 @@ _DRIVER_WINDOW = [
 # sparse_cosine_related_documents, exact_span_dedup_documents,
 # temperature_mixture_documents, split_leakage_report_documents,
 # events_asof_nearest_purchase, semdedup_prune_embeddings,
-# doremi_domain_reweight_documents — plus
+# doremi_domain_reweight_documents, span_scrub_documents,
+# tokenizer_fertility_documents, eval_calibration_ece_binned — plus
 # whatever the tool's block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50
