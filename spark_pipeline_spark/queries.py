@@ -1567,9 +1567,10 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     return simhash_near_dup_pairs(d, "doc_id", "text", max_hamming=3)
 
 
-@register(
-    "dedup_ngram_jaccard_fingerprint",
-    oracle=f"""
+# Shared by dedup_ngram_jaccard_fingerprint (pair report) and
+# pagerank_neardup_documents (edge source): fingerprint-blocked exact
+# 3-gram Jaccard pairs ≥ 0.5.
+_SQL_FP_PAIRS = f"""
         WITH fp AS (
           SELECT doc_id,
                  list_min(list_transform(
@@ -1589,7 +1590,12 @@ def dedup_simhash_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / greatest(len(a.sh) + len(b.sh)
                          - len(list_intersect(a.sh, b.sh)), 1) >= 0.5
-    """,
+"""
+
+
+@register(
+    "dedup_ngram_jaccard_fingerprint",
+    oracle=_SQL_FP_PAIRS,
     tags=("dedup", "jaccard", "fingerprint", "llm-pipeline"),
 )
 def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11682,6 +11688,116 @@ def delete_propagation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pagerank_iter(prev: str, out_i: str, out_r: str) -> str:
+    """One unrolled PageRank step: inflow aggregation over the edge
+    list, then damped update with the teleport term (d = 0.85)."""
+    return f"""
+        {out_i} AS (
+          SELECT e.dst AS id, sum({prev}.r / deg.deg) AS inflow
+          FROM edges e
+          JOIN {prev} ON {prev}.id = e.src
+          JOIN deg ON deg.src = e.src
+          GROUP BY e.dst
+        ),
+        {out_r} AS (
+          SELECT d.src AS id,
+                 0.15 / n_nodes + 0.85 * coalesce({out_i}.inflow, 0) AS r
+          FROM deg d LEFT JOIN {out_i} ON {out_i}.id = d.src, nn
+        )"""
+
+
+@register(
+    "pagerank_neardup_documents",
+    oracle=f"""
+        WITH pairs AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b
+            FROM ({REGISTRY["dedup_ngram_jaccard_fingerprint"].oracle})
+            UNION ALL
+            SELECT id_a, id_b
+            FROM ({REGISTRY["sparse_cosine_related_documents"].oracle})
+          )
+        ),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        deg AS (SELECT src, count(*)::DOUBLE AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(*)::DOUBLE AS n_nodes FROM deg),
+        r0 AS (SELECT src AS id, 1.0 / n_nodes AS r FROM deg, nn),
+        {_sql_pagerank_iter("r0", "i1", "r1")},
+        {_sql_pagerank_iter("r1", "i2", "r2")},
+        {_sql_pagerank_iter("r2", "i3", "r3")}
+        SELECT r3.id AS doc_id, deg.deg::BIGINT AS degree,
+               round(r3.r, 6) AS pagerank
+        FROM r3 JOIN deg ON deg.src = r3.id
+    """,
+    tags=("graph", "pagerank", "dedup", "llm-pipeline"),
+)
+def pagerank_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations, d = 0.85) over the MULTI-EVIDENCE
+    relatedness graph — edges are the union of two candidate
+    generators, lexical fingerprint-Jaccard pairs
+    (`dedup_ngram_jaccard_fingerprint`) and sparse TF-cosine pairs
+    (`sparse_cosine_related_documents`), symmetrized and deduplicated.
+    This is the centrality refinement of canonical-document selection:
+    the highest-rank member of a duplicate family is the template the
+    copies orbit. (A single generator's blocking yields disjoint
+    cliques, where PageRank is provably uniform — the ensemble graph is
+    irregular, so the ranks, and therefore this query's hash gate, are
+    non-vacuous.)
+
+    Scale shape: the iterative pattern done right on Spark — each step
+    is one equi-join of the edge list with the (id, rank) frame plus a
+    map-side-combined inflow aggregate; ranks and degrees are keyed by
+    id, the edge list is persisted once and never reshuffled, and the
+    node count rides as a one-row broadcast. Three bounded unrolled
+    steps keep the lineage linear (the graph.py checkpoint discussion
+    covers unbounded iteration); the oracle unrolls the identical
+    algebra as three CTE stages."""
+    fp = dedup_ngram_jaccard_fingerprint(spark, sf_dir).select("id_a", "id_b")
+    sc = sparse_cosine_related_documents(spark, sf_dir).select("id_a", "id_b")
+    pairs = fp.union(sc).distinct()
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("deg")
+    )
+    nodes = deg.select(F.col("src").alias("id"), "deg").persist()
+    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
+    ranks = nodes.join(F.broadcast(nn)).select(
+        "id", (F.lit(1.0) / F.col("n_nodes")).alias("r")
+    )
+    for _ in range(3):
+        src_w = ranks.join(nodes, "id").select(
+            F.col("id").alias("src"), (F.col("r") / F.col("deg")).alias("w")
+        )
+        inflow = edges.join(src_w, "src").groupBy("dst").agg(
+            F.sum("w").alias("inflow")
+        )
+        ranks = (
+            nodes.select("id")
+            .join(inflow, F.col("id") == F.col("dst"), "left")
+            .join(F.broadcast(nn))
+            .select(
+                "id",
+                (
+                    F.lit(0.15) / F.col("n_nodes")
+                    + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return ranks.join(nodes, "id").select(
+        F.col("id").alias("doc_id"),
+        F.col("deg").cast("long").alias("degree"),
+        F.round("r", 6).alias("pagerank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -11759,7 +11875,8 @@ _DRIVER_WINDOW = [
 # temperature_mixture_documents, split_leakage_report_documents,
 # events_asof_nearest_purchase, semdedup_prune_embeddings,
 # doremi_domain_reweight_documents, span_scrub_documents,
-# tokenizer_fertility_documents, eval_calibration_ece_binned — plus
+# tokenizer_fertility_documents, eval_calibration_ece_binned,
+# pagerank_neardup_documents — plus
 # whatever the tool's block diff flags at that point.
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
 assert len(set(_DRIVER_WINDOW)) == 50

@@ -47,6 +47,7 @@ _NLJ_ALLOWED = {
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
     "eval_roc_auc_binned",  # one-row pos/neg totals broadcast over ≤200 bins
     "eval_calibration_ece_binned",  # one-row total + ECE broadcasts over ≤10 bins
+    "pagerank_neardup_documents",  # one-row node-count broadcast per iteration
     "eval_average_precision_binned",  # one-row positives-total broadcast over ≤200 bins
     "target_encode_oof_orders",  # one-row global-prior broadcast over |cats|×5 rows
     "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
