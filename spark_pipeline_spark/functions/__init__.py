@@ -25,6 +25,7 @@ __all__ = [
     "md5_bucket",
     "md5_unit",
     "cosine_similarity",
+    "greedy_subword_count",
     "dot_product",
     "l2_norm",
 ]
@@ -113,3 +114,50 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom != 0, dot_product(a, b) / denom)
+
+
+def greedy_subword_count(col_name: str, vocab: list[str]) -> Column:
+    """Number of pieces a greedy longest-match subword encode (the
+    WordPiece matching rule: try 4, then 3, then 2 chars, else a single
+    character) produces for the string column ``col_name``, given a
+    vocabulary of multi-char pieces (2–4 chars each; single characters
+    are implicitly always in-vocab).
+
+    Pure Catalyst: a sequential `aggregate` left-fold over character
+    positions with the vocabulary embedded as a literal array — no UDF,
+    no shuffle, safe inside whole-stage codegen. The fold carries
+    (next-unconsumed-position, piece-count); positions already covered
+    by a previous match are skipped. Empty strings count as 0 pieces.
+    `queries.tokenizer_fertility_documents` replays the identical walk
+    as a DuckDB recursive CTE for cross-engine verification.
+    """
+    for p in vocab:
+        if not (2 <= len(p) <= 4):
+            raise ValueError(f"vocab pieces must be 2-4 chars, got {p!r}")
+    vocab_sql = (
+        "array(" + ", ".join("'" + p.replace("'", "''") + "'" for p in vocab) + ")"
+        if vocab
+        else "array('')"
+    )
+    c = col_name
+
+    def piece(pos: str) -> str:
+        return (
+            f"CASE WHEN length(substring({c}, {pos}, 4)) = 4"
+            f" AND array_contains({vocab_sql}, substring({c}, {pos}, 4)) THEN 4"
+            f" WHEN length(substring({c}, {pos}, 3)) = 3"
+            f" AND array_contains({vocab_sql}, substring({c}, {pos}, 3)) THEN 3"
+            f" WHEN length(substring({c}, {pos}, 2)) = 2"
+            f" AND array_contains({vocab_sql}, substring({c}, {pos}, 2)) THEN 2"
+            f" ELSE 1 END"
+        )
+
+    # guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so an empty
+    # string would otherwise run one fold step and count 1 piece
+    return F.expr(
+        f"IF(length({c}) = 0, 0,"
+        f" aggregate(sequence(1, length({c})),"
+        " named_struct('p', 1, 'n', 0),"
+        " (acc, i) -> IF(i != acc.p, acc,"
+        f" named_struct('p', acc.p + {piece('acc.p')}, 'n', acc.n + 1))).n)"
+    )

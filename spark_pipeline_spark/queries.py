@@ -11306,29 +11306,11 @@ def tokenizer_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         .limit(_TOKV)
         .collect()
     )
-    vocab_sql = (
-        "array(" + ", ".join("'" + r["g"].replace("'", "''") + "'" for r in top) + ")"
-    )
+    from spark_pipeline_spark.functions import greedy_subword_count
 
-    def piece(p: str) -> str:
-        return (
-            f"CASE WHEN length(substring(term, {p}, 4)) = 4"
-            f" AND array_contains({vocab_sql}, substring(term, {p}, 4)) THEN 4"
-            f" WHEN length(substring(term, {p}, 3)) = 3"
-            f" AND array_contains({vocab_sql}, substring(term, {p}, 3)) THEN 3"
-            f" WHEN length(substring(term, {p}, 2)) = 2"
-            f" AND array_contains({vocab_sql}, substring(term, {p}, 2)) THEN 2"
-            f" ELSE 1 END"
-        )
-
-    encode = (
-        "aggregate(sequence(1, length(term)),"
-        " named_struct('p', 1, 'n', 0),"
-        " (acc, i) -> IF(i != acc.p, acc,"
-        f" named_struct('p', acc.p + {piece('acc.p')}, 'n', acc.n + 1))).n"
-    )
     wp = toks.select("term").distinct().select(
-        "term", F.expr(encode).alias("n_pieces")
+        "term",
+        greedy_subword_count("term", [r["g"] for r in top]).alias("n_pieces"),
     )
     return (
         toks.join(wp, "term")
