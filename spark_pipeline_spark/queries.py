@@ -10599,6 +10599,7 @@ def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w LEFT JOIN agg a USING (doc_id)
     """,
     tags=("text", "dedup", "scrub", "llm-pipeline"),
+    bench=True,
 )
 def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicated-span scrubbing (the C4/RefinedWeb boilerplate-removal
@@ -11716,6 +11717,7 @@ def _sql_pagerank_iter(prev: str, out_i: str, out_r: str) -> str:
         FROM r3 JOIN deg ON deg.src = r3.id
     """,
     tags=("graph", "pagerank", "dedup", "llm-pipeline"),
+    bench=True,
 )
 def pagerank_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 damped iterations, d = 0.85) over the MULTI-EVIDENCE
