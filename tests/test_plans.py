@@ -185,6 +185,9 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
         # refactor can't silently re-inline split() per element.
         "bpe_merge_candidates_documents",
         "dedup_minhash_lsh_documents",
+        # r8: span scrub builds positional grams through the same
+        # materialize-once projection (its docstring claims the barrier)
+        "span_scrub_documents",
     ],
 )
 def test_gram_expression_not_reinlined(spark, name):
