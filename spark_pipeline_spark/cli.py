@@ -335,6 +335,14 @@ def main_refresher(argv: list[str] | None = None) -> int:
         out: (a["kind"], a["column"]) for out, a in conf["aggregates"].items()
     }
     delta_id = conf.get("delta-id")
+    if delta_id is not None and "\x1f" in str(delta_id):
+        # \x1f is the ledger separator; an id containing it would split
+        # into multiple ledger entries on the next read and make a later
+        # delta matching one fragment a silent false no-op
+        raise SystemExit(
+            f"delta-id {delta_id!r} contains the reserved ledger separator "
+            "U+001F; choose an id without control characters"
+        )
     path = conf["snapshot"]["path"]
     staging = path.rstrip("/") + "__refresh_staging"
 

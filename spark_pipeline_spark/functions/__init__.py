@@ -134,10 +134,15 @@ def greedy_subword_count(col_name: str, vocab: list[str]) -> Column:
     for p in vocab:
         if not (2 <= len(p) <= 4):
             raise ValueError(f"vocab pieces must be 2-4 chars, got {p!r}")
+    # Spark SQL literals process backslash escapes (escapedStringLiterals
+    # is false by default), so '\' must be doubled BEFORE quote-doubling or
+    # a piece containing a backslash silently encodes the wrong string and
+    # a piece ending in '\' escapes the closing quote and fails to parse.
+    def _lit(p: str) -> str:
+        return "'" + p.replace("\\", "\\\\").replace("'", "''") + "'"
+
     vocab_sql = (
-        "array(" + ", ".join("'" + p.replace("'", "''") + "'" for p in vocab) + ")"
-        if vocab
-        else "array('')"
+        "array(" + ", ".join(_lit(p) for p in vocab) + ")" if vocab else "array('')"
     )
     c = col_name
 

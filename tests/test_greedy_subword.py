@@ -29,7 +29,11 @@ def _ref_count(word: str, vocab: set[str]) -> int:
     return n
 
 
-_ALPHA = "abc"  # tiny alphabet so vocab pieces actually collide with words
+# Tiny alphabet so vocab pieces actually collide with words, but include
+# the SQL-literal hazard characters — backslash and single quote — so a
+# bad escape in the embedded vocab literal diverges from the reference
+# (or fails to parse) instead of hiding behind a letters-only alphabet.
+_ALPHA = "ab\\'"
 
 
 words_st = st.lists(
@@ -82,6 +86,24 @@ def test_greedy_pinned_examples(spark):
         ).collect()
     }
     assert no_vocab == {"abcd": 4, "ababab": 6, "": 0, "zzz": 3}
+
+
+def test_greedy_escape_hazard_pieces(spark):
+    """Vocab pieces containing backslash / quote must round-trip the
+    embedded SQL literal: a piece ending in a backslash used to escape
+    the closing quote (parse error), and interior backslashes encoded
+    the wrong piece."""
+    vocab = ["a\\", "\\\\", "a'b", "'\\"]
+    rows = [("a\\b",), ("\\\\",), ("a'b'c",), ("'\\x",), ("",)]
+    df = spark.createDataFrame(rows, "term string")
+    got = {
+        r["term"]: r["n"]
+        for r in df.select(
+            "term", greedy_subword_count("term", vocab).alias("n")
+        ).collect()
+    }
+    vset = set(vocab)
+    assert got == {w: _ref_count(w, vset) for (w,) in rows}
 
 
 def test_greedy_rejects_bad_piece_lengths():

@@ -596,6 +596,12 @@ def test_refresher_recovers_torn_snapshot_and_skips_replayed_delta(
     assert main_refresher(["--conf", conf_for(d2, "day2")]) == 0
     assert "no-op" in capsys.readouterr().out
 
+    # a delta-id containing the reserved ledger separator must be
+    # rejected up front (it would split into fragments on the next read
+    # and make a later matching delta a silent false no-op)
+    with pytest.raises(SystemExit, match="ledger separator"):
+        main_refresher(["--conf", conf_for(d2, "day\x1f3")])
+
 def test_refresher_out_of_order_replay_is_noop(spark, tmp_path, capsys):
     """ADVICE r7: replaying an OLDER delta after newer ones applied (the
     out-of-order cron retry) must be a no-op too — the bounded ledger

@@ -181,8 +181,16 @@ def compute() -> dict:
     for name, rnd in sorted(greens.items()):
         if name not in head_blocks:
             continue  # renamed/retired
+        commit = ROUND_COMMITS.get(rnd)
+        if commit is None:
+            # CORRECTNESS_rN.json exists but no matching round-N commit —
+            # can't diff the block, so surface the gap instead of crashing
+            changed.append(
+                {"query": name, "green_round": rnd, "reason": "round-commit-unknown"}
+            )
+            continue
         if rnd not in old_blocks:
-            old_blocks[rnd] = extract_blocks(_git_show(ROUND_COMMITS[rnd], QUERIES_PATH))
+            old_blocks[rnd] = extract_blocks(_git_show(commit, QUERIES_PATH))
         old = old_blocks[rnd].get(name)
         if old is None:
             changed.append({"query": name, "green_round": rnd, "reason": "absent-at-green-commit"})
