@@ -39,6 +39,7 @@ def main() -> int:
 
     from spark_pipeline_spark import get_session
     from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.session import release_query_caches
 
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +61,9 @@ def main() -> int:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
         spreads[name] = round(max(runs) / min(runs), 2)
+        # drop query-internal persisted intermediates between queries so
+        # the storage pool measures ONE query at a time, not a backlog
+        release_query_caches()
 
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

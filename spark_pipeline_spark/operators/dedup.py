@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from spark_pipeline_spark.functions import md5_int, md5_int60
+from spark_pipeline_spark.session import query_persist
 
 __all__ = [
     "dedup_exact",
@@ -271,21 +272,21 @@ def minhash_near_dup_pairs(
     # Spread the CPU-heavy shingle+hash stage: a small corpus scans as a
     # single partition, which would serialize it (no-op at real scale,
     # where file splits already parallelize).
-    base = shingle_table(
+    base = query_persist(shingle_table(
         ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     hashed = base.select(
         "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
     )
     # Persisted: feeds both sides of the candidate self-join, and AQE does
     # not reliably reuse the exchange across the two branches — without it
     # shingle-hashing and banding run twice. (id, band, key) rows only.
-    banded = hashed.select(
+    banded = query_persist(hashed.select(
         "__id",
         F.posexplode(
             _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
         ).alias("__band", "__key"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -354,9 +355,9 @@ def minhash_incremental_pairs(
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
     def prep(df: DataFrame):
-        base = shingle_table(
+        base = query_persist(shingle_table(
             ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        ), StorageLevel.MEMORY_AND_DISK)
         hashed = base.select(
             "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
         )
@@ -438,9 +439,9 @@ def containment_near_dup_pairs(
 
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
-    base = shingle_table(
+    base = query_persist(shingle_table(
         ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     # explode_outer + isNotNull per shingle_table's consumer warning
     # (plain explode re-inlines the gram expression below the exchange).
     # ex re-derives from the persisted base for its two consumers — the
@@ -562,9 +563,9 @@ def simhash_near_dup_pairs(
     # fixed-width columns per row — the cache is tiny relative to text.
     # ensure_min_partitions spreads the token-vote hashing off a
     # single-partition small-file scan (no-op when already parallel).
-    sh = ensure_min_partitions(df.select(id_col, text_col)).select(
+    sh = query_persist(ensure_min_partitions(df.select(id_col, text_col)).select(
         F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     block_vals = F.array(
         *[
             F.shiftright(F.col("__simhash"), i * width).bitwiseAND(F.lit(mask))

@@ -26,6 +26,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from spark_pipeline_spark.session import query_persist
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 
@@ -1624,13 +1626,13 @@ def dedup_ngram_jaccard_fingerprint(spark: SparkSession, sf_dir: str) -> DataFra
     # which would serialize the per-row hashing (measured 4× at sf0.1).
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
-    d = ensure_min_partitions(
+    d = query_persist(ensure_min_partitions(
         t(spark, sf_dir, "documents").select("doc_id", "text")
     ).select(
         "doc_id",
         T.minhash_fingerprint("text", 24).alias("fp_minhash"),
         word_shingles("text", 3).alias("sh"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ), StorageLevel.MEMORY_AND_DISK)
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("fp_minhash"),
@@ -10038,10 +10040,9 @@ def streaming_dedup_lsh_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    e = (
+    e = query_persist(
         sym.join(docs.select(F.col("doc_id").alias("src"), F.col("b").alias("sb")), "src")
         .join(docs.select(F.col("doc_id").alias("dst"), F.col("b").alias("db")), "dst")
-        .persist()
     )
 
     flagged = []
@@ -10341,8 +10342,20 @@ def mmr_diversified_search_documents(spark: SparkSession, sf_dir: str) -> DataFr
     rel = {r["doc_id"]: r["score_raw"] / max_score for r in cand_rows}
     cand_ids = sorted(rel)
 
+    # Hash tokens to 64-bit INSIDE the plan before the ≤_MMR_CAND-row
+    # collect: the driver payload stays fixed-width per token no matter
+    # how long documents grow, and Jaccard over distinct hashed tokens
+    # equals Jaccard over distinct tokens (xxhash64 collisions within a
+    # ≤25-doc candidate vocabulary are negligible — and the DuckDB
+    # oracle replays the unhashed walk, so a collision would surface as
+    # a parity mismatch, not silent drift).
     tok_rows = (
-        tokenized.select("doc_id", F.array_distinct("__toks").alias("__ts"))
+        tokenized.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform("__toks", lambda c: F.xxhash64(c))
+            ).alias("__ts"),
+        )
         .filter(F.col("doc_id").isin(cand_ids))
         .collect()
     )
@@ -10436,14 +10449,14 @@ def sparse_cosine_related_documents(spark: SparkSession, sf_dir: str) -> DataFra
     # and BOTH join sides — persist (spillable) so the corpus is
     # tokenized ONCE, not re-scanned per consumer (measured 8 scans of
     # the text column without these)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf = query_persist(toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     kept = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df").between(_SPARSE_DF_MIN, _SPARSE_DF_MAX))
         .select("term")
     )
-    post = tf.join(kept, "term").persist()
+    post = query_persist(tf.join(kept, "term"))
     norm = post.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
     a = post.select(
         F.col("term"), F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
@@ -10528,12 +10541,11 @@ def exact_span_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gram generation is the expensive pass — persist the exploded
     # postings so df-cut, join side a, and join side b all read the one
     # materialization instead of re-shingling the corpus per consumer
-    post_all = (
+    post_all = query_persist(
         grams_t.select(
             F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g")
         )
         .filter(F.col("g").isNotNull())
-        .persist()
     )
     kept = (
         post_all.groupBy("g")
@@ -10618,10 +10630,9 @@ def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise; reconstruction is a per-doc collect_list bounded by doc
     length, no global sort."""
     W = _SPAN_W
-    words = (
+    words = query_persist(
         t(spark, sf_dir, "documents")
         .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
-        .persist()
     )
     toks = words.select(
         "doc_id", F.posexplode_outer("w").alias("pos", "term")
@@ -10633,10 +10644,9 @@ def span_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
         ).alias("gs"),
     )
-    starts = (
+    starts = query_persist(
         grams.select("doc_id", F.posexplode_outer("gs").alias("s", "g"))
         .filter(F.col("g").isNotNull())
-        .persist()
     )
     freq = (
         starts.select("g", "doc_id")
@@ -11743,15 +11753,14 @@ def pagerank_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = dedup_ngram_jaccard_fingerprint(spark, sf_dir).select("id_a", "id_b")
     sc = sparse_cosine_related_documents(spark, sf_dir).select("id_a", "id_b")
     pairs = fp.union(sc).distinct()
-    edges = (
+    edges = query_persist(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .persist()
     )
     deg = edges.groupBy("src").agg(
         F.count(F.lit(1)).cast("double").alias("deg")
     )
-    nodes = deg.select(F.col("src").alias("id"), "deg").persist()
+    nodes = query_persist(deg.select(F.col("src").alias("id"), "deg"))
     nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n_nodes"))
     ranks = nodes.join(F.broadcast(nn)).select(
         "id", (F.lit(1.0) / F.col("n_nodes")).alias("r")
@@ -11780,6 +11789,196 @@ def pagerank_neardup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("deg").cast("long").alias("degree"),
         F.round("r", 6).alias("pagerank"),
     )
+
+
+@register(
+    "streaming_quality_gate_replay",
+    oracle="""
+        WITH b AS (
+          SELECT event_id,
+                 CASE WHEN event_id % 4 = 2 THEN -abs(value) ELSE value END AS value,
+                 event_id % 4 AS batch
+          FROM events
+        ),
+        rep AS (
+          SELECT batch,
+                 count(*)::BIGINT AS n_in,
+                 coalesce(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
+                   AS v_null_id,
+                 coalesce(sum(CASE WHEN value < 0 OR value > 1000000000000.0
+                              THEN 1 ELSE 0 END), 0)::BIGINT AS v_range_value
+          FROM b GROUP BY batch
+        )
+        SELECT batch, n_in, v_null_id, v_range_value,
+               (v_null_id = 0 AND v_range_value = 0) AS passed,
+               CASE WHEN v_null_id = 0 AND v_range_value = 0
+                    THEN 'target' ELSE 'quarantine' END AS route
+        FROM rep
+    """,
+    tags=("streaming", "quality", "replay", "llm-pipeline"),
+)
+def streaming_quality_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_quality_gate_sink`'s per-batch expectation verdicts and
+    whole-batch routing (streaming.py:728) replayed as one driver-
+    hashable batch query — the same treatment `streaming_dedup_lsh_replay`
+    gives the dedup sink. Events are split into 4 synthetic micro-batches
+    (event_id mod 4); batch 2 is deterministically poisoned (values
+    negated, simulating a bad ingest, mirroring the sink's pytest); each
+    batch is scored against the sink's OWN rule expressions
+    (`operators/quality.py` not_null + in_range — the identical Column
+    exprs `check()` aggregates) and routed WHOLE to target or quarantine
+    when any rule reports violations. Returns the protocol's observable
+    trace: per batch (n_in, violations per rule, passed, route).
+
+    Plan shape: the sink evaluates per micro-batch because batches
+    arrive over time; the replay folds all batches into ONE map-side-
+    combined groupBy(batch) aggregate over a single scan — 4 report
+    rows cross the exchange, nothing else."""
+    from spark_pipeline_spark.operators.quality import in_range, not_null
+
+    rules = [not_null("event_id"), in_range("value", 0.0, 1e12)]
+    batched = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "value")
+        .withColumn("batch", F.pmod(F.col("event_id"), F.lit(4)))
+        .withColumn(
+            "value",
+            F.when(F.col("batch") == 2, -F.abs(F.col("value"))).otherwise(
+                F.col("value")
+            ),
+        )
+    )
+    rep = batched.groupBy("batch").agg(
+        F.count(F.lit(1)).alias("n_in"),
+        F.coalesce(rules[0][1], F.lit(0)).cast("long").alias("v_null_id"),
+        F.coalesce(rules[1][1], F.lit(0)).cast("long").alias("v_range_value"),
+    )
+    passed = (F.col("v_null_id") == 0) & (F.col("v_range_value") == 0)
+    return rep.select(
+        "batch",
+        "n_in",
+        "v_null_id",
+        "v_range_value",
+        passed.alias("passed"),
+        F.when(passed, F.lit("target")).otherwise(F.lit("quarantine")).alias("route"),
+    )
+
+
+
+@register(
+    "longest_shared_span_documents",
+    oracle=rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        starts AS (
+          SELECT doc_id, i - 1 AS s, gs[i] AS g
+          FROM (
+            SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS i
+            FROM (
+              SELECT doc_id, list_transform(
+                range(1, len(w) - {_SPAN_W - 2}),
+                i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+              ) AS gs
+              FROM w WHERE len(w) >= {_SPAN_W}
+            )
+          )
+        ),
+        kept AS (
+          SELECT g FROM (SELECT DISTINCT g, doc_id FROM starts)
+          GROUP BY g HAVING count(*) BETWEEN 2 AND {_SPAN_DF_MAX}
+        ),
+        post AS (SELECT starts.* FROM starts JOIN kept USING (g)),
+        hits AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.s - b.s AS d, a.s AS sa
+          FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        isl AS (
+          SELECT id_a, id_b, d, sa,
+                 sa - row_number() OVER (
+                   PARTITION BY id_a, id_b, d ORDER BY sa) AS grp
+          FROM hits
+        ),
+        runs AS (
+          SELECT id_a, id_b, count(*) AS run_len
+          FROM isl GROUP BY id_a, id_b, d, grp
+        )
+        SELECT id_a, id_b,
+               (max(run_len) + {_SPAN_W - 1})::BIGINT AS longest_span_words,
+               count(*)::BIGINT AS n_spans
+        FROM runs GROUP BY id_a, id_b
+    """,
+    tags=("dedup", "substring", "span", "llm-pipeline"),
+    bench=True,
+)
+def longest_shared_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE longest-shared-span lengths per document pair — the
+    arbitrary-length exact-substring report of Lee et al. 2022 that
+    `exact_span_dedup_documents`'s fixed {_SPAN_W}-gram blocking only
+    approximates. Two-pass gram-extend instead of a distributed suffix
+    array: matching {_SPAN_W}-word gram START POSITIONS between a doc
+    pair lie on a diagonal (sa − sb); consecutive start positions on one
+    diagonal extend the same shared span, so a gaps-and-islands pass
+    (row_number over each diagonal) recovers every maximal span, and
+    max(run) + {_SPAN_W − 1} is its exact length in words. Returns per
+    pair the longest span and the count of maximal spans ≥ {_SPAN_W}
+    words.
+
+    Scale shape: identical blocking to `exact_span_dedup_documents` —
+    grams with document frequency outside [2, {_SPAN_DF_MAX}] never
+    enter the pair join (boilerplate spans belong to the n-gram report,
+    not the pair list), so pair fanout is df-capped; positional postings
+    materialize once behind the Generate-trap projection barrier and are
+    persisted across the df-cut and both join sides; the islands window
+    partitions by (pair, diagonal) — partitions bounded by doc length,
+    never corpus-wide; no sort crosses the full corpus."""
+    from pyspark.sql import Window
+
+    W = _SPAN_W
+    words = query_persist(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
+    )
+    grams = words.filter(F.size("w") >= W).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - W),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
+        ).alias("gs"),
+    )
+    starts = query_persist(
+        grams.select("doc_id", F.posexplode_outer("gs").alias("s", "g"))
+        .filter(F.col("g").isNotNull())
+    )
+    kept = (
+        starts.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _SPAN_DF_MAX))
+        .select("g")
+    )
+    post = starts.join(kept, "g")
+    hits = (
+        post.select("g", F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+        .join(
+            post.select("g", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
+            "g",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("sa") - F.col("sb")).alias("d"), "sa")
+        .distinct()
+    )
+    win = Window.partitionBy("id_a", "id_b", "d").orderBy("sa")
+    runs = (
+        hits.withColumn("grp", F.col("sa") - F.row_number().over(win))
+        .groupBy("id_a", "id_b", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("run_len") + F.lit(W - 1)).cast("long").alias("longest_span_words"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,61 @@ def cached(df: "DataFrame", storage_level: "StorageLevel | None" = None) -> "Ite
         df.unpersist()
 
 
+# ---------------------------------------------------------------------------
+# Query-scoped persists. Registry queries return LAZY frames, so an
+# intermediate that feeds both sides of a self-join must stay persisted
+# until the CALLER's action runs — a ``with cached(...)`` scope inside the
+# query function would release it before the driver ever collects. The
+# registry below makes that lifetime explicit and bounded: every
+# query-internal persist is tracked FIFO, the oldest entries are evicted
+# once more than _QUERY_CACHE_CAP frames are live (by then earlier queries'
+# results have been consumed in any sequential driver/bench/test run), and
+# ``release_query_caches()`` drops everything between queries. A frame
+# evicted early is recomputed, never wrong.
+# ---------------------------------------------------------------------------
+
+_QUERY_CACHE_CAP = 16
+_query_caches: list["DataFrame"] = []
+
+
+def query_persist(
+    df: "DataFrame", storage_level: "StorageLevel | None" = None
+) -> "DataFrame":
+    """Persist an intermediate that must outlive its query function.
+
+    Use instead of a naked ``.persist()`` inside registry queries /
+    dedup operators: the frame is registered so long-lived sessions
+    running many queries don't accumulate storage without bound.
+    """
+    from pyspark.storagelevel import StorageLevel as _SL
+
+    df = df.persist(storage_level or _SL.MEMORY_AND_DISK)
+    _query_caches.append(df)
+    while len(_query_caches) > _QUERY_CACHE_CAP:
+        old = _query_caches.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # session already stopped — nothing to release
+            pass
+    return df
+
+
+def release_query_caches() -> int:
+    """Unpersist every live query-internal cache; returns the count.
+
+    Call between queries in sequential sweeps (bench, parity tests) or
+    periodically in a long-lived session.
+    """
+    n = len(_query_caches)
+    for df in _query_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _query_caches.clear()
+    return n
+
+
 def get_session(
     app_name: str = "spark_pipeline_spark",
     master: str | None = None,

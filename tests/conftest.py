@@ -17,6 +17,21 @@ def spark():
     yield spark
 
 
+@pytest.fixture(autouse=True)
+def _release_query_caches():
+    """Drop query-internal persisted intermediates between tests.
+
+    Keeps each test's plan rendering independent of what ran before it:
+    Spark's CacheManager keys entries by canonicalized plan, so a stale
+    registry frame from an earlier test can alias a plan the current
+    test just persisted — evicting the old one would silently uncache
+    the new one mid-build (the gram-reinline gate caught exactly this)."""
+    from spark_pipeline_spark.session import release_query_caches
+
+    yield
+    release_query_caches()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb
