@@ -378,27 +378,31 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # The r8 rotation closes all-time driver coverage: every query that
-    # has never appeared in a CORRECTNESS_r*.json (37 as of r7 —
-    # enumerated by `python tools/recheck_queue.py` from git history)
-    # must be inside, plus the changed-since-green re-checks. Spot-check
-    # the commitments rather than re-deriving git state in a unit test.
+    # The r9 rotation closes all-time driver coverage at 214/214: every
+    # query that has never appeared in a CORRECTNESS_r*.json (enumerated
+    # by `python tools/recheck_queue.py` from git history) must be
+    # inside, plus the changed-since-green re-checks. Spot-check the
+    # commitments rather than re-deriving git state in a unit test.
     must_cover = {
-        # r6 spillovers (never checked through r7)
-        "grouping_sets_orders", "ivf_recall_report", "dataset_card_documents",
-        "sliding_p95_value_7d", "k_anonymity_audit_customer",
-        # r7 additions (never checked)
-        "rrf_fusion_search_documents", "bpe_merge_candidates_documents",
-        "cross_source_neardup_matrix", "sketch_rollup_distinct_users",
-        "dedup_incremental_new_vs_corpus", "events_asof_tolerance_24h",
+        # late-r8 additions (never checked through r8)
+        "temperature_mixture_documents", "semdedup_prune_embeddings",
+        "sparse_cosine_related_documents", "exact_span_dedup_documents",
+        "span_scrub_documents", "tokenizer_fertility_documents",
+        "pagerank_neardup_documents", "eval_calibration_ece_binned",
+        # r9 additions (never checked)
+        "streaming_quality_gate_replay", "longest_shared_span_documents",
+        "ann_int8_recall_report", "dsir_importance_documents",
+        "dedup_editdistance_verify_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
-        "corpus_prep_end_to_end", "semi_anti_join_customers",
-        "text_quality_documents",
-        # module-changed canaries (asof.py / dedup.py reworked in r7)
-        "events_asof_last_purchase", "dedup_minhash_lsh_documents",
+        "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
+        "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
+        # module-changed canaries (dedup.py persist scoping,
+        # functions vocab-literal escape fix, r9)
+        "dedup_minhash_lsh_documents", "bpe_merge_candidates_documents",
+        "dedup_containment_documents",
     }
     missing = must_cover - set(window)
-    assert not missing, f"r8 priority queries outside the window: {missing}"
+    assert not missing, f"r9 priority queries outside the window: {missing}"
 
     tags = {tg for n in window for tg in REGISTRY[n].tags}
     assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"

@@ -41,7 +41,9 @@ _NLJ_ALLOWED = {
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
+    "dsir_importance_documents",  # one-row corpus/target totals broadcast
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
+    "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
@@ -297,6 +299,7 @@ _BOUNDED_HINTS = {
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",
+    "ann_int8_recall_report": "seed centroid codes (4 rows) + fixed query set",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
