@@ -12339,6 +12339,235 @@ def dedup_editdistance_verify_documents(spark: SparkSession, sf_dir: str) -> Dat
 
 
 
+_EPOCH_BUDGET_X, _EPOCH_CAP = 2.0, 4.0
+
+
+@register(
+    "epoch_allocation_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{{tok_re}}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, sum(n_tok)::BIGINT AS stok, count(*)::BIGINT AS n_docs
+          FROM tok GROUP BY source
+        ),
+        p AS (
+          SELECT source, stok, n_docs,
+                 stok / (SELECT sum(stok)::DOUBLE FROM tot) AS share
+          FROM tot
+        ),
+        w AS (
+          SELECT source, stok, n_docs, share,
+                 pow(share, {_TEMP_ALPHA!r})
+                 / (SELECT sum(pow(share, {_TEMP_ALPHA!r})) FROM p) AS weight,
+                 (SELECT sum(stok)::DOUBLE FROM tot) * {_EPOCH_BUDGET_X!r} AS budget
+          FROM p
+        )
+        SELECT source, n_docs, stok AS n_tokens,
+               round(weight, 6) AS weight,
+               round(budget * weight / stok, 6) AS epochs,
+               budget * weight / stok > {_EPOCH_CAP!r} AS over_cap,
+               round(CASE WHEN budget * weight / stok > {_EPOCH_CAP!r}
+                          THEN {_EPOCH_CAP!r} * stok ELSE budget * weight END, 2)
+                 AS allocated_tokens
+        FROM w
+    """.format(tok_re=TOKEN_REGEX),
+    tags=("sampling", "mixture", "planning", "llm-pipeline"),
+)
+def epoch_allocation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix epoch planning (the LLaMA-style data table): given a
+    token budget of {_EPOCH_BUDGET_X}× the corpus and the temperature
+    mixture weights (share^{_TEMP_ALPHA}, `temperature_mixture_documents`),
+    how many EPOCHS of each source does the draw imply — epochs =
+    budget·w_s / tokens_s — flagging sources that would repeat more than
+    {_EPOCH_CAP}× (the empirical degradation threshold of Muennighoff et
+    al. 2023 for repeated data), with the repeat-capped token allocation.
+
+    Scale shape: identical to the mixture query — ONE map-side-combined
+    per-source aggregate, then arithmetic on ≤|sources| rows with the
+    corpus total as a one-row broadcast; the corpus is scanned once and
+    never shuffled."""
+    from spark_pipeline_spark.operators import text as T
+
+    tot = (
+        t(spark, sf_dir, "documents")
+        .select("source", T.token_count_regex("text").cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("stok"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    gsum = tot.agg(F.sum("stok").cast("double").alias("__g"))
+    p = tot.crossJoin(F.broadcast(gsum)).select(
+        "source", "n_docs", "stok", (F.col("stok") / F.col("__g")).alias("share"),
+        F.col("__g").alias("__total"),
+    )
+    wsum = p.agg(F.sum(F.pow("share", F.lit(_TEMP_ALPHA))).alias("__w"))
+    w = F.pow("share", F.lit(_TEMP_ALPHA)) / F.col("__w")
+    budget = F.col("__total") * F.lit(_EPOCH_BUDGET_X)
+    epochs = budget * w / F.col("stok")
+    return p.crossJoin(F.broadcast(wsum)).select(
+        "source",
+        "n_docs",
+        F.col("stok").alias("n_tokens"),
+        F.round(w, 6).alias("weight"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > F.lit(_EPOCH_CAP)).alias("over_cap"),
+        F.round(
+            F.when(epochs > F.lit(_EPOCH_CAP), F.lit(_EPOCH_CAP) * F.col("stok"))
+            .otherwise(budget * w),
+            2,
+        ).alias("allocated_tokens"),
+    )
+
+
+
+_SPAN_MINLEN = 12
+
+
+@register(
+    "span_scrub_min_length_documents",
+    oracle=rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, w[i] AS term
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w)
+        ),
+        starts AS (
+          SELECT doc_id, i - 1 AS s, gs[i] AS g
+          FROM (
+            SELECT doc_id, gs, unnest(range(1, len(gs) + 1)) AS i
+            FROM (
+              SELECT doc_id, list_transform(
+                range(1, len(w) - {_SPAN_W - 2}),
+                i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+              ) AS gs
+              FROM w WHERE len(w) >= {_SPAN_W}
+            )
+          )
+        ),
+        freq AS (
+          SELECT g FROM (SELECT DISTINCT g, doc_id FROM starts)
+          GROUP BY g HAVING count(*) >= 2
+        ),
+        sh AS (SELECT s.doc_id, s.s FROM starts s JOIN freq USING (g)),
+        isl AS (
+          SELECT doc_id, s,
+                 s - row_number() OVER (PARTITION BY doc_id ORDER BY s) AS grp
+          FROM sh
+        ),
+        runs AS (
+          SELECT doc_id, min(s) AS mn, max(s) AS mx
+          FROM isl GROUP BY doc_id, grp
+          HAVING max(s) - min(s) + {_SPAN_W} >= {_SPAN_MINLEN}
+        ),
+        cov AS (
+          SELECT DISTINCT doc_id, unnest(range(mn, mx + {_SPAN_W})) AS pos
+          FROM runs
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.term FROM toks t
+          LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+          WHERE c.pos IS NULL
+        ),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(term, ' ' ORDER BY pos) AS scrubbed_text
+          FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               len(w.w)::BIGINT AS n_tokens,
+               (len(w.w) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(a.scrubbed_text, '') AS scrubbed_text
+        FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("text", "dedup", "scrub", "span", "llm-pipeline"),
+    bench=True,
+)
+def span_scrub_min_length_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-length duplicated-span scrub — the Lee et al. 2022 rule
+    that only LONG verbatim spans (≥ {_SPAN_MINLEN} words here; 50 BPE
+    tokens in the paper) are removed, while short shared idioms survive:
+    per document, gaps-and-islands over the start positions whose
+    {_SPAN_W}-gram occurs in ≥ 2 distinct docs; a maximal run of R
+    consecutive shared starts covers R + {_SPAN_W − 1} words, and only
+    runs meeting the length floor are scrubbed. `span_scrub_documents`
+    is the aggressive variant (every covered token); this is the
+    conservative one a production cleaning pass actually ships.
+
+    Scale shape: strictly better than the pair-based spans — the islands
+    pass is per-DOC (window partitioned by doc_id, bounded by doc
+    length), so there is NO pair join and therefore no df cap needed:
+    boilerplate shared by 10k docs scrubs fine because only the
+    per-doc shared/not-shared bit matters, never the partner identity.
+    One exchange for the gram df, one per-doc window, one anti-join."""
+    from pyspark.sql import Window
+
+    W = _SPAN_W
+    words = query_persist(
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
+    )
+    toks = words.select(
+        "doc_id", F.posexplode_outer("w").alias("pos", "term")
+    ).filter(F.col("term").isNotNull())
+    grams = words.filter(F.size("w") >= W).select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("w") - W),
+            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
+        ).alias("gs"),
+    )
+    starts = query_persist(
+        grams.select("doc_id", F.posexplode_outer("gs").alias("s", "g"))
+        .filter(F.col("g").isNotNull())
+    )
+    freq = (
+        starts.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    sh = starts.join(freq, "g").select("doc_id", "s")
+    win = Window.partitionBy("doc_id").orderBy("s")
+    runs = (
+        sh.withColumn("grp", F.col("s") - F.row_number().over(win))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        .filter(F.col("mx") - F.col("mn") + W >= _SPAN_MINLEN)
+    )
+    cov = runs.select(
+        "doc_id", F.explode(F.sequence(F.col("mn"), F.col("mx") + W - 1)).alias("pos")
+    ).distinct()
+    kept = toks.join(cov, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda x: x["term"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+    return (
+        words.select("doc_id", F.size("w").cast("long").alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).cast(
+                "long"
+            ).alias("n_removed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -12370,7 +12599,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 16 never driver-checked ---
+    # --- (a) 18 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -12379,6 +12608,7 @@ _DRIVER_WINDOW = [
     "pagerank_neardup_documents", "streaming_quality_gate_replay",
     "longest_shared_span_documents", "ann_int8_recall_report",
     "dsir_importance_documents", "dedup_editdistance_verify_documents",
+    "epoch_allocation_documents", "span_scrub_min_length_documents",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -12395,7 +12625,7 @@ _DRIVER_WINDOW = [
     "mixture_resample_documents", "null_safe_join_status",
     "salted_agg_orders", "stratified_fraction_documents",
     "text_fingerprint_documents", "weighted_sample_documents",
-    # --- (d) 9 oldest r5-greens (q13/score swapped in for family
+    # --- (d) 7 oldest r5-greens (q13/score swapped in for family
     # diversity: the window must hold tpch + scoring representatives;
     # agg_orders_by_status / embedding_ann_ivf displaced by the two
     # late-r9 registrations — their families stay covered by q13/
@@ -12403,8 +12633,8 @@ _DRIVER_WINDOW = [
     "q13_customer_order_distribution",
     "bloom_pruned_join_revenue", "cm_sketch_custkey_counts",
     "datadiff_continuous_lineitem", "score_callable_model",
-    "events_debounce_5m", "hash_sample_lineitem",
-    "incremental_agg_orders", "keyword_search_documents",
+    "events_debounce_5m",
+    "incremental_agg_orders",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

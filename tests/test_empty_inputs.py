@@ -267,3 +267,35 @@ def test_asof_variants_on_empty_right(spark):
         j = asof_join(e, empty_right, on="user_id", left_ts="ts", **kwargs)
         assert j.count() == n
         assert j.filter(F.col("asof_event_id").isNotNull()).count() == 0
+
+
+def test_round9_operators_on_empty(spark, tmp_path):
+    """The r9 additions keep stable schemas on a genuinely empty corpus
+    (empty parquet tables, the quality-filter-dropped-everything shape)."""
+    from spark_pipeline_spark.queries import REGISTRY
+
+    for tbl in ("documents", "embeddings", "events"):
+        t(spark, SF_SMALL, tbl).filter(F.lit(False)).write.parquet(
+            f"{tmp_path}/{tbl}.parquet"
+        )
+    sf = str(tmp_path)
+
+    for name in (
+        "longest_shared_span_documents",
+        "ann_int8_recall_report",
+        "dsir_importance_documents",
+        "dedup_editdistance_verify_documents",
+        "streaming_quality_gate_replay",
+        "span_scrub_min_length_documents",
+        "epoch_allocation_documents",
+    ):
+        out = REGISTRY[name].fn(spark, sf)
+        assert out.count() == 0, f"{name} nonempty on empty corpus"
+
+    # schema stability: the columns the driver hashes must not drift
+    assert REGISTRY["longest_shared_span_documents"].fn(spark, sf).columns == [
+        "id_a", "id_b", "longest_span_words", "n_spans",
+    ]
+    assert REGISTRY["dsir_importance_documents"].fn(spark, sf).columns == [
+        "doc_id", "source", "n_tok", "log_importance", "log_importance_per_tok",
+    ]

@@ -392,7 +392,8 @@ def test_driver_window_contract():
         # r9 additions (never checked)
         "streaming_quality_gate_replay", "longest_shared_span_documents",
         "ann_int8_recall_report", "dsir_importance_documents",
-        "dedup_editdistance_verify_documents",
+        "dedup_editdistance_verify_documents", "epoch_allocation_documents",
+        "span_scrub_min_length_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",

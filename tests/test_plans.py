@@ -42,6 +42,7 @@ _NLJ_ALLOWED = {
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
     "dsir_importance_documents",  # one-row corpus/target totals broadcast
+    "epoch_allocation_documents",  # one-row total + weight-sum broadcasts
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
