@@ -44,6 +44,7 @@ __all__ = [
     "simhash_near_dup_pairs",
     "decontaminate",
     "fuzzy_join_pairs",
+    "longest_shared_spans",
 ]
 
 
@@ -702,4 +703,80 @@ def fuzzy_join_pairs(
         .select(
             F.col("a.__v").alias("val_a"), F.col("b.__v").alias("val_b"), "dist"
         )
+    )
+
+
+def longest_shared_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    min_df: int = 2,
+    max_df: int = 16,
+) -> DataFrame:
+    """TRUE longest-shared-span lengths per document pair (the
+    arbitrary-length exact-substring report of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"),
+    relationally, without a distributed suffix array.
+
+    Matching ``w``-word gram START positions of a pair lie on an
+    alignment diagonal (``sa − sb``); consecutive start positions on one
+    diagonal extend the same shared span, so a gaps-and-islands pass
+    (row_number per diagonal) recovers every maximal span and
+    ``max(run) + w − 1`` is its exact length in words. Returns
+    ``(id_a, id_b, longest_span_words, n_spans)`` with ``id_a < id_b``.
+
+    Blocking: grams with document frequency outside [min_df, max_df]
+    never enter the pair join — a boilerplate span shared by 10k docs
+    would fan out 10⁸ pairs and belongs in an n-gram report, not the
+    pair list. The islands window partitions by (pair, diagonal), so
+    partition sizes are bounded by document length, never corpus-wide.
+    """
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.session import query_persist
+
+    words = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.trim(_c(text_col))), "\\s+").alias("__w"),
+    )
+    grams = words.filter(F.size("__w") >= w).select(
+        "__id",
+        F.transform(
+            F.sequence(F.lit(0), F.size("__w") - w),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, w)),
+        ).alias("__gs"),
+    )
+    starts = query_persist(
+        grams.select("__id", F.posexplode_outer("__gs").alias("__s", "__g"))
+        .filter(F.col("__g").isNotNull())
+    )
+    kept = (
+        starts.select("__g", "__id")
+        .distinct()
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df").between(min_df, max_df))
+        .select("__g")
+    )
+    post = starts.join(kept, "__g")
+    hits = (
+        post.select("__g", F.col("__id").alias("id_a"), F.col("__s").alias("__sa"))
+        .join(
+            post.select("__g", F.col("__id").alias("id_b"), F.col("__s").alias("__sb")),
+            "__g",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("__sa") - F.col("__sb")).alias("__d"), "__sa")
+        .distinct()
+    )
+    win = Window.partitionBy("id_a", "id_b", "__d").orderBy("__sa")
+    runs = (
+        hits.withColumn("__grp", F.col("__sa") - F.row_number().over(win))
+        .groupBy("id_a", "id_b", "__d", "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        (F.max("__run") + F.lit(w - 1)).cast("long").alias("longest_span_words"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
     )

@@ -11916,69 +11916,22 @@ def longest_shared_span_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     """TRUE longest-shared-span lengths per document pair — the
     arbitrary-length exact-substring report of Lee et al. 2022 that
     `exact_span_dedup_documents`'s fixed {_SPAN_W}-gram blocking only
-    approximates. Two-pass gram-extend instead of a distributed suffix
-    array: matching {_SPAN_W}-word gram START POSITIONS between a doc
-    pair lie on a diagonal (sa − sb); consecutive start positions on one
-    diagonal extend the same shared span, so a gaps-and-islands pass
-    (row_number over each diagonal) recovers every maximal span, and
-    max(run) + {_SPAN_W − 1} is its exact length in words. Returns per
-    pair the longest span and the count of maximal spans ≥ {_SPAN_W}
-    words.
+    approximates. Delegates to `operators/dedup.py:longest_shared_spans`
+    (diagonal gram-extend + gaps-and-islands; property-tested against a
+    brute-force longest-common-word-substring reference in
+    `tests/test_invariants.py`); scale arguments live on the operator:
+    df-capped [2, {_SPAN_DF_MAX}] blocking before the pair join,
+    (pair, diagonal)-bounded islands window, postings persisted once
+    behind the Generate-trap projection barrier."""
+    from spark_pipeline_spark.operators.dedup import longest_shared_spans
 
-    Scale shape: identical blocking to `exact_span_dedup_documents` —
-    grams with document frequency outside [2, {_SPAN_DF_MAX}] never
-    enter the pair join (boilerplate spans belong to the n-gram report,
-    not the pair list), so pair fanout is df-capped; positional postings
-    materialize once behind the Generate-trap projection barrier and are
-    persisted across the df-cut and both join sides; the islands window
-    partitions by (pair, diagonal) — partitions bounded by doc length,
-    never corpus-wide; no sort crosses the full corpus."""
-    from pyspark.sql import Window
-
-    W = _SPAN_W
-    words = query_persist(
-        t(spark, sf_dir, "documents")
-        .select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
-    )
-    grams = words.filter(F.size("w") >= W).select(
+    return longest_shared_spans(
+        t(spark, sf_dir, "documents"),
         "doc_id",
-        F.transform(
-            F.sequence(F.lit(0), F.size("w") - W),
-            lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
-        ).alias("gs"),
-    )
-    starts = query_persist(
-        grams.select("doc_id", F.posexplode_outer("gs").alias("s", "g"))
-        .filter(F.col("g").isNotNull())
-    )
-    kept = (
-        starts.select("g", "doc_id")
-        .distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df").between(2, _SPAN_DF_MAX))
-        .select("g")
-    )
-    post = starts.join(kept, "g")
-    hits = (
-        post.select("g", F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-        .join(
-            post.select("g", F.col("doc_id").alias("id_b"), F.col("s").alias("sb")),
-            "g",
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (F.col("sa") - F.col("sb")).alias("d"), "sa")
-        .distinct()
-    )
-    win = Window.partitionBy("id_a", "id_b", "d").orderBy("sa")
-    runs = (
-        hits.withColumn("grp", F.col("sa") - F.row_number().over(win))
-        .groupBy("id_a", "id_b", "d", "grp")
-        .agg(F.count(F.lit(1)).alias("run_len"))
-    )
-    return runs.groupBy("id_a", "id_b").agg(
-        (F.max("run_len") + F.lit(W - 1)).cast("long").alias("longest_span_words"),
-        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        "text",
+        w=_SPAN_W,
+        min_df=2,
+        max_df=_SPAN_DF_MAX,
     )
 
 

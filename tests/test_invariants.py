@@ -654,3 +654,66 @@ def test_recheck_tool_block_extraction_matches_registry():
     # every block must contain its own def (sanity of the span logic)
     missing_def = [n for n, b in blocks.items() if "def " not in b]
     assert not missing_def, missing_def
+
+
+def _py_longest_shared(a: list[str], b: list[str], w: int) -> tuple[int, int] | None:
+    """Brute-force reference: all maximal shared word-spans >= w between
+    two token lists, as (longest_len, n_maximal_spans); None if no span
+    of length >= w is shared. A span is maximal per alignment diagonal
+    (the operator's reporting unit)."""
+    hits = set()
+    for i in range(len(a) - w + 1):
+        for j in range(len(b) - w + 1):
+            if a[i : i + w] == b[j : j + w]:
+                hits.add((i - j, i))
+    if not hits:
+        return None
+    runs = []
+    by_d: dict[int, list[int]] = {}
+    for d, i in hits:
+        by_d.setdefault(d, []).append(i)
+    for d, starts in by_d.items():
+        starts.sort()
+        run = 1
+        for prev, cur in zip(starts, starts[1:]):
+            if cur == prev + 1:
+                run += 1
+            else:
+                runs.append(run)
+                run = 1
+        runs.append(run)
+    return max(runs) + w - 1, len(runs)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=14),
+        min_size=2,
+        max_size=5,
+    ),
+    st.integers(2, 3),
+)
+@settings(max_examples=12, deadline=None)
+def test_longest_shared_spans_matches_bruteforce(spark, docs, w):
+    """The diagonal gram-extend must agree with a quadratic LCS-style
+    Python reference on every pair: same longest length, same count of
+    maximal spans. max_df wide open so blocking can't hide pairs."""
+    from spark_pipeline_spark.operators.dedup import longest_shared_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["longest_span_words"], r["n_spans"])
+        for r in longest_shared_spans(
+            df, "doc_id", "text", w=w, min_df=2, max_df=10_000
+        ).collect()
+    }
+    want = {}
+    toks = [t for _, t in rows]
+    split = [t.split(" ") if t else [""] for t in toks]
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            ref = _py_longest_shared(split[i], split[j], w)
+            if ref is not None:
+                want[(i, j)] = ref
+    assert got == want, (docs, w, got, want)
