@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["interval_join"]
+__all__ = ["interval_join", "interval_overlap_join"]
 
 
 def interval_join(
@@ -57,3 +57,62 @@ def interval_join(
 
     joined = tagged.join(exploded, on="__bucket", how="inner")
     return joined.filter((p >= lo) & (p < hi)).drop("__bucket")
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    keys: list[str] | tuple[str, ...] = (),
+    bucket_width: int = 3600,
+) -> DataFrame:
+    """Interval × interval OVERLAP join, bucketed — the session-overlap /
+    attribution-window shape (`lo_a < hi_b AND lo_b < hi_a` on half-open
+    integer intervals) that a raw θ-join would execute as a nested loop.
+
+    Both sides explode to the integer buckets their interval covers;
+    candidates equi-join on (keys, bucket); the exact overlap predicate
+    then applies. **Exactly-once emission**: a pair overlapping across
+    many buckets is emitted only in the bucket containing
+    ``greatest(lo_a, lo_b)`` — the first bucket where both intervals are
+    live — so no post-join dedup pass is needed.
+
+    Contract: ``lo_col``/``hi_col`` are NON-NEGATIVE integers on both
+    sides (cast timestamps to epoch seconds/micros first — integer
+    bucket arithmetic is exact, float division is not); intervals are
+    half-open ``[lo, hi)`` with ``lo < hi``. Non-key payload column
+    names must be disjoint between the sides; the interval columns come
+    back suffixed ``_a`` / ``_b``. Explode factor is
+    ``interval_length / bucket_width`` — pick the width near the median
+    interval length so most intervals land in O(1) buckets.
+    """
+    w = int(bucket_width)
+    if w <= 0:
+        raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keys = list(keys)
+
+    def prep(df: DataFrame, side: str) -> DataFrame:
+        lo, hi = f"{lo_col}_{side}", f"{hi_col}_{side}"
+        out = df.withColumnRenamed(lo_col, lo).withColumnRenamed(hi_col, hi)
+        return out.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"`{lo}` div {w}"), F.expr(f"(`{hi}` - 1) div {w}")
+                )
+            ),
+        )
+    ea, eb = prep(a, "a"), prep(b, "b")
+    lo_a, hi_a = F.col(f"{lo_col}_a"), F.col(f"{hi_col}_a")
+    lo_b, hi_b = F.col(f"{lo_col}_b"), F.col(f"{hi_col}_b")
+    first_live = F.expr(
+        f"greatest(`{lo_col}_a`, `{lo_col}_b`) div {w}"
+    )
+    joined = ea.join(
+        eb,
+        [*keys, "__bucket"],
+    ).filter(
+        (lo_a < hi_b) & (lo_b < hi_a) & (F.col("__bucket") == first_live)
+    )
+    return joined.drop("__bucket")

@@ -12521,6 +12521,94 @@ def span_scrub_min_length_documents(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 
+def _sql_session_intervals(types_sql: str) -> str:
+    """Gaps-and-islands session intervals [start, last+30m) in epoch
+    MICROS for events of the given types — the oracle twin of
+    `session_windows` with a 30-minute gap."""
+    return f"""
+          SELECT user_id,
+                 epoch_us(min(ts)) AS lo,
+                 epoch_us(max(ts)) + 1800000000 AS hi
+          FROM (
+            SELECT user_id, ts, sum(new_sess) OVER (
+              PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+            ) AS sess_id
+            FROM (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                               >= 1800000000
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE event_type IN ({types_sql})
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+          )
+          GROUP BY user_id, sess_id
+    """
+
+
+@register(
+    "interval_overlap_sessions_events",
+    oracle=f"""
+        WITH a AS ({_sql_session_intervals("'click', 'view'")}),
+        b AS ({_sql_session_intervals("'purchase', 'error'")})
+        SELECT a.user_id,
+               a.lo AS browse_start, a.hi AS browse_end,
+               b.lo AS action_start, b.hi AS action_end,
+               least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap_micros
+        FROM a JOIN b ON a.user_id = b.user_id
+                     AND a.lo < b.hi AND b.lo < a.hi
+    """,
+    tags=("window", "session", "events", "rangejoin", "llm-pipeline"),
+)
+def interval_overlap_sessions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval × interval overlap join: which browse sessions
+    (click/view, 30-minute gap) overlapped an action session
+    (purchase/error) of the SAME user — the attribution-window shape
+    (did the purchase happen while a browse session was live). Returns
+    both intervals (epoch micros) and the overlap duration.
+
+    Scale shape: `operators/rangejoin.py:interval_overlap_join` — both
+    interval sets explode to 1-hour buckets, candidates equi-join on
+    (user, bucket) (shuffle hash join, AQE-skew-splittable), the exact
+    half-open predicate applies after, and a pair spanning many buckets
+    is emitted exactly once (in the first bucket where both intervals
+    are live) — never the nested-loop θ-join Spark would otherwise plan.
+    The DuckDB oracle IS that θ-join, so the bucketing is proven
+    equivalent on every driver run."""
+    from spark_pipeline_spark.operators.rangejoin import interval_overlap_join
+    from spark_pipeline_spark.operators.windows import session_windows
+
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def sessions(types: tuple[str, ...]) -> DataFrame:
+        s = session_windows(
+            e.filter(F.col("event_type").isin(*types)),
+            "ts",
+            "30 minutes",
+            keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("__n")],
+        )
+        return s.select(
+            "user_id",
+            F.unix_micros("session_start").alias("lo"),
+            F.unix_micros("session_end").alias("hi"),
+        )
+
+    a = sessions(("click", "view"))
+    b = sessions(("purchase", "error"))
+    out = interval_overlap_join(a, b, "lo", "hi", keys=["user_id"], bucket_width=3_600_000_000)
+    return out.select(
+        "user_id",
+        F.col("lo_a").alias("browse_start"),
+        F.col("hi_a").alias("browse_end"),
+        F.col("lo_b").alias("action_start"),
+        F.col("hi_b").alias("action_end"),
+        (F.least("hi_a", "hi_b") - F.greatest("lo_a", "lo_b")).alias("overlap_micros"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -12552,7 +12640,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 18 never driver-checked ---
+    # --- (a) 19 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -12562,6 +12650,7 @@ _DRIVER_WINDOW = [
     "longest_shared_span_documents", "ann_int8_recall_report",
     "dsir_importance_documents", "dedup_editdistance_verify_documents",
     "epoch_allocation_documents", "span_scrub_min_length_documents",
+    "interval_overlap_sessions_events",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -12578,7 +12667,7 @@ _DRIVER_WINDOW = [
     "mixture_resample_documents", "null_safe_join_status",
     "salted_agg_orders", "stratified_fraction_documents",
     "text_fingerprint_documents", "weighted_sample_documents",
-    # --- (d) 7 oldest r5-greens (q13/score swapped in for family
+    # --- (d) 6 oldest r5-greens (q13/score swapped in for family
     # diversity: the window must hold tpch + scoring representatives;
     # agg_orders_by_status / embedding_ann_ivf displaced by the two
     # late-r9 registrations — their families stay covered by q13/
@@ -12586,7 +12675,6 @@ _DRIVER_WINDOW = [
     "q13_customer_order_distribution",
     "bloom_pruned_join_revenue", "cm_sketch_custkey_counts",
     "datadiff_continuous_lineitem", "score_callable_model",
-    "events_debounce_5m",
     "incremental_agg_orders",
 ]
 

@@ -288,6 +288,7 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "streaming_quality_gate_replay",
         "span_scrub_min_length_documents",
         "epoch_allocation_documents",
+        "interval_overlap_sessions_events",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"

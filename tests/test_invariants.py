@@ -393,7 +393,7 @@ def test_driver_window_contract():
         "streaming_quality_gate_replay", "longest_shared_span_documents",
         "ann_int8_recall_report", "dsir_importance_documents",
         "dedup_editdistance_verify_documents", "epoch_allocation_documents",
-        "span_scrub_min_length_documents",
+        "span_scrub_min_length_documents", "interval_overlap_sessions_events",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -717,3 +717,36 @@ def test_longest_shared_spans_matches_bruteforce(spark, docs, w):
             if ref is not None:
                 want[(i, j)] = ref
     assert got == want, (docs, w, got, want)
+
+
+def test_interval_overlap_join_equals_theta_join(spark):
+    """Bucketed interval-overlap must equal the raw θ-join exactly —
+    including pairs spanning many buckets (emitted once, in the first
+    bucket where both intervals are live) and touching endpoints
+    (half-open: hi_a == lo_b is NOT an overlap)."""
+    from spark_pipeline_spark.operators.rangejoin import interval_overlap_join
+
+    o = t(spark, SF_SMALL, "orders").limit(400).select("o_orderkey", "o_totalprice")
+    a = o.select(
+        F.col("o_orderkey").alias("aid"),
+        (F.col("o_orderkey") % 7).alias("k"),
+        (F.col("o_totalprice").cast("long") % 10_000).alias("lo"),
+        (F.col("o_totalprice").cast("long") % 10_000
+         + F.col("o_orderkey") % 900 + 1).alias("hi"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("bid"),
+        (F.col("o_orderkey") % 7).alias("k"),
+        (F.col("o_totalprice").cast("long") * 3 % 10_000).alias("lo"),
+        (F.col("o_totalprice").cast("long") * 3 % 10_000
+         + F.col("o_orderkey") % 50 + 1).alias("hi"),
+    )
+    fast = interval_overlap_join(a, b, "lo", "hi", keys=["k"], bucket_width=128)
+    fk = {(r["aid"], r["bid"]) for r in fast.collect()}
+    slow = a.withColumnRenamed("lo", "lo_a").withColumnRenamed("hi", "hi_a").join(
+        b.withColumnRenamed("lo", "lo_b").withColumnRenamed("hi", "hi_b"), "k"
+    ).filter((F.col("lo_a") < F.col("hi_b")) & (F.col("lo_b") < F.col("hi_a")))
+    sk = {(r["aid"], r["bid"]) for r in slow.collect()}
+    assert fk == sk and len(fk) > 0
+    # exactly-once: no duplicate pairs even for spans covering many buckets
+    assert fast.count() == len(fk)
