@@ -289,6 +289,8 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "span_scrub_min_length_documents",
         "epoch_allocation_documents",
         "interval_overlap_sessions_events",
+        "grouped_split_by_source_documents",
+        "ivf_cell_balance_embeddings",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"
