@@ -12731,6 +12731,180 @@ def ivf_cell_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "ann_pq_recall_report",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        ms AS (SELECT unnest([0, 1]) AS m),
+        sub AS (
+          SELECT vec_id, m,
+                 CASE WHEN m = 0 THEN v[1:32] ELSE v[33:64] END AS sv
+          FROM e CROSS JOIN ms
+        ),
+        csub AS (
+          SELECT vec_id AS cell, m,
+                 CASE WHEN m = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+          FROM e CROSS JOIN ms WHERE vec_id < 4
+        ),
+        dists AS (
+          SELECT s.vec_id, s.m, c.cell,
+                 round(1000000.0 * list_sum(list_transform(range(1, 33),
+                       i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))))::BIGINT
+                   AS dmicro
+          FROM sub s JOIN csub c USING (m)
+        ),
+        codes AS (
+          SELECT vec_id, m, cell AS code FROM dists
+          QUALIFY row_number() OVER (
+            PARTITION BY vec_id, m ORDER BY dmicro, cell) = 1
+        ),
+        adc AS (
+          SELECT vec_id AS query_id, m, cell, dmicro
+          FROM dists WHERE vec_id < 20
+        ),
+        approx_d AS (
+          SELECT a.query_id, c.vec_id AS neighbor_id,
+                 sum(a.dmicro)::BIGINT AS d
+          FROM codes c JOIN adc a ON a.m = c.m AND a.cell = c.code
+          WHERE a.query_id != c.vec_id
+          GROUP BY a.query_id, c.vec_id
+        ),
+        approx AS (
+          SELECT query_id, neighbor_id FROM approx_d
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY d, neighbor_id) <= 3
+        ),
+        exact AS (
+          SELECT qe.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM e qe JOIN e c ON qe.vec_id != c.vec_id
+          WHERE qe.vec_id < 20
+          QUALIFY row_number() OVER (
+            PARTITION BY qe.vec_id
+            ORDER BY round(1000000.0 * list_sum(list_transform(range(1, 65),
+                     i -> (qe.v[i] - c.v[i]) * (qe.v[i] - c.v[i]))))::BIGINT,
+                     c.vec_id
+          ) <= 3
+        )
+        SELECT x.query_id,
+               count(a.neighbor_id)::BIGINT AS n_hits,
+               round(count(a.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM exact x
+        LEFT JOIN approx a
+          ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "quantization", "pq", "eval", "llm-pipeline"),
+)
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval quality (Jégou et al. 2011): the
+    64-dim vectors split into M=2 subspaces with a K=4 codebook each
+    (seed codebook = the first 4 vectors, the suite's deterministic
+    stand-in for trained centroids); every corpus vector stores only its
+    (code₀, code₁) — 2 bytes — and queries rank candidates by
+    asymmetric-distance computation (ADC): the query's per-(subspace,
+    centroid) distance table, summed by code lookup. Reports per-query
+    recall@3 vs the exact squared-L2 top-3.
+
+    Determinism contract: every squared-distance fold rounds to integer
+    micros BEFORE any ranking or summation, so codes, ADC sums, and both
+    rankings are integer-exact across engines (the int8 report's
+    argument, applied to PQ).
+
+    Scale shape: the codebook (M·K = 8 subvector rows) broadcasts for
+    both encoding and the query distance tables — the corpus never
+    shuffles to be encoded; ADC is a code equi-join + map-side-combined
+    2-row sum per (query, candidate); candidate ranking is the standard
+    top-k window. At production scale the ADC join keys on the
+    (subspace, code) pair against the O(queries·M·K) table — corpus
+    payload stays 2 codes wide, the 32× storage shrink PQ exists for."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def subspaces(df, id_alias, vec_alias):
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("m"), F.slice("v", 1, 32).alias(vec_alias)),
+                    F.struct(F.lit(1).alias("m"), F.slice("v", 33, 32).alias(vec_alias)),
+                )
+            ).alias("__s"),
+        ).select(id_alias, F.col("__s.m").alias("m"), F.col(f"__s.{vec_alias}").alias(vec_alias))
+
+    def sq_dist_micro(a, b):
+        fold = F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(fold * F.lit(1000000.0), 0).cast("long")
+
+    sub = subspaces(e, "vec_id", "sv")
+    csub = subspaces(e.filter(F.col("vec_id") < 4), "cell", "cv")
+    dists = (
+        sub.join(F.broadcast(csub), "m")
+        .select(
+            "vec_id", "m", "cell", sq_dist_micro(F.col("sv"), F.col("cv")).alias("dmicro")
+        )
+    )
+    w_code = Window.partitionBy("vec_id", "m").orderBy(F.asc("dmicro"), F.asc("cell"))
+    codes = (
+        dists.withColumn("__r", F.row_number().over(w_code))
+        .filter(F.col("__r") == 1)
+        .select("vec_id", "m", F.col("cell").alias("code"))
+    )
+    adc = dists.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "m", "cell", "dmicro"
+    )
+    approx_d = (
+        codes.join(
+            adc,
+            (codes["m"] == adc["m"]) & (codes["code"] == adc["cell"]),
+        )
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dmicro").alias("d"))
+    )
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    approx = (
+        approx_d.withColumn("__r", F.row_number().over(w_top))
+        .filter(F.col("__r") <= 3)
+        .select(
+            F.col("query_id").alias("a_query"),
+            F.col("neighbor_id").alias("a_neighbor"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w_ex = Window.partitionBy("query_id").orderBy(F.asc("__d"), F.asc("neighbor_id"))
+    exact = (
+        e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv64"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__d", sq_dist_micro(F.col("qv"), F.col("cv64")))
+        .withColumn("__r", F.row_number().over(w_ex))
+        .filter(F.col("__r") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -12762,7 +12936,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 21 never driver-checked ---
+    # --- (a) 22 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -12773,16 +12947,18 @@ _DRIVER_WINDOW = [
     "dsir_importance_documents", "dedup_editdistance_verify_documents",
     "epoch_allocation_documents", "span_scrub_min_length_documents",
     "interval_overlap_sessions_events", "grouped_split_by_source_documents",
-    "ivf_cell_balance_embeddings",
+    "ivf_cell_balance_embeddings", "ann_pq_recall_report",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
-    # --- (c) 9 changed-module canaries (dedup.py, functions) ---
+    # --- (c) 8 changed-module canaries (dedup.py, functions;
+    # dedup_exact displaced by ann_pq — exact-dedup machinery is still
+    # canaried via dedup_normalized-family parity + the window's 8 other
+    # dedup rows) ---
     "dedup_minhash_lsh_documents", "dedup_incremental_new_vs_corpus",
     "dedup_containment_documents", "cross_source_neardup_matrix",
     "decontaminate_documents", "bpe_merge_candidates_documents",
     "boilerplate_ngrams_documents", "dedup_components_documents",
-    "dedup_exact_documents",
     # --- (d) oldest-green: all 12 remaining r4 rows ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",

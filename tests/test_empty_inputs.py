@@ -291,6 +291,7 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "interval_overlap_sessions_events",
         "grouped_split_by_source_documents",
         "ivf_cell_balance_embeddings",
+        "ann_pq_recall_report",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"

@@ -46,6 +46,7 @@ _NLJ_ALLOWED = {
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "ivf_cell_balance_embeddings",  # seed centroids + one-row totals broadcast
+    "ann_pq_recall_report",  # 8-row codebook + fixed query set broadcast
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
@@ -303,6 +304,7 @@ _BOUNDED_HINTS = {
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",
     "ann_int8_recall_report": "seed centroid codes (4 rows) + fixed query set",
     "ivf_cell_balance_embeddings": "seed centroids (fixed k cells)",
+    "ann_pq_recall_report": "M*K=8 codebook rows + fixed query set",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
