@@ -12905,6 +12905,165 @@ def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "gram_dup_fraction_documents",
+    oracle=rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        starts AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(w) - {_SPAN_W - 2}),
+            i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+          )) AS g
+          FROM w WHERE len(w) >= {_SPAN_W}
+        ),
+        freq AS (
+          SELECT g FROM (SELECT DISTINCT g, doc_id FROM starts)
+          GROUP BY g HAVING count(*) >= 2
+        ),
+        per_doc AS (
+          SELECT s.doc_id,
+                 count(*)::BIGINT AS n_grams,
+                 sum(CASE WHEN f.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_grams
+          FROM starts s LEFT JOIN freq f USING (g)
+          GROUP BY s.doc_id
+        )
+        SELECT w.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               coalesce(p.n_dup_grams, 0) AS n_dup_grams,
+               round(coalesce(p.n_dup_grams, 0)
+                     / greatest(coalesce(p.n_grams, 0), 1)::DOUBLE, 6)
+                 AS dup_fraction
+        FROM w LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("text", "dedup", "quality", "llm-pipeline"),
+)
+def gram_dup_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication fraction — the RefinedWeb/Gopher-style
+    repetition FILTER SIGNAL: the share of a document's {_SPAN_W}-word
+    grams that occur in at least one OTHER document. Scorers threshold
+    this (e.g. drop docs with > 60% duplicated grams) without ever
+    materializing pairs — the cheap screen that runs before the pair-
+    producing dedup family.
+
+    Scale shape: pair-join-free like the min-length scrub — one gram df
+    aggregate, one LEFT join of postings against the duplicated-gram
+    set, one per-doc count. No df cap needed because partner identity
+    never materializes; boilerplate-heavy docs score high at any
+    fanout."""
+    from spark_pipeline_spark.operators.dedup import shingle_table
+
+    d = t(spark, sf_dir, "documents")
+    starts = query_persist(
+        shingle_table(d, "doc_id", "text", n=_SPAN_W)
+        .select(F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    freq = (
+        starts.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g", F.lit(1).alias("__dup"))
+    )
+    per_doc = (
+        starts.join(freq, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__dup"), F.lit(0))).cast("long").alias("n_dup_grams"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.coalesce(F.col("n_grams"), F.lit(0)), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
+@register(
+    "neardup_threshold_sweep_documents",
+    oracle=f"""
+        WITH {{mh}},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / greatest(len(sa.sh) + len(sb.sh)
+                            - len(list_intersect(sa.sh, sb.sh)), 1) AS j
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+        ),
+        th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold),
+        n_docs AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+        SELECT t.threshold,
+               sum(CASE WHEN v.j >= t.threshold THEN 1 ELSE 0 END)::BIGINT
+                 AS n_pairs,
+               count(DISTINCT CASE WHEN v.j >= t.threshold THEN v.id_b END)::BIGINT
+                 AS n_docs_dropped,
+               round(count(DISTINCT CASE WHEN v.j >= t.threshold THEN v.id_b END)
+                     / (SELECT nd FROM n_docs), 6) AS drop_rate
+        FROM th t CROSS JOIN ver v
+        GROUP BY t.threshold
+    """.format(mh=_sql_minhash_cte(16, 4)),
+    tags=("dedup", "lsh", "eval", "ops", "llm-pipeline"),
+)
+def neardup_threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-threshold sensitivity sweep for the near-dup pipeline:
+    pair count, docs dropped (higher-id-drops rule), and corpus drop
+    rate at thresholds 0.5–0.9, all from ONE pass over the verified LSH
+    candidate set — the calibration table an operator reads before
+    committing a dedup threshold to a 100 TB run (is 0.7 vs 0.8 a 1% or
+    a 10% corpus difference?).
+
+    Scale shape: candidates and their exact Jaccard compute once
+    (banded equi-join, never all-pairs); the sweep is a 5-row broadcast
+    against the tiny verified-pair frame, then a map-side-combined
+    aggregate — threshold choice costs nothing extra."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ver = minhash_near_dup_pairs(
+        d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+    ).select("id_a", "id_b", F.col("jaccard").alias("j"))
+    th = spark.createDataFrame(
+        [(x,) for x in (0.5, 0.6, 0.7, 0.8, 0.9)], "threshold double"
+    )
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("__nd"))
+    hit = F.col("j") >= F.col("threshold")
+    return (
+        ver.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(hit.cast("long")).alias("n_pairs"),
+            F.countDistinct(F.when(hit, F.col("id_b"))).alias("n_docs_dropped"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_docs_dropped",
+            F.round(F.col("n_docs_dropped") / F.col("__nd"), 6).alias("drop_rate"),
+        )
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -12936,7 +13095,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 22 never driver-checked ---
+    # --- (a) 24 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -12948,17 +13107,19 @@ _DRIVER_WINDOW = [
     "epoch_allocation_documents", "span_scrub_min_length_documents",
     "interval_overlap_sessions_events", "grouped_split_by_source_documents",
     "ivf_cell_balance_embeddings", "ann_pq_recall_report",
+    "gram_dup_fraction_documents", "neardup_threshold_sweep_documents",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
-    # --- (c) 8 changed-module canaries (dedup.py, functions;
+    # --- (c) 6 changed-module canaries (dedup.py, functions;
+    # boilerplate/components displaced late-r9: the never-checked set
+    # above exercises shingle_table/minhash paths via 8+ dedup rows;
     # dedup_exact displaced by ann_pq — exact-dedup machinery is still
     # canaried via dedup_normalized-family parity + the window's 8 other
     # dedup rows) ---
     "dedup_minhash_lsh_documents", "dedup_incremental_new_vs_corpus",
     "dedup_containment_documents", "cross_source_neardup_matrix",
     "decontaminate_documents", "bpe_merge_candidates_documents",
-    "boilerplate_ngrams_documents", "dedup_components_documents",
     # --- (d) oldest-green: all 12 remaining r4 rows ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",

@@ -292,6 +292,7 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "grouped_split_by_source_documents",
         "ivf_cell_balance_embeddings",
         "ann_pq_recall_report",
+        "neardup_threshold_sweep_documents",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"

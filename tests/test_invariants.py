@@ -395,7 +395,8 @@ def test_driver_window_contract():
         "dedup_editdistance_verify_documents", "epoch_allocation_documents",
         "span_scrub_min_length_documents", "interval_overlap_sessions_events",
         "grouped_split_by_source_documents", "ivf_cell_balance_embeddings",
-        "ann_pq_recall_report",
+        "ann_pq_recall_report", "gram_dup_fraction_documents",
+        "neardup_threshold_sweep_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",

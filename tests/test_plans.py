@@ -47,6 +47,7 @@ _NLJ_ALLOWED = {
     "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "ivf_cell_balance_embeddings",  # seed centroids + one-row totals broadcast
     "ann_pq_recall_report",  # 8-row codebook + fixed query set broadcast
+    "neardup_threshold_sweep_documents",  # 5-row threshold frame + one-row total
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
