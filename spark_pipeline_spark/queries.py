@@ -13064,6 +13064,287 @@ def neardup_threshold_sweep_documents(spark: SparkSession, sf_dir: str) -> DataF
 
 
 
+@register(
+    "ann_truncated_dim_recall_report",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        q AS (SELECT * FROM e WHERE vec_id < 20),
+        exact AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM q JOIN e c ON q.vec_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+          ) <= 3
+        ),
+        dims AS (SELECT unnest([8, 16, 32]) AS d),
+        approx AS (
+          SELECT d.d, q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM dims d CROSS JOIN q JOIN e c ON q.vec_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY d.d, q.vec_id
+            ORDER BY list_cosine_similarity(q.v[1:d.d], c.v[1:d.d]) DESC,
+                     c.vec_id
+          ) <= 3
+        ),
+        grid AS (SELECT d.d, x.query_id, x.neighbor_id
+                 FROM dims d CROSS JOIN exact x)
+        SELECT g.d AS dims, g.query_id,
+               count(a.neighbor_id)::BIGINT AS n_hits,
+               round(count(a.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM grid g
+        LEFT JOIN approx a
+          ON a.d = g.d AND a.query_id = g.query_id
+             AND a.neighbor_id = g.neighbor_id
+        GROUP BY g.d, g.query_id
+    """,
+    tags=("similarity", "ann", "matryoshka", "eval", "llm-pipeline"),
+)
+def ann_truncated_dim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation quality (Kusupati et al.
+    2022): recall@3 of cosine retrieval using only the first 8/16/32 of
+    64 dimensions vs the full-width exact top-3 — the measurement that
+    decides how far an embedding column can be truncated (4×/2× scan
+    and memory shrink) before retrieval quality pays. One row per
+    (dims, query).
+
+    Scale shape: the truncated score is a prefix slice of the SAME
+    broadcast-query / corpus-scan plan as `embedding_topk_bruteforce` —
+    the dims frame (3 rows) multiplies only the per-candidate expression
+    work, not the corpus scan count; ranking is the standard top-k
+    window per (dims, query)."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    from spark_pipeline_spark.functions import cosine_similarity
+
+    w_ex = Window.partitionBy("query_id").orderBy(F.desc("__cos"), F.asc("neighbor_id"))
+    exact = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__cos", cosine_similarity("qv", "cv"))
+        .withColumn("__r", F.row_number().over(w_ex))
+        .filter(F.col("__r") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    dims = spark.createDataFrame([(8,), (16,), (32,)], "d int")
+    w_ap = Window.partitionBy("d", "query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    approx = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .crossJoin(F.broadcast(dims))
+        .withColumn(
+            "__cos",
+            cosine_similarity(
+                F.slice("qv", F.lit(1), F.col("d")), F.slice("cv", F.lit(1), F.col("d"))
+            ),
+        )
+        .withColumn("__r", F.row_number().over(w_ap))
+        .filter(F.col("__r") <= 3)
+        .select(
+            F.col("d").alias("a_d"),
+            F.col("query_id").alias("a_query"),
+            F.col("neighbor_id").alias("a_neighbor"),
+        )
+    )
+    grid = exact.crossJoin(F.broadcast(dims))
+    return (
+        grid.join(
+            approx,
+            (F.col("d") == F.col("a_d"))
+            & (F.col("query_id") == F.col("a_query"))
+            & (F.col("neighbor_id") == F.col("a_neighbor")),
+            "left",
+        )
+        .groupBy(F.col("d").alias("dims"), "query_id")
+        .agg(
+            F.count("a_neighbor").alias("n_hits"),
+            F.round(F.count("a_neighbor") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
+
+
+
+@register(
+    "tfidf_top_terms_documents",
+    oracle=rf"""
+        WITH tok AS (
+          SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, count(*)::BIGINT AS tf
+          FROM tok GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(*)::DOUBLE AS n FROM documents)
+        SELECT doc_id, rank, term, tfidf
+        FROM (
+          SELECT tf.doc_id, tf.term,
+                 round(tf.tf * (ln((1 + nd.n) / (1 + df.df)) + 1), 6) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * (ln((1 + nd.n) / (1 + df.df)) + 1) DESC,
+                            tf.term
+                 ) AS rank
+          FROM tf JOIN df USING (term), nd
+        )
+        WHERE rank <= 3
+    """,
+    tags=("text", "tfidf", "keywords", "llm-pipeline"),
+)
+def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (sklearn's smooth-idf convention,
+    ln((1+N)/(1+df)) + 1) — per-doc keyword extraction, the lightweight
+    topical signature used for corpus browsing, cluster labeling, and
+    near-dup triage before anything embedding-based runs.
+
+    Scale shape: two map-side-combined aggregates (per-doc-term tf,
+    per-term df), one equi-join on term (vocabulary-sized — AQE
+    broadcasts it when small), corpus doc count as a one-row broadcast,
+    and the per-doc top-3 as a WindowGroupLimit rank window partitioned
+    by doc — no global sort anywhere."""
+    from pyspark.sql import Window
+
+    toks = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = t(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(nd))
+        .withColumn(
+            "__s",
+            F.col("tf")
+            * (F.log((1 + F.col("__n")) / (1 + F.col("df"))) + 1),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("__s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", F.round("__s", 6).alias("tfidf"))
+    )
+
+
+
+@register(
+    "neardup_graph_stats_documents",
+    oracle=f"""
+        WITH {{mh}},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        e AS (
+          SELECT id_a AS a, id_b AS b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e),
+        deg AS (
+          SELECT id, count(*)::BIGINT AS d
+          FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+          GROUP BY id
+        ),
+        tri AS (
+          SELECT count(*)::BIGINT AS n
+          FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        st AS (
+          SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+                 (SELECT count(*) FROM e)::BIGINT AS n_edges,
+                 (SELECT n FROM tri) AS n_triangles,
+                 (SELECT sum(d * (d - 1) / 2) FROM deg)::BIGINT AS n_wedges
+        )
+        SELECT n_nodes, n_edges, n_triangles, n_wedges,
+               round(CASE WHEN n_wedges > 0
+                          THEN 3.0 * n_triangles / n_wedges
+                          ELSE 0.0 END, 6) AS clustering
+        FROM st
+    """.format(mh=_sql_minhash_cte(16, 4)),
+    tags=("dedup", "graph", "eval", "llm-pipeline"),
+)
+def neardup_graph_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate graph cohesion report: nodes, edges, TRIANGLES,
+    wedges, and the global clustering coefficient (3·triangles/wedges)
+    of the verified LSH pair graph — high clustering means near-dup
+    clusters are dense cliques (template families, safe to collapse to
+    one canonical doc); low clustering means chains (scattered partial
+    overlaps, where transitive collapse over-merges). The one number
+    that decides whether connected-components canonicalization is safe.
+
+    Scale shape: triangle counting on the a<b ordered edge list is the
+    standard two-equi-join pattern (each triangle counted exactly once
+    as a<b<c); the edge list is the LSH-VERIFIED pair set — orders of
+    magnitude smaller than the corpus — and wedges come from one degree
+    aggregate. No all-pairs step anywhere."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    e = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.7
+        )
+        .select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    )
+    nodes = e.select(F.col("a").alias("id")).union(
+        e.select(F.col("b").alias("id"))
+    ).distinct()
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    stats = (
+        nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(tri)
+        .crossJoin(
+            deg.agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges")
+            )
+        )
+    )
+    return stats.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(
+                F.col("n_wedges") > 0,
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -13095,7 +13376,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 24 never driver-checked ---
+    # --- (a) 27 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -13108,18 +13389,23 @@ _DRIVER_WINDOW = [
     "interval_overlap_sessions_events", "grouped_split_by_source_documents",
     "ivf_cell_balance_embeddings", "ann_pq_recall_report",
     "gram_dup_fraction_documents", "neardup_threshold_sweep_documents",
+    "ann_truncated_dim_recall_report", "tfidf_top_terms_documents",
+    "neardup_graph_stats_documents",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
-    # --- (c) 6 changed-module canaries (dedup.py, functions;
+    # --- (c) 3 changed-module canaries (dedup.py, functions;
+    # cross_source/decontaminate/bpe displaced late-r9 — their code
+    # paths ride the never-checked rows: minhash_near_dup_pairs via
+    # threshold-sweep/editdistance/graph-stats/lsh-replay,
+    # greedy_subword_count via tokenizer_fertility;
     # boilerplate/components displaced late-r9: the never-checked set
     # above exercises shingle_table/minhash paths via 8+ dedup rows;
     # dedup_exact displaced by ann_pq — exact-dedup machinery is still
     # canaried via dedup_normalized-family parity + the window's 8 other
     # dedup rows) ---
     "dedup_minhash_lsh_documents", "dedup_incremental_new_vs_corpus",
-    "dedup_containment_documents", "cross_source_neardup_matrix",
-    "decontaminate_documents", "bpe_merge_candidates_documents",
+    "dedup_containment_documents",
     # --- (d) oldest-green: all 12 remaining r4 rows ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",

@@ -293,6 +293,8 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "ivf_cell_balance_embeddings",
         "ann_pq_recall_report",
         "neardup_threshold_sweep_documents",
+        "tfidf_top_terms_documents",
+        "neardup_graph_stats_documents",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"

@@ -396,14 +396,14 @@ def test_driver_window_contract():
         "span_scrub_min_length_documents", "interval_overlap_sessions_events",
         "grouped_split_by_source_documents", "ivf_cell_balance_embeddings",
         "ann_pq_recall_report", "gram_dup_fraction_documents",
-        "neardup_threshold_sweep_documents",
+        "neardup_threshold_sweep_documents", "ann_truncated_dim_recall_report",
+        "tfidf_top_terms_documents", "neardup_graph_stats_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
         # module-changed canaries (dedup.py persist scoping,
         # functions vocab-literal escape fix, r9)
-        "dedup_minhash_lsh_documents", "bpe_merge_candidates_documents",
-        "dedup_containment_documents",
+        "dedup_minhash_lsh_documents", "dedup_containment_documents",
     }
     missing = must_cover - set(window)
     assert not missing, f"r9 priority queries outside the window: {missing}"

@@ -48,6 +48,9 @@ _NLJ_ALLOWED = {
     "ivf_cell_balance_embeddings",  # seed centroids + one-row totals broadcast
     "ann_pq_recall_report",  # 8-row codebook + fixed query set broadcast
     "neardup_threshold_sweep_documents",  # 5-row threshold frame + one-row total
+    "ann_truncated_dim_recall_report",  # 3-row dims frame + fixed query set
+    "tfidf_top_terms_documents",  # one-row corpus-count broadcast
+    "neardup_graph_stats_documents",  # one-row stat frames combined
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
@@ -306,6 +309,7 @@ _BOUNDED_HINTS = {
     "ann_int8_recall_report": "seed centroid codes (4 rows) + fixed query set",
     "ivf_cell_balance_embeddings": "seed centroids (fixed k cells)",
     "ann_pq_recall_report": "M*K=8 codebook rows + fixed query set",
+    "ann_truncated_dim_recall_report": "3-row dims frame + fixed query set",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
