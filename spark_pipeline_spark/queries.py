@@ -13345,6 +13345,109 @@ def neardup_graph_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+@register(
+    "l_diversity_audit_customer",
+    oracle="""
+        WITH qi AS (
+          SELECT c_nationkey,
+                 floor(c_acctbal / 1000)::BIGINT AS bal_band,
+                 count(*)::BIGINT AS grp_n,
+                 count(DISTINCT c_mktsegment)::BIGINT AS l
+          FROM customer
+          GROUP BY 1, 2
+        )
+        SELECT CASE WHEN l < 2 THEN 'l<2'
+                    WHEN l < 3 THEN 'l=2'
+                    ELSE 'l>=3' END AS diversity_band,
+               count(*)::BIGINT AS n_groups,
+               sum(grp_n)::BIGINT AS n_rows,
+               min(l) AS min_l
+        FROM qi GROUP BY 1
+    """,
+    tags=("privacy", "quality", "llm-pipeline"),
+)
+def l_diversity_audit_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the k-anonymity companion (Machanavajjhala et
+    al. 2007): within each quasi-identifier group (nation ×
+    account-balance band), how many DISTINCT values of the sensitive
+    attribute (market segment) appear — a k-anonymous group whose
+    members all share one sensitive value still leaks it (the
+    homogeneity attack k-anonymity misses). Reports groups and rows per
+    diversity band plus the realized l.
+
+    Scale shape: one grouped count-distinct at QI grain (partial
+    aggregation map-side), one tiny re-aggregation — same single-shuffle
+    plan as the k-anonymity gate."""
+    qi = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.countDistinct("c_mktsegment").alias("l"),
+        )
+    )
+    band = (
+        F.when(F.col("l") < 2, "l<2")
+        .when(F.col("l") < 3, "l=2")
+        .otherwise("l>=3")
+    )
+    return qi.groupBy(band.alias("diversity_band")).agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("grp_n").alias("n_rows"),
+        F.min("l").alias("min_l"),
+    )
+
+
+@register(
+    "freshness_report_events",
+    oracle="""
+        WITH g AS (SELECT max(ts) AS now_anchor FROM events),
+        per_type AS (
+          SELECT event_type,
+                 count(*)::BIGINT AS n_events,
+                 epoch_us(max(ts)) AS last_seen_micros
+          FROM events GROUP BY event_type
+        )
+        SELECT p.event_type, p.n_events, p.last_seen_micros,
+               (epoch_us(g.now_anchor) - p.last_seen_micros) AS lag_micros,
+               (epoch_us(g.now_anchor) - p.last_seen_micros)
+                 > 86400000000 AS stale_over_1d
+        FROM per_type p, g
+    """,
+    tags=("quality", "ops", "events", "freshness", "llm-pipeline"),
+)
+def freshness_report_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness/staleness report: for each event type, the
+    last-seen timestamp and its lag behind the newest event anywhere in
+    the table, flagging streams silent for over a day — the ingest-
+    health check an ops dashboard polls (a producer that quietly died
+    shows up as a growing lag long before downstream numbers drift).
+    The anchor is the table's own max(ts), so the report is
+    deterministic and engine-independent (no wall clock in the plan).
+
+    Scale shape: one map-side-combined per-type aggregate (≤|types|
+    rows) plus a one-row global-max broadcast — the corpus scans once,
+    nothing else shuffles."""
+    e = t(spark, sf_dir, "events")
+    g = e.agg(F.unix_micros(F.max("ts")).alias("__anchor"))
+    per_type = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.max("ts")).alias("last_seen_micros"),
+    )
+    lag = F.col("__anchor") - F.col("last_seen_micros")
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_seen_micros",
+        lag.alias("lag_micros"),
+        (lag > F.lit(86_400_000_000)).alias("stale_over_1d"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -13376,7 +13479,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 27 never driver-checked ---
+    # --- (a) 29 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -13390,7 +13493,8 @@ _DRIVER_WINDOW = [
     "ivf_cell_balance_embeddings", "ann_pq_recall_report",
     "gram_dup_fraction_documents", "neardup_threshold_sweep_documents",
     "ann_truncated_dim_recall_report", "tfidf_top_terms_documents",
-    "neardup_graph_stats_documents",
+    "neardup_graph_stats_documents", "l_diversity_audit_customer",
+    "freshness_report_events",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -13406,11 +13510,13 @@ _DRIVER_WINDOW = [
     # dedup rows) ---
     "dedup_minhash_lsh_documents", "dedup_incremental_new_vs_corpus",
     "dedup_containment_documents",
-    # --- (d) oldest-green: all 12 remaining r4 rows ---
+    # --- (d) oldest-green: 10 of the 12 remaining r4 rows
+    # (flatten_struct / null_safe_join displaced late-r9 — plain
+    # relational shapes, no unique family tag, still parity-swept) ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
-    "events_sliding_daily_12h", "flatten_struct_orders",
-    "mixture_resample_documents", "null_safe_join_status",
+    "events_sliding_daily_12h",
+    "mixture_resample_documents",
     "salted_agg_orders", "stratified_fraction_documents",
     "text_fingerprint_documents", "weighted_sample_documents",
     # --- (d) 4 oldest r5-greens (q13/score swapped in for family

@@ -294,10 +294,14 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "ann_pq_recall_report",
         "neardup_threshold_sweep_documents",
         "tfidf_top_terms_documents",
-        "neardup_graph_stats_documents",
+        "freshness_report_events",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"
+
+    # global-aggregate shape: one all-zero diagnostic row, stable schema
+    g = REGISTRY["neardup_graph_stats_documents"].fn(spark, sf).collect()
+    assert len(g) == 1 and g[0]["n_nodes"] == 0 and g[0]["n_edges"] == 0
 
     # schema stability: the columns the driver hashes must not drift
     assert REGISTRY["longest_shared_span_documents"].fn(spark, sf).columns == [

@@ -398,6 +398,7 @@ def test_driver_window_contract():
         "ann_pq_recall_report", "gram_dup_fraction_documents",
         "neardup_threshold_sweep_documents", "ann_truncated_dim_recall_report",
         "tfidf_top_terms_documents", "neardup_graph_stats_documents",
+        "l_diversity_audit_customer", "freshness_report_events",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",

@@ -51,6 +51,7 @@ _NLJ_ALLOWED = {
     "ann_truncated_dim_recall_report",  # 3-row dims frame + fixed query set
     "tfidf_top_terms_documents",  # one-row corpus-count broadcast
     "neardup_graph_stats_documents",  # one-row stat frames combined
+    "freshness_report_events",  # one-row global-max anchor broadcast
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
