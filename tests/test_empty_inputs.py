@@ -295,6 +295,7 @@ def test_round9_operators_on_empty(spark, tmp_path):
         "neardup_threshold_sweep_documents",
         "tfidf_top_terms_documents",
         "freshness_report_events",
+        "streaming_late_arrival_report",
     ):
         out = REGISTRY[name].fn(spark, sf)
         assert out.count() == 0, f"{name} nonempty on empty corpus"
