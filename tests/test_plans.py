@@ -198,6 +198,12 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
         # r8: span scrub builds positional grams through the same
         # materialize-once projection (its docstring claims the barrier)
         "span_scrub_documents",
+        # r9: the span/gram family additions claim the identical
+        # materialize-once shape (shingle_table / positional-gram
+        # projection barrier) — pin each
+        "longest_shared_span_documents",
+        "span_scrub_min_length_documents",
+        "gram_dup_fraction_documents",
     ],
 )
 def test_gram_expression_not_reinlined(spark, name):
@@ -370,6 +376,8 @@ def test_source_cap_and_zipf_get_group_limit_pushdown(spark):
         # r8: rrf's two top-25 lists rely on the same rewrite
         # (docstring claim at queries.py rrf_fusion_search_documents).
         "rrf_fusion_search_documents",
+        # r9: per-doc TF-IDF top-3 claims the same WindowGroupLimit shape
+        "tfidf_top_terms_documents",
     ):
         plan = _plan(REGISTRY[name].fn(spark, SF_SMALL))
         # an unpartitioned rank window optimizes further, to TakeOrdered
