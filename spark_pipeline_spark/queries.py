@@ -12794,6 +12794,7 @@ def ivf_cell_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY x.query_id
     """,
     tags=("similarity", "ann", "quantization", "pq", "eval", "llm-pipeline"),
+    bench=True,
 )
 def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization retrieval quality (Jégou et al. 2011): the
