@@ -13588,12 +13588,15 @@ _DRIVER_WINDOW = [
     "dedup_containment_documents",
     # --- (d) oldest-green: 10 of the 12 remaining r4 rows
     # (flatten_struct / null_safe_join displaced late-r9 — plain
-    # relational shapes, no unique family tag, still parity-swept) ---
+    # relational shapes, no unique family tag, still parity-swept;
+    # text_fingerprint's slot went to range_join_price_bands as the
+    # canary for the rangejoin.py module change — the overlap-join
+    # addition left interval_join untouched, but the module hash moved) ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
     "events_sliding_daily_12h",
     "salted_agg_orders", "stratified_fraction_documents",
-    "text_fingerprint_documents", "weighted_sample_documents",
+    "range_join_price_bands", "weighted_sample_documents",
     # --- (d) 4 oldest r5-greens (q13/score swapped in for family
     # diversity: the window must hold tpch + scoring representatives;
     # agg_orders_by_status / embedding_ann_ivf displaced by the two
