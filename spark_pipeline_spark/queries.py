@@ -13524,6 +13524,141 @@ def streaming_late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 
+@register(
+    "benford_audit_orders",
+    oracle="""
+        WITH d AS (
+          SELECT substr(abs(o_totalprice)::VARCHAR, 1, 1)::BIGINT AS digit
+          FROM orders WHERE o_totalprice != 0
+        ),
+        obs AS (
+          SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit
+        ),
+        tot AS (SELECT sum(n)::DOUBLE AS t FROM obs),
+        grid AS (
+          SELECT g.digit,
+                 coalesce(o.n, 0)::BIGINT AS n,
+                 coalesce(o.n, 0) / tot.t AS p_obs,
+                 log10(1.0 + 1.0 / g.digit) AS p_benford
+          FROM (SELECT unnest(range(1, 10)) AS digit) g
+          LEFT JOIN obs o USING (digit), tot
+        )
+        SELECT digit, n,
+               round(p_obs, 6) AS p_obs,
+               round(p_benford, 6) AS p_benford,
+               round(abs(p_obs - p_benford), 6) AS abs_dev
+        FROM grid
+    """,
+    tags=("quality", "audit", "datadiff", "llm-pipeline"),
+)
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of a monetary column: observed leading-digit
+    distribution of |o_totalprice| vs the Benford expectation
+    log10(1 + 1/d) per digit, with absolute deviations — the classic
+    fabricated-or-corrupted-numbers screen (synthetic or clipped data
+    announces itself with a flat digit histogram). Nine report rows;
+    large deviations route the column to a real investigation.
+
+    Scale shape: leading digit is a pure string projection, then one
+    map-side-combined 9-group count and a one-row total broadcast —
+    a single scan, nothing else."""
+    d = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") != 0)
+        .select(
+            F.substring(F.abs(F.col("o_totalprice")).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").cast("double").alias("__t"))
+    digits = spark.range(1, 10).select(F.col("id").alias("digit"))
+    p_obs = F.coalesce(F.col("n"), F.lit(0)) / F.col("__t")
+    p_ben = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        digits.join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+            F.round(p_obs, 6).alias("p_obs"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), 6).alias("abs_dev"),
+        )
+    )
+
+
+@register(
+    "source_concentration_documents",
+    oracle=f"""
+        WITH tok AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{{tok_re}}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        per_src AS (
+          SELECT source, sum(n_tok)::BIGINT AS stok FROM tok GROUP BY source
+        ),
+        tot AS (SELECT sum(stok)::DOUBLE AS t, count(*)::BIGINT AS n_sources
+                FROM per_src),
+        ranked AS (
+          SELECT source, stok, stok / tot.t AS share,
+                 row_number() OVER (ORDER BY stok DESC, source) AS r
+          FROM per_src, tot
+        )
+        SELECT (SELECT n_sources FROM tot) AS n_sources,
+               round(sum(share * share), 6) AS hhi,
+               round(sum(CASE WHEN r = 1 THEN share ELSE 0 END), 6)
+                 AS top1_share,
+               round(sum(CASE WHEN r <= 5 THEN share ELSE 0 END), 6)
+                 AS top5_share
+        FROM ranked
+    """.format(tok_re=TOKEN_REGEX),
+    tags=("sampling", "mixture", "audit", "llm-pipeline"),
+)
+def source_concentration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass concentration of the training mix: Herfindahl index
+    (Σ share²) plus top-1/top-5 source shares — the one-row report that
+    says whether the corpus is a monoculture before any mixture
+    reweighting runs (HHI → 1 means one source dominates; the
+    temperature/DoReMi operators exist to pull this down).
+
+    Scale shape: one per-source aggregate, a |sources|-row rank window
+    (never over documents), one final fold — the corpus scans once."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators import text as T
+
+    per_src = (
+        t(spark, sf_dir, "documents")
+        .select("source", T.token_count_regex("text").cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("stok"))
+    )
+    tot = per_src.agg(
+        F.sum("stok").cast("double").alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    w = Window.orderBy(F.desc("stok"), F.asc("source"))
+    ranked = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("stok") / F.col("__t"))
+        .withColumn("r", F.row_number().over(w))
+    )
+    return ranked.groupBy().agg(
+        F.coalesce(F.first("__n"), F.lit(0)).alias("n_sources"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(
+            F.sum(F.when(F.col("r") == 1, F.col("share")).otherwise(F.lit(0.0))), 6
+        ).alias("top1_share"),
+        F.round(
+            F.sum(F.when(F.col("r") <= 5, F.col("share")).otherwise(F.lit(0.0))), 6
+        ).alias("top5_share"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -13555,7 +13690,7 @@ _DRIVER_WINDOW = [
     # remaining r4-green queries and 11 oldest r5-greens — the stalest
     # all-time coverage. This closes all-time coverage at 214/214 once
     # green.
-    # --- (a) 30 never driver-checked ---
+    # --- (a) 32 never driver-checked ---
     "temperature_mixture_documents", "events_asof_nearest_purchase",
     "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
     "split_leakage_report_documents", "eval_calibration_ece_binned",
@@ -13571,6 +13706,7 @@ _DRIVER_WINDOW = [
     "ann_truncated_dim_recall_report", "tfidf_top_terms_documents",
     "neardup_graph_stats_documents", "l_diversity_audit_customer",
     "freshness_report_events", "streaming_late_arrival_report",
+    "benford_audit_orders", "source_concentration_documents",
     # --- (b) 4 changed since green ---
     "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
     "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -13593,8 +13729,7 @@ _DRIVER_WINDOW = [
     # canary for the rangejoin.py module change — the overlap-join
     # addition left interval_join untouched, but the module hash moved) ---
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
-    "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
-    "events_sliding_daily_12h",
+    "embedding_near_dup_ivf",
     "salted_agg_orders", "stratified_fraction_documents",
     "range_join_price_bands", "weighted_sample_documents",
     # --- (d) 4 oldest r5-greens (q13/score swapped in for family

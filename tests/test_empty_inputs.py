@@ -303,6 +303,8 @@ def test_round9_operators_on_empty(spark, tmp_path):
     # global-aggregate shape: one all-zero diagnostic row, stable schema
     g = REGISTRY["neardup_graph_stats_documents"].fn(spark, sf).collect()
     assert len(g) == 1 and g[0]["n_nodes"] == 0 and g[0]["n_edges"] == 0
+    c = REGISTRY["source_concentration_documents"].fn(spark, sf).collect()
+    assert len(c) == 1 and c[0]["n_sources"] == 0 and c[0]["hhi"] is None
 
     # schema stability: the columns the driver hashes must not drift
     assert REGISTRY["longest_shared_span_documents"].fn(spark, sf).columns == [

@@ -399,7 +399,8 @@ def test_driver_window_contract():
         "neardup_threshold_sweep_documents", "ann_truncated_dim_recall_report",
         "tfidf_top_terms_documents", "neardup_graph_stats_documents",
         "l_diversity_audit_customer", "freshness_report_events",
-        "streaming_late_arrival_report",
+        "streaming_late_arrival_report", "benford_audit_orders",
+        "source_concentration_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
@@ -755,3 +756,42 @@ def test_interval_overlap_join_equals_theta_join(spark):
     assert fk == sk and len(fk) > 0
     # exactly-once: no duplicate pairs even for spans covering many buckets
     assert fast.count() == len(fk)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 120), st.integers(0, 2)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 400), st.integers(1, 120), st.integers(0, 2)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sampled_from([7, 64, 1000]),
+)
+@settings(max_examples=10, deadline=None)
+def test_interval_overlap_join_matches_theta_join_property(spark, ia, ib, width):
+    """Property version of the θ-join equivalence: random half-open
+    integer intervals with keys, random bucket widths (smaller, equal,
+    and larger than typical interval lengths) — the bucketed join must
+    return exactly the θ-join's pair multiset."""
+    from spark_pipeline_spark.operators.rangejoin import interval_overlap_join
+
+    rows_a = [(i, k, lo, lo + ln) for i, (lo, ln, k) in enumerate(ia)]
+    rows_b = [(i, k, lo, lo + ln) for i, (lo, ln, k) in enumerate(ib)]
+    want = {
+        (aid, bid)
+        for aid, ak, alo, ahi in rows_a
+        for bid, bk, blo, bhi in rows_b
+        if ak == bk and alo < bhi and blo < ahi
+    }
+    if not rows_a or not rows_b:
+        assert want == set()
+        return
+    a = spark.createDataFrame(rows_a, "aid long, k long, lo long, hi long")
+    b = spark.createDataFrame(rows_b, "bid long, k long, lo long, hi long")
+    fast = interval_overlap_join(a, b, "lo", "hi", keys=["k"], bucket_width=width)
+    got = [(r["aid"], r["bid"]) for r in fast.collect()]
+    assert set(got) == want and len(got) == len(set(got)), (ia, ib, width)

@@ -52,6 +52,8 @@ _NLJ_ALLOWED = {
     "tfidf_top_terms_documents",  # one-row corpus-count broadcast
     "neardup_graph_stats_documents",  # one-row stat frames combined
     "freshness_report_events",  # one-row global-max anchor broadcast
+    "benford_audit_orders",  # 9-digit grid + one-row total broadcast
+    "source_concentration_documents",  # one-row totals broadcast
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
