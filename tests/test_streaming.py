@@ -1072,3 +1072,70 @@ def test_purge_ids_from_dedup_index_forgets_vetoes(spark, tmp_path):
     run_once()
     final_ids = {r["doc_id"] for r in spark.read.parquet(accepted).collect()}
     assert 9107 in final_ids, "purged doc still vetoes near-duplicates"
+
+
+def test_stream_quality_gate_sink_matches_batch_replay_query(spark, tmp_path):
+    """The registered `streaming_quality_gate_replay` oracle claims to
+    encode the quality-gate sink's verdicts and routing — prove it:
+    drive the REAL sink over the same event_id-mod-4 batch split (batch
+    2 poisoned exactly as the query poisons it) and assert each batch's
+    pass verdict, violation counts, and routed row counts equal the
+    replay query's rows."""
+    from spark_pipeline_spark.operators import quality as Q
+    from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_quality_gate_sink,
+    )
+
+    e = t(spark, SF_SMALL, "events").select("event_id", "value")
+    poisoned = e.withColumn(
+        "value",
+        F.when(
+            F.pmod("event_id", F.lit(4)) == 2, -F.abs(F.col("value"))
+        ).otherwise(F.col("value")),
+    )
+    src = str(tmp_path / "events_gate_replay")
+    for b in range(4):
+        poisoned.filter(F.pmod("event_id", F.lit(4)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "event_id bigint, value double", max_files_per_trigger=1
+    )
+    target = str(tmp_path / "gate_target")
+    quarantine = str(tmp_path / "gate_quarantine")
+    reports: dict[int, tuple[bool, dict]] = {}
+    q = stream_quality_gate_sink(
+        stream,
+        target,
+        quarantine,
+        [Q.not_null("event_id"), Q.in_range("value", 0, 1e12)],
+        checkpoint=str(tmp_path / "ckpt_gate_replay"),
+        on_batch=lambda bid, ok, rep: reports.__setitem__(bid, (ok, rep)),
+    )
+    q.awaitTermination(240)
+
+    replay = {
+        r["batch"]: r
+        for r in REGISTRY["streaming_quality_gate_replay"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(reports) == set(replay) == {0, 1, 2, 3}
+    for b in range(4):
+        ok, rep = reports[b]
+        row = replay[b]
+        assert ok == row["passed"], (b, reports, row)
+        assert rep["not_null:event_id"] == row["v_null_id"]
+        assert rep["in_range:value"] == row["v_range_value"]
+    # routing: whole batches land where the replay's route column says
+    routed_target = spark.read.parquet(target)
+    routed_quarantine = spark.read.parquet(quarantine)
+    want_target = sum(
+        replay[b]["n_in"] for b in range(4) if replay[b]["route"] == "target"
+    )
+    want_quarantine = sum(
+        replay[b]["n_in"] for b in range(4) if replay[b]["route"] == "quarantine"
+    )
+    assert routed_target.count() == want_target
+    assert routed_quarantine.count() == want_quarantine
