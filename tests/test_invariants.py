@@ -400,7 +400,7 @@ def test_driver_window_contract():
         "tfidf_top_terms_documents", "neardup_graph_stats_documents",
         "l_diversity_audit_customer", "freshness_report_events",
         "streaming_late_arrival_report", "benford_audit_orders",
-        "source_concentration_documents",
+        "source_concentration_documents", "bootstrap_ci_tokens_documents",
         # changed-since-green re-checks (tools/recheck_queue.py)
         "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
         "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",

@@ -54,6 +54,7 @@ _NLJ_ALLOWED = {
     "freshness_report_events",  # one-row global-max anchor broadcast
     "benford_audit_orders",  # 9-digit grid + one-row total broadcast
     "source_concentration_documents",  # one-row totals broadcast
+    "bootstrap_ci_tokens_documents",  # B-row replicate frame + one-row stats
     "q22_dormant_high_balance",  # one-row scalar-average broadcast
     "q11_important_parts",  # one-row global-total broadcast (HAVING fraction)
     "bm25_search_documents",  # one-row df/N/avgdl stats broadcast
@@ -319,6 +320,7 @@ _BOUNDED_HINTS = {
     "ivf_cell_balance_embeddings": "seed centroids (fixed k cells)",
     "ann_pq_recall_report": "M*K=8 codebook rows + fixed query set",
     "ann_truncated_dim_recall_report": "3-row dims frame + fixed query set",
+    "bootstrap_ci_tokens_documents": "fixed 50-row replicate frame",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
