@@ -305,6 +305,12 @@ def test_round9_operators_on_empty(spark, tmp_path):
     assert len(g) == 1 and g[0]["n_nodes"] == 0 and g[0]["n_edges"] == 0
     c = REGISTRY["source_concentration_documents"].fn(spark, sf).collect()
     assert len(c) == 1 and c[0]["n_sources"] == 0 and c[0]["hhi"] is None
+    # bootstrap over an empty corpus: the one-row CI frame survives with
+    # null mean and null order-statistic bounds (no replicate means)
+    bci = REGISTRY["bootstrap_ci_tokens_documents"].fn(spark, sf).collect()
+    assert len(bci) <= 1
+    if bci:
+        assert bci[0]["mean_tokens"] is None
 
     # schema stability: the columns the driver hashes must not drift
     assert REGISTRY["longest_shared_span_documents"].fn(spark, sf).columns == [
