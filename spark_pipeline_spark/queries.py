@@ -12260,7 +12260,15 @@ def dedup_editdistance_verify_documents(spark: SparkSession, sf_dir: str) -> Dat
     Scale shape: the standard candidate/verify split — banded equi-join
     proposes ids, then the tiny pair frame joins doc TEXT back by id
     (payloads never enter the LSH shuffle); levenshtein is a JVM
-    built-in evaluated per candidate pair inside codegen, no UDF."""
+    built-in evaluated per candidate pair inside codegen, no UDF.
+
+    Cross-engine caveat (pinned by
+    tests/test_invariants.py::test_levenshtein_unicode_semantics):
+    Spark's levenshtein counts CODEPOINTS (the intended semantic);
+    DuckDB's counts UTF-8 BYTES, so the oracle is exact only for ASCII
+    corpora (the driver fixture is ASCII — verified). On non-ASCII data
+    trust the Spark side; the byte-based oracle would overcount
+    multi-byte edits."""
     from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
 
     d = t(spark, sf_dir, "documents").select("doc_id", "text")
