@@ -12180,19 +12180,26 @@ def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus text is scanned once and never self-joined. DSIR's hashed
     n-gram variant (fixed 8k buckets instead of raw terms) is the same
     plan with pmod(md5_int(term)) as the join key."""
-    toks = (
+    # One scan, one tokenize: the per-(doc, term) TF frame is the
+    # compact common input of every downstream aggregate (occurrence
+    # counts are sums of tf), persisted once — without it each consumer
+    # re-scans and re-explodes the corpus (measured 10 scans in the
+    # naive plan).
+    tf = query_persist(
         t(spark, sf_dir, "documents")
         .select(
             "doc_id",
             "source",
             F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
         )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    cc = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("cc"))
+    cc = tf.groupBy("term").agg(F.sum("n").cast("double").alias("cc"))
     ct = (
-        toks.filter(F.col("source").isin(*_DSIR_TARGET))
+        tf.filter(F.col("source").isin(*_DSIR_TARGET))
         .groupBy("term")
-        .agg(F.count(F.lit(1)).cast("double").alias("ct"))
+        .agg(F.sum("n").cast("double").alias("ct"))
     )
     stats = cc.agg(
         F.sum("cc").alias("nc"), F.count(F.lit(1)).cast("double").alias("v")
@@ -12211,14 +12218,14 @@ def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        toks.join(lr, "term")
+        tf.join(lr, "term")
         .groupBy("doc_id", "source")
         .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.round(F.sum("lr"), 6).alias("log_importance"),
-            F.round(F.sum("lr") / F.count(F.lit(1)), 6).alias(
-                "log_importance_per_tok"
-            ),
+            F.sum("n").alias("n_tok"),
+            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("log_importance"),
+            F.round(
+                F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 6
+            ).alias("log_importance_per_tok"),
         )
     )
 
@@ -13224,7 +13231,11 @@ def tfidf_top_terms_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the df aggregate AND the scoring join — persist so the
+    # corpus tokenizes once, not per consumer
+    tf = query_persist(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     nd = t(spark, sf_dir, "documents").agg(
         F.count(F.lit(1)).cast("double").alias("__n")
@@ -13720,8 +13731,12 @@ def bootstrap_ci_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     from spark_pipeline_spark.functions import md5_unit
     from spark_pipeline_spark.operators import text as T
 
-    x = t(spark, sf_dir, "documents").select(
-        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    # x feeds B weighted means plus the point estimate — persist the
+    # tiny (doc_id, n_tok) frame so the regex token count runs once
+    x = query_persist(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+        )
     )
     reps = spark.range(_BOOT_B).select(F.col("id").alias("r"))
     u = md5_unit(
