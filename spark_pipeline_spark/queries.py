@@ -13772,6 +13772,210 @@ def bootstrap_ci_tokens_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# Compaction planner knobs: at 100 TB these come from the table's real
+# file statistics (transaction-log sizes); here the per-row width proxy
+# stands in so the plan is deterministic over the synthetic parquet.
+_COMPACT_ROW_BYTES = 120
+_COMPACT_TARGET_BYTES = 256 * 1024
+
+
+@register(
+    "compaction_plan_orders",
+    oracle=f"""
+        WITH per_day AS (
+          SELECT o_orderdate AS day,
+                 count(*)::BIGINT AS n_rows,
+                 (count(*) * {_COMPACT_ROW_BYTES})::BIGINT AS est_bytes
+          FROM orders GROUP BY 1
+        ),
+        cum AS (
+          SELECT day, n_rows, est_bytes,
+                 sum(est_bytes) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) - est_bytes AS start_offset
+          FROM per_day
+        )
+        SELECT floor(start_offset / {_COMPACT_TARGET_BYTES}.0)::BIGINT AS job_id,
+               count(*)::BIGINT AS n_parts,
+               sum(n_rows)::BIGINT AS n_rows,
+               round(sum(est_bytes) / 1048576.0, 6) AS est_mb,
+               strftime(min(day), '%Y-%m-%d') AS first_day,
+               strftime(max(day), '%Y-%m-%d') AS last_day
+        FROM cum
+        GROUP BY 1
+    """,
+    tags=("maintenance", "layout", "compaction"),
+)
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction planner: roll the fact table up to its
+    date-partition grain, estimate bytes per partition, and bin-pack
+    adjacent partitions into merge jobs by byte offset
+    (``floor(running_bytes_before / target)``) — the OPTIMIZE-style
+    plan that turns a day-partitioned table of tiny files back into
+    target-sized ones while keeping each job a contiguous date range
+    (so compaction preserves partition-pruning locality).
+
+    Scale shape: the raw scan collapses to ONE map-side-combined
+    per-day aggregate (bounded by the partition count, ~thousands of
+    rows at any data scale), and only that summary flows through the
+    single-partition ordered cumsum window — the classic
+    "window over the aggregate, never the fact rows" planner shape.
+    At 100 TB the per-day byte estimates would come from file-level
+    metadata instead of a row-width proxy; the plan is identical."""
+    from pyspark.sql.window import Window
+
+    per_day = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .withColumn(
+            "est_bytes", (F.col("n_rows") * _COMPACT_ROW_BYTES).cast("long")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_day.withColumn(
+        "start_offset", F.sum("est_bytes").over(w) - F.col("est_bytes")
+    )
+    return (
+        cum.groupBy(
+            F.floor(F.col("start_offset") / float(_COMPACT_TARGET_BYTES))
+            .cast("long")
+            .alias("job_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("n_rows").alias("n_rows"),
+            F.round(F.sum("est_bytes") / 1048576.0, 6).alias("est_mb"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+    )
+
+
+@register(
+    "bigram_redundancy_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks
+          FROM documents
+          WHERE len(string_split_regex(lower(trim(text)), '\s+')) >= 2
+        ),
+        bg AS (
+          SELECT source,
+                 unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS p
+          FROM tok
+        ),
+        c12 AS (
+          SELECT source, p[1] AS w1, p[2] AS w2, count(*)::BIGINT AS n12
+          FROM bg GROUP BY 1, 2, 3
+        ),
+        c1 AS (
+          SELECT source, w1, sum(n12)::BIGINT AS n1
+          FROM c12 GROUP BY 1, 2
+        ),
+        cond AS (
+          SELECT c12.source,
+                 sum(n12)::BIGINT AS n_bigrams,
+                 count(*)::BIGINT AS distinct_bigrams,
+                 sum(n12 * ln(n12::DOUBLE / n1)) AS s_cond
+          FROM c12 JOIN c1 USING (source, w1)
+          GROUP BY 1
+        ),
+        marg AS (
+          SELECT c1.source,
+                 sum(n1 * ln(n1::DOUBLE / cond.n_bigrams)) AS s_marg
+          FROM c1 JOIN cond USING (source)
+          GROUP BY 1
+        )
+        SELECT cond.source,
+               n_bigrams,
+               distinct_bigrams,
+               round(-s_cond / n_bigrams, 6) AS cond_entropy,
+               round(-s_marg / n_bigrams, 6) AS marginal_entropy,
+               round(CASE WHEN s_marg < 0
+                          THEN 1.0 - s_cond / s_marg ELSE 0.0 END, 6)
+                 AS redundancy
+        FROM cond JOIN marg USING (source)
+    """,
+    tags=("text", "quality", "llm-pipeline"),
+)
+def bigram_redundancy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram redundancy: conditional next-token entropy
+    H(w2|w1) vs the marginal first-token entropy H(w1) under the
+    source's own bigram counts, plus redundancy = 1 − H(w2|w1)/H(w1).
+    A templated/boilerplate-heavy source has next tokens that are
+    nearly determined by the previous one (low conditional entropy,
+    high redundancy) even when its unigram mix looks diverse — the
+    corpus-level signal behind KenLM-style filtering that unigram NLL
+    (``text_unigram_nll_documents``) cannot see.
+
+    Scale shape: one scan, one in-plan bigram explode (no self-join,
+    no posexplode+join), then two map-side-combined aggregates whose
+    output is bounded by the distinct-bigram vocabulary per source —
+    the shuffles carry counts, never token streams. The final
+    entropy folds run over the tiny (source, w1) frame."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("source", toks.alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = d.select(
+        "source",
+        F.expr(
+            "explode(transform(sequence(2, size(toks)),"
+            " i -> struct(toks[i-2] AS w1, toks[i-1] AS w2))) AS p"
+        ),
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # c12 feeds c1, the conditional fold, and (via c1) the marginal fold —
+    # persist the vocabulary-bounded count frame so the corpus is scanned
+    # and bigram-exploded ONCE, not once per consumer
+    c12 = query_persist(
+        bg.groupBy("source", "w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    )
+    c1 = query_persist(c12.groupBy("source", "w1").agg(F.sum("n12").alias("n1")))
+    cond = (
+        c12.join(c1, ["source", "w1"])
+        .groupBy("source")
+        .agg(
+            F.sum("n12").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("distinct_bigrams"),
+            F.sum(
+                F.col("n12")
+                * F.log(F.col("n12").cast("double") / F.col("n1"))
+            ).alias("s_cond"),
+        )
+    )
+    marg = (
+        c1.join(cond.select("source", "n_bigrams"), "source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.col("n1")
+                * F.log(F.col("n1").cast("double") / F.col("n_bigrams"))
+            ).alias("s_marg")
+        )
+    )
+    return cond.join(marg, "source").select(
+        "source",
+        "n_bigrams",
+        "distinct_bigrams",
+        F.round(-F.col("s_cond") / F.col("n_bigrams"), 6).alias("cond_entropy"),
+        F.round(-F.col("s_marg") / F.col("n_bigrams"), 6).alias(
+            "marginal_entropy"
+        ),
+        F.round(
+            F.when(
+                F.col("s_marg") < 0,
+                F.lit(1.0) - F.col("s_cond") / F.col("s_marg"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("redundancy"),
+    )
+
+
 
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
