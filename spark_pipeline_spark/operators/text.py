@@ -40,6 +40,8 @@ __all__ = [
     "detect_language",
     "minhash_fingerprint",
     "content_fingerprint",
+    "gram_hashes",
+    "winnow_fingerprints",
     "redact_pii",
     "pii_count",
     "normalize_text",
@@ -169,6 +171,48 @@ def minhash_fingerprint(col: Column | str, shingle_len: int = 8) -> Column:
 def content_fingerprint(col: Column | str) -> Column:
     """Exact-content fingerprint: md5 hex of the raw text."""
     return F.md5(_c(col))
+
+
+def gram_hashes(col: Column | str, shingle_len: int = 8) -> Column:
+    """All character ``shingle_len``-gram hashes of a text, in position
+    order — the input stream winnowing selects from. NULL text yields an
+    empty array; texts shorter than ``shingle_len`` hash whole (one gram),
+    matching :func:`minhash_fingerprint`.
+
+    Materialize this array ONCE (named column, persisted if consumed more
+    than once) before deriving anything from it: re-inlining the transform
+    into a multi-reference projection re-hashes every gram per consumer."""
+    c = _c(col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(c) - (shingle_len - 1), F.lit(1))
+    )
+    hs = F.transform(positions, lambda i: md5_int(c.substr(i, F.lit(shingle_len))))
+    return F.when(c.isNull(), F.array().cast("array<bigint>")).otherwise(hs)
+
+
+def winnow_fingerprints(hashes: Column | str, window: int = 16) -> Column:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+    the MOSS algorithm): slide a ``window`` over the gram-hash stream,
+    keep each window's minimum, and deduplicate — any two documents
+    sharing a substring of at least ``window + shingle_len - 1``
+    characters are GUARANTEED to share a fingerprint, while the selected
+    set is ~2/(window+1) of all grams. Trailing windows truncate at the
+    end of the stream (suffix minima), so short texts still fingerprint.
+
+    ``hashes`` must be an already-materialized array column (see
+    :func:`gram_hashes`): the window minima reference it once per
+    position, so an inline expression would re-hash the document
+    O(n·window) times. The in-plan form is exact for moderate windows;
+    a 100 TB run with large windows would swap in the O(n) monotonic-
+    deque scan inside mapInPandas — same selected set, same schema."""
+    hs = _c(hashes)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(hs)),
+            lambda j: F.array_min(F.slice(hs, j, window)),
+        )
+    )
+    return F.when(F.size(hs) == 0, F.array().cast("array<bigint>")).otherwise(fps)
 
 
 # PII redaction patterns, applied in ORDER (emails before phones so the

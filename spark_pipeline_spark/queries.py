@@ -13854,6 +13854,76 @@ def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "winnowing_fingerprint_documents",
+    oracle="""
+        WITH g AS (
+          SELECT doc_id, source,
+                 CASE WHEN text IS NULL THEN [] ELSE list_transform(
+                   generate_series(1, greatest(length(text) - 7, 1)),
+                   i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+                 ) END AS hs
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, source, len(hs)::BIGINT AS n_grams,
+                 len(list_distinct(list_transform(
+                   generate_series(1, len(hs)),
+                   j -> list_min(hs[j:j+15])
+                 )))::BIGINT AS n_fingerprints
+          FROM g
+        )
+        SELECT source,
+               count(*)::BIGINT AS n_docs,
+               sum(n_grams)::BIGINT AS n_grams,
+               sum(n_fingerprints)::BIGINT AS n_fingerprints,
+               round(sum(n_fingerprints)::DOUBLE
+                     / greatest(sum(n_grams), 1), 6) AS selected_share
+        FROM f
+        GROUP BY 1
+    """,
+    tags=("text", "fingerprint", "dedup", "llm-pipeline"),
+)
+def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint density (Schleimer et al. 2003 / MOSS): per
+    source, how many char-8-gram hashes the window-16 winnow selects out
+    of the full gram stream. Winnowing is the fingerprinting scheme with
+    a GUARANTEE — any shared substring of ≥ 23 chars shares a selected
+    fingerprint — at a ~2/(w+1) storage density, which is what you store
+    per document before plagiarism-style overlap search at corpus scale.
+    The selected-share column validates the density against theory.
+
+    Scale shape: one scan; the gram-hash array is materialized once per
+    row in its own projection — CollapseProject refuses to inline the
+    expensive transform into its two consumers, so the plan keeps two
+    pipelined Projects (verified: md5 appears once in the optimized
+    plan) with no caching needed — then a map-side-combined per-source
+    fold. No shuffle carries text or arrays — only four numbers per
+    source cross the exchange."""
+    from spark_pipeline_spark.operators import text as T
+
+    g = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.gram_hashes("text", 8).alias("hs")
+    )
+    f = g.select(
+        "source",
+        F.size("hs").cast("long").alias("n_grams"),
+        F.size(T.winnow_fingerprints("hs", 16)).cast("long").alias(
+            "n_fingerprints"
+        ),
+    )
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("n_grams"),
+        F.sum("n_fingerprints").alias("n_fingerprints"),
+        F.round(
+            F.sum("n_fingerprints").cast("double")
+            / F.greatest(F.sum("n_grams"), F.lit(1)),
+            6,
+        ).alias("selected_share"),
+    )
+
+
+@register(
     "bigram_redundancy_documents",
     oracle=r"""
         WITH tok AS (

@@ -814,3 +814,67 @@ def test_levenshtein_unicode_semantics(spark, duck):
     assert duck_got == [2, 3, 1]  # byte distances (é = 2 bytes, CJK = 3)
     # the two agree exactly on ASCII — the regime the driver fixture is in
     assert got[2] == duck_got[2]
+
+
+def test_winnowing_matches_reference_and_guarantee(spark):
+    """Winnowing (gram_hashes + winnow_fingerprints) must equal a
+    pure-Python reimplementation of Schleimer et al.'s scheme on varied
+    texts (empty, NULL, shorter than the gram, unicode, long random),
+    and must honor the guarantee: two texts sharing a substring of
+    ≥ window + shingle_len − 1 = 23 chars share a fingerprint."""
+    import hashlib
+    import random
+
+    from spark_pipeline_spark.operators.text import (
+        gram_hashes,
+        winnow_fingerprints,
+    )
+
+    K, W = 8, 16
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:8], 16)
+
+    def ref(text: str | None) -> set[int]:
+        if text is None:
+            return set()
+        n = max(len(text) - (K - 1), 1)
+        hs = [md5int(text[i : i + K]) for i in range(n)]
+        return {min(hs[j : j + W]) for j in range(len(hs))}
+
+    rng = random.Random(20260815)
+    alpha = "abcdefgh 日本語é"
+    texts: list[str | None] = ["", None, "short", "exactly8"]
+    texts += [
+        "".join(rng.choice(alpha) for _ in range(rng.randint(1, 120)))
+        for _ in range(30)
+    ]
+    shared = "".join(rng.choice(alpha) for _ in range(23))
+    planted = []
+    for _ in range(5):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 40)))
+        planted.append(len(texts))
+        texts.append(pre + shared + post)
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r["id"]: set(r["fps"])
+        for r in df.select(
+            "id",
+            winnow_fingerprints(gram_hashes("text", K), W).alias("fps"),
+        ).collect()
+    }
+    for i, s in enumerate(texts):
+        assert got[i] == ref(s), (i, repr(s))
+    # the MOSS guarantee: every planted pair shares a fingerprint
+    for a in planted:
+        for b in planted:
+            assert got[a] & got[b]
+    # density sanity: long texts select far fewer than all grams
+    longs = [i for i, s in enumerate(texts) if s and len(s) > 100]
+    assert longs
+    for i in longs:
+        assert len(got[i]) < 0.5 * (len(texts[i]) - K + 1)
