@@ -12156,8 +12156,8 @@ _DSIR_TARGET = ("src0", "src1", "src2", "src3")
         )
         SELECT t.doc_id, t.source,
                count(*)::BIGINT AS n_tok,
-               round(sum(l.lr), 6) AS log_importance,
-               round(sum(l.lr) / count(*), 6) AS log_importance_per_tok
+               round(sum(l.lr), 6) + 0.0 AS log_importance,
+               round(sum(l.lr) / count(*), 6) + 0.0 AS log_importance_per_tok
         FROM tok t JOIN lr l USING (term)
         GROUP BY t.doc_id, t.source
     """,
@@ -12222,9 +12222,15 @@ def dsir_importance_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "source")
         .agg(
             F.sum("n").alias("n_tok"),
-            F.round(F.sum(F.col("n") * F.col("lr")), 6).alias("log_importance"),
-            F.round(
-                F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 6
+            # + 0.0 normalizes IEEE -0.0 (a ±ε sum rounding to zero can
+            # land on either zero depending on accumulation order, and
+            # the driver hash is bit-exact) — mirrored in the oracle
+            (F.round(F.sum(F.col("n") * F.col("lr")), 6) + F.lit(0.0)).alias(
+                "log_importance"
+            ),
+            (
+                F.round(F.sum(F.col("n") * F.col("lr")) / F.sum("n"), 6)
+                + F.lit(0.0)
             ).alias("log_importance_per_tok"),
         )
     )
@@ -13923,6 +13929,114 @@ def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# Winnowing pair-report knobs: fingerprints seen in more than _WIN_MAXDF
+# docs are boilerplate, not identity, and are dropped before the pair
+# join (the df cap that keeps candidate fanout ~linear at 100 TB);
+# pairs must share at least _WIN_MIN_SHARED surviving fingerprints.
+_WIN_MAXDF = 20
+_WIN_MIN_SHARED = 5
+
+
+@register(
+    "winnowing_overlap_pairs_documents",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id, CASE WHEN text IS NULL THEN [] ELSE list_transform(
+            generate_series(1, greatest(length(text) - 7, 1)),
+            i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+          ) END AS hs
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(hs)), j -> list_min(hs[j:j+15]))) AS fps
+          FROM g
+        ),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        keep AS (
+          SELECT fp FROM e GROUP BY fp HAVING count(*) <= {_WIN_MAXDF}
+        ),
+        ee AS (SELECT e.doc_id, e.fp FROM e JOIN keep USING (fp)),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 count(*)::BIGINT AS n_shared
+          FROM ee a JOIN ee b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= {_WIN_MIN_SHARED}
+        ),
+        cnt AS (SELECT doc_id, len(fps)::BIGINT AS nf FROM f)
+        SELECT id_a, id_b, n_shared,
+               round(n_shared::DOUBLE / least(ca.nf, cb.nf), 6) AS containment
+        FROM pairs
+        JOIN cnt ca ON ca.doc_id = id_a
+        JOIN cnt cb ON cb.doc_id = id_b
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "llm-pipeline"),
+)
+def winnowing_overlap_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing as a dedup blocking key, end-to-end: documents pair when
+    they share ≥ 5 winnowed fingerprints (after dropping fingerprints
+    common to > 20 docs — boilerplate, not identity), reported with a
+    containment score n_shared / min(|fps|). This is the MOSS overlap
+    search: because winnowing guarantees any ≥23-char shared substring
+    selects a common fingerprint, recall on verbatim reuse is
+    structural, while the df cap keeps the candidate join from exploding
+    on template text (sf0.01 → 46 pairs, sf0.1 → 61 — the fanout tracks
+    true near-dups, not corpus size²).
+
+    Scale shape: the exploded (doc, fingerprint) posting list is ~1/8 of
+    the gram stream and is persisted once (it feeds the df filter, both
+    join sides, and the per-doc counts); the pair join is an equi-join
+    on fingerprint with per-key fanout capped at the df cap; per-doc
+    fingerprint counts are O(docs) (never force-broadcast — AQE
+    broadcasts the tiny surviving pair side instead)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.operators import text as T
+
+    f = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
+    )
+    e = query_persist(
+        f.select("doc_id", F.explode("fps").alias("fp")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    keep = e.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _WIN_MAXDF
+    )
+    ee = e.join(keep.select("fp"), "fp")
+    a = ee.select(F.col("doc_id").alias("id_a"), "fp")
+    b = ee.select(F.col("doc_id").alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    cnt = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        pairs.join(
+            cnt.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("__nfa")),
+            "id_a",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("id_b"), F.col("nf").alias("__nfb")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("__nfa", "__nfb"),
+                6,
+            ).alias("containment"),
+        )
+    )
+
+
 @register(
     "bigram_redundancy_documents",
     oracle=r"""
@@ -13962,8 +14076,8 @@ def winnowing_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT cond.source,
                n_bigrams,
                distinct_bigrams,
-               round(-s_cond / n_bigrams, 6) AS cond_entropy,
-               round(-s_marg / n_bigrams, 6) AS marginal_entropy,
+               round(-s_cond / n_bigrams, 6) + 0.0 AS cond_entropy,
+               round(-s_marg / n_bigrams, 6) + 0.0 AS marginal_entropy,
                round(CASE WHEN s_marg < 0
                           THEN 1.0 - s_cond / s_marg ELSE 0.0 END, 6)
                  AS redundancy
@@ -14032,8 +14146,13 @@ def bigram_redundancy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_bigrams",
         "distinct_bigrams",
-        F.round(-F.col("s_cond") / F.col("n_bigrams"), 6).alias("cond_entropy"),
-        F.round(-F.col("s_marg") / F.col("n_bigrams"), 6).alias(
+        # + 0.0 on both sides: an all-unique bigram source sums to ±0.0
+        # whose sign differs by accumulation order, and the driver hash
+        # is bit-exact (same normalization as dsir_importance)
+        (F.round(-F.col("s_cond") / F.col("n_bigrams"), 6) + F.lit(0.0)).alias(
+            "cond_entropy"
+        ),
+        (F.round(-F.col("s_marg") / F.col("n_bigrams"), 6) + F.lit(0.0)).alias(
             "marginal_entropy"
         ),
         F.round(
