@@ -14166,6 +14166,230 @@ def bigram_redundancy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "text_bigram_backoff_nll_documents",
+    oracle=r"""
+        WITH arr AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS a
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tok AS (SELECT doc_id, unnest(a) AS term FROM arr),
+        uni AS (SELECT term, count(*)::DOUBLE AS c FROM tok GROUP BY term),
+        tot AS (SELECT sum(c) AS n FROM uni),
+        bg0 AS (
+          SELECT doc_id, unnest(list_transform(
+            generate_series(1, len(a) - 1),
+            i -> struct_pack(w1 := a[i], w2 := a[i + 1]))) AS b
+          FROM arr WHERE len(a) >= 2
+        ),
+        bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg0),
+        bigc AS (
+          SELECT w1, w2, count(*)::DOUBLE AS bc
+          FROM bg GROUP BY w1, w2 HAVING count(*) >= 2
+        ),
+        s AS (
+          SELECT bg.doc_id,
+                 CASE WHEN bc.bc IS NOT NULL THEN bc.bc / u1.c
+                      ELSE 0.4 * u2.c / n END AS p,
+                 CASE WHEN bc.bc IS NULL THEN 1.0 ELSE 0.0 END AS backed
+          FROM bg
+          JOIN uni u1 ON u1.term = bg.w1
+          JOIN uni u2 ON u2.term = bg.w2
+          LEFT JOIN bigc bc ON bc.w1 = bg.w1 AND bc.w2 = bg.w2
+          CROSS JOIN tot
+          UNION ALL
+          SELECT arr.doc_id, u.c / n AS p, 0.0 AS backed
+          FROM arr JOIN uni u ON u.term = a[1] CROSS JOIN tot
+          WHERE len(a) >= 1
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_scored,
+               round(avg(backed), 6) AS backoff_rate,
+               round(avg(-ln(p)) / ln(2), 6) AS avg_bits,
+               round(pow(2, avg(-ln(p)) / ln(2)), 6) AS ppl
+        FROM s GROUP BY doc_id
+    """,
+    tags=("text", "quality", "lm", "llm-pipeline"),
+)
+def text_bigram_backoff_nll_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bigram language-model scoring with stupid backoff (Brants et al.
+    2007) — the CCNet-style perplexity quality filter one order up from
+    `text_unigram_nll_documents`: each token after the first is scored
+    P(w2|w1) = c(w1,w2)/c(w1) when the bigram survives count pruning
+    (c >= 2 — singleton bigrams are noise, and pruning is what makes
+    backoff ever fire on the training corpus itself), else backs off to
+    0.4 * unigram. Reports per-doc token count, the fraction of
+    positions that backed off (a repetitiveness/fluency signal in its
+    own right: templated text never backs off), mean bits/token, and
+    perplexity.
+
+    Scale shape: one tokenize pass persisted once (feeds unigram
+    counts, the bigram stream built array-side with zero shuffle, and
+    the first-token probe); the LM tables are O(vocab) / O(pruned
+    bigrams) count aggregates with map-side combine; scoring is three
+    equi-joins against those model tables (AQE broadcasts them when
+    small, plain shuffle joins at 100 TB) plus a one-row total
+    broadcast. No window functions, no self-joins on the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    arr = query_persist(
+        ensure_min_partitions(
+            t(spark, sf_dir, "documents")
+            .filter(F.col("text").isNotNull())
+            .select(
+                "doc_id",
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("a"),
+            )
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    toks = arr.select("doc_id", F.explode("a").alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    tot = uni.agg(F.sum("c").alias("n"))
+    # Spark arrays are 0-indexed (the oracle's lists are 1-indexed);
+    # sequence(2, size(a)) needs size >= 2 or it runs DESCENDING
+    bg = (
+        arr.filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(a)),"
+                    " i -> struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    bigc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("bc"))
+        .filter(F.col("bc") >= 2)
+    )
+    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    scored_bg = (
+        bg.join(bigc, ["w1", "w2"], "left")
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("bc").isNotNull(), F.col("bc") / F.col("c1"))
+            .otherwise(F.lit(0.4) * F.col("c2") / F.col("n"))
+            .alias("p"),
+            F.when(F.col("bc").isNull(), F.lit(1.0))
+            .otherwise(F.lit(0.0))
+            .alias("backed"),
+        )
+    )
+    first = (
+        arr.filter(F.size("a") >= 1)
+        .select("doc_id", F.col("a").getItem(0).alias("term"))
+        .join(uni, "term")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            (F.col("c") / F.col("n")).alias("p"),
+            F.lit(0.0).alias("backed"),
+        )
+    )
+    s = scored_bg.unionByName(first)
+    ln2 = F.log(F.lit(2.0))
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_scored"),
+        F.round(F.avg("backed"), 6).alias("backoff_rate"),
+        F.round(F.avg(-F.log("p")) / ln2, 6).alias("avg_bits"),
+        F.round(F.pow(F.lit(2.0), F.avg(-F.log("p")) / ln2), 6).alias("ppl"),
+    )
+
+
+# Association-rule knobs: a part pair must co-occur in at least
+# _ASSOC_MIN_SUPPORT distinct orders to be reported — the support floor
+# that keeps the rule table a tiny fraction of the pair stream.
+_ASSOC_MIN_SUPPORT = 2
+
+
+@register(
+    "assoc_rules_parts_orders",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey AS okey, l_partkey AS part FROM lineitem
+        ),
+        n AS (SELECT count(DISTINCT okey)::DOUBLE AS n_orders FROM items),
+        supp AS (SELECT part, count(*)::DOUBLE AS s FROM items GROUP BY part),
+        pairs AS (
+          SELECT a.part AS part_a, b.part AS part_b,
+                 count(*)::BIGINT AS n_ab
+          FROM items a JOIN items b
+            ON a.okey = b.okey AND a.part < b.part
+          GROUP BY 1, 2 HAVING count(*) >= {_ASSOC_MIN_SUPPORT}
+        )
+        SELECT part_a, part_b, n_ab,
+               round(n_ab / sa.s, 6) AS conf_a_to_b,
+               round(n_ab * n_orders / (sa.s * sb.s), 6) AS lift
+        FROM pairs
+        JOIN supp sa ON sa.part = part_a
+        JOIN supp sb ON sb.part = part_b
+        CROSS JOIN n
+    """,
+    tags=("relational", "mining", "basket"),
+)
+def assoc_rules_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: for every
+    pair of parts co-purchased in >= 2 distinct orders, the support
+    count, confidence P(b|a), and lift (observed co-occurrence over the
+    independence expectation). The classic frequent-pair-mining
+    operator the reference's relational surface has no analog for.
+
+    Scale shape: the basket self-join is an equi-join on the order key,
+    so per-key fanout is items-per-order squared — bounded by the
+    basket size (TPC-H: <= 7 lines/order), never by corpus size; pair
+    counts are map-side combined; the support tables are O(parts)
+    aggregates joined onto the (support-floored) rule table; the order
+    count rides as a one-row broadcast."""
+    items = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), F.col("l_partkey").alias("part")
+    ).distinct()
+    n = items.agg(
+        F.countDistinct("okey").cast("double").alias("n_orders")
+    )
+    supp = items.groupBy("part").agg(
+        F.count(F.lit(1)).cast("double").alias("s")
+    )
+    a = items.select("okey", F.col("part").alias("part_a"))
+    b = items.select("okey", F.col("part").alias("part_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _ASSOC_MIN_SUPPORT)
+    )
+    sa = supp.select(F.col("part").alias("part_a"), F.col("s").alias("__sa"))
+    sb = supp.select(F.col("part").alias("part_b"), F.col("s").alias("__sb"))
+    return (
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("__sa"), 6).alias("conf_a_to_b"),
+            F.round(
+                F.col("n_ab") * F.col("n_orders")
+                / (F.col("__sa") * F.col("__sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

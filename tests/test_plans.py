@@ -74,6 +74,8 @@ _NLJ_ALLOWED = {
     "nll_quartile_bucket_documents",  # one-row vocabulary-total broadcast
     "nll_boundary_bucket_documents",  # one-row vocabulary-total broadcast
     "rrf_fusion_search_documents",  # one-row query-vector + bm25-stats broadcasts
+    "text_bigram_backoff_nll_documents",  # one-row vocabulary-total broadcast
+    "assoc_rules_parts_orders",  # one-row order-count broadcast
 }
 
 
