@@ -14270,19 +14270,26 @@ def text_bigram_backoff_nll_documents(
         .agg(F.count(F.lit(1)).cast("double").alias("bc"))
         .filter(F.col("bc") >= 2)
     )
-    u1 = uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+    # Fold the denominators INTO the model tables (O(bigrams)/O(vocab)
+    # rows) so the corpus-sized bigram stream joins twice, not three
+    # times, and the one-row total broadcast lands on the vocab frame.
+    model = bigc.join(
+        uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1"
+    ).select("w1", "w2", (F.col("bc") / F.col("c1")).alias("p_big"))
+    backoff = (
+        uni.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("term").alias("w2"),
+            (F.lit(0.4) * F.col("c") / F.col("n")).alias("p_uni"),
+        )
+    )
     scored_bg = (
-        bg.join(bigc, ["w1", "w2"], "left")
-        .join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(F.broadcast(tot))
+        bg.join(model, ["w1", "w2"], "left")
+        .join(backoff, "w2")
         .select(
             "doc_id",
-            F.when(F.col("bc").isNotNull(), F.col("bc") / F.col("c1"))
-            .otherwise(F.lit(0.4) * F.col("c2") / F.col("n"))
-            .alias("p"),
-            F.when(F.col("bc").isNull(), F.lit(1.0))
+            F.coalesce("p_big", "p_uni").alias("p"),
+            F.when(F.col("p_big").isNull(), F.lit(1.0))
             .otherwise(F.lit(0.0))
             .alias("backed"),
         )
