@@ -28,6 +28,7 @@ __all__ = [
     "greedy_subword_count",
     "dot_product",
     "l2_norm",
+    "holt_linear_fold",
 ]
 
 # 2^32 — md5_int yields a uniform draw in [0, 2^32).
@@ -165,4 +166,40 @@ def greedy_subword_count(col_name: str, vocab: list[str]) -> Column:
         " named_struct('p', 1, 'n', 0),"
         " (acc, i) -> IF(i != acc.p, acc,"
         f" named_struct('p', acc.p + {piece('acc.p')}, 'n', acc.n + 1))).n)"
+    )
+
+
+def holt_linear_fold(
+    col_name: str, alpha: float = 0.5, beta: float = 0.3
+) -> Column:
+    """Holt's linear-trend exponential smoothing over a SORTED
+    ``array<double>`` series column, as a pure Catalyst ``aggregate``
+    fold (no UDF, no shuffle): returns ``struct(l, b, e)`` — the final
+    level, final trend, and the accumulated one-step absolute error
+    over positions 3..n. Textbook init after two observations:
+    l = y2, b = y2 - y1; the caller must guarantee ``size >= 2``
+    (filter first — ``slice`` with a negative length errors).
+
+    Recurrence per subsequent observation y:
+        e += |l + b - y|
+        l' = alpha*y + (1-alpha)*(l + b)
+        b' = beta*(l' - l) + (1-beta)*b
+    The same recurrence replays as a DuckDB recursive CTE in
+    ``queries.holt_linear_forecast_user_value``'s oracle and as plain
+    Python in tests — three implementations, hash- and property-checked.
+    """
+    a, ba = alpha, 1 - alpha
+    g, bg = beta, 1 - beta
+    v = col_name
+    return F.expr(
+        f"""aggregate(
+             slice({v}, 3, size({v}) - 2),
+             named_struct('l', CAST({v}[1] AS DOUBLE),
+                          'b', CAST({v}[1] - {v}[0] AS DOUBLE),
+                          'e', CAST(0.0 AS DOUBLE)),
+             (acc, y) -> named_struct(
+               'l', {a} * y + {ba} * (acc.l + acc.b),
+               'b', {g} * ({a} * y + {ba} * (acc.l + acc.b) - acc.l)
+                    + {bg} * acc.b,
+               'e', acc.e + abs(acc.l + acc.b - y)))"""
     )

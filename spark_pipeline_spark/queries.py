@@ -14397,6 +14397,213 @@ def assoc_rules_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "session_markov_nll_events",
+    oracle="""
+        WITH x AS (
+          SELECT user_id, event_id, ts, event_type,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+          SELECT *,
+                 sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess_id,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+                 lead(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS nxt_new
+          FROM x
+        ),
+        tr AS (
+          SELECT user_id, sess_id, ts, event_type AS cur, nxt
+          FROM s WHERE nxt IS NOT NULL AND nxt_new = 0
+        ),
+        m AS (
+          SELECT cur, nxt, count(*)::DOUBLE AS n FROM tr GROUP BY cur, nxt
+        ),
+        p AS (
+          SELECT cur, nxt, n / sum(n) OVER (PARTITION BY cur) AS p FROM m
+        )
+        SELECT t.user_id,
+               floor(epoch(min(t.ts)))::BIGINT AS session_start_epoch,
+               count(*)::BIGINT AS n_transitions,
+               round(avg(-ln(p.p) / ln(2)), 6) AS avg_bits,
+               round(min(p.p), 6) AS min_p
+        FROM tr t JOIN p ON p.cur = t.cur AND p.nxt = t.nxt
+        GROUP BY t.user_id, t.sess_id
+    """,
+    tags=("events", "sequence", "markov", "anomaly"),
+    bench=True,
+)
+def session_markov_nll_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized journey anomaly scoring: each 30-minute-gap session
+    with >= 2 events is scored against the corpus's own first-order
+    transition matrix — mean bits per transition and the rarest
+    transition probability in the session. High-NLL sessions are
+    unusual journeys (bot screens, funnel diagnostics); min_p pinpoints
+    the single oddest hop. Transitions never cross a session boundary,
+    on both the training and the scoring side.
+
+    Scale shape: sessionization + lead/lag all run over ONE user_id
+    window partitioning (one exchange + one sort for the whole event
+    stream — the boundary test uses lead(new_sess) precisely so scoring
+    never needs a second (user, session)-keyed window); the transition
+    frame persists once and feeds both the |types|^2 matrix aggregate
+    and the scoring equi-join (AQE broadcasts the matrix); the final
+    rollup is one groupBy on (user, session)."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    e = ensure_min_partitions(
+        t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    x = e.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (sec - F.lag("ts").over(w).cast("double") >= 1800),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    s = (
+        x.withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("nxt", F.lead("event_type").over(w))
+        .withColumn("nxt_new", F.lead("new_sess").over(w))
+    )
+    tr = query_persist(
+        s.filter(F.col("nxt").isNotNull() & (F.col("nxt_new") == 0)).select(
+            "user_id", "sess_id", "ts", F.col("event_type").alias("cur"), "nxt"
+        )
+    )
+    m = tr.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    p = m.select(
+        "cur",
+        "nxt",
+        (F.col("n") / F.sum("n").over(Window.partitionBy("cur"))).alias("p"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    return (
+        tr.join(p, ["cur", "nxt"])
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.floor(F.min(F.col("ts").cast("double")))
+            .cast("long")
+            .alias("session_start_epoch"),
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.round(F.avg(-F.log("p") / ln2), 6).alias("avg_bits"),
+            F.round(F.min("p"), 6).alias("min_p"),
+        )
+        .drop("sess_id")
+    )
+
+
+# Holt's linear-trend smoothing constants (classic textbook defaults):
+# level gain alpha, trend gain beta.
+_HOLT_ALPHA = 0.5
+_HOLT_BETA = 0.3
+
+
+@register(
+    "holt_linear_forecast_user_value",
+    oracle=f"""
+        WITH RECURSIVE d0 AS (
+          SELECT user_id, date_trunc('day', ts) AS day, sum(value) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        d AS (
+          SELECT user_id, v,
+                 row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+          FROM d0
+        ),
+        cnt AS (SELECT user_id, count(*)::BIGINT AS n_days FROM d GROUP BY 1),
+        rec AS (
+          SELECT d1.user_id, 2 AS rn,
+                 d2.v::DOUBLE AS l, (d2.v - d1.v)::DOUBLE AS b, 0.0::DOUBLE AS e
+          FROM d d1 JOIN d d2
+            ON d2.user_id = d1.user_id AND d1.rn = 1 AND d2.rn = 2
+          UNION ALL
+          SELECT r.user_id, r.rn + 1,
+                 {_HOLT_ALPHA} * x.v + {1 - _HOLT_ALPHA} * (r.l + r.b) AS l,
+                 {_HOLT_BETA} * ({_HOLT_ALPHA} * x.v
+                                 + {1 - _HOLT_ALPHA} * (r.l + r.b) - r.l)
+                   + {1 - _HOLT_BETA} * r.b AS b,
+                 r.e + abs(r.l + r.b - x.v) AS e
+          FROM rec r JOIN d x
+            ON x.user_id = r.user_id AND x.rn = r.rn + 1
+        )
+        SELECT r.user_id, c.n_days,
+               round(r.l, 6) AS level_smoothed,
+               round(r.b, 6) AS trend,
+               round(r.l + r.b, 6) AS forecast_next,
+               round(CASE WHEN c.n_days > 2
+                          THEN r.e / (c.n_days - 2) ELSE 0.0 END, 6)
+                 AS mae_1step
+        FROM rec r JOIN cnt c ON c.user_id = r.user_id AND r.rn = c.n_days
+    """,
+    tags=("events", "timeseries", "forecast"),
+)
+def holt_linear_forecast_user_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holt's linear-trend exponential smoothing per user over the daily
+    value series (alpha=0.5, beta=0.3, textbook init l=y2, b=y2-y1):
+    final level and trend, the one-step forecast, and the in-sample
+    one-step MAE — the per-entity forecasting primitive behind churn
+    and demand screens. Users need >= 2 active days; the recurrence is
+    inherently sequential PER USER, so it runs as a pure Catalyst
+    `aggregate` fold over each user's sorted daily array — bounded by
+    the calendar (days per user), never by event count, and embarrassingly
+    parallel across users. The oracle replays the identical recurrence
+    as a DuckDB recursive CTE so every smoothed value is hash-checked.
+
+    Scale shape: one (user, day) aggregate with map-side combine, one
+    groupBy collecting the bounded daily series, zero joins and zero
+    window functions on the event stream."""
+    d0 = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.sum("value").alias("v"))
+    )
+    arr = (
+        d0.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("day", "v"))),
+                lambda x: x["v"],
+            ).alias("vs")
+        )
+        .filter(F.size("vs") >= 2)
+    )
+    from spark_pipeline_spark.functions import holt_linear_fold
+
+    fold = arr.withColumn(
+        "r", holt_linear_fold("vs", alpha=_HOLT_ALPHA, beta=_HOLT_BETA)
+    )
+    n_days = F.size("vs").cast("long")
+    return fold.select(
+        "user_id",
+        n_days.alias("n_days"),
+        F.round(F.col("r.l"), 6).alias("level_smoothed"),
+        F.round(F.col("r.b"), 6).alias("trend"),
+        F.round(F.col("r.l") + F.col("r.b"), 6).alias("forecast_next"),
+        F.round(
+            F.when(n_days > 2, F.col("r.e") / (n_days - 2)).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mae_1step"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

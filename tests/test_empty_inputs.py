@@ -319,3 +319,23 @@ def test_round9_operators_on_empty(spark, tmp_path):
     assert REGISTRY["dsir_importance_documents"].fn(spark, sf).columns == [
         "doc_id", "source", "n_tok", "log_importance", "log_importance_per_tok",
     ]
+
+
+def test_round9_late_queries_on_empty_tables(spark, tmp_path):
+    """The r9-late registrations must return empty (not error) when their
+    input tables are empty — an upstream filter legitimately empties a
+    partition or a whole table."""
+    from spark_pipeline_spark.queries import REGISTRY
+
+    for name in ("documents", "events", "lineitem"):
+        t(spark, SF_SMALL, name).filter(F.lit(False)).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / f"{name}.parquet"))
+    for q in (
+        "winnowing_overlap_pairs_documents",
+        "text_bigram_backoff_nll_documents",
+        "assoc_rules_parts_orders",
+        "session_markov_nll_events",
+        "holt_linear_forecast_user_value",
+    ):
+        assert REGISTRY[q].fn(spark, str(tmp_path)).count() == 0, q

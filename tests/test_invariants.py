@@ -878,3 +878,75 @@ def test_winnowing_matches_reference_and_guarantee(spark):
     assert longs
     for i in longs:
         assert len(got[i]) < 0.5 * (len(texts[i]) - K + 1)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+        min_size=2,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_holt_fold_matches_python_reference(spark, series):
+    """PROPERTY: the Catalyst Holt fold equals the plain-Python
+    recurrence on ANY >=2-point double series — same literals, same
+    left-to-right order, so the floats agree to 1e-9 relative."""
+    from spark_pipeline_spark.functions import holt_linear_fold
+
+    alpha, beta = 0.5, 0.3
+    l, b, e = series[1], series[1] - series[0], 0.0
+    for y in series[2:]:
+        e += abs(l + b - y)
+        l_new = alpha * y + (1 - alpha) * (l + b)
+        b = beta * (l_new - l) + (1 - beta) * b
+        l = l_new
+
+    df = spark.createDataFrame([(series,)], "vs array<double>")
+    r = df.select(holt_linear_fold("vs").alias("r")).collect()[0]["r"]
+    for got, want in (("l", l), ("b", b), ("e", e)):
+        g = r[got]
+        assert abs(g - want) <= 1e-9 * max(1.0, abs(want)), (got, g, want)
+
+
+def test_session_markov_nll_on_constructed_journeys(spark, tmp_path):
+    """End-to-end on a constructed event log: the corpus matrix is
+    P(B|A)=2/3, P(C|A)=1/3, P(A|B)=1, so the A->C session must score
+    min_p=1/3 and avg_bits=log2(3), the A->B,B->A,A->B session
+    min_p=2/3, and a single-event session (after a 2 h gap) must not
+    appear at all."""
+    import datetime as dt
+    import math
+
+    from spark_pipeline_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=10)
+    rows = [
+        # user 1, one session: A -> B -> A -> B (gaps 10 min)
+        (1, 1, "A", t0), (2, 1, "B", t0 + m), (3, 1, "A", t0 + 2 * m),
+        (4, 1, "B", t0 + 3 * m),
+        # user 1, 2 h later: single-event session -> no transitions
+        (5, 1, "A", t0 + dt.timedelta(hours=4)),
+        # user 2, one session: A -> C
+        (6, 2, "A", t0), (7, 2, "C", t0 + m),
+    ]
+    df = spark.createDataFrame(
+        [(eid, uid, et, ts, 1.0, "{}") for eid, uid, et, ts in rows],
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        (r["user_id"], r["n_transitions"]): r
+        for r in REGISTRY["session_markov_nll_events"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(out) == {(1, 3), (2, 1)}  # the singleton session is absent
+    s1, s2 = out[(1, 3)], out[(2, 1)]
+    assert s2["min_p"] == round(1 / 3, 6)
+    assert abs(s2["avg_bits"] - round(math.log2(3), 6)) < 1e-9
+    assert s1["min_p"] == round(2 / 3, 6)
+    want_bits = (2 * (-math.log2(2 / 3)) + 0.0) / 3
+    assert abs(s1["avg_bits"] - round(want_bits, 6)) < 1e-9
