@@ -14604,6 +14604,126 @@ def holt_linear_forecast_user_value(
     )
 
 
+@register(
+    "heaps_law_fit_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT source,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        per_src AS (
+          SELECT source,
+                 count(*)::DOUBLE AS n_tok,
+                 count(DISTINCT term)::DOUBLE AS n_vocab
+          FROM tok GROUP BY source
+        )
+        SELECT count(*)::BIGINT AS n_sources,
+               round(regr_slope(ln(n_vocab), ln(n_tok)), 6) AS heaps_beta,
+               round(regr_intercept(ln(n_vocab), ln(n_tok)), 6)
+                 AS heaps_log_k,
+               round(regr_r2(ln(n_vocab), ln(n_tok)), 6) AS r2
+        FROM per_src
+    """,
+    tags=("text", "corpus-stats", "llm-pipeline"),
+)
+def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = k·N^beta across sources: regress log vocabulary
+    size on log token count over the per-source points. beta far from
+    the English-corpus ~0.5 band, or a poor r2, flags synthetic/
+    templated sources (vocabulary saturates: low beta) or noise/OCR
+    sources (vocabulary never saturates: beta near 1) — the one-line
+    lexical-growth health check run before committing a source to the
+    training mix.
+
+    Scale shape: one tokenize pass, one per-source (count, distinct
+    count) aggregate — the regression runs over |sources| rows via the
+    built-in regr_* aggregates; nothing but those rows crosses the
+    final exchange."""
+    toks = t(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n_tok"),
+        F.countDistinct("term").cast("double").alias("n_vocab"),
+    )
+    lv, ln_ = F.log(F.col("n_vocab")), F.log(F.col("n_tok"))
+    return per_src.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(F.regr_slope(lv, ln_), 6).alias("heaps_beta"),
+        F.round(F.regr_intercept(lv, ln_), 6).alias("heaps_log_k"),
+        F.round(F.regr_r2(lv, ln_), 6).alias("r2"),
+    )
+
+
+@register(
+    "good_turing_unseen_mass_documents",
+    oracle=r"""
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+          FROM documents
+        ),
+        vocab AS (SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term),
+        foff AS (
+          SELECT c, count(*)::BIGINT AS n_c FROM vocab GROUP BY c
+        ),
+        tot AS (
+          SELECT sum(c * n_c)::DOUBLE AS n_tokens,
+                 sum(n_c)::BIGINT AS n_types
+          FROM foff
+        )
+        SELECT n_tokens::BIGINT AS n_tokens,
+               n_types,
+               coalesce((SELECT n_c FROM foff WHERE c = 1), 0) AS n1,
+               coalesce((SELECT n_c FROM foff WHERE c = 2), 0) AS n2,
+               round(coalesce((SELECT n_c FROM foff WHERE c = 1), 0)
+                     / n_tokens, 6) AS unseen_mass,
+               round(CASE WHEN (SELECT n_c FROM foff WHERE c = 1) > 0
+                          THEN 2.0 * coalesce(
+                                 (SELECT n_c FROM foff WHERE c = 2), 0)
+                               / (SELECT n_c FROM foff WHERE c = 1)
+                          ELSE 0.0 END, 6) AS singleton_discount
+        FROM tot
+    """,
+    tags=("text", "corpus-stats", "lm", "llm-pipeline"),
+)
+def good_turing_unseen_mass_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Good–Turing frequency-of-frequencies summary: the hapax count N1,
+    the dis legomena count N2, the estimated probability mass of UNSEEN
+    vocabulary (N1/N — how much of the language the corpus still hasn't
+    sampled), and the Good–Turing discount 2·N2/N1 applied to
+    singletons. The classic smoothing/coverage diagnostic: a corpus
+    whose unseen mass stays high needs more data (or dedup removed too
+    much); one whose hapaxes are mostly noise shows it here first.
+
+    Scale shape: tokenize → vocabulary count (map-side combined) →
+    count-of-counts over the vocabulary frame (already orders of
+    magnitude smaller than the corpus) → a one-row conditional
+    aggregate. No joins at all."""
+    toks = t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    foff = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    n1c = F.sum(F.when(F.col("c") == 1, F.col("n_c")).otherwise(F.lit(0)))
+    n2c = F.sum(F.when(F.col("c") == 2, F.col("n_c")).otherwise(F.lit(0)))
+    return foff.agg(
+        F.sum(F.col("c") * F.col("n_c")).cast("long").alias("n_tokens"),
+        F.sum("n_c").cast("long").alias("n_types"),
+        n1c.cast("long").alias("n1"),
+        n2c.cast("long").alias("n2"),
+        F.round(
+            n1c / F.sum(F.col("c") * F.col("n_c")).cast("double"), 6
+        ).alias("unseen_mass"),
+        F.round(
+            F.when(n1c > 0, F.lit(2.0) * n2c / n1c).otherwise(F.lit(0.0)), 6
+        ).alias("singleton_discount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
