@@ -331,6 +331,121 @@ def stream_stateful_running_totals(
     )
 
 
+def stream_stateful_closed_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    value_col: str = "value",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """CLOSED-session emission via ``applyInPandasWithState`` with
+    **EventTimeTimeout** — the state-timeout side of the arbitrary-state
+    API that ``stream_stateful_running_totals`` (NoTimeout, update mode)
+    does not exercise. Per key, open session FRAGMENTS ``[start, last]``
+    live in the state store; each micro-batch merges its events into the
+    fragments exactly like ``session_window``'s merge rule (an
+    out-of-order event inside the watermark can extend a fragment or
+    bridge two of them — two events share a session iff their gap chain
+    stays under ``gap_seconds``); a session row is emitted exactly ONCE,
+    when the event-time watermark passes its close (``last + gap``) —
+    either eagerly while processing data or via the state timeout when
+    the key goes quiet. Emitted rows therefore match the batch
+    gaps-and-islands result on every session the watermark has closed,
+    and `tests/test_streaming.py` asserts that parity.
+
+    Scale shape: state per key is the OPEN fragments only (bounded by
+    activity inside one watermark horizon, integer-microsecond exact);
+    closed sessions leave the store immediately via timeout, so state
+    does not grow with stream length. Timestamps are carried as int64
+    micros end-to-end — no float epoch rounding.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    in_types = dict(stream.dtypes)
+    out_schema = (
+        f"{key_col} {in_types[key_col]}, session_start timestamp,"
+        " n_events bigint, sum_value double"
+    )
+    state_schema = (
+        "starts array<bigint>, lasts array<bigint>,"
+        " ns array<bigint>, totals array<double>"
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def _emit(key, closed) -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                key_col: [key[0]] * len(closed),
+                "session_start": [
+                    pd.to_datetime(s * 1000) for (s, _, _, _) in closed
+                ],
+                "n_events": [n for (_, _, n, _) in closed],
+                "sum_value": [v for (_, _, _, v) in closed],
+            }
+        )
+
+    def fn(
+        key: tuple, pdfs: "Iterator[pd.DataFrame]", state: GroupState
+    ) -> "Iterator[pd.DataFrame]":
+        frags = (
+            [list(f) for f in zip(*state.get)] if state.exists else []
+        )  # [start_us, last_us, n, total] per open fragment
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                pdf = pdf.dropna(subset=[ts_col])
+                ts_us = (pdf[ts_col].astype("int64") // 1000).tolist()
+                vals = pdf[value_col].astype("float64").tolist()
+                for t, v in zip(ts_us, vals):
+                    hit = [
+                        f
+                        for f in frags
+                        if t - f[1] < gap_us and f[0] - t < gap_us
+                    ]
+                    merged = [
+                        min([t] + [f[0] for f in hit]),
+                        max([t] + [f[1] for f in hit]),
+                        1 + sum(f[2] for f in hit),
+                        v + sum(f[3] for f in hit),
+                    ]
+                    hit_ids = {id(f) for f in hit}
+                    frags = [f for f in frags if id(f) not in hit_ids] + [
+                        merged
+                    ]
+
+        closed = [f for f in frags if f[1] + gap_us <= wm_us]
+        kept = [f for f in frags if f[1] + gap_us > wm_us]
+        if kept:
+            state.update(
+                (
+                    [f[0] for f in kept],
+                    [f[1] for f in kept],
+                    [f[2] for f in kept],
+                    [f[3] for f in kept],
+                )
+            )
+            state.setTimeoutTimestamp(min(f[1] for f in kept) // 1000 + gap_seconds * 1000)
+        else:
+            state.remove()
+        if closed:
+            yield _emit(key, sorted(closed))
+
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     keys: Sequence[str],
@@ -843,7 +958,9 @@ def run_available_now_to_memory(
 ) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into an in-memory table
     and return it as a DataFrame (test/debug sink — bounded run, exact
-    batch parity)."""
+    batch parity). The memory sink cannot recover a checkpoint — for a
+    resumable drain (state carried across calls) use
+    :func:`run_available_now_to_parquet`."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
@@ -854,6 +971,32 @@ def run_available_now_to_memory(
     q.awaitTermination(timeout_sec)
     spark = df.sparkSession
     return spark.table(query_name)
+
+
+def run_available_now_to_parquet(
+    df: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame | None:
+    """Drain the stream with Trigger.AvailableNow into a parquet sink
+    with a real checkpoint, and return whatever the sink holds so far
+    (None if the sink is still empty). Unlike the memory sink this IS
+    recoverable: calling it again with the same checkpoint resumes source
+    offsets and the state store, which is how tests drive a stateful
+    operator through multiple bounded runs (e.g. to advance the
+    watermark past a session close between runs)."""
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return _try_read_parquet(df.sparkSession, out_path)
 
 
 def purge_ids_from_dedup_index(

@@ -1139,3 +1139,90 @@ def test_stream_quality_gate_sink_matches_batch_replay_query(spark, tmp_path):
     )
     assert routed_target.count() == want_target
     assert routed_quarantine.count() == want_quarantine
+
+
+def test_stateful_closed_sessions_match_batch(spark, tmp_path):
+    """EventTimeTimeout sessionizer: closed sessions emitted by the
+    stateful operator equal the batch gaps-and-islands sessions once the
+    watermark has swept past every close. Run 1 drains the real events
+    (watermark too early — nothing closes); run 2 resumes the same
+    checkpoint with two far-future sentinel files, advancing the
+    watermark so every real session closes via state timeout."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F2
+
+    from spark_pipeline_spark.operators.windows import session_windows
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        run_available_now_to_parquet,
+        stream_stateful_closed_sessions,
+    )
+
+    events = t(spark, SF_SMALL, "events").select("user_id", "ts", "value")
+    src = str(tmp_path / "events_closed_sessions")
+    ckpt = str(tmp_path / "ckpt")
+    # watermark delay exceeds the data's full ts span, so nothing in the
+    # real stream is ever late no matter how files split into batches
+    events.repartition(3).write.mode("overwrite").parquet(src)
+    schema = "user_id bigint, ts timestamp, value double"
+
+    out_path = str(tmp_path / "closed_sessions_out")
+    out1 = run_available_now_to_parquet(
+        stream_stateful_closed_sessions(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "user_id",
+            "ts",
+            gap_seconds=1800,
+            watermark="400 days",
+        ),
+        out_path,
+        ckpt,
+    )
+    # watermark never reached any close during run 1
+    assert out1 is None or out1.count() == 0
+
+    max_ts = events.agg(F2.max("ts")).collect()[0][0]
+    for i, days in enumerate((401, 402)):
+        spark.createDataFrame(
+            [(-1, max_ts + dt.timedelta(days=days), 0.0)], schema
+        ).write.mode("append").parquet(str(tmp_path / f"sentinel{i}"))
+        # separate dirs can't feed one file source; copy into src
+        spark.read.parquet(str(tmp_path / f"sentinel{i}")).write.mode(
+            "append"
+        ).parquet(src)
+
+    out2 = run_available_now_to_parquet(
+        stream_stateful_closed_sessions(
+            read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+            "user_id",
+            "ts",
+            gap_seconds=1800,
+            watermark="400 days",
+        ),
+        out_path,
+        ckpt,
+    )
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in out2.filter(F2.col("user_id") != -1).collect()
+    }
+    batch = session_windows(
+        events,
+        "ts",
+        "30 minutes",
+        keys=["user_id"],
+        aggs=[
+            F2.count(F2.lit(1)).alias("n_events"),
+            F2.sum("value").alias("sum_value"),
+        ],
+    )
+    want = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    }
+    assert len(want) > 0
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert abs(got[k][1] - want[k][1]) < 1e-6, k
