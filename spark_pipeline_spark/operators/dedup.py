@@ -45,6 +45,7 @@ __all__ = [
     "decontaminate",
     "fuzzy_join_pairs",
     "longest_shared_spans",
+    "prefix_filter_jaccard_join",
 ]
 
 
@@ -779,4 +780,68 @@ def longest_shared_spans(
     return runs.groupBy("id_a", "id_b").agg(
         (F.max("__run") + F.lit(w - 1)).cast("long").alias("longest_span_words"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
+    )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """EXACT Jaccard-threshold similarity self-join via prefix filtering
+    (SSJoin/PPJoin, Chaudhuri et al. 2006 / Bayardo et al. 2007) — the
+    dedup family's no-false-negative guarantee: unlike MinHash/SimHash
+    blocking, every pair with shingle Jaccard >= ``threshold`` is
+    RETURNED, provably, yet nothing close to all-pairs is ever compared.
+
+    Each document's distinct word-``n``-gram set is ordered by ascending
+    global document frequency (rarest first, ties by gram — a total
+    order both engines reproduce); only its PREFIX of length
+    ``m - ceil(t*m) + 1`` enters the candidate join. Lemma: J(A,B) >= t
+    implies |A∩B| >= ceil(t*max(|A|,|B|)), and two sets with overlap
+    >= a must collide within their (size - a + 1)-prefixes under any
+    shared total order — so the prefix equi-join misses nothing.
+    Candidates are verified with exact Jaccard; the filter is pure
+    recall insurance, correctness never depends on it.
+
+    Scale shape: prefix grams are by construction the RAREST grams in
+    the corpus, so per-key join fanout concentrates where df is
+    smallest (the opposite of a naive posting self-join, which blows up
+    on boilerplate grams); prefix selection is one df aggregate + one
+    window over the posting stream keyed by document; the verify joins
+    candidate ids back to the persisted shingle arrays.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    if not (0 < threshold <= 1):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    sh = query_persist(shingle_table(df, id_col, text_col, n))
+    post = sh.select(
+        "__id", F.size("__sh").alias("__m"), F.explode_outer("__sh").alias("__g")
+    ).filter(F.col("__g").isNotNull())
+    gram_df = post.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__g")
+    prefix = (
+        post.join(gram_df, "__g")
+        .withColumn("__rn", F.row_number().over(w))
+        # m - ceil(t*m) + 1
+        .filter(F.col("__rn") <= F.col("__m") - F.ceil(threshold * F.col("__m")) + 1)
+        .select("__id", "__g")
+    )
+    cand = (
+        prefix.select(F.col("__id").alias("id_a"), "__g")
+        .join(prefix.select(F.col("__id").alias("id_b"), "__g"), "__g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
+        .select("id_a", "id_b", jaccard_similarity("__sa", "__sb").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )

@@ -14724,6 +14724,68 @@ def good_turing_unseen_mass_documents(
     )
 
 
+# Exact-threshold similarity join: Jaccard floor for the prefix-filter
+# join (no-false-negative guarantee at and above this threshold).
+_PPJOIN_TAU = 0.6
+
+
+@register(
+    "dedup_prefix_filter_exact_documents",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+          FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+          FROM w WHERE len(w) >= 3
+        ),
+        e AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(jac, 6) AS jaccard FROM (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / (len(sa.sh) + len(sb.sh)
+                    - len(list_intersect(sa.sh, sb.sh))) AS jac
+          FROM cand
+          JOIN sh sa ON sa.doc_id = id_a
+          JOIN sh sb ON sb.doc_id = id_b
+        ) WHERE jac >= {_PPJOIN_TAU}
+    """,
+    tags=("dedup", "jaccard", "exact-join", "llm-pipeline"),
+    bench=True,
+)
+def dedup_prefix_filter_exact_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT Jaccard>=0.6 similarity self-join via prefix filtering
+    (SSJoin/PPJoin) — the dedup family's no-false-negative guarantee:
+    every qualifying pair is provably returned (unlike MinHash/SimHash
+    probabilistic blocking), yet candidates come only from collisions
+    among each document's RAREST grams (prefix of length
+    m - ceil(t*m) + 1 under the global-df order). The oracle generates
+    candidates from ANY shared gram — a strict superset — and applies
+    the same exact verify, so a driver hash-match proves the prefix
+    filter dropped no qualifying pair on real data; a pytest
+    additionally cross-checks against a plain-Python brute force on
+    constructed corpora. See operators/dedup.py:prefix_filter_jaccard_join
+    for the lemma and the 100 TB shape."""
+    from spark_pipeline_spark.operators.dedup import prefix_filter_jaccard_join
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = prefix_filter_jaccard_join(
+        d, "doc_id", "text", n=3, threshold=_PPJOIN_TAU
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

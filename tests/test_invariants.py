@@ -950,3 +950,49 @@ def test_session_markov_nll_on_constructed_journeys(spark, tmp_path):
     assert s1["min_p"] == round(2 / 3, 6)
     want_bits = (2 * (-math.log2(2 / 3)) + 0.0) / 3
     assert abs(s1["avg_bits"] - round(want_bits, 6)) < 1e-9
+
+
+def test_prefix_filter_join_equals_bruteforce(spark):
+    """The prefix-filter Jaccard join must return EXACTLY the pairs a
+    plain-Python brute force finds at the threshold — the
+    no-false-negative lemma, checked on a seeded corpus dense with
+    near-duplicates (template + small edits), including boundary pairs."""
+    import itertools
+    import random
+
+    from spark_pipeline_spark.operators.dedup import prefix_filter_jaccard_join
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    base = [rng.choice(vocab) for _ in range(14)]
+    docs = []
+    for i in range(24):
+        words = list(base)
+        for _ in range(rng.randrange(0, 4)):  # 0-3 point edits
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        docs.append((i, " ".join(words)))
+    docs.append((100, "x y z " * 3))  # unrelated island
+    docs.append((101, "x y z " * 3))  # its exact duplicate
+
+    def shingles(text):
+        w = text.lower().split()
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    tau = 0.6
+    want = {}
+    for (ia, ta), (ib, tb) in itertools.combinations(docs, 2):
+        sa, sb = shingles(ta), shingles(tb)
+        j = len(sa & sb) / len(sa | sb)
+        if j >= tau:
+            want[(min(ia, ib), max(ia, ib))] = j
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_join(
+            df, "doc_id", "text", n=3, threshold=tau
+        ).collect()
+    }
+    assert set(got) == set(want) and len(want) >= 3
+    for k, j in want.items():
+        assert abs(got[k] - j) < 1e-9, k
