@@ -14786,6 +14786,289 @@ def dedup_prefix_filter_exact_documents(
     )
 
 
+@register(
+    "embedding_drift_report",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        h AS (
+          SELECT vec_id, v,
+                 CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0 < 0.5 THEN 'a' ELSE 'b' END AS half
+          FROM e
+        ),
+        dims AS (
+          SELECT half, i AS dim, avg(v[i]) AS m
+          FROM h, unnest(range(1, len(v) + 1)) AS t(i)
+          GROUP BY half, i
+        ),
+        mv AS (
+          SELECT d_a.dim, d_a.m AS ma, d_b.m AS mb
+          FROM (SELECT dim, m FROM dims WHERE half = 'a') d_a
+          JOIN (SELECT dim, m FROM dims WHERE half = 'b') d_b
+            USING (dim)
+        ),
+        cosm AS (
+          SELECT sum(ma * mb)
+                 / (sqrt(sum(ma * ma)) * sqrt(sum(mb * mb))) AS mean_cos,
+                 max(abs(ma - mb)) AS max_shift
+          FROM mv
+        ),
+        norms AS (
+          SELECT half,
+                 count(*)::BIGINT AS n,
+                 avg(sqrt(list_dot_product(v, v))) AS avg_norm
+          FROM h GROUP BY half
+        )
+        SELECT na.n AS n_a, nb.n AS n_b,
+               round(cosm.mean_cos, 6) AS mean_cosine,
+               round(cosm.max_shift, 6) AS max_dim_shift,
+               round(na.avg_norm, 6) AS avg_norm_a,
+               round(nb.avg_norm, 6) AS avg_norm_b,
+               round(abs(na.avg_norm - nb.avg_norm)
+                     / greatest(na.avg_norm, 1e-12), 6) AS norm_drift_frac
+        FROM (SELECT n, avg_norm FROM norms WHERE half = 'a') na,
+             (SELECT n, avg_norm FROM norms WHERE half = 'b') nb,
+             cosm
+    """,
+    tags=("similarity", "drift", "monitoring", "llm-pipeline"),
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift report between two deterministic hash-halves
+    of the corpus (standing in for consecutive encoder snapshots — the
+    draw is md5 so any engine replays it): cosine between the two mean
+    vectors, the largest per-dimension mean shift, and mean-norm drift.
+    mean_cosine < 1-epsilon or a norm-drift spike is the
+    encoder-regression alarm that must gate an index rebuild BEFORE
+    ANN recall silently decays.
+
+    Scale shape: per-dimension means via one posexplode + (half, dim)
+    aggregate — the shuffle carries |dims|x2 partial sums, never
+    vectors; everything downstream of `dims` is a <=2x|dims|-row frame;
+    norms fold JVM-side per row."""
+    from spark_pipeline_spark.functions import l2_norm, md5_unit
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    h = e.select(
+        "v", F.when(md5_unit("vec_id") < 0.5, F.lit("a")).otherwise(F.lit("b")).alias("half")
+    )
+    dims = (
+        h.select("half", F.posexplode("v").alias("dim", "x"))
+        .groupBy("half", "dim")
+        .agg(F.avg("x").alias("m"))
+    )
+    mv = dims.filter(F.col("half") == "a").select(
+        "dim", F.col("m").alias("ma")
+    ).join(
+        dims.filter(F.col("half") == "b").select("dim", F.col("m").alias("mb")),
+        "dim",
+    )
+    cosm = mv.agg(
+        (
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            )
+        ).alias("mean_cos"),
+        F.max(F.abs(F.col("ma") - F.col("mb"))).alias("max_shift"),
+    )
+    norms = h.groupBy("half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(l2_norm("v")).alias("avg_norm"),
+    )
+    na = norms.filter(F.col("half") == "a").select(
+        F.col("n").alias("n_a"), F.col("avg_norm").alias("__na")
+    )
+    nb = norms.filter(F.col("half") == "b").select(
+        F.col("n").alias("n_b"), F.col("avg_norm").alias("__nb")
+    )
+    return (
+        na.crossJoin(nb)
+        .crossJoin(F.broadcast(cosm))
+        .select(
+            "n_a",
+            "n_b",
+            F.round("mean_cos", 6).alias("mean_cosine"),
+            F.round("max_shift", 6).alias("max_dim_shift"),
+            F.round("__na", 6).alias("avg_norm_a"),
+            F.round("__nb", 6).alias("avg_norm_b"),
+            F.round(
+                F.abs(F.col("__na") - F.col("__nb"))
+                / F.greatest(F.col("__na"), F.lit(1e-12)),
+                6,
+            ).alias("norm_drift_frac"),
+        )
+    )
+
+
+@register(
+    "readability_flesch_documents",
+    oracle=r"""
+        WITH w AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS w,
+                 greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS n_sent
+          FROM documents WHERE text IS NOT NULL
+        ),
+        s AS (
+          SELECT doc_id,
+                 len(w)::BIGINT AS n_words,
+                 n_sent::BIGINT AS n_sentences,
+                 list_sum(list_transform(
+                   w, wd -> greatest(len(regexp_extract_all(wd, '[aeiouy]+')), 1)
+                 ))::BIGINT AS n_syllables
+          FROM w
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / n_words), 6)
+                 AS flesch_ease,
+               round(0.39 * (n_words::DOUBLE / n_sentences)
+                     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6)
+                 AS fk_grade
+        FROM s
+    """,
+    tags=("text", "quality", "readability", "llm-pipeline"),
+)
+def readability_flesch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade per document, with
+    the standard vowel-group syllable approximation (every word counts
+    at least one) and terminator-run sentence counting (min one) — the
+    classic readability band cut used alongside perplexity when
+    filtering or stratifying training text (very low ease = legalese /
+    code-ish; implausibly high = fragment noise).
+
+    Scale shape: pure Catalyst per-row expressions — a regex count for
+    sentences, one fold over the token array for syllables; no joins,
+    no shuffle beyond the scan."""
+    d = t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    w = F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+    n_words = F.size(w).cast("long")
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    n_syll = F.aggregate(
+        F.transform(
+            w,
+            lambda wd: F.greatest(
+                F.size(F.regexp_extract_all(wd, F.lit("[aeiouy]+"), F.lit(0))),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("long")
+    s = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return s.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
+            "flesch_ease"
+        ),
+        F.round(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6).alias(
+            "fk_grade"
+        ),
+    )
+
+
+@register(
+    "ivf_incremental_assign_embeddings",
+    oracle=f"""
+        WITH {{assign}},
+        lab AS (
+          SELECT vec_id, cell,
+                 CASE WHEN ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                      / 4294967296.0 < 0.1 THEN 1 ELSE 0 END AS is_new
+          FROM assign
+        ),
+        cells AS (
+          SELECT cell,
+                 sum(1 - is_new)::BIGINT AS n_existing,
+                 sum(is_new)::BIGINT AS n_new
+          FROM lab GROUP BY cell
+        ),
+        tot AS (
+          SELECT greatest(sum(n_existing), 1)::DOUBLE AS te,
+                 greatest(sum(n_new), 1)::DOUBLE AS tn
+          FROM cells
+        )
+        SELECT cell, n_existing, n_new,
+               round(n_existing / te, 6) AS share_existing,
+               round(n_new / tn, 6) AS share_new,
+               round((n_new / tn)
+                     / greatest(n_existing / te, 1e-12), 6) AS growth_skew,
+               CASE WHEN (n_new / tn)
+                         / greatest(n_existing / te, 1e-12) >= 1.5
+                    THEN 1 ELSE 0 END AS resplit_flag
+        FROM cells, tot
+    """.format(assign=_SQL_IVF_ASSIGN),
+    tags=("similarity", "ann", "incremental", "ops", "llm-pipeline"),
+)
+def ivf_incremental_assign_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN side of the
+    daily-ingest regime `dedup_incremental_new_vs_corpus` covers for
+    dedup: a deterministic md5 10%-sample plays the day's new vectors,
+    assigned to the EXISTING centroids (never retrained per batch);
+    per cell, existing vs new counts, shares, the growth-skew ratio
+    (new-batch share over existing share), and a resplit flag at
+    skew >= 1.5 — the signal that distribution shift is concentrating
+    new traffic into cells that must split before probe latency decays.
+
+    Scale shape: assignment is O(new + existing) with the centroid
+    frame broadcast (vectors never shuffle); per-cell conditional
+    counts are map-side combined; <=|cells| rows plus a one-row totals
+    broadcast cross the exchange."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.similarity import ivf_assign
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    lab = ivf_assign(e, centroids).select(
+        "cell",
+        F.when(md5_unit("vec_id") < 0.1, F.lit(1)).otherwise(F.lit(0)).alias(
+            "is_new"
+        ),
+    )
+    cells = lab.groupBy("cell").agg(
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_existing"),
+        F.sum("is_new").cast("long").alias("n_new"),
+    )
+    tot = cells.agg(
+        F.greatest(F.sum("n_existing"), F.lit(1)).cast("double").alias("__te"),
+        F.greatest(F.sum("n_new"), F.lit(1)).cast("double").alias("__tn"),
+    )
+    skew = (F.col("n_new") / F.col("__tn")) / F.greatest(
+        F.col("n_existing") / F.col("__te"), F.lit(1e-12)
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_existing",
+        "n_new",
+        F.round(F.col("n_existing") / F.col("__te"), 6).alias("share_existing"),
+        F.round(F.col("n_new") / F.col("__tn"), 6).alias("share_new"),
+        F.round(skew, 6).alias("growth_skew"),
+        F.when(skew >= 1.5, F.lit(1)).otherwise(F.lit(0)).alias("resplit_flag"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

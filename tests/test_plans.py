@@ -76,6 +76,8 @@ _NLJ_ALLOWED = {
     "rrf_fusion_search_documents",  # one-row query-vector + bm25-stats broadcasts
     "text_bigram_backoff_nll_documents",  # one-row vocabulary-total broadcast
     "assoc_rules_parts_orders",  # one-row order-count broadcast
+    "embedding_drift_report",  # cross of three ONE-ROW stat aggregates
+    "ivf_incremental_assign_embeddings",  # centroid broadcast + one-row totals
 }
 
 
