@@ -42,6 +42,7 @@ __all__ = [
     "main_validator",
     "main_pipeline",
     "main_refresher",
+    "main_query",
 ]
 
 
@@ -282,6 +283,49 @@ def main_pipeline(argv: list[str] | None = None) -> int:
             print(f"step {name}: saved")
         else:
             print(f"step {name}: registered")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
+def main_query(argv: list[str] | None = None) -> int:
+    """Run any registered analytics query by name against a parquet
+    table directory and write the result to a config sink — the verb
+    that turns the 240+-query registry into an operable surface
+    (cron a dedup report, materialize a drift table) without writing
+    Spark code.
+
+    Config shape::
+
+        {"query": "dedup_minhash_lsh_documents",   # registry name
+         "sf-dir": "/data/tables",                 # parquet table dir
+         "limit": 1000,                            # optional
+         "sink": {...}}                            # any save() sink;
+                                                   # omit to print 20 rows
+
+    ``--conf file.json`` plus ``key=value`` dotted overrides, like every
+    other verb. Unknown names exit 2 and print the closest matches.
+    """
+    conf, _ = _parse_args(argv, "query")
+    t0 = time.time()
+    from spark_pipeline_spark.queries import REGISTRY
+
+    name = conf["query"]
+    if name not in REGISTRY:
+        import difflib
+
+        close = difflib.get_close_matches(name, REGISTRY, n=5, cutoff=0.4)
+        print(f"unknown query {name!r}; closest: {', '.join(close) or '-'}")
+        return 2
+    spark = _session(conf, "query")
+    df = REGISTRY[name].fn(spark, conf["sf-dir"])
+    if conf.get("limit") is not None:
+        df = df.limit(int(conf["limit"]))
+    if "sink" in conf:
+        from spark_pipeline_spark.io.sinks import save
+
+        save(df, conf["sink"])
+    else:
+        df.show(20, truncate=False)
     print(f"execution time: {time.time() - t0:.1f}s")
     return 0
 

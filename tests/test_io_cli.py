@@ -648,3 +648,27 @@ def test_refresher_out_of_order_replay_is_noop(spark, tmp_path, capsys):
         for r in spark.read.parquet(snap).collect()
     }
     assert got == want  # day1 NOT double-counted
+
+
+def test_query_cli_runs_registry_query_to_sink(spark, tmp_path):
+    """The query verb materializes a registered query to a parquet sink
+    and rejects unknown names with suggestions (exit 2)."""
+    import json
+
+    from spark_pipeline_spark.cli import main_query
+
+    out = str(tmp_path / "q_out")
+    conf = {
+        "query": "agg_orders_by_status",
+        "sf-dir": SF_SMALL,
+        "sink": {"format": "parquet", "path": out},
+    }
+    cpath = tmp_path / "q.json"
+    cpath.write_text(json.dumps(conf))
+    assert main_query(["--conf", str(cpath)]) == 0
+    got = spark.read.parquet(out)
+    assert got.count() > 0 and "o_orderstatus" in got.columns
+
+    conf["query"] = "agg_orders_by_statuss"
+    cpath.write_text(json.dumps(conf))
+    assert main_query(["--conf", str(cpath)]) == 2
