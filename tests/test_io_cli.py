@@ -672,3 +672,28 @@ def test_query_cli_runs_registry_query_to_sink(spark, tmp_path):
     conf["query"] = "agg_orders_by_statuss"
     cpath.write_text(json.dumps(conf))
     assert main_query(["--conf", str(cpath)]) == 2
+
+
+def test_jsonl_roundtrip_through_dispatchers(spark, tmp_path):
+    """JSONL — the training-data interchange format — round-trips through
+    the config-driven save()/load() dispatchers with an explicit schema
+    (no inference pass) and gzip compression (text codecs for JSON are
+    bzip2/deflate/snappy/lz4/gzip — zstd is parquet-only here)."""
+    from spark_pipeline_spark.io.sinks import save
+    from spark_pipeline_spark.io.sources import load
+
+    src = spark.read.parquet(f"{SF_SMALL}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "docs_jsonl")
+    save(src, {"format": "json", "path": out,
+               "options": {"compression": "gzip"}})
+    back = load(
+        spark,
+        {"storage": "file", "format": "json", "path": out,
+         "schema": "doc_id bigint, text string, lang string"},
+    )
+    assert back.count() == src.count()
+    a = {r["doc_id"]: (r["text"], r["lang"]) for r in src.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    assert a == b
