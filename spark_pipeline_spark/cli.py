@@ -303,12 +303,19 @@ def main_query(argv: list[str] | None = None) -> int:
                                                    # omit to print 20 rows
 
     ``--conf file.json`` plus ``key=value`` dotted overrides, like every
-    other verb. Unknown names exit 2 and print the closest matches.
+    other verb. Unknown names and missing required keys exit 2 with a
+    message (never a bare traceback). ``limit`` without an ordering
+    materializes an ARBITRARY row subset — the row set may differ across
+    runs; a warning says so.
     """
     conf, _ = _parse_args(argv, "query")
     t0 = time.time()
     from spark_pipeline_spark.queries import REGISTRY
 
+    missing = [k for k in ("query", "sf-dir") if not conf.get(k)]
+    if missing:
+        print(f"query config missing required key(s): {', '.join(missing)}")
+        return 2
     name = conf["query"]
     if name not in REGISTRY:
         import difflib
@@ -319,6 +326,10 @@ def main_query(argv: list[str] | None = None) -> int:
     spark = _session(conf, "query")
     df = REGISTRY[name].fn(spark, conf["sf-dir"])
     if conf.get("limit") is not None:
+        print(
+            "warning: 'limit' on an unordered result keeps an arbitrary "
+            "row subset (may differ across runs)"
+        )
         df = df.limit(int(conf["limit"]))
     if "sink" in conf:
         from spark_pipeline_spark.io.sinks import save

@@ -12968,17 +12968,32 @@ def gram_dup_fraction_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializing pairs — the cheap screen that runs before the pair-
     producing dedup family.
 
+    POSITIONAL semantics (RefinedWeb-style): every gram START POSITION
+    counts once, so a document that internally repeats a duplicated
+    8-gram is penalized once per occurrence — the signal the paper's
+    repetition filter thresholds. (A distinct-gram variant would score
+    such a doc lower; the oracle and this plan both count positions.)
+
     Scale shape: pair-join-free like the min-length scrub — one gram df
     aggregate, one LEFT join of postings against the duplicated-gram
     set, one per-doc count. No df cap needed because partner identity
     never materializes; boilerplate-heavy docs score high at any
     fanout."""
-    from spark_pipeline_spark.operators.dedup import shingle_table
-
+    W = _SPAN_W
     d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
+        .filter(F.size("w") >= W)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - W),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
+            ).alias("gs"),
+        )
+    )
     starts = query_persist(
-        shingle_table(d, "doc_id", "text", n=_SPAN_W)
-        .select(F.col("__id").alias("doc_id"), F.explode_outer("__sh").alias("g"))
+        grams.select("doc_id", F.explode_outer("gs").alias("g"))
         .filter(F.col("g").isNotNull())
     )
     freq = (
@@ -13997,8 +14012,13 @@ def winnowing_overlap_pairs_documents(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id",
         T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
     )
+    # explode_outer + isNotNull (not plain explode): Generate's implicit
+    # size>0 filter would re-inline the winnow/gram transform below the
+    # projection and evaluate it twice — the shingle_table consumer trap.
     e = query_persist(
-        f.select("doc_id", F.explode("fps").alias("fp")),
+        f.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+            F.col("fp").isNotNull()
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
     keep = e.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(

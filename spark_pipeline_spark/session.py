@@ -13,6 +13,7 @@ while remaining correct on ``local[*]``.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Iterator, Mapping
 from contextlib import contextmanager
 from typing import TYPE_CHECKING
@@ -121,6 +122,20 @@ def cached(df: "DataFrame", storage_level: "StorageLevel | None" = None) -> "Ite
 
 _QUERY_CACHE_CAP = 16
 _query_caches: list["DataFrame"] = []
+_query_cache_lock = threading.Lock()
+
+
+def _same_cache_entry(a: "DataFrame", b: "DataFrame") -> bool:
+    """True when Spark's CacheManager would key both frames to ONE cache
+    entry: identical canonicalized plans (``sameResult``). Schema names
+    must match too — canonicalization erases attribute names, but a
+    caller handed the aliased frame needs the names it asked for."""
+    try:
+        return a.schema == b.schema and a._jdf.queryExecution().analyzed().sameResult(
+            b._jdf.queryExecution().analyzed()
+        )
+    except Exception:
+        return False
 
 
 def query_persist(
@@ -131,18 +146,35 @@ def query_persist(
     Use instead of a naked ``.persist()`` inside registry queries /
     dedup operators: the frame is registered so long-lived sessions
     running many queries don't accumulate storage without bound.
+
+    ALIASING: CacheManager keys cache entries by canonicalized plan, so
+    two persists of the same plan share ONE entry — unpersisting either
+    frame drops both (the hazard tests/conftest.py documents). Repeated
+    runs of one query (bench best-of-3) would otherwise thrash the FIFO
+    past the cap and uncache a LIVE newer frame. Two guards: dedup on
+    append (an identical-plan live entry is refreshed and returned
+    instead of re-registered) and an eviction check (never unpersist an
+    entry whose plan is shared by a newer live one). A lock makes the
+    registry safe for multi-threaded drivers.
     """
     from pyspark.storagelevel import StorageLevel as _SL
 
-    df = df.persist(storage_level or _SL.MEMORY_AND_DISK)
-    _query_caches.append(df)
-    while len(_query_caches) > _QUERY_CACHE_CAP:
-        old = _query_caches.pop(0)
-        try:
-            old.unpersist()
-        except Exception:  # session already stopped — nothing to release
-            pass
-    return df
+    with _query_cache_lock:
+        for i, live in enumerate(_query_caches):
+            if _same_cache_entry(df, live):
+                _query_caches.append(_query_caches.pop(i))
+                return live
+        df = df.persist(storage_level or _SL.MEMORY_AND_DISK)
+        _query_caches.append(df)
+        while len(_query_caches) > _QUERY_CACHE_CAP:
+            old = _query_caches.pop(0)
+            if any(_same_cache_entry(old, live) for live in _query_caches):
+                continue  # shared cache entry — a live frame still needs it
+            try:
+                old.unpersist()
+            except Exception:  # session already stopped — nothing to release
+                pass
+        return df
 
 
 def release_query_caches() -> int:
@@ -151,14 +183,15 @@ def release_query_caches() -> int:
     Call between queries in sequential sweeps (bench, parity tests) or
     periodically in a long-lived session.
     """
-    n = len(_query_caches)
-    for df in _query_caches:
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _query_caches.clear()
-    return n
+    with _query_cache_lock:
+        n = len(_query_caches)
+        for df in _query_caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _query_caches.clear()
+        return n
 
 
 def get_session(

@@ -968,7 +968,12 @@ def run_available_now_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_sec}s "
+            f"(memory sink {query_name!r}); stopped the query"
+        )
     spark = df.sparkSession
     return spark.table(query_name)
 
@@ -986,7 +991,11 @@ def run_available_now_to_parquet(
     recoverable: calling it again with the same checkpoint resumes source
     offsets and the state store, which is how tests drive a stateful
     operator through multiple bounded runs (e.g. to advance the
-    watermark past a session close between runs)."""
+    watermark past a session close between runs).
+
+    A timeout is an ERROR, not a partial result: the query would still
+    hold the checkpoint lock, so a resumed call could fail on concurrent
+    checkpoint use or read a torn sink — stop it and raise instead."""
     q = (
         df.writeStream.format("parquet")
         .option("path", out_path)
@@ -995,7 +1004,13 @@ def run_available_now_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"availableNow drain did not finish within {timeout_sec}s "
+            f"(checkpoint={checkpoint}); stopped the query to release "
+            "the checkpoint lock"
+        )
     return _try_read_parquet(df.sparkSession, out_path)
 
 

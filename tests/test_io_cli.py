@@ -674,6 +674,29 @@ def test_query_cli_runs_registry_query_to_sink(spark, tmp_path):
     assert main_query(["--conf", str(cpath)]) == 2
 
 
+def test_query_cli_missing_required_keys_exit_2(tmp_path, capsys):
+    """Missing 'query' / 'sf-dir' is a config error (exit 2 + message),
+    never a bare KeyError traceback; an unordered 'limit' warns."""
+    import json
+
+    from spark_pipeline_spark.cli import main_query
+
+    cpath = tmp_path / "bad.json"
+    cpath.write_text(json.dumps({"sf-dir": SF_SMALL}))
+    assert main_query(["--conf", str(cpath)]) == 2
+    assert "missing required key(s): query" in capsys.readouterr().out
+
+    cpath.write_text(json.dumps({"query": "agg_orders_by_status"}))
+    assert main_query(["--conf", str(cpath)]) == 2
+    assert "missing required key(s): sf-dir" in capsys.readouterr().out
+
+    cpath.write_text(json.dumps(
+        {"query": "agg_orders_by_status", "sf-dir": SF_SMALL, "limit": 2}
+    ))
+    assert main_query(["--conf", str(cpath)]) == 0
+    assert "arbitrary row subset" in capsys.readouterr().out
+
+
 def test_jsonl_roundtrip_through_dispatchers(spark, tmp_path):
     """JSONL — the training-data interchange format — round-trips through
     the config-driven save()/load() dispatchers with an explicit schema

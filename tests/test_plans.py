@@ -211,6 +211,10 @@ def test_merge_upsert_partial_aggregates_before_exchange(spark):
         "longest_shared_span_documents",
         "span_scrub_min_length_documents",
         "gram_dup_fraction_documents",
+        # r10: the winnowing pair join explodes the inline
+        # winnow_fingerprints(gram_hashes(...)) expression — pin the
+        # explode_outer barrier (ADVICE r9)
+        "winnowing_overlap_pairs_documents",
     ],
 )
 def test_gram_expression_not_reinlined(spark, name):
@@ -324,6 +328,7 @@ _BOUNDED_HINTS = {
     "ivf_cell_balance_embeddings": "seed centroids (fixed k cells)",
     "ann_pq_recall_report": "M*K=8 codebook rows + fixed query set",
     "ann_truncated_dim_recall_report": "3-row dims frame + fixed query set",
+    "ivf_incremental_assign_embeddings": "seed centroids (fixed k cells)",
     "bootstrap_ci_tokens_documents": "fixed 50-row replicate frame",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
     "rrf_fusion_search_documents": "single query vector by key equality",

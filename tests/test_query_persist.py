@@ -45,6 +45,42 @@ def test_cap_evicts_oldest_first(spark):
     release_query_caches()
 
 
+def test_identical_plan_dedups_instead_of_thrashing(spark):
+    """CacheManager keys entries by canonicalized plan, so repeated
+    persists of ONE query (bench best-of-3) must reuse a single registry
+    slot — re-registering would let FIFO eviction uncache the live
+    entry."""
+    release_query_caches()
+    a = query_persist(_fresh(spark, 42))
+    b = query_persist(_fresh(spark, 42))  # identical plan
+    assert b is a
+    assert len(_query_caches) == 1
+    a.count()
+    # filling the cap with distinct plans must not drop the deduped entry
+    for i in range(_QUERY_CACHE_CAP - 1):
+        query_persist(_fresh(spark, 300 + i))
+    assert a in _query_caches and a.storageLevel.useMemory
+    release_query_caches()
+
+
+def test_eviction_skips_plan_shared_with_live_entry(spark):
+    """An evicted OLD frame whose canonicalized plan aliases a NEWER
+    live entry must not be unpersisted (it would drop the shared cache
+    entry). Exercised by forcing two registry slots onto one plan."""
+    release_query_caches()
+    old = query_persist(_fresh(spark, 7))
+    old.count()
+    # bypass dedup-on-append to simulate two slots sharing one plan
+    twin = _fresh(spark, 7).persist()
+    _query_caches.append(twin)
+    for i in range(_QUERY_CACHE_CAP - 1):  # push `old` to eviction
+        query_persist(_fresh(spark, 400 + i))
+    assert old not in _query_caches
+    # the shared cache entry survives because `twin` is still live
+    assert twin.storageLevel.useMemory
+    release_query_caches()
+
+
 def test_evicted_frame_still_computes_correctly(spark):
     """Eviction is a perf event, never a correctness one: a frame whose
     cache was dropped recomputes from lineage."""
