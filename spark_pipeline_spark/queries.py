@@ -13986,6 +13986,7 @@ _WIN_MIN_SHARED = 5
         JOIN cnt cb ON cb.doc_id = id_b
     """,
     tags=("dedup", "fingerprint", "winnowing", "llm-pipeline"),
+    bench=True,
 )
 def winnowing_overlap_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing as a dedup blocking key, end-to-end: documents pair when
@@ -14104,6 +14105,7 @@ def winnowing_overlap_pairs_documents(spark: SparkSession, sf_dir: str) -> DataF
         FROM cond JOIN marg USING (source)
     """,
     tags=("text", "quality", "llm-pipeline"),
+    bench=True,
 )
 def bigram_redundancy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source bigram redundancy: conditional next-token entropy
@@ -14230,6 +14232,7 @@ def bigram_redundancy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s GROUP BY doc_id
     """,
     tags=("text", "quality", "lm", "llm-pipeline"),
+    bench=True,
 )
 def text_bigram_backoff_nll_documents(
     spark: SparkSession, sf_dir: str
@@ -14365,6 +14368,7 @@ _ASSOC_MIN_SUPPORT = 2
         CROSS JOIN n
     """,
     tags=("relational", "mining", "basket"),
+    bench=True,
 )
 def assoc_rules_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order line items: for every
@@ -15037,6 +15041,7 @@ def readability_flesch_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cells, tot
     """.format(assign=_SQL_IVF_ASSIGN),
     tags=("similarity", "ann", "incremental", "ops", "llm-pipeline"),
+    bench=True,
 )
 def ivf_incremental_assign_embeddings(
     spark: SparkSession, sf_dir: str
@@ -15086,6 +15091,335 @@ def ivf_incremental_assign_embeddings(
         F.round(F.col("n_new") / F.col("__tn"), 6).alias("share_new"),
         F.round(skew, 6).alias("growth_skew"),
         F.when(skew >= 1.5, F.lit(1)).otherwise(F.lit(0)).alias("resplit_flag"),
+    )
+
+
+# UniMax knobs, deliberately distinct from the temperature-mixture pair:
+# cap 2.0 epochs with budget 1.85x the corpus puts the budget strictly
+# BETWEEN N*min-capacity and total capacity on a near-uniform corpus, so
+# the water-filling exercises BOTH branches (small sources saturate at
+# the cap, large ones split the residual) instead of degenerating to
+# all-capped (budget >= capacity) or all-uniform (cap never binds).
+_UNIMAX_CAP = 2.0
+_UNIMAX_BUDGET_X = 1.85
+
+
+@register(
+    "unimax_allocation_documents",
+    oracle="""
+        WITH tok AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{tok_re}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        tot AS (
+          SELECT source, sum(n_tok)::BIGINT AS stok, count(*)::BIGINT AS n_docs
+          FROM tok GROUP BY source
+        ),
+        b AS (
+          SELECT sum(stok)::DOUBLE * {budget_x} AS budget,
+                 count(*)::BIGINT AS n
+          FROM tot
+        ),
+        r AS (
+          SELECT source, n_docs, stok,
+                 stok::DOUBLE * {cap_x} AS cap,
+                 row_number() OVER (ORDER BY stok::DOUBLE * {cap_x}, source)
+                   AS i,
+                 coalesce(sum(stok::DOUBLE * {cap_x}) OVER (
+                   ORDER BY stok::DOUBLE * {cap_x}, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum
+          FROM tot
+        ),
+        f AS (
+          SELECT r.*, b.budget, b.n,
+                 cap * (b.n - i + 1) <= b.budget - cum AS capped
+          FROM r, b
+        ),
+        k AS (
+          SELECT coalesce(sum(CASE WHEN capped THEN cap END), 0) AS csum,
+                 sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS kn
+          FROM f
+        )
+        SELECT source, n_docs, stok AS n_tokens,
+               round(cap, 2) AS capacity_tokens, capped,
+               round(CASE WHEN capped THEN cap
+                          ELSE (budget - csum) / (n - kn) END, 2)
+                 AS allocated_tokens,
+               round(CASE WHEN capped THEN cap
+                          ELSE (budget - csum) / (n - kn) END / stok, 6)
+                 AS epochs
+        FROM f, k
+    """.format(tok_re=TOKEN_REGEX, budget_x=_UNIMAX_BUDGET_X, cap_x=_UNIMAX_CAP),
+    tags=("sampling", "mixture", "planning", "llm-pipeline"),
+)
+def unimax_allocation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget-first mixture (Chung et al. 2023): distribute a
+    token budget of {_UNIMAX_BUDGET_X}× the corpus UNIFORMLY across
+    sources, capping every source at {_UNIMAX_CAP} epochs of its own
+    tokens and redistributing the leftover among uncapped sources —
+    water-filling, the budget-first complement of the proportion-first
+    `temperature_mixture_documents` / `epoch_allocation_documents` pair.
+    Closed form instead of the paper's loop: sort sources ascending by
+    capacity; source i (of N, prefix capacity cum) is capped iff
+    cap_i · (N−i+1) ≤ B − cum (if the fair share at its turn exceeds its
+    capacity, it saturates — prefix-closed, so one window pass decides
+    every source), and all uncapped sources split the residual evenly.
+
+    Scale shape: ONE map-side-combined per-source aggregate over the
+    corpus scan; everything after runs on ≤|sources| rows — a single
+    unpartitioned window over the tiny source frame (deterministic
+    (capacity, source) order) plus two one-row broadcasts (budget,
+    capped-mass). The corpus is never shuffled."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators import text as T
+
+    tot = (
+        t(spark, sf_dir, "documents")
+        .select("source", T.token_count_regex("text").cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("stok"), F.count(F.lit(1)).alias("n_docs"))
+    )
+    b = tot.agg(
+        (F.sum("stok").cast("double") * F.lit(_UNIMAX_BUDGET_X)).alias("budget"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    cap = F.col("stok").cast("double") * F.lit(_UNIMAX_CAP)
+    win = Window.orderBy(cap, F.col("source"))
+    r = tot.select(
+        "source",
+        "n_docs",
+        "stok",
+        cap.alias("cap"),
+        F.row_number().over(win).alias("i"),
+        F.coalesce(
+            F.sum(cap).over(win.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0.0),
+        ).alias("cum"),
+    )
+    f = r.crossJoin(F.broadcast(b)).withColumn(
+        "capped",
+        F.col("cap") * (F.col("n") - F.col("i") + 1)
+        <= F.col("budget") - F.col("cum"),
+    )
+    k = f.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))), F.lit(0.0)
+        ).alias("csum"),
+        F.sum(F.when(F.col("capped"), 1).otherwise(0)).cast("bigint").alias("kn"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap")).otherwise(
+        (F.col("budget") - F.col("csum")) / (F.col("n") - F.col("kn"))
+    )
+    return f.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_docs",
+        F.col("stok").alias("n_tokens"),
+        F.round("cap", 2).alias("capacity_tokens"),
+        "capped",
+        F.round(alloc, 2).alias("allocated_tokens"),
+        F.round(alloc / F.col("stok"), 6).alias("epochs"),
+    )
+
+
+@register(
+    "softdedup_weight_documents",
+    oracle=rf"""
+        WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
+        starts AS (
+          SELECT doc_id, unnest(list_transform(
+            range(1, len(w) - {_SPAN_W - 2}),
+            i -> array_to_string(list_slice(w, i, i + {_SPAN_W - 1}), ' ')
+          )) AS g
+          FROM w WHERE len(w) >= {_SPAN_W}
+        ),
+        freq AS (
+          SELECT g, count(DISTINCT doc_id)::DOUBLE AS df
+          FROM starts GROUP BY g
+        ),
+        per AS (
+          SELECT s.doc_id, count(*)::BIGINT AS n_grams,
+                 avg(ln(f.df)) AS mld
+          FROM starts s JOIN freq f USING (g)
+          GROUP BY s.doc_id
+        )
+        SELECT w.doc_id,
+               coalesce(p.n_grams, 0) AS n_grams,
+               round(coalesce(p.mld, 0), 6) AS mean_log_df,
+               round(exp(-coalesce(p.mld, 0)), 6) AS weight
+        FROM w LEFT JOIN per p USING (doc_id)
+    """,
+    tags=("dedup", "quality", "sampling", "llm-pipeline"),
+)
+def softdedup_weight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup (SoftDeDup, He et al. 2024): instead of DELETING
+    near-duplicates, DOWN-WEIGHT common text in the training loss —
+    per document, data commonness = the geometric mean of its
+    {_SPAN_W}-gram document frequencies, and the sampling/loss weight is
+    its reciprocal, exp(−mean ln df) ∈ (0, 1]: a fully unique document
+    keeps weight 1, boilerplate shared by 20 docs decays toward 1/20.
+    Positional gram semantics (every start position counts), consistent
+    with `gram_dup_fraction_documents`'s hard-threshold sibling.
+
+    Scale shape: pair-join-free — one gram df aggregate (distinct doc
+    count per gram), one postings⋈df equi-join, one per-doc mean. No df
+    cap needed: partner identities never materialize, and high-df grams
+    only raise a scalar. The weight column is exactly what a data
+    loader multiplies into the loss — no second dedup pass needed."""
+    W = _SPAN_W
+    d = t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split(F.lower(F.trim(F.col("text"))), "\\s+").alias("w"))
+        .filter(F.size("w") >= W)
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.size("w") - W),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i + 1, W)),
+            ).alias("gs"),
+        )
+    )
+    starts = query_persist(
+        grams.select("doc_id", F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    freq = (
+        starts.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+    )
+    per = (
+        starts.join(freq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg(F.log("df")).alias("mld"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.round(F.coalesce("mld", F.lit(0.0)), 6).alias("mean_log_df"),
+            F.round(F.exp(-F.coalesce("mld", F.lit(0.0))), 6).alias("weight"),
+        )
+    )
+
+
+@register(
+    "winnowing_incremental_overlap_documents",
+    oracle=f"""
+        WITH g AS (
+          SELECT doc_id, CASE WHEN text IS NULL THEN [] ELSE list_transform(
+            generate_series(1, greatest(length(text) - 7, 1)),
+            i -> ('0x' || substr(md5(substr(text, i, 8)), 1, 8))::BIGINT
+          ) END AS hs
+          FROM documents
+        ),
+        f AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(hs)), j -> list_min(hs[j:j+15]))) AS fps
+          FROM g
+        ),
+        ec AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE doc_id % 10 < 8),
+        en AS (SELECT doc_id, unnest(fps) AS fp FROM f WHERE doc_id % 10 >= 8),
+        keep AS (
+          SELECT fp FROM ec GROUP BY fp HAVING count(*) <= {_WIN_MAXDF}
+        ),
+        pairs AS (
+          SELECT c.doc_id AS corpus_id, n.doc_id AS new_id,
+                 count(*)::BIGINT AS n_shared
+          FROM en n JOIN (SELECT ec.doc_id, ec.fp FROM ec JOIN keep USING (fp)) c
+            ON n.fp = c.fp
+          GROUP BY 1, 2 HAVING count(*) >= {_WIN_MIN_SHARED}
+        ),
+        cnt AS (SELECT doc_id, len(fps)::BIGINT AS nf FROM f)
+        SELECT corpus_id, new_id, n_shared,
+               round(n_shared::DOUBLE / least(cc.nf, cn.nf), 6) AS containment
+        FROM pairs
+        JOIN cnt cc ON cc.doc_id = corpus_id
+        JOIN cnt cn ON cn.doc_id = new_id
+    """,
+    tags=("dedup", "fingerprint", "winnowing", "incremental", "llm-pipeline"),
+    bench=True,
+)
+def winnowing_incremental_overlap_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MOSS overlap search — the daily-ingest regime for
+    winnowing, mirroring `dedup_incremental_new_vs_corpus`: fingerprints
+    of a NEW batch (doc_id % 10 ∈ {8, 9} stands in for today's crawl —
+    a 20% slice at EVERY scale factor, unlike a fixed id threshold)
+    joined against the EXISTING corpus's posting index only (the other
+    80%), so
+    the corpus never re-pairs with itself. The boilerplate df cap is
+    computed on the CORPUS index alone — that is the persisted quantity
+    a daily loop reads; the new batch neither perturbs it nor waits for
+    a global recount. Same guarantee as the batch pair report: any
+    ≥ 23-char span a new doc shares with the corpus selects a common
+    fingerprint.
+
+    Scale shape: per refresh, O(|new|) fingerprinting plus an equi-join
+    of the new batch's postings against the df-capped corpus postings
+    (fanout ≤ {_WIN_MAXDF} per fingerprint) — independent of how often
+    it has run; at 100 TB the corpus (doc_id, fp) table is the persisted
+    winnowing index (the `(__id, __band, __key)` analogue of the LSH
+    sink), and only the new batch is scanned. explode_outer barrier as
+    everywhere in the gram family."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.operators import text as T
+
+    fps = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
+    )
+    e = query_persist(
+        fps.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+            F.col("fp").isNotNull()
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    ec = e.filter(F.col("doc_id") % 10 < 8)
+    en = e.filter(F.col("doc_id") % 10 >= 8)
+    keep = ec.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _WIN_MAXDF
+    )
+    pairs = (
+        en.select(F.col("doc_id").alias("new_id"), "fp")
+        .join(
+            ec.join(keep.select("fp"), "fp").select(
+                F.col("doc_id").alias("corpus_id"), "fp"
+            ),
+            "fp",
+        )
+        .groupBy("corpus_id", "new_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
+    cnt = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    return (
+        pairs.join(
+            cnt.select(F.col("doc_id").alias("corpus_id"), F.col("nf").alias("__nfc")),
+            "corpus_id",
+        )
+        .join(
+            cnt.select(F.col("doc_id").alias("new_id"), F.col("nf").alias("__nfn")),
+            "new_id",
+        )
+        .select(
+            "corpus_id",
+            "new_id",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double") / F.least("__nfc", "__nfn"), 6
+            ).alias("containment"),
+        )
     )
 
 

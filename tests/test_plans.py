@@ -43,6 +43,7 @@ _NLJ_ALLOWED = {
     "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
     "dsir_importance_documents",  # one-row corpus/target totals broadcast
     "epoch_allocation_documents",  # one-row total + weight-sum broadcasts
+    "unimax_allocation_documents",  # one-row budget + capped-mass broadcasts
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
     "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "ivf_cell_balance_embeddings",  # seed centroids + one-row totals broadcast
