@@ -15225,6 +15225,37 @@ def unimax_allocation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components_star_documents",
+    # Identical contract to dedup_components_documents (component id =
+    # min doc_id), so the SAME transitive-closure oracle vouches for it —
+    # what differs is the ALGORITHM under test: O(log n)-round
+    # large-star/small-star alternation instead of O(diameter) min-label.
+    oracle=REGISTRY["dedup_components_documents"].oracle,
+    tags=("dedup", "graph", "iterative", "llm-pipeline"),
+)
+def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via large-star/small-star connected components
+    (Kiveris et al. 2014) over the MinHash-LSH pair graph — the
+    diameter-independent alternative to `dedup_components_documents`'s
+    min-label propagation: a boilerplate-heavy crawl can chain near-dup
+    clusters far past any fixed round rail, and star alternation
+    converges in O(log n) rounds regardless. Both return component id =
+    min doc_id, so they are interchangeable and share one oracle.
+
+    Scale shape: each round is two groupBy+join passes on (node, node)
+    edges — all shuffles on ids, lineage truncated per round; the
+    convergence probe is two scalars (count + order-independent
+    bit_xor hash), never a collect of the edge set."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import connected_components_star
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b")
+    return comp.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
     "softdedup_weight_documents",
     oracle=rf"""
         WITH w AS (SELECT doc_id, {_SQL_WORDS} AS w FROM documents),
