@@ -15255,6 +15255,75 @@ def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+# Semantic-decontamination threshold: the flag trips in the far upper
+# tail of benchmark similarity on this corpus (~p98 of max-cosine), so
+# both flag branches appear at the driver's sf0.01.
+_SEMDECON_TAU = 0.35
+
+
+@register(
+    "semantic_decontaminate_embeddings",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        b AS (SELECT vec_id AS bid, v AS bv FROM e WHERE vec_id < 8),
+        c AS (SELECT vec_id, v FROM e WHERE vec_id >= 8),
+        s AS (
+          SELECT c.vec_id, b.bid,
+                 list_cosine_similarity(c.v, b.bv) AS cos
+          FROM c CROSS JOIN b
+        )
+        SELECT vec_id, bid AS nearest_benchmark_id,
+               round(cos, 6) AS cosine,
+               cos >= {_SEMDECON_TAU} AS contaminated
+        FROM s
+        QUALIFY row_number() OVER (
+          PARTITION BY vec_id ORDER BY cos DESC, bid ASC
+        ) = 1
+    """,
+    tags=("similarity", "decontamination", "eval", "llm-pipeline"),
+)
+def semantic_decontaminate_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    gram-based `decontaminate_documents`: verbatim n-gram overlap misses
+    paraphrased or translated benchmark leakage, so flag every corpus
+    vector whose max cosine to the benchmark embedding set (vec_id < 8
+    stands in for the eval suite — bounded by the BENCHMARK contract,
+    not the corpus) reaches {_SEMDECON_TAU}. Emits the full margin
+    report (nearest benchmark + similarity for every corpus vector), so
+    reviewers can audit near-threshold mass instead of only the flagged
+    tail.
+
+    Scale shape: the benchmark frame broadcasts (8 rows); corpus vectors
+    stream through the nested-loop scoring and NEVER shuffle — the
+    per-vector max is a map-side max_by fold, one exchange of (id, best)
+    structs. Identical posture to `ivf_assign`; at 100 TB this is one
+    corpus scan per benchmark release."""
+    e = t(spark, sf_dir, "embeddings")
+    bench_vecs = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    c = e.filter(F.col("vec_id") >= 8).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    sim = cosine_similarity("v", "bv")
+    scored = c.join(F.broadcast(bench_vecs), how="cross").select(
+        "vec_id", "bid", sim.alias("cos")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("bid")).alias("nb"))).alias("__b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("__b.nb")).alias("nearest_benchmark_id"),
+        F.round(F.col("__b.cos"), 6).alias("cosine"),
+        (F.col("__b.cos") >= F.lit(_SEMDECON_TAU)).alias("contaminated"),
+    )
+
+
 @register(
     "softdedup_weight_documents",
     oracle=rf"""
@@ -15467,73 +15536,55 @@ def winnowing_incremental_overlap_documents(
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-9 rotation, derived with ``python tools/recheck_queue.py``
-    # (git-derived; no hand-maintained manifest — the tool is the
-    # authoritative source for this list; regenerate, don't hand-edit).
-    # After r8, 200 of 211 then-registered queries were driver-green
-    # all-time. Slots: (a) the tool's 14 never-checked queries — the 11
-    # late-r8 additions plus this round's 3 new registrations
-    # (streaming_quality_gate_replay, longest_shared_span_documents,
-    # ann_int8_recall_report); (b) the tool's 4 changed-since-green
-    # (bm25 refactored onto _bm25_scored_frame after its r7 green,
-    # ngram_jaccard + minhash-replay + mmr blocks touched by the r9
-    # query_persist/xxhash64 edits); (c) 9 canaries for the two operator
-    # modules the tool flags as changed this round (operators/dedup.py —
-    # persist scoping — and functions/__init__.py — the vocab-literal
-    # escape fix): every consumer family of shingle_table /
-    # minhash_near_dup_pairs / greedy_subword_count; (d) the 12
-    # remaining r4-green queries and 11 oldest r5-greens — the stalest
-    # all-time coverage. This closes all-time coverage at 214/214 once
-    # green.
-    # --- (a) 33 never driver-checked ---
-    "temperature_mixture_documents", "events_asof_nearest_purchase",
-    "doremi_domain_reweight_documents", "semdedup_prune_embeddings",
-    "split_leakage_report_documents", "eval_calibration_ece_binned",
-    "sparse_cosine_related_documents", "exact_span_dedup_documents",
-    "span_scrub_documents", "tokenizer_fertility_documents",
-    "pagerank_neardup_documents", "streaming_quality_gate_replay",
-    "longest_shared_span_documents", "ann_int8_recall_report",
-    "dsir_importance_documents", "dedup_editdistance_verify_documents",
-    "epoch_allocation_documents", "span_scrub_min_length_documents",
-    "interval_overlap_sessions_events", "grouped_split_by_source_documents",
-    "ivf_cell_balance_embeddings", "ann_pq_recall_report",
-    "gram_dup_fraction_documents", "neardup_threshold_sweep_documents",
-    "ann_truncated_dim_recall_report", "tfidf_top_terms_documents",
-    "neardup_graph_stats_documents", "l_diversity_audit_customer",
-    "freshness_report_events", "streaming_late_arrival_report",
-    "benford_audit_orders", "source_concentration_documents",
-    "bootstrap_ci_tokens_documents",
-    # --- (b) 4 changed since green ---
-    "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
-    "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
-    # --- (c) 3 changed-module canaries (dedup.py, functions;
-    # cross_source/decontaminate/bpe displaced late-r9 — their code
-    # paths ride the never-checked rows: minhash_near_dup_pairs via
-    # threshold-sweep/editdistance/graph-stats/lsh-replay,
-    # greedy_subword_count via tokenizer_fertility;
-    # boilerplate/components displaced late-r9: the never-checked set
-    # above exercises shingle_table/minhash paths via 8+ dedup rows;
-    # dedup_exact displaced by ann_pq — exact-dedup machinery is still
-    # canaried via dedup_normalized-family parity + the window's 8 other
-    # dedup rows) ---
-    "dedup_minhash_lsh_documents", "dedup_incremental_new_vs_corpus",
-    "dedup_containment_documents",
-    # --- (d) oldest-green: 10 of the 12 remaining r4 rows
-    # (flatten_struct / null_safe_join displaced late-r9 — plain
-    # relational shapes, no unique family tag, still parity-swept;
-    # text_fingerprint's slot went to range_join_price_bands as the
-    # canary for the rangejoin.py module change — the overlap-join
-    # addition left interval_join untouched, but the module hash moved) ---
-    "dedup_simhash_documents", "dedup_simhash_pairs_documents",
-    "salted_agg_orders", "stratified_fraction_documents",
-    "range_join_price_bands", "weighted_sample_documents",
-    # --- (d) 4 oldest r5-greens (q13/score swapped in for family
-    # diversity: the window must hold tpch + scoring representatives;
-    # agg_orders_by_status / embedding_ann_ivf displaced by the two
-    # late-r9 registrations — their families stay covered by q13/
-    # incremental_agg and the four similarity rows above) ---
-    "q13_customer_order_distribution", "cm_sketch_custkey_counts",
-    "datadiff_continuous_lineitem", "score_callable_model",
+    # Round-10 rotation, derived with ``python tools/recheck_queue.py``
+    # (git-derived; regenerate, don't hand-edit the never-checked set).
+    # After r9, all-time driver coverage stood at 233/247; the tool's
+    # never-checked list (the 14 late-r9 registrations) plus this
+    # round's 5 new registrations and 1 changed-since-green re-check
+    # are the hard commitments. Slots: (a) 19 never driver-checked;
+    # (b) 1 changed-since-green (gram_dup_fraction switched to
+    # positional grams per ADVICE r9); (c) 7 canaries for the three
+    # operator modules the tool flags as changed this round (graph.py —
+    # de-hinted representatives + star components; text.py — the winnow
+    # let-binding; streaming.py — drain-timeout hardening); (d) the 6
+    # remaining r4-green rows and (e) 17 oldest r5/r6-green rows chosen
+    # for family coverage (tpch/sketch/scoring/datadiff/sample/quality/
+    # events/multimodal) — the stalest all-time coverage. Queries green
+    # in r9 rotate OUT (their green is current); this closes all-time
+    # coverage at 252/252 once green.
+    # --- (a) 19 never driver-checked ---
+    "compaction_plan_orders", "winnowing_fingerprint_documents",
+    "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
+    "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
+    "session_markov_nll_events", "holt_linear_forecast_user_value",
+    "heaps_law_fit_documents", "good_turing_unseen_mass_documents",
+    "dedup_prefix_filter_exact_documents", "embedding_drift_report",
+    "readability_flesch_documents", "ivf_incremental_assign_embeddings",
+    "unimax_allocation_documents", "dedup_components_star_documents",
+    "semantic_decontaminate_embeddings", "softdedup_weight_documents",
+    "winnowing_incremental_overlap_documents",
+    # --- (b) changed since green ---
+    "gram_dup_fraction_documents",
+    # --- (c) changed-module canaries: graph.py (components consumers),
+    # text.py (fingerprint family), streaming.py (replay sinks) ---
+    "dedup_components_documents", "dedup_canonical_selection",
+    "entity_resolution_parts", "text_fingerprint_documents",
+    "text_langid_confusion", "streaming_topk_merge_replay",
+    "streaming_incremental_merge_replay",
+    # --- (d) the 6 remaining r4-green rows (stalest all-time) ---
+    "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
+    "events_sliding_daily_12h", "flatten_struct_orders",
+    "mixture_resample_documents", "null_safe_join_status",
+    # --- (e) 17 oldest r5/r6-green rows, family-diverse fill ---
+    "q15_top_revenue_supplier", "q9_nation_year_profit",
+    "sketch_cardinality_users", "score_multiclass_model",
+    "score_regressor_model", "datadiff_hash_histogram_orders",
+    "datadiff_tvd_lineitem_sample", "validate_orders_quality",
+    "hash_sample_lineitem", "stratified_quota_sample",
+    "events_debounce_5m", "events_sessions_30m",
+    "multimodal_decode_features", "agg_orders_by_status",
+    "bloom_pruned_join_revenue", "decontaminate_documents",
+    "dedup_exact_documents",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

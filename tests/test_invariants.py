@@ -378,38 +378,32 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # The r9 rotation closes all-time driver coverage at 214/214: every
+    # The r10 rotation closes all-time driver coverage at 252/252: every
     # query that has never appeared in a CORRECTNESS_r*.json (enumerated
     # by `python tools/recheck_queue.py` from git history) must be
     # inside, plus the changed-since-green re-checks. Spot-check the
     # commitments rather than re-deriving git state in a unit test.
     must_cover = {
-        # late-r8 additions (never checked through r8)
-        "temperature_mixture_documents", "semdedup_prune_embeddings",
-        "sparse_cosine_related_documents", "exact_span_dedup_documents",
-        "span_scrub_documents", "tokenizer_fertility_documents",
-        "pagerank_neardup_documents", "eval_calibration_ece_binned",
-        # r9 additions (never checked)
-        "streaming_quality_gate_replay", "longest_shared_span_documents",
-        "ann_int8_recall_report", "dsir_importance_documents",
-        "dedup_editdistance_verify_documents", "epoch_allocation_documents",
-        "span_scrub_min_length_documents", "interval_overlap_sessions_events",
-        "grouped_split_by_source_documents", "ivf_cell_balance_embeddings",
-        "ann_pq_recall_report", "gram_dup_fraction_documents",
-        "neardup_threshold_sweep_documents", "ann_truncated_dim_recall_report",
-        "tfidf_top_terms_documents", "neardup_graph_stats_documents",
-        "l_diversity_audit_customer", "freshness_report_events",
-        "streaming_late_arrival_report", "benford_audit_orders",
-        "source_concentration_documents", "bootstrap_ci_tokens_documents",
-        # changed-since-green re-checks (tools/recheck_queue.py)
-        "bm25_search_documents", "dedup_ngram_jaccard_fingerprint",
-        "mmr_diversified_search_documents", "streaming_dedup_lsh_replay",
-        # module-changed canaries (dedup.py persist scoping,
-        # functions vocab-literal escape fix, r9)
-        "dedup_minhash_lsh_documents", "dedup_containment_documents",
+        # r10 never-checked commitments (tools/recheck_queue.py): the 14
+        # late-r9 registrations plus the 5 r10 additions
+        "compaction_plan_orders", "winnowing_fingerprint_documents",
+        "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
+        "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
+        "session_markov_nll_events", "holt_linear_forecast_user_value",
+        "heaps_law_fit_documents", "good_turing_unseen_mass_documents",
+        "dedup_prefix_filter_exact_documents", "embedding_drift_report",
+        "readability_flesch_documents", "ivf_incremental_assign_embeddings",
+        "unimax_allocation_documents", "dedup_components_star_documents",
+        "semantic_decontaminate_embeddings", "softdedup_weight_documents",
+        "winnowing_incremental_overlap_documents",
+        # changed-since-green re-check (positional-gram semantics fix)
+        "gram_dup_fraction_documents",
+        # module-changed canaries (graph.py / text.py / streaming.py, r10)
+        "dedup_components_documents", "text_fingerprint_documents",
+        "streaming_topk_merge_replay",
     }
     missing = must_cover - set(window)
-    assert not missing, f"r9 priority queries outside the window: {missing}"
+    assert not missing, f"r10 priority queries outside the window: {missing}"
 
     tags = {tg for n in window for tg in REGISTRY[n].tags}
     assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"

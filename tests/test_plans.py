@@ -45,6 +45,7 @@ _NLJ_ALLOWED = {
     "epoch_allocation_documents",  # one-row total + weight-sum broadcasts
     "unimax_allocation_documents",  # one-row budget + capped-mass broadcasts
     "hard_negative_mining_embeddings",  # anchors broadcast (exact-topk shape)
+    "semantic_decontaminate_embeddings",  # 8-row benchmark set broadcast
     "ann_int8_recall_report",  # seed centroid codes + fixed query set
     "ivf_cell_balance_embeddings",  # seed centroids + one-row totals broadcast
     "ann_pq_recall_report",  # 8-row codebook + fixed query set broadcast
@@ -332,6 +333,8 @@ _BOUNDED_HINTS = {
     "ivf_incremental_assign_embeddings": "seed centroids (fixed k cells)",
     "bootstrap_ci_tokens_documents": "fixed 50-row replicate frame",
     "hard_negative_mining_embeddings": "fixed anchor set broadcast",
+    "semantic_decontaminate_embeddings": "benchmark embedding set: bounded "
+    "by the eval-suite contract, not the corpus",
     "rrf_fusion_search_documents": "single query vector by key equality",
 }
 
