@@ -15255,6 +15255,355 @@ def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFra
     return comp.select(F.col("id").alias("doc_id"), "component")
 
 
+@register(
+    "ivf_probe_sweep_report",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        q AS (SELECT * FROM assign WHERE vec_id < 20),
+        exact AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM q JOIN e c ON q.vec_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id
+          ) <= 3
+        ),
+        qp AS (
+          SELECT e.vec_id AS query_id, e.v AS qv, c.cell,
+                 row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC
+                 ) AS pr
+          FROM e CROSS JOIN cen c WHERE e.vec_id < 20
+        ),
+        grid AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        probes AS (
+          SELECT g.nprobe, qp.query_id, qp.qv, qp.cell
+          FROM grid g JOIN qp ON qp.pr <= g.nprobe
+        ),
+        cands AS (
+          SELECT p.nprobe, p.query_id, a.vec_id AS neighbor_id,
+                 row_number() OVER (
+                   PARTITION BY p.nprobe, p.query_id
+                   ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id
+                 ) AS rank
+          FROM probes p
+          JOIN assign a ON p.cell = a.cell AND p.query_id != a.vec_id
+        ),
+        base AS (SELECT g.nprobe, q.vec_id AS query_id FROM grid g, q),
+        nc AS (
+          SELECT nprobe, query_id, count(*)::BIGINT AS n_cand
+          FROM cands GROUP BY 1, 2
+        ),
+        hits AS (
+          SELECT c.nprobe, c.query_id, count(*)::BIGINT AS n_hits
+          FROM cands c
+          JOIN exact x ON x.query_id = c.query_id
+                      AND x.neighbor_id = c.neighbor_id
+          WHERE c.rank <= 3
+          GROUP BY 1, 2
+        )
+        SELECT b.nprobe,
+               round(avg(coalesce(h.n_hits, 0) / 3.0), 6) AS mean_recall_at_3,
+               round(avg(coalesce(nc.n_cand, 0)), 6) AS mean_candidates
+        FROM base b
+        LEFT JOIN nc USING (nprobe, query_id)
+        LEFT JOIN hits h USING (nprobe, query_id)
+        GROUP BY b.nprobe
+    """,
+    tags=("similarity", "ann", "eval", "ops", "llm-pipeline"),
+)
+def ivf_probe_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/latency KNOB, measured: mean recall@3 vs exact and
+    mean candidates scanned per query for nprobe ∈ (1, 2, 4) — the
+    table an index operator reads to pick the probe budget (recall
+    climbs toward exact as nprobe → cells while scan cost stays
+    nprobe/cells of brute force). Complements the single-point gates
+    (`ivf_recall_report`, `ann_ndcg_mrr_report`) with the whole curve
+    from ONE corpus assignment.
+
+    Scale shape: the corpus is assigned once (centroids broadcast,
+    vectors never shuffle); each sweep point replicates only the 20-row
+    probe frame; candidate counts come from the same ranked candidate
+    stream the retrieval uses. Output is 3 rows."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        cosine_topk,
+        ivf_assign,
+        ivf_topk_multiprobe,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 20)
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    exact = cosine_topk(e, queries, k=3, exclude_self=True).select(
+        "query_id", F.col("neighbor_id").alias("x_neighbor")
+    )
+    assigned = query_persist(ivf_assign(e, centroids))
+    base_q = queries.select(F.col("vec_id").alias("query_id"))
+    per_point = []
+    for nprobe in (1, 2, 4):
+        topk = ivf_topk_multiprobe(
+            assigned.select("vec_id", "embedding"),
+            queries,
+            centroids,
+            k=3,
+            nprobe=nprobe,
+            exclude_self=True,
+        ).select("query_id", F.col("neighbor_id").alias("a_neighbor"))
+        hits = (
+            exact.join(
+                topk,
+                (exact.query_id == topk.query_id)
+                & (F.col("x_neighbor") == F.col("a_neighbor")),
+            )
+            .groupBy(exact.query_id)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        # candidates scanned = Σ sizes of probed cells − 1 (self excluded)
+        cen2 = centroids.select(
+            F.col("cell").alias("__pcell"), F.col("centroid").alias("__cenv")
+        )
+        qs = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qv")
+        ).join(F.broadcast(cen2), how="cross").select(
+            "query_id",
+            "__pcell",
+            cosine_similarity("__qv", "__cenv").alias("__csim"),
+        )
+        wq = Window.partitionBy("query_id").orderBy(
+            F.desc("__csim"), F.asc("__pcell")
+        )
+        probed = qs.withColumn("__pr", F.row_number().over(wq)).filter(
+            F.col("__pr") <= nprobe
+        )
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("__sz"))
+        ncand = (
+            probed.join(sizes, probed["__pcell"] == sizes["cell"])
+            .groupBy("query_id")
+            .agg((F.sum("__sz") - F.lit(1)).alias("n_cand"))
+        )
+        per_point.append(
+            base_q.join(hits, "query_id", "left")
+            .join(ncand, "query_id", "left")
+            .select(
+                F.lit(nprobe).alias("nprobe"),
+                F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+            )
+        )
+    allp = per_point[0].unionByName(per_point[1]).unionByName(per_point[2])
+    return allp.groupBy("nprobe").agg(
+        F.round(F.avg(F.col("n_hits") / 3.0), 6).alias("mean_recall_at_3"),
+        F.round(F.avg("n_cand"), 6).alias("mean_candidates"),
+    )
+
+
+@register(
+    "dedup_savings_report_documents",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ),
+        comp AS (
+          SELECT n.id AS doc_id, least(n.id, min(r.d)) AS component
+          FROM (SELECT DISTINCT s AS id FROM sym) n
+          JOIN reach r ON r.s = n.id
+          GROUP BY n.id
+        ),
+        tok AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        )
+        SELECT c.component,
+               count(*)::BIGINT AS n_docs,
+               sum(t.n_tok)::BIGINT AS tokens_total,
+               sum(CASE WHEN c.doc_id != c.component THEN t.n_tok
+                        ELSE 0 END)::BIGINT AS tokens_removed,
+               round(sum(CASE WHEN c.doc_id != c.component THEN t.n_tok
+                              ELSE 0 END)::DOUBLE
+                     / greatest(sum(t.n_tok), 1), 6) AS savings_rate
+        FROM comp c JOIN tok t USING (doc_id)
+        GROUP BY c.component
+    """,
+    tags=("dedup", "graph", "ops", "llm-pipeline"),
+)
+def dedup_savings_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup BUYS: per near-dup cluster, the docs and tokens that
+    keeping only the min-id representative removes — the sizing number
+    that justifies (or kills) a dedup pass before anyone runs it at
+    100 TB, and the per-cluster breakdown that shows whether savings
+    come from a few mirror farms or a long tail. Clusters are the same
+    MinHash-LSH + exact-verify components the dedup family ships, so the
+    report prices exactly the dedup that would run.
+
+    Scale shape: components over the banded pair graph (never
+    all-pairs), one token-count projection, one join keyed on doc_id,
+    one per-component aggregate — |components| rows out."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import connected_components_star
+
+    d = t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    tok = d.select(
+        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    dup = F.when(F.col("doc_id") != F.col("component"), F.col("n_tok")).otherwise(
+        F.lit(0)
+    )
+    return (
+        comp.join(tok, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum(dup).alias("tokens_removed"),
+            F.round(
+                F.sum(dup).cast("double")
+                / F.greatest(F.sum("n_tok"), F.lit(1)),
+                6,
+            ).alias("savings_rate"),
+        )
+    )
+
+
+@register(
+    "split_repair_documents",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_TRAIN!r} THEN 'train'
+                      WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_VAL!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        sym AS (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL SELECT id_b AS src, id_a AS dst FROM ver),
+        leaked AS (
+          SELECT DISTINCT d.doc_id
+          FROM sym e
+            JOIN sp s ON s.doc_id = e.src AND s.split = 'train'
+            JOIN sp d ON d.doc_id = e.dst AND d.split <> 'train'
+        )
+        SELECT sp.doc_id, sp.split,
+               CASE WHEN l.doc_id IS NOT NULL THEN 'train'
+                    ELSE sp.split END AS final_split,
+               l.doc_id IS NOT NULL AS moved
+        FROM sp LEFT JOIN leaked l ON l.doc_id = sp.doc_id
+    """,
+    tags=("dedup", "split", "leakage", "eval", "llm-pipeline"),
+)
+def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR step `split_leakage_report_documents` measures the
+    need for: any val/test document with a verified near-duplicate in
+    the TRAIN split is PULLED INTO train (training on it is harmless;
+    evaluating on it inflates scores), emitting the final per-doc
+    assignment with a `moved` flag. Pulling into train — rather than
+    dropping or re-rolling — keeps every document exactly once, never
+    shrinks train, and leaves the val/test hash draw untouched for
+    unleaked docs, so reruns are stable as the corpus grows.
+
+    Scale shape: identical machinery to the leakage report (banded-LSH
+    pairs, never all-pairs; split assignment is a pure projection) plus
+    one id-keyed left join to apply the move — the output is the full
+    assignment table a writer would partitionBy(final_split)."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    u = md5_unit(F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string")))
+    split = (
+        F.when(u < _SPLIT_TRAIN, F.lit("train"))
+        .when(u < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = query_persist(d.select("doc_id", split.alias("split")))
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    sym = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    leaked = (
+        sym.join(
+            sp.filter(F.col("split") == "train").select(
+                F.col("doc_id").alias("src")
+            ),
+            "src",
+        )
+        .join(
+            sp.filter(F.col("split") != "train").select(
+                F.col("doc_id").alias("dst")
+            ),
+            "dst",
+        )
+        .select(F.col("dst").alias("doc_id"))
+        .distinct()
+        .withColumn("__leak", F.lit(True))
+    )
+    return sp.join(leaked, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.when(F.col("__leak").isNotNull(), F.lit("train"))
+        .otherwise(F.col("split"))
+        .alias("final_split"),
+        F.col("__leak").isNotNull().alias("moved"),
+    )
+
+
 # Semantic-decontamination threshold: the flag trips in the far upper
 # tail of benchmark similarity on this corpus (~p98 of max-cosine), so
 # both flag branches appear at the driver's sf0.01.
@@ -15540,8 +15889,8 @@ _DRIVER_WINDOW = [
     # (git-derived; regenerate, don't hand-edit the never-checked set).
     # After r9, all-time driver coverage stood at 233/247; the tool's
     # never-checked list (the 14 late-r9 registrations) plus this
-    # round's 5 new registrations and 1 changed-since-green re-check
-    # are the hard commitments. Slots: (a) 19 never driver-checked;
+    # round's 8 new registrations and 1 changed-since-green re-check
+    # are the hard commitments. Slots: (a) 22 never driver-checked;
     # (b) 1 changed-since-green (gram_dup_fraction switched to
     # positional grams per ADVICE r9); (c) 7 canaries for the three
     # operator modules the tool flags as changed this round (graph.py —
@@ -15551,8 +15900,8 @@ _DRIVER_WINDOW = [
     # for family coverage (tpch/sketch/scoring/datadiff/sample/quality/
     # events/multimodal) — the stalest all-time coverage. Queries green
     # in r9 rotate OUT (their green is current); this closes all-time
-    # coverage at 252/252 once green.
-    # --- (a) 19 never driver-checked ---
+    # coverage at 255/255 once green.
+    # --- (a) 22 never driver-checked ---
     "compaction_plan_orders", "winnowing_fingerprint_documents",
     "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
     "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
@@ -15562,7 +15911,8 @@ _DRIVER_WINDOW = [
     "readability_flesch_documents", "ivf_incremental_assign_embeddings",
     "unimax_allocation_documents", "dedup_components_star_documents",
     "semantic_decontaminate_embeddings", "softdedup_weight_documents",
-    "winnowing_incremental_overlap_documents",
+    "winnowing_incremental_overlap_documents", "ivf_probe_sweep_report",
+    "dedup_savings_report_documents", "split_repair_documents",
     # --- (b) changed since green ---
     "gram_dup_fraction_documents",
     # --- (c) changed-module canaries: graph.py (components consumers),
@@ -15575,7 +15925,7 @@ _DRIVER_WINDOW = [
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
     "events_sliding_daily_12h", "flatten_struct_orders",
     "mixture_resample_documents", "null_safe_join_status",
-    # --- (e) 17 oldest r5/r6-green rows, family-diverse fill ---
+    # --- (e) 14 oldest r5/r6-green rows, family-diverse fill ---
     "q15_top_revenue_supplier", "q9_nation_year_profit",
     "sketch_cardinality_users", "score_multiclass_model",
     "score_regressor_model", "datadiff_hash_histogram_orders",
@@ -15583,8 +15933,6 @@ _DRIVER_WINDOW = [
     "hash_sample_lineitem", "stratified_quota_sample",
     "events_debounce_5m", "events_sessions_30m",
     "multimodal_decode_features", "agg_orders_by_status",
-    "bloom_pruned_join_revenue", "decontaminate_documents",
-    "dedup_exact_documents",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -68,6 +68,7 @@ _NLJ_ALLOWED = {
     "cusum_changepoint_daily_value",  # one-row global-mean + peak broadcasts over day rows
     "backfill_gaps_orders_daily",  # one-row bounds/mean broadcasts over |days| rows
     "ivf_recall_report",  # brute-force exact side (tiny query set broadcast, by design)
+    "ivf_probe_sweep_report",  # same exact-vs-approx shape, swept over nprobe
     "ann_ndcg_mrr_report",  # same exact-vs-approx shape as ivf_recall_report
     "source_term_drift_kl",  # |sources|×topV grid from tiny broadcast aggregates
     "semi_anti_join_customers",  # cross of two ONE-ROW count aggregates
@@ -326,6 +327,7 @@ _BOUNDED_HINTS = {
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",
+    "ivf_probe_sweep_report": "seed centroids + fixed query set",
     "ann_int8_recall_report": "seed centroid codes (4 rows) + fixed query set",
     "ivf_cell_balance_embeddings": "seed centroids (fixed k cells)",
     "ann_pq_recall_report": "M*K=8 codebook rows + fixed query set",
