@@ -38,6 +38,24 @@ __all__ = [
 ]
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a SUPERSEDED localCheckpoint
+    round. ContextCleaner only reclaims them once the JVM-side RDD is
+    garbage, which py4j defers until Python GC — so an iterative loop
+    would otherwise hold every round's blocks for the life of the
+    caller. Only call on frames that are never read again (the next
+    round is already eagerly materialized): freeing deletes the data
+    and the truncated lineage cannot recompute it. No-op for frames
+    that are not local checkpoints (e.g. the reliable-checkpoint path).
+    """
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.nodeName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -82,6 +100,7 @@ def connected_components(
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()
+        _free_local_checkpoint(labels)  # superseded round's blocks
         labels = new_labels.drop("__old")
         if changed == 0:
             sym.unpersist()
@@ -177,6 +196,7 @@ def connected_components_star(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
+        _free_local_checkpoint(e)  # superseded round's blocks
         if prev_sig == (sig["n"], sig["h"]):
             e = e2
             break
@@ -262,7 +282,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
+        new_ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .select(
                 "node",
@@ -273,4 +293,6 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        _free_local_checkpoint(ranks)  # superseded round's blocks
+        ranks = new_ranks
     return ranks

@@ -14641,13 +14641,28 @@ def holt_linear_forecast_user_value(
                  count(*)::DOUBLE AS n_tok,
                  count(DISTINCT term)::DOUBLE AS n_vocab
           FROM tok GROUP BY source
+        ),
+        m AS (
+          SELECT count(*)::BIGINT AS n_sources,
+                 covar_pop(ln(n_tok), ln(n_vocab)) AS cxy,
+                 var_pop(ln(n_tok)) AS vx,
+                 var_pop(ln(n_vocab)) AS vy,
+                 avg(ln(n_tok)) AS mx,
+                 avg(ln(n_vocab)) AS my,
+                 min(n_tok) = max(n_tok) AS xdeg,
+                 min(n_vocab) = max(n_vocab) AS ydeg
+          FROM per_src
         )
-        SELECT count(*)::BIGINT AS n_sources,
-               round(regr_slope(ln(n_vocab), ln(n_tok)), 6) AS heaps_beta,
-               round(regr_intercept(ln(n_vocab), ln(n_tok)), 6)
+        SELECT n_sources,
+               round(CASE WHEN xdeg OR ydeg THEN 0.0 ELSE cxy / vx END, 6)
+                 AS heaps_beta,
+               round(my - CASE WHEN xdeg OR ydeg THEN 0.0
+                           ELSE cxy / vx END * mx, 6)
                  AS heaps_log_k,
-               round(regr_r2(ln(n_vocab), ln(n_tok)), 6) AS r2
-        FROM per_src
+               round(CASE WHEN ydeg THEN 1.0
+                          WHEN xdeg THEN 0.0
+                          ELSE cxy * cxy / (vx * vy) END, 6) AS r2
+        FROM m
     """,
     tags=("text", "corpus-stats", "llm-pipeline"),
 )
@@ -14661,9 +14676,17 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     training mix.
 
     Scale shape: one tokenize pass, one per-source (count, distinct
-    count) aggregate — the regression runs over |sources| rows via the
-    built-in regr_* aggregates; nothing but those rows crosses the
-    final exchange."""
+    count) aggregate, then explicit covariance/variance formulas over
+    the |sources|-row frame — NOT the built-in regr_* aggregates: a
+    degenerate input (every source with an identical vocabulary size, a
+    real outcome on templated corpora) makes regr_slope/regr_r2
+    engine-defined (0 vs −0 slope, 0/0 r²), so the guards pin the
+    contract exactly — constant x → beta 0, constant y → the constant
+    line fits perfectly, r² = 1. Degeneracy is detected with the EXACT
+    min = max comparison on the raw counts, never `var_pop = 0`: the
+    variance of a constant column is only zero up to partial-aggregation
+    merge order (AQE can reshuffle it to ~1e-30), which would make a
+    float-zero guard flaky."""
     toks = t(spark, sf_dir, "documents").select(
         "source",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term"),
@@ -14673,11 +14696,28 @@ def heaps_law_fit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("term").cast("double").alias("n_vocab"),
     )
     lv, ln_ = F.log(F.col("n_vocab")), F.log(F.col("n_tok"))
-    return per_src.agg(
+    m = per_src.agg(
         F.count(F.lit(1)).cast("long").alias("n_sources"),
-        F.round(F.regr_slope(lv, ln_), 6).alias("heaps_beta"),
-        F.round(F.regr_intercept(lv, ln_), 6).alias("heaps_log_k"),
-        F.round(F.regr_r2(lv, ln_), 6).alias("r2"),
+        F.covar_pop(ln_, lv).alias("cxy"),
+        F.var_pop(ln_).alias("vx"),
+        F.var_pop(lv).alias("vy"),
+        F.avg(ln_).alias("mx"),
+        F.avg(lv).alias("my"),
+        (F.min("n_tok") == F.max("n_tok")).alias("xdeg"),
+        (F.min("n_vocab") == F.max("n_vocab")).alias("ydeg"),
+    )
+    deg = F.col("xdeg") | F.col("ydeg")
+    beta = F.when(deg, F.lit(0.0)).otherwise(F.col("cxy") / F.col("vx"))
+    return m.select(
+        "n_sources",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.col("my") - beta * F.col("mx"), 6).alias("heaps_log_k"),
+        F.round(
+            F.when(F.col("ydeg"), F.lit(1.0))
+            .when(F.col("xdeg"), F.lit(0.0))
+            .otherwise(F.col("cxy") * F.col("cxy") / (F.col("vx") * F.col("vy"))),
+            6,
+        ).alias("r2"),
     )
 
 

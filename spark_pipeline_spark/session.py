@@ -182,7 +182,19 @@ def release_query_caches() -> int:
 
     Call between queries in sequential sweeps (bench, parity tests) or
     periodically in a long-lived session.
+
+    Also runs a Python GC pass: iterative operators (connected
+    components, PageRank) truncate lineage with ``localCheckpoint``,
+    whose blocks are reclaimed by Spark's ContextCleaner only after the
+    JVM-side RDD object is garbage — and py4j keeps that object alive
+    until the PYTHON wrapper is collected. A long sequential session
+    (the 255-query sweep; a multi-query driver) otherwise accumulates
+    every round's checkpoint blocks until the JVM heap dies (observed:
+    OOM at query ~140 of the sf0.1 sweep, ConnectionRefused cascade
+    after). One collect() per release keeps the block manager bounded.
     """
+    import gc
+
     with _query_cache_lock:
         n = len(_query_caches)
         for df in _query_caches:
@@ -191,7 +203,8 @@ def release_query_caches() -> int:
             except Exception:
                 pass
         _query_caches.clear()
-        return n
+    gc.collect()
+    return n
 
 
 def get_session(
