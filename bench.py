@@ -41,7 +41,9 @@ def main() -> int:
     from spark_pipeline_spark.queries import REGISTRY
     from spark_pipeline_spark.session import release_query_caches
 
-    spark = get_session("bench")
+    # Real driver headroom (the 1g default can't hold a long best-of-N
+    # sweep's status stores + checkpoint blocks in one JVM).
+    spark = get_session("bench", conf={"spark.driver.memory": "8g"})
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n, q in REGISTRY.items() if args.all or q.bench]

@@ -46,6 +46,19 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.parquet.compression.codec": "zstd",
     # Quiet progress bars in CI logs.
     "spark.ui.showConsoleProgress": "false",
+    # Bound the status stores: the SQL UI retains up to 1000 executions
+    # INCLUDING their plan graphs by default — for an analytics session
+    # running hundreds of large-plan queries that is hundreds of MB of
+    # driver heap that never goes away (observed: a 255-query sweep
+    # OOM-killed a default-sized driver JVM around query ~140). A
+    # long-lived driver must bound retention; 50 executions is plenty
+    # for debugging the recent past.
+    "spark.sql.ui.retainedExecutions": "50",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "5000",
+    "spark.worker.ui.retainedExecutors": "10",
+    "spark.worker.ui.retainedDrivers": "10",
 }
 
 

@@ -12,7 +12,15 @@ SF_ORACLE = "/root/testdata/sf0.01"
 def spark():
     from spark_pipeline_spark import get_session
 
-    spark = get_session("tests", shuffle_partitions=8)
+    # driver.memory must be set BEFORE the JVM launches (getOrCreate
+    # passes it to spark-submit): the default 1g cannot hold a full
+    # registry sweep at sf0.1 in one session — give the local JVM real
+    # headroom like a production driver would have.
+    spark = get_session(
+        "tests",
+        shuffle_partitions=8,
+        conf={"spark.driver.memory": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
 
