@@ -15272,6 +15272,7 @@ def unimax_allocation_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # large-star/small-star alternation instead of O(diameter) min-label.
     oracle=REGISTRY["dedup_components_documents"].oracle,
     tags=("dedup", "graph", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters via large-star/small-star connected components
@@ -15352,6 +15353,7 @@ def dedup_components_star_documents(spark: SparkSession, sf_dir: str) -> DataFra
         GROUP BY b.nprobe
     """,
     tags=("similarity", "ann", "eval", "ops", "llm-pipeline"),
+    bench=True,
 )
 def ivf_probe_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The IVF recall/latency KNOB, measured: mean recall@3 vs exact and
@@ -15493,6 +15495,7 @@ def ivf_probe_sweep_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.component
     """,
     tags=("dedup", "graph", "ops", "llm-pipeline"),
+    bench=True,
 )
 def dedup_savings_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What dedup BUYS: per near-dup cluster, the docs and tokens that
@@ -15581,6 +15584,7 @@ def dedup_savings_report_documents(spark: SparkSession, sf_dir: str) -> DataFram
         FROM sp LEFT JOIN leaked l ON l.doc_id = sp.doc_id
     """,
     tags=("dedup", "split", "leakage", "eval", "llm-pipeline"),
+    bench=True,
 )
 def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REPAIR step `split_leakage_report_documents` measures the
@@ -15741,6 +15745,7 @@ def semantic_decontaminate_embeddings(
         FROM w LEFT JOIN per p USING (doc_id)
     """,
     tags=("dedup", "quality", "sampling", "llm-pipeline"),
+    bench=True,
 )
 def softdedup_weight_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Soft dedup (SoftDeDup, He et al. 2024): instead of DELETING
