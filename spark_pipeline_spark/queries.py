@@ -15508,14 +15508,18 @@ def dedup_savings_report_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
     Scale shape: components over the banded pair graph (never
     all-pairs), one token-count projection, one join keyed on doc_id,
-    one per-component aggregate — |components| rows out."""
+    one per-component aggregate — |components| rows out. Min-label
+    propagation (the small-graph default: near-dup graphs are clique
+    forests with tiny diameter, ~3 rounds); swap in
+    `connected_components_star` for diameter-unknown graphs — both meet
+    the same component-minimum contract, so the report is identical."""
     from spark_pipeline_spark.operators import text as T
     from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
-    from spark_pipeline_spark.operators.graph import connected_components_star
+    from spark_pipeline_spark.operators.graph import connected_components
 
     d = t(spark, sf_dir, "documents")
     pairs = minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
-    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+    comp = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("id").alias("doc_id"), "component"
     )
     tok = d.select(
