@@ -17,10 +17,14 @@ git: it textually extracts each ``@register("name", ...)`` block from
 blocks, and diffs.  Textual block extraction (not ``inspect.getsource``)
 means old revisions never have to be imported.
 
-Limitations (documented, acceptable): a query whose behavior changed only
-via an ``operators/`` module it calls is NOT flagged — to stay honest the
-tool also reports which operator modules changed since each round so the
-window author can pull in representatives of those families by hand.
+Module-dependency flagging (r10): each registration block's
+``from spark_pipeline_spark...import`` statements are parsed, so green
+queries whose block imports a CHANGED operator module are listed as
+mechanical canary candidates (``green_but_imports_changed_module``).
+Remaining limitation: transitive operator→operator imports and
+non-import coupling (a sink replay re-implementing a streaming
+algebra) are not chased — the changed-modules list stays printed so
+those get a human glance.
 
 Usage::
 
@@ -169,6 +173,36 @@ def changed_modules_since(ref: str) -> list[str]:
     return [p for p in out.stdout.splitlines() if p]
 
 
+_IMPORT_RE = re.compile(
+    r"from spark_pipeline_spark(?:\.(operators|io|functions))?"
+    r"(?:\.([a-z_]+))?\s+import\s+([A-Za-z_, \n()]+)"
+)
+
+
+def block_module_deps(block: str) -> set[str]:
+    """Repo-relative operator-module paths a registration block imports.
+
+    Derived from the block's own `from spark_pipeline_spark...import`
+    statements, so the 'which queries does a module change invalidate'
+    question is answered mechanically instead of by hand-picking
+    canaries. Package-level imports (`from spark_pipeline_spark.operators
+    import text as T`) resolve each imported NAME to its module file.
+    """
+    deps: set[str] = set()
+    for m in _IMPORT_RE.finditer(block):
+        pkg, mod, names = m.groups()
+        if pkg and mod:  # from ...operators.dedup import X
+            deps.add(f"spark_pipeline_spark/{pkg}/{mod}.py")
+        elif pkg:  # from ...operators import text as T
+            for nm in re.split(r"[,\s]+", names.strip()):
+                nm = nm.strip("() ")
+                if nm and nm != "as" and (REPO / "spark_pipeline_spark" / pkg / f"{nm}.py").exists():
+                    deps.add(f"spark_pipeline_spark/{pkg}/{nm}.py")
+        elif mod:  # from spark_pipeline_spark.streaming import X
+            deps.add(f"spark_pipeline_spark/{mod}.py")
+    return deps
+
+
 def compute() -> dict:
     head_blocks = extract_blocks((REPO / QUERIES_PATH).read_text())
     greens = last_green_rounds()
@@ -201,14 +235,30 @@ def compute() -> dict:
     head_scaffold = _hash(scaffolding((REPO / QUERIES_PATH).read_text()))
     old_text = _git_show(ROUND_COMMITS[max_round], QUERIES_PATH)
     scaffold_changed = _hash(scaffolding(old_text)) != head_scaffold if old_text else True
+    changed_mods = changed_modules_since(ROUND_COMMITS[max_round])
+    # GREEN queries whose registration block imports a changed operator
+    # module: their green no longer vouches for the code path they run —
+    # the mechanical answer to 'which canaries does this module change
+    # need', closing the tool's former hand-picked-canary limitation.
+    # (Transitive operator→operator imports are not chased; a module
+    # that re-exports another's behavior still needs a human glance.)
+    flagged_names = {c["query"] for c in changed}
+    module_invalidated = [
+        {"query": n, "green_round": greens[n], "modules": sorted(deps)}
+        for n, deps in (
+            (n, block_module_deps(head_blocks[n]) & set(changed_mods))
+            for n in head_blocks
+            if n in greens and n not in flagged_names
+        )
+        if deps
+    ]
     return {
         "registered": len(head_blocks),
         "never_checked": never,
         "changed_since_green": changed,
+        "green_but_imports_changed_module": module_invalidated,
         "queries_scaffolding_changed_since_last_round": scaffold_changed,
-        "operator_modules_changed_since_last_round": changed_modules_since(
-            ROUND_COMMITS[max_round]
-        ),
+        "operator_modules_changed_since_last_round": changed_mods,
     }
 
 
@@ -236,6 +286,13 @@ def main() -> None:
     print(f"\noperator modules changed since last snapshot ({len(mods)}):")
     for m in mods:
         print(f"  {m}")
+    inv = r["green_but_imports_changed_module"]
+    print(
+        f"\ngreen queries importing a changed module ({len(inv)}) — "
+        "candidates for the canary slots:"
+    )
+    for c in inv:
+        print(f"  {c['query']} (green r{c['green_round']}: {', '.join(c['modules'])})")
 
 
 if __name__ == "__main__":
