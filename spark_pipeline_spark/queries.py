@@ -15652,6 +15652,130 @@ def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "minhash_estimate_error_report",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT c.id_a, c.id_b,
+                 ({" + ".join(f"(sa.h{j} = sb.h{j})::INT" for j in range(16))})
+                   / 16.0 AS j_est,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                   / greatest(len(sa.sh) + len(sb.sh)
+                              - len(list_intersect(sa.sh, sb.sh)), 1)
+                   AS j_exact
+          FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b
+        )
+        SELECT count(*)::BIGINT AS n_pairs,
+               round(avg(j_est - j_exact), 6) AS bias,
+               round(avg(abs(j_est - j_exact)), 6) AS mae,
+               round(max(abs(j_est - j_exact)), 6) AS max_err,
+               round(avg(CASE WHEN (j_est >= 0.7) = (j_exact >= 0.7)
+                              THEN 1.0 ELSE 0.0 END), 6)
+                 AS decision_agreement
+        FROM est
+    """,
+    tags=("dedup", "minhash", "eval", "llm-pipeline"),
+)
+def minhash_estimate_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR's quality, measured exactly where the dedup
+    family would be tempted to use it — on LSH candidate pairs: the
+    16-slot signature estimate (matching slots / 16; unbiased over
+    RANDOM pairs) against exact shingle Jaccard — bias, MAE, worst
+    case, and the rate of agreement on the 0.7 dedup decision.
+    Conditioned on candidacy the estimator is heavily biased UP
+    (candidates were selected because a band of slots matched, and 16
+    hashes give σ ≈ 0.125 besides): measured bias ~0.67 and decision
+    agreement ~0.27 on this corpus — the quantified reason every dedup
+    query in this engine verifies candidates with exact Jaccard instead
+    of trusting the signature (companion to `ivf_recall_report`, which
+    plays this role for the ANN side).
+
+    Scale shape: same banded candidate generation as the dedup family
+    (never all-pairs); signatures and shingle sets join back by
+    candidate id; output is ONE row."""
+    from pyspark.storagelevel import StorageLevel
+
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.dedup import (
+        _band_keys_from_hashes,
+        _minhash_sig,
+        jaccard_similarity,
+        minhash_coeffs,
+        shingle_table,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    base = shingle_table(d, "doc_id", "text", n=3)
+    hashed = base.select(
+        "__id", "__sh", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+    )
+    sig_cols = [
+        _minhash_sig(F.col("__h"), a, b).alias(f"h{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(16))
+    ]
+    sig = query_persist(
+        hashed.select("__id", "__sh", *sig_cols), StorageLevel.MEMORY_AND_DISK
+    )
+    banded = hashed.select(
+        "__id",
+        F.posexplode(_band_keys_from_hashes(F.col("__h"), 16, 4)).alias(
+            "__band", "__key"
+        ),
+    )
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        *[F.col(f"h{j}").alias(f"a{j}") for j in range(16)],
+    )
+    sb = sig.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        *[F.col(f"h{j}").alias(f"b{j}") for j in range(16)],
+    )
+    matches = sum(
+        (F.col(f"a{j}") == F.col(f"b{j}")).cast("int") for j in range(16)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            (matches / F.lit(16.0)).alias("j_est"),
+            jaccard_similarity("__sha", "__shb").alias("j_exact"),
+        )
+    )
+    agree = (F.col("j_est") >= 0.7) == (F.col("j_exact") >= 0.7)
+    return est.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("j_est") - F.col("j_exact")), 6).alias("bias"),
+        F.round(F.avg(F.abs(F.col("j_est") - F.col("j_exact"))), 6).alias("mae"),
+        F.round(F.max(F.abs(F.col("j_est") - F.col("j_exact"))), 6).alias(
+            "max_err"
+        ),
+        F.round(
+            F.avg(F.when(agree, F.lit(1.0)).otherwise(F.lit(0.0))), 6
+        ).alias("decision_agreement"),
+    )
+
+
 # Semantic-decontamination threshold: the flag trips in the far upper
 # tail of benchmark similarity on this corpus (~p98 of max-cosine), so
 # both flag branches appear at the driver's sf0.01.
@@ -15938,8 +16062,8 @@ _DRIVER_WINDOW = [
     # (git-derived; regenerate, don't hand-edit the never-checked set).
     # After r9, all-time driver coverage stood at 233/247; the tool's
     # never-checked list (the 14 late-r9 registrations) plus this
-    # round's 8 new registrations and 1 changed-since-green re-check
-    # are the hard commitments. Slots: (a) 22 never driver-checked;
+    # round's 9 new registrations and 1 changed-since-green re-check
+    # are the hard commitments. Slots: (a) 23 never driver-checked;
     # (b) 1 changed-since-green (gram_dup_fraction switched to
     # positional grams per ADVICE r9); (c) 7 canaries for the three
     # operator modules the tool flags as changed this round (graph.py —
@@ -15949,8 +16073,8 @@ _DRIVER_WINDOW = [
     # for family coverage (tpch/sketch/scoring/datadiff/sample/quality/
     # events/multimodal) — the stalest all-time coverage. Queries green
     # in r9 rotate OUT (their green is current); this closes all-time
-    # coverage at 255/255 once green.
-    # --- (a) 22 never driver-checked ---
+    # coverage at 256/256 once green.
+    # --- (a) 23 never driver-checked ---
     "compaction_plan_orders", "winnowing_fingerprint_documents",
     "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
     "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
@@ -15962,6 +16086,7 @@ _DRIVER_WINDOW = [
     "semantic_decontaminate_embeddings", "softdedup_weight_documents",
     "winnowing_incremental_overlap_documents", "ivf_probe_sweep_report",
     "dedup_savings_report_documents", "split_repair_documents",
+    "minhash_estimate_error_report",
     # --- (b) changed since green ---
     "gram_dup_fraction_documents",
     # --- (c) changed-module canaries: graph.py (components consumers),
@@ -15974,14 +16099,14 @@ _DRIVER_WINDOW = [
     "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
     "events_sliding_daily_12h", "flatten_struct_orders",
     "mixture_resample_documents", "null_safe_join_status",
-    # --- (e) 14 oldest r5/r6-green rows, family-diverse fill ---
+    # --- (e) 13 oldest r5/r6-green rows, family-diverse fill ---
     "q15_top_revenue_supplier", "q9_nation_year_profit",
     "sketch_cardinality_users", "score_multiclass_model",
     "score_regressor_model", "datadiff_hash_histogram_orders",
     "datadiff_tvd_lineitem_sample", "validate_orders_quality",
     "hash_sample_lineitem", "stratified_quota_sample",
     "events_debounce_5m", "events_sessions_30m",
-    "multimodal_decode_features", "agg_orders_by_status",
+    "multimodal_decode_features",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -378,14 +378,14 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # The r10 rotation closes all-time driver coverage at 255/255: every
+    # The r10 rotation closes all-time driver coverage at 256/256: every
     # query that has never appeared in a CORRECTNESS_r*.json (enumerated
     # by `python tools/recheck_queue.py` from git history) must be
     # inside, plus the changed-since-green re-checks. Spot-check the
     # commitments rather than re-deriving git state in a unit test.
     must_cover = {
         # r10 never-checked commitments (tools/recheck_queue.py): the 14
-        # late-r9 registrations plus the 8 r10 additions
+        # late-r9 registrations plus the 9 r10 additions
         "compaction_plan_orders", "winnowing_fingerprint_documents",
         "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
         "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
@@ -397,6 +397,7 @@ def test_driver_window_contract():
         "semantic_decontaminate_embeddings", "softdedup_weight_documents",
         "winnowing_incremental_overlap_documents", "ivf_probe_sweep_report",
         "dedup_savings_report_documents", "split_repair_documents",
+        "minhash_estimate_error_report",
         # changed-since-green re-check (positional-gram semantics fix)
         "gram_dup_fraction_documents",
         # module-changed canaries (graph.py / text.py / streaming.py, r10)
