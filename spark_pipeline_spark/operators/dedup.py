@@ -620,10 +620,14 @@ def decontaminate(
     Scale shape: the benchmark side is tiny (eval sets are MBs), so its
     distinct gram hashes BROADCAST; the corpus's exploded grams meet
     them in a map-side broadcast semi-join — the corpus itself never
-    shuffles, and the n-gram explosion collapses immediately to the
-    (small) set of contaminated ids, which anti-joins back by broadcast.
-    Documents shorter than ``n`` words produce no grams and always
-    survive.
+    shuffles.  The resulting ``contaminated`` id set is benchmark-KEYED
+    but not benchmark-BOUNDED: one common phrase in the benchmark
+    (licence boilerplate, a stock disclaimer) can flag an arbitrary
+    fraction of the corpus, so the final left-anti is deliberately
+    UN-hinted — AQE broadcast-converts it when the set is actually
+    small and degrades gracefully to a shuffle when it is not, instead
+    of failing the job at the broadcast size limit.  Documents shorter
+    than ``n`` words produce no grams and always survive.
     """
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
@@ -662,8 +666,12 @@ def decontaminate(
         .select("__did")
         .distinct()
     )
+    # No broadcast hint here: |contaminated| scales with corpus-side
+    # fan-out (every doc sharing a gram with the benchmark), so a forced
+    # broadcast is a scale-killer; AQE converts to broadcast at runtime
+    # when the set is genuinely small.
     return df.join(
-        F.broadcast(contaminated),
+        contaminated,
         df[id_col] == contaminated["__did"],
         "left_anti",
     )

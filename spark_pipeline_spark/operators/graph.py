@@ -43,10 +43,13 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     round. ContextCleaner only reclaims them once the JVM-side RDD is
     garbage, which py4j defers until Python GC — so an iterative loop
     would otherwise hold every round's blocks for the life of the
-    caller. Only call on frames that are never read again (the next
-    round is already eagerly materialized): freeing deletes the data
-    and the truncated lineage cannot recompute it. No-op for frames
-    that are not local checkpoints (e.g. the reliable-checkpoint path).
+    caller. PRECONDITION — only call on frames that are never read
+    again (the next round is already eagerly materialized): for a
+    localCheckpoint, freeing deletes the only copy and the truncated
+    lineage cannot recompute it. Reliable-checkpoint frames are ALSO
+    LogicalRDD nodes, so their blocks are unpersisted too — harmless
+    there (data recomputes from the checkpoint files), not skipped.
+    No-op only for frames that are not checkpoints at all.
     """
     try:
         node = df._jdf.queryExecution().analyzed()

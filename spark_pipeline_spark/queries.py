@@ -15600,6 +15600,16 @@ def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks train, and leaves the val/test hash draw untouched for
     unleaked docs, so reruns are stable as the corpus grows.
 
+    SINGLE-PASS semantics, deliberately: the repair is relative to the
+    ORIGINAL train split only. A val/test doc whose sole near-dup was
+    itself just moved into train stays put, so the output can still
+    contain cross-split near-dup pairs among moved docs' neighbours;
+    a fixed-point variant would move whole connected components (see
+    `dedup_components_star_documents` for the component machinery).
+    One pass is the common production choice because each extra round
+    moves docs whose leakage is ever-more indirect — and the oracle
+    pins exactly this one-round contract.
+
     Scale shape: identical machinery to the leakage report (banded-LSH
     pairs, never all-pairs; split assignment is a pure projection) plus
     one id-keyed left join to apply the move — the output is the full
@@ -16069,7 +16079,7 @@ _DRIVER_WINDOW = [
     # operator modules the tool flags as changed this round (graph.py —
     # de-hinted representatives + star components; text.py — the winnow
     # let-binding; streaming.py — drain-timeout hardening); (d) the 6
-    # remaining r4-green rows and (e) 17 oldest r5/r6-green rows chosen
+    # remaining r4-green rows and (e) 13 oldest r5/r6-green rows chosen
     # for family coverage (tpch/sketch/scoring/datadiff/sample/quality/
     # events/multimodal) — the stalest all-time coverage. Queries green
     # in r9 rotate OUT (their green is current); this closes all-time

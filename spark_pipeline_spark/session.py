@@ -169,6 +169,13 @@ def query_persist(
     instead of re-registered) and an eviction check (never unpersist an
     entry whose plan is shared by a newer live one). A lock makes the
     registry safe for multi-threaded drivers.
+
+    On a dedup hit the EXISTING live entry is returned and the caller's
+    ``storage_level`` is ignored — CacheManager keys by plan, so one
+    plan can only ever hold one level; re-persisting would first drop
+    the shared entry under the earlier caller. If the levels differ the
+    caller gets the first-persist level (all in-repo callers use the
+    MEMORY_AND_DISK default, so the case is theoretical).
     """
     from pyspark.storagelevel import StorageLevel as _SL
 

@@ -738,99 +738,117 @@ def stream_dedup_lsh_sink(
     shingles_path = index_path.rstrip("/") + "/shingles"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        base = shingle_table(
-            ensure_min_partitions(batch_df.select(id_col, text_col)),
-            id_col,
-            text_col,
-            n,
-        ).persist()
-        # materialize the hash array as its own projection before fanning
-        # it into the signature slots — an inlined transform re-evaluates
-        # per slot (dedup.py: measured 2.5× for 16 slots)
-        hashed = base.select(
-            "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
-        )
-        banded = hashed.select(
-            "__id",
-            F.posexplode(
-                _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
-            ).alias("__band", "__key"),
-        ).persist()
+        # every persist in this callback is registered here and released
+        # in the finally below — an exception mid-batch must not leak
+        # cached blocks for the life of the session (SCALE.md: the r10
+        # sf0.1 sweep OOM was exactly this class of driver-lifetime leak)
+        pinned: list[DataFrame] = []
 
-        # (1) within-batch dedup: verified near-dup pairs, higher id drops
-        cand = (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.__band") == F.col("b.__band"))
-                & (F.col("a.__key") == F.col("b.__key"))
-                & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-            .distinct()
-        )
-        sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-        sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-        intra_drop = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(jaccard_similarity("__sh_a", "__sh_b") >= threshold)
-            .select(F.col("id_b").alias("__drop_id"))
-            .distinct()
-        )
+        def pin(frame: DataFrame) -> DataFrame:
+            pinned.append(frame.persist())
+            return frame
 
-        # (2) cross-batch dedup against the index (excluding THIS batch's
-        # possibly half-committed replay rows). The index holds
-        # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
-        # committed parquet", probed by the read itself — a crash that
-        # left only _temporary content reads as absent.
-        idx_bands = _try_read_parquet(spark, bands_path)
-        idx_sh = _try_read_parquet(spark, shingles_path)
-        if idx_bands is not None and idx_sh is not None:
-            idx_bands = idx_bands.filter(F.col("batch") != batch_id)
-            idx_sh = idx_sh.filter(F.col("batch") != batch_id)
-            xcand = (
-                banded.join(
-                    idx_bands,
-                    (banded["__band"] == idx_bands["__band"])
-                    & (banded["__key"] == idx_bands["__key"]),
+        try:
+            base = pin(
+                shingle_table(
+                    ensure_min_partitions(batch_df.select(id_col, text_col)),
+                    id_col,
+                    text_col,
+                    n,
                 )
-                .select(banded["__id"], idx_bands["__id"].alias("__cid"))
-                .distinct()
             )
-            cross_drop = (
-                xcand.join(base.select("__id", "__sh"), "__id")
+            # materialize the hash array as its own projection before fanning
+            # it into the signature slots — an inlined transform re-evaluates
+            # per slot (dedup.py: measured 2.5× for 16 slots)
+            hashed = base.select(
+                "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+            )
+            banded = pin(
+                hashed.select(
+                    "__id",
+                    F.posexplode(
+                        _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
+                    ).alias("__band", "__key"),
+                )
+            )
+
+            # (1) within-batch dedup: verified near-dup pairs, higher id drops
+            cand = (
+                banded.alias("a")
                 .join(
-                    idx_sh.select(
-                        F.col("__id").alias("__cid"), F.col("__sh").alias("__csh")
-                    ),
-                    "__cid",
+                    banded.alias("b"),
+                    (F.col("a.__band") == F.col("b.__band"))
+                    & (F.col("a.__key") == F.col("b.__key"))
+                    & (F.col("a.__id") < F.col("b.__id")),
                 )
-                .filter(jaccard_similarity("__sh", "__csh") >= threshold)
-                .select(F.col("__id").alias("__drop_id"))
+                .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
                 .distinct()
             )
-            drops = intra_drop.unionByName(cross_drop).distinct()
-        else:
-            drops = intra_drop
+            sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+            sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+            intra_drop = (
+                cand.join(sa, "id_a")
+                .join(sb, "id_b")
+                .filter(jaccard_similarity("__sh_a", "__sh_b") >= threshold)
+                .select(F.col("id_b").alias("__drop_id"))
+                .distinct()
+            )
 
-        accepted = batch_df.join(
-            drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
-        ).persist()
-        accepted.write.mode("overwrite").parquet(
-            f"{accepted_path}/batch={batch_id}"
-        )
-        kept_ids = accepted.select(F.col(id_col).alias("__id"))
-        banded.join(kept_ids, "__id").write.mode("overwrite").parquet(
-            f"{bands_path}/batch={batch_id}"
-        )
-        base.join(kept_ids, "__id").write.mode("overwrite").parquet(
-            f"{shingles_path}/batch={batch_id}"
-        )
-        if on_batch is not None:
-            on_batch(batch_id, accepted.count())
-        for df_ in (base, banded, accepted):
-            df_.unpersist()
+            # (2) cross-batch dedup against the index (excluding THIS batch's
+            # possibly half-committed replay rows). The index holds
+            # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
+            # committed parquet", probed by the read itself — a crash that
+            # left only _temporary content reads as absent.
+            idx_bands = _try_read_parquet(spark, bands_path)
+            idx_sh = _try_read_parquet(spark, shingles_path)
+            if idx_bands is not None and idx_sh is not None:
+                idx_bands = idx_bands.filter(F.col("batch") != batch_id)
+                idx_sh = idx_sh.filter(F.col("batch") != batch_id)
+                xcand = (
+                    banded.join(
+                        idx_bands,
+                        (banded["__band"] == idx_bands["__band"])
+                        & (banded["__key"] == idx_bands["__key"]),
+                    )
+                    .select(banded["__id"], idx_bands["__id"].alias("__cid"))
+                    .distinct()
+                )
+                cross_drop = (
+                    xcand.join(base.select("__id", "__sh"), "__id")
+                    .join(
+                        idx_sh.select(
+                            F.col("__id").alias("__cid"), F.col("__sh").alias("__csh")
+                        ),
+                        "__cid",
+                    )
+                    .filter(jaccard_similarity("__sh", "__csh") >= threshold)
+                    .select(F.col("__id").alias("__drop_id"))
+                    .distinct()
+                )
+                drops = intra_drop.unionByName(cross_drop).distinct()
+            else:
+                drops = intra_drop
+
+            accepted = pin(
+                batch_df.join(
+                    drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
+                )
+            )
+            accepted.write.mode("overwrite").parquet(
+                f"{accepted_path}/batch={batch_id}"
+            )
+            kept_ids = accepted.select(F.col(id_col).alias("__id"))
+            banded.join(kept_ids, "__id").write.mode("overwrite").parquet(
+                f"{bands_path}/batch={batch_id}"
+            )
+            base.join(kept_ids, "__id").write.mode("overwrite").parquet(
+                f"{shingles_path}/batch={batch_id}"
+            )
+            if on_batch is not None:
+                on_batch(batch_id, accepted.count())
+        finally:
+            for df_ in pinned:
+                df_.unpersist()
 
     writer = stream.writeStream.foreachBatch(process).outputMode("update")
     if checkpoint:
@@ -969,7 +987,12 @@ def run_available_now_to_memory(
         .start()
     )
     if not q.awaitTermination(timeout_sec):
-        q.stop()
+        # Guarded: if stop() itself throws (session torn down mid-test),
+        # the timeout diagnostic must still surface, not the stop error.
+        try:
+            q.stop()
+        except Exception:
+            pass
         raise TimeoutError(
             f"availableNow drain did not finish within {timeout_sec}s "
             f"(memory sink {query_name!r}); stopped the query"
@@ -1005,7 +1028,11 @@ def run_available_now_to_parquet(
         .start()
     )
     if not q.awaitTermination(timeout_sec):
-        q.stop()
+        # Guarded: a failing stop() must not mask the timeout diagnostic.
+        try:
+            q.stop()
+        except Exception:
+            pass
         raise TimeoutError(
             f"availableNow drain did not finish within {timeout_sec}s "
             f"(checkpoint={checkpoint}); stopped the query to release "
@@ -1060,20 +1087,24 @@ def purge_ids_from_dedup_index(
         survivors = df.join(
             tomb, df[col] == tomb["__purge_id"], "left_anti"
         ).persist()
-        n_surv = survivors.count()
-        if n_surv == 0:
-            # a fully-purged table can't round-trip through parquet (no
-            # rows → no schema to re-read); absence IS the empty state
-            # every reader of this layout already handles
-            _hadoop_delete(spark, path)
-        else:
-            staging = path.rstrip("/") + "__purge_staging"
-            survivors.write.mode("overwrite").partitionBy("batch").parquet(staging)
-            spark.read.parquet(staging).write.mode("overwrite").partitionBy(
-                "batch"
-            ).parquet(path)
-            _hadoop_delete(spark, staging)
-        survivors.unpersist()
+        try:
+            n_surv = survivors.count()
+            if n_surv == 0:
+                # a fully-purged table can't round-trip through parquet (no
+                # rows → no schema to re-read); absence IS the empty state
+                # every reader of this layout already handles
+                _hadoop_delete(spark, path)
+            else:
+                staging = path.rstrip("/") + "__purge_staging"
+                survivors.write.mode("overwrite").partitionBy("batch").parquet(
+                    staging
+                )
+                spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                    "batch"
+                ).parquet(path)
+                _hadoop_delete(spark, staging)
+        finally:
+            survivors.unpersist()
         out[f"{name}_removed"] = before - n_surv
     return out
 

@@ -46,9 +46,14 @@ _ALLOWED = {
     ("operators/sampling.py", "bounds"): "one-row quantile-bounds aggregate",
     ("operators/layout.py", "bounds"): "one-row z-order bounds aggregate",
     ("operators/dedup.py", "bench_hashes"): "benchmark-suite grams: bounded "
-    "by the benchmark, not the corpus (decontamination contract)",
-    ("operators/dedup.py", "contaminated"): "contaminated ids: subset of the "
-    "benchmark-bounded candidate set",
+    "by the benchmark, not the corpus (decontamination contract); the "
+    "downstream contaminated-id set is corpus-scaling and deliberately "
+    "carries NO hint (AQE decides)",
+    ("ann_index.py", "cen"): "persisted centroid table: k cells by build "
+    "contract",
+    ("ann_index.py", "q_probes"): "fixed query set × nprobe cells "
+    "(search API contract; the corpus side never shuffles)",
+    ("ann_index.py", "tot"): "one-row per-cell-totals aggregate",
     ("operators/packing.py", "offsets"): "per-bucket offsets: fixed bucket count",
     ("operators/packing.py", "bounds"): "one-row length-quantile bounds",
 }

@@ -317,8 +317,9 @@ _BOUNDED_HINTS = {
     "target_encode_oof_orders": "|status|x5-fold encoding table",
     "pit_dimension_join_shipments": "SCD dimension keyed by small dim",
     # (b) contract-bounded side (corpus scales, broadcast side doesn't)
-    "decontaminate_documents": "benchmark-suite grams + contaminated ids: "
-                               "bounded by the benchmark, not the corpus",
+    "decontaminate_documents": "benchmark-suite grams: bounded by the "
+                               "benchmark, not the corpus (the contaminated-"
+                               "id anti-join is un-hinted; AQE decides)",
     "embedding_topk_bruteforce": "fixed query set broadcast by design",
     "embedding_ann_ivf": "seed centroids + fixed query set",
     "embedding_ann_ivf_nprobe2": "seed centroids + fixed query set",

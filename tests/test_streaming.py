@@ -1226,3 +1226,55 @@ def test_stateful_closed_sessions_match_batch(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], k
         assert abs(got[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_stream_dedup_lsh_sink_failed_batch_leaks_no_cached_blocks(
+    spark, tmp_path
+):
+    """An exception thrown mid-batch (here: from the on_batch callback,
+    which runs AFTER the sink's three persists) must not leak cached
+    blocks for the life of the session — the foreachBatch body releases
+    every persist in a finally. This is the failure-path completion of
+    r10's session-lifetime memory work (SCALE.md: the sf0.1 sweep OOM)."""
+    import pytest
+
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    def cached_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "leak_src")
+    d.filter(F.col("doc_id") < 50).coalesce(1).write.mode("overwrite").parquet(src)
+
+    baseline = cached_ids()
+
+    def boom(batch_id: int, n: int) -> None:
+        raise RuntimeError("injected batch failure")
+
+    q = stream_dedup_lsh_sink(
+        read_parquet_stream(
+            spark, src, "doc_id bigint, text string", max_files_per_trigger=100
+        ),
+        str(tmp_path / "leak_idx"),
+        str(tmp_path / "leak_acc"),
+        "doc_id",
+        "text",
+        threshold=0.9,
+        checkpoint=str(tmp_path / "leak_ckpt"),
+        on_batch=boom,
+    )
+    with pytest.raises(Exception, match="injected batch failure"):
+        q.awaitTermination(240)
+        # if awaitTermination returned without raising, surface the
+        # query's terminal exception explicitly
+        if q.exception() is not None:
+            raise q.exception()
+
+    assert cached_ids() == baseline, (
+        "failed micro-batch left cached RDD blocks behind"
+    )
