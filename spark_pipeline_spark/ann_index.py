@@ -1,0 +1,391 @@
+"""Persisted IVF index lifecycle — the ANN analogue of the streaming
+LSH dedup index (`streaming.py`): durable (centroids, cell assignments,
+int8 codes) tables with staged swap, an incremental refresh verb, a
+right-to-be-forgotten purge path, and a search entry point that reads
+ONLY the persisted state.
+
+Reference parity: the reference engine has no ANN at all — this module
+extends the repo's ivf_* query family (see `operators/similarity.py`,
+ref-free) with the operational state the queries recompute per run.
+
+Layout under ``index_path``::
+
+    centroids/                      (cell int, centroid array<double>)
+    assignments/batch=<n>/cell=<c>/ (vec_id, embedding)
+    codes/batch=<n>/                (vec_id, cell, codes array<int>, scale)
+
+Why this shape at 100 TB:
+
+- ``assignments`` is partitioned by ``batch`` (replay-idempotent
+  appends: a refresh retry overwrites its own ``batch=<n>`` directory
+  and nothing else — the `stream_dedup_lsh_sink` discipline) and by
+  ``cell`` (an ``nprobe``-cell search prunes at the DIRECTORY level:
+  Spark's partition discovery turns ``cell`` into a partition column,
+  so probing 2 of 1024 cells reads ~2/1024 of the corpus bytes,
+  verified by `tests/test_ann_index.py`'s plan assertion).
+- ``codes`` carries the 4× -smaller int8 representation (symmetric
+  per-vector scale = 127/max|x|, code = floor(x*scale + 0.5) — exactly
+  `embedding_quantize_int8`'s scheme so the two reports reconcile); a
+  memory-tight reranker scans codes and only fetches float vectors for
+  the short list.
+- ``centroids`` is rewritten via a STAGED copy (write ``__staging``,
+  rewrite final from it, delete staging — the `compact_parquet` /
+  `purge_ids_from_dedup_index` crash discipline) because unlike the
+  batch dirs it is replaced in place.
+- Refresh NEVER retrains centroids per batch (assignment must stay
+  comparable across batches); instead it returns the per-cell
+  growth-skew report (`ivf_incremental_assign_embeddings`'s logic made
+  durable) whose ``resplit_flag`` tells the operator when a full
+  rebuild is due.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "build_ivf_index",
+    "refresh_ivf_index",
+    "purge_ids_from_ivf_index",
+    "ivf_index_search",
+    "ivf_index_stats",
+]
+
+
+def _paths(index_path: str) -> tuple[str, str, str]:
+    root = index_path.rstrip("/")
+    return root + "/centroids", root + "/assignments", root + "/codes"
+
+
+def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
+    from spark_pipeline_spark.streaming import _try_read_parquet
+
+    return _try_read_parquet(spark, path)
+
+
+def _int8_codes(df: DataFrame, vec_col: str) -> DataFrame:
+    """Append symmetric int8 codes + the per-vector scale.
+
+    Same arithmetic as `embedding_quantize_int8` (queries.py): floor(x·
+    scale + 0.5) rather than round() so codes are IEEE-exact across
+    engines. Codes are stored as int (parquet INT32) — a production
+    build would pack tinyint, but the CODE VALUES are the contract the
+    tests pin, and int keeps DuckDB list arithmetic loss-free."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(mx > 0, F.lit(127.0) / mx).otherwise(F.lit(0.0))
+    return df.withColumn("scale", scale).withColumn(
+        "codes",
+        F.transform(
+            v,
+            lambda x: F.when(
+                F.col("scale") > 0,
+                F.floor(x * F.col("scale") + F.lit(0.5)).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+    )
+
+
+def build_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    index_path: str,
+    k_cells: int = 4,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """(Re)build the persisted index from scratch: seed centroids from
+    the ``k_cells`` lowest-id vectors (deterministic — the convention
+    every registered ivf_* query uses), optionally refine with
+    ``iters`` Lloyd rounds, assign every vector, encode int8 codes, and
+    write all three tables. The full corpus lands as ``batch=0``;
+    refreshes append ``batch=1..n``.
+
+    A rebuild OVERWRITES the whole index (centroids via staging, batch
+    dirs by delete-then-write of the parent) — it is the resplit story:
+    when refresh reports persistent skew, rebuild with larger
+    ``k_cells``.
+    """
+    from spark_pipeline_spark.operators.similarity import ivf_assign, kmeans_fit
+    from spark_pipeline_spark.streaming import _hadoop_delete
+
+    cen_path, asg_path, code_path = _paths(index_path)
+
+    base = df.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).cast("array<double>").alias("embedding"))
+    w = F.col("vec_id")
+    seeds = (
+        base.orderBy(w).limit(k_cells)
+        .select(w.alias("cell"), F.col("embedding").alias("centroid"))
+    )
+    cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
+
+    # centroids: staged swap (replace-in-place table)
+    staging = cen_path + "__staging"
+    cen.coalesce(1).write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(cen_path)
+    _hadoop_delete(spark, staging)
+
+    assigned = ivf_assign(
+        base, spark.read.parquet(cen_path), "vec_id", "embedding",
+        cell_id="cell", cell_vec="centroid",
+    )
+    # a rebuild owns the whole history: drop any previous batch dirs
+    _hadoop_delete(spark, asg_path)
+    _hadoop_delete(spark, code_path)
+    n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
+    return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0}
+
+
+def _write_batch(
+    spark: SparkSession,
+    assigned: DataFrame,
+    asg_path: str,
+    code_path: str,
+    batch_id: int,
+) -> int:
+    """Write one batch's assignment + code rows under their own
+    ``batch=<id>`` directories — idempotent by path (a replay of the
+    same batch overwrites the same directories and nothing else)."""
+    assigned = assigned.persist()
+    try:
+        n = assigned.count()
+        assigned.write.mode("overwrite").partitionBy("cell").parquet(
+            f"{asg_path}/batch={batch_id}"
+        )
+        _int8_codes(assigned, "embedding").select(
+            "vec_id", "cell", "codes", F.round("scale", 6).alias("scale")
+        ).write.mode("overwrite").parquet(f"{code_path}/batch={batch_id}")
+    finally:
+        assigned.unpersist()
+    return n
+
+
+def refresh_ivf_index(
+    spark: SparkSession,
+    new_df: DataFrame,
+    index_path: str,
+    batch_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    resplit_skew: float = 1.5,
+) -> DataFrame:
+    """Incrementally add a batch of new vectors: assign to the EXISTING
+    centroids (never retrained — assignments stay comparable across the
+    index's lifetime), append ``batch=<n>`` assignment + code dirs, and
+    return the per-cell growth-skew report (the durable form of
+    `ivf_incremental_assign_embeddings`): ``(cell, n_existing, n_new,
+    share_existing, share_new, growth_skew, resplit_flag)``.
+
+    O(|new| + |cells|) Spark work plus one count over the persisted
+    assignment table's metadata for ``n_existing`` — the corpus is
+    never reassigned. ``batch_id`` defaults to (max existing batch)+1;
+    passing an explicit id makes the call replay-idempotent (same id →
+    same directory overwritten)."""
+    from spark_pipeline_spark.operators.similarity import ivf_assign
+
+    cen_path, asg_path, code_path = _paths(index_path)
+    cen = spark.read.parquet(cen_path)
+    existing = _try_read(spark, asg_path)
+    if batch_id is None:
+        batch_id = (
+            0 if existing is None
+            else existing.agg(F.max("batch")).first()[0] + 1
+        )
+
+    assigned = ivf_assign(
+        new_df.select(F.col(id_col).alias("vec_id"),
+                      F.col(vec_col).cast("array<double>").alias("embedding")),
+        cen, "vec_id", "embedding", cell_id="cell", cell_vec="centroid",
+    )
+    _write_batch(spark, assigned, asg_path, code_path, batch_id)
+
+    # growth-skew report: persisted history (excluding this batch — a
+    # replay must not count its own half-written rows as "existing")
+    # vs the batch just written, read back from its committed directory
+    new_counts = (
+        spark.read.parquet(f"{asg_path}/batch={batch_id}")
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    if existing is not None:
+        old_counts = (
+            existing.filter(F.col("batch") != batch_id)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n_existing"))
+        )
+    else:
+        old_counts = new_counts.select(
+            "cell", F.lit(0).cast("long").alias("n_existing")
+        ).limit(0)
+    cells = (
+        cen.select("cell")
+        .join(old_counts, "cell", "left")
+        .join(new_counts, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_existing", F.lit(0)).cast("long").alias("n_existing"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = cells.agg(
+        F.greatest(F.sum("n_existing"), F.lit(1)).cast("double").alias("__te"),
+        F.greatest(F.sum("n_new"), F.lit(1)).cast("double").alias("__tn"),
+    )
+    skew = (F.col("n_new") / F.col("__tn")) / F.greatest(
+        F.col("n_existing") / F.col("__te"), F.lit(1e-12)
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_existing",
+        "n_new",
+        F.round(F.col("n_existing") / F.col("__te"), 6).alias("share_existing"),
+        F.round(F.col("n_new") / F.col("__tn"), 6).alias("share_new"),
+        F.round(skew, 6).alias("growth_skew"),
+        F.when(skew >= resplit_skew, F.lit(1)).otherwise(F.lit(0)).alias(
+            "resplit_flag"
+        ),
+    )
+
+
+def purge_ids_from_ivf_index(
+    spark: SparkSession, index_path: str, ids: DataFrame
+) -> dict:
+    """Right-to-be-forgotten for the ANN state (the embeddings gap the
+    relational `delete_propagation_customers` and LSH
+    `purge_ids_from_dedup_index` paths already cover): remove every
+    trace of the given vec_ids from ``assignments/`` and ``codes/``.
+    A purged vector stops being retrievable — `ivf_index_search` can
+    never return it because its row is gone from the only table search
+    reads. Centroids are NOT rewritten (they are aggregates, not
+    member data — the standard GDPR posture for model-side state; a
+    rebuild refreshes them).
+
+    Same staged-copy crash discipline as the LSH purge: survivors are
+    written to ``__purge_staging`` first, the live table is rewritten
+    from it (parquet reads are lazy — overwriting the path being read
+    would corrupt it), partition layout (batch, cell) preserved."""
+    from spark_pipeline_spark.streaming import _hadoop_delete
+
+    _, asg_path, code_path = _paths(index_path)
+    tomb = ids.toDF("__purge_id")
+    out = {}
+    for name, path, parts in (
+        ("assignments", asg_path, ["batch", "cell"]),
+        ("codes", code_path, ["batch"]),
+    ):
+        df = _try_read(spark, path)
+        if df is None:
+            out[f"{name}_removed"] = 0
+            continue
+        before = df.count()
+        survivors = df.join(
+            tomb, df["vec_id"] == tomb["__purge_id"], "left_anti"
+        ).persist()
+        try:
+            n_surv = survivors.count()
+            if n_surv == 0:
+                _hadoop_delete(spark, path)
+            else:
+                staging = path.rstrip("/") + "__purge_staging"
+                survivors.write.mode("overwrite").partitionBy(*parts).parquet(
+                    staging
+                )
+                spark.read.parquet(staging).write.mode("overwrite").partitionBy(
+                    *parts
+                ).parquet(path)
+                _hadoop_delete(spark, staging)
+        finally:
+            survivors.unpersist()
+        out[f"{name}_removed"] = before - n_surv
+    return out
+
+
+def ivf_index_search(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k cosine search against the PERSISTED index — no corpus
+    reassignment, no recompute: read ``centroids/``, rank each query's
+    ``nprobe`` nearest cells, equi-join the (broadcast) query×cell
+    frame to ``assignments/`` on the PARTITION column ``cell`` (the
+    scan prunes to the probed cell directories), exact cosine on the
+    stored float vectors, per-query top-k window.
+
+    Returns ``(query_id, neighbor_id, cell, cosine, rank)`` — the same
+    shape as the per-run `ivf_topk`, so recall harnesses apply
+    unchanged."""
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    cen_path, asg_path, _ = _paths(index_path)
+    cen = spark.read.parquet(cen_path).select(
+        "cell", F.col("centroid").alias("__cenv")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    probe_w = F.struct(
+        cosine_similarity("__qv", "__cenv").alias("s"), (-F.col("cell")).alias("c")
+    )
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
+    q_probes = (
+        q.join(F.broadcast(cen), how="cross")
+        .withColumn("__probe_ord", probe_w)
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "cell")
+    )
+    corpus = spark.read.parquet(asg_path).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"),
+        "cell",
+    )
+    scored = corpus.join(F.broadcast(q_probes), on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = scored.select(
+        "query_id", "neighbor_id", "cell",
+        cosine_similarity("__qv", "__cv").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell health report over the persisted tables: member count,
+    batch span, and the int8 codes' mean reconstruction error (mean
+    |x - code/scale| per vector, averaged over the cell) — the
+    operational dashboard row an index owner watches between rebuilds."""
+    _, asg_path, code_path = _paths(index_path)
+    asg = spark.read.parquet(asg_path)
+    codes = spark.read.parquet(code_path)
+    err = F.when(
+        F.col("scale") > 0,
+        F.aggregate(
+            F.zip_with(
+                "embedding", "codes",
+                lambda x, c: F.abs(x - c.cast("double") / F.col("scale")),
+            ),
+            F.lit(0.0), lambda a, x: a + x,
+        ) / F.size("codes"),
+    ).otherwise(F.lit(0.0))
+    per_vec = (
+        asg.select("vec_id", "cell", "batch", "embedding")
+        .join(codes.select("vec_id", "codes", "scale"), "vec_id")
+        .select("cell", "batch", err.alias("__err"))
+    )
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.countDistinct("batch").cast("long").alias("n_batches"),
+        F.round(F.avg("__err"), 6).alias("mean_code_err"),
+    )
