@@ -16056,6 +16056,281 @@ def winnowing_incremental_overlap_documents(
 
 
 # ---------------------------------------------------------------------------
+# Round-11 additions: persisted-index lifecycle (ann_index.py) and the
+# streaming semantic dedup replay — the ANN state made durable the way
+# the LSH dedup index already is.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ivf_index_lifecycle_report",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        lab AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.1 AS is_new
+          FROM e
+        ),
+        cen AS (
+          SELECT vec_id AS cell, v AS cv FROM lab
+          WHERE NOT is_new ORDER BY vec_id LIMIT 4
+        ),
+        assign AS (
+          SELECT l.vec_id, l.v, l.is_new, c.cell
+          FROM lab l CROSS JOIN cen c
+          QUALIFY row_number() OVER (
+            PARTITION BY l.vec_id
+            ORDER BY list_cosine_similarity(l.v, c.cv) DESC, c.cell ASC
+          ) = 1
+        ),
+        enc AS (
+          SELECT vec_id, cell, is_new, v,
+                 CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+                      THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+                      ELSE 0.0 END AS scale
+          FROM assign
+        ),
+        err AS (
+          SELECT cell, is_new,
+                 list_sum(list_transform(
+                   v, x -> CASE WHEN scale > 0
+                                THEN abs(x - floor(x * scale + 0.5) / scale)
+                                ELSE 0.0 END)) / len(v) AS verr
+          FROM enc
+        )
+        SELECT cell,
+               sum(CASE WHEN is_new THEN 0 ELSE 1 END)::BIGINT AS n_existing,
+               sum(CASE WHEN is_new THEN 1 ELSE 0 END)::BIGINT AS n_new,
+               count(*)::BIGINT AS n_vectors,
+               ((count(CASE WHEN NOT is_new THEN 1 END) > 0)::INT
+                + (count(CASE WHEN is_new THEN 1 END) > 0)::INT)::BIGINT
+                 AS n_batches,
+               round(avg(verr), 6) AS mean_code_err
+        FROM err GROUP BY cell
+    """,
+    tags=("similarity", "ann", "index", "lifecycle", "ops", "llm-pipeline"),
+    bench=True,
+)
+def ivf_index_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end exercise of the PERSISTED IVF index (`ann_index.py`)
+    as one driver-hashable query: build the index on the "existing" 90%
+    of the embeddings (deterministic md5 split — the same daily-ingest
+    framing as `ivf_incremental_assign_embeddings`), refresh it with
+    the 10% "new" batch, then report per cell FROM THE PERSISTED TABLES
+    ONLY: batch-0 vs batch-1 member counts, batch span, and the int8
+    codes' mean reconstruction error. The oracle recomputes the same
+    numbers straight from the base table, so a hash match proves the
+    durable state round-trips the build→refresh lifecycle losslessly
+    (assignment, partition layout, code values).
+
+    Scale shape: the index build is the one corpus scan (centroids
+    broadcast); refresh touches only the new batch; the report joins
+    the two persisted tables on vec_id and aggregates to |cells| rows.
+    The index lands under the system tmp dir keyed by (sf, session id)
+    — unique per session, overwritten on rerun (bench best-of-3), and
+    read lazily by the returned frame, so the directory must outlive
+    the query function (it does: nothing deletes it until the next
+    build overwrites in place)."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.ann_index import (
+        build_ivf_index,
+        ivf_index_stats,
+        refresh_ivf_index,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = md5_unit("vec_id") < 0.1
+    index_path = "{}/spark_graft_ivf_lifecycle_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
+    )
+    build_ivf_index(spark, e.filter(~is_new), index_path, k_cells=4)
+    refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
+
+    stats = ivf_index_stats(spark, index_path)
+    asg = spark.read.parquet(index_path.rstrip("/") + "/assignments")
+    counts = asg.groupBy("cell").agg(
+        F.sum(F.when(F.col("batch") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_existing"),
+        F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    return counts.join(stats, "cell").select(
+        "cell", "n_existing", "n_new", "n_vectors", "n_batches",
+        "mean_code_err",
+    )
+
+
+@register(
+    "streaming_semdedup_replay",
+    oracle=f"""
+        WITH {_SQL_IVF_ASSIGN},
+        csim AS (
+          SELECT a.vec_id, a.v, a.cell, a.vec_id % 3 AS b,
+                 round(list_cosine_similarity(a.v, c.cv), 6) AS s
+          FROM assign a JOIN cen c ON a.cell = c.cell
+        ),
+        ed AS (
+          SELECT x.vec_id AS src, y.vec_id AS dst,
+                 x.s AS ss, y.s AS sd, x.b AS sb, y.b AS db
+          FROM csim x JOIN csim y
+            ON x.cell = y.cell AND x.vec_id != y.vec_id
+           AND round(list_cosine_similarity(x.v, y.v), 6) >= 0.4
+        ),
+        drop0 AS (
+          SELECT DISTINCT dst FROM ed
+          WHERE sb = 0 AND db = 0
+            AND (ss < sd OR (ss = sd AND src < dst))
+        ),
+        acc0 AS (
+          SELECT vec_id FROM csim
+          WHERE b = 0 AND vec_id NOT IN (SELECT dst FROM drop0)
+        ),
+        drop1 AS (
+          SELECT dst FROM ed
+          WHERE sb = 1 AND db = 1 AND (ss < sd OR (ss = sd AND src < dst))
+          UNION
+          SELECT dst FROM ed
+          WHERE db = 1 AND src IN (SELECT vec_id FROM acc0)
+        ),
+        acc1 AS (
+          SELECT vec_id FROM csim
+          WHERE b = 1 AND vec_id NOT IN (SELECT dst FROM drop1)
+        ),
+        drop2 AS (
+          SELECT dst FROM ed
+          WHERE sb = 2 AND db = 2 AND (ss < sd OR (ss = sd AND src < dst))
+          UNION
+          SELECT dst FROM ed
+          WHERE db = 2 AND src IN (SELECT vec_id FROM acc0
+                                   UNION SELECT vec_id FROM acc1)
+        ),
+        acc2 AS (
+          SELECT vec_id FROM csim
+          WHERE b = 2 AND vec_id NOT IN (SELECT dst FROM drop2)
+        ),
+        acc AS (SELECT vec_id FROM acc0 UNION ALL SELECT vec_id FROM acc1
+                UNION ALL SELECT vec_id FROM acc2)
+        SELECT c.b AS batch,
+               count(*) AS n_in,
+               count(a.vec_id) AS n_accepted,
+               count(*) - count(a.vec_id) AS n_rejected
+        FROM csim c LEFT JOIN acc a ON a.vec_id = c.vec_id
+        GROUP BY c.b
+    """,
+    tags=("streaming", "dedup", "semdedup", "replay", "llm-pipeline"),
+)
+def streaming_semdedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_semantic_dedup_sink`'s accept/reject + index-append
+    protocol (streaming.py) replayed as one driver-hashable batch query
+    — the treatment `streaming_dedup_lsh_replay` gives the LSH sink,
+    applied to the embedding side. The embeddings table is split into 3
+    synthetic micro-batches (vec_id mod 3); each batch is deduped
+    WITHIN itself under SemDeDup's keep-least-like-centroid policy
+    (same-cell cosine ≥ 0.4 drops the higher-centroid-sim member, tie →
+    higher id), then checked against every vector the EARLIER batches
+    accepted (same cell, cosine ≥ 0.4 ⇒ the new vector drops) — exactly
+    the sink's rule that only ACCEPTED vectors enter the index, so a
+    vector rejected in batch 0 cannot veto a batch-1 vector. Returns
+    per-batch (n_in, n_accepted, n_rejected).
+
+    Plan shape: cell assignment + the verified same-cell pair set are
+    computed ONCE (centroids broadcast, pairs only within cells); the
+    3-step sequential fold is unrolled into joins over that one edge
+    frame, so vectors are assigned exactly once regardless of batch
+    count."""
+    from spark_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("centroid")
+    )
+    cs = (
+        ivf_assign(e, centroids)
+        .join(F.broadcast(centroids), "cell")
+        .select(
+            "vec_id",
+            "embedding",
+            "cell",
+            F.pmod("vec_id", F.lit(3)).alias("b"),
+            F.round(cosine_similarity("embedding", "centroid"), 6).alias("s"),
+        )
+    )
+    x = cs.select(
+        F.col("vec_id").alias("src"), F.col("embedding").alias("__vx"),
+        "cell", F.col("s").alias("ss"), F.col("b").alias("sb"),
+    )
+    y = cs.select(
+        F.col("vec_id").alias("dst"), F.col("embedding").alias("__vy"),
+        F.col("cell").alias("cell_y"), F.col("s").alias("sd"),
+        F.col("b").alias("db"),
+    )
+    edges = query_persist(
+        x.join(
+            y,
+            (F.col("cell") == F.col("cell_y")) & (F.col("src") != F.col("dst")),
+        )
+        .filter(F.round(cosine_similarity("__vx", "__vy"), 6) >= 0.4)
+        .select("src", "dst", "ss", "sd", "sb", "db")
+    )
+    policy = (F.col("ss") < F.col("sd")) | (
+        (F.col("ss") == F.col("sd")) & (F.col("src") < F.col("dst"))
+    )
+
+    flagged = []
+    prev_accepted = None
+    for b in range(3):
+        batch_rows = cs.filter(F.col("b") == b).select("vec_id", "b")
+        drops = (
+            edges.filter((F.col("sb") == b) & (F.col("db") == b))
+            .filter(policy)
+            .select("dst")
+        )
+        if prev_accepted is not None:
+            drops = drops.unionByName(
+                edges.filter(F.col("db") == b)
+                .join(prev_accepted.withColumnRenamed("vec_id", "src"), "src")
+                .select("dst")
+            )
+        drops = drops.distinct()
+        accepted_b = batch_rows.join(
+            drops, batch_rows["vec_id"] == drops["dst"], "left_anti"
+        ).select("vec_id")
+        prev_accepted = (
+            accepted_b if prev_accepted is None
+            else prev_accepted.unionByName(accepted_b)
+        )
+        flagged.append(
+            batch_rows.join(
+                drops.withColumnRenamed("dst", "vec_id").withColumn(
+                    "__dropped", F.lit(1)
+                ),
+                "vec_id",
+                "left",
+            ).select("b", "__dropped")
+        )
+
+    tagged = flagged[0]
+    for f_ in flagged[1:]:
+        tagged = tagged.unionByName(f_)
+    return tagged.groupBy(F.col("b").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        (F.count(F.lit(1)) - F.count("__dropped")).alias("n_accepted"),
+        F.count("__dropped").alias("n_rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
 # contract. Rebuild REGISTRY (insertion-ordered dict) so that window holds
@@ -16068,55 +16343,53 @@ def winnowing_incremental_overlap_documents(
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-10 rotation, derived with ``python tools/recheck_queue.py``
-    # (git-derived; regenerate, don't hand-edit the never-checked set).
-    # After r9, all-time driver coverage stood at 233/247; the tool's
-    # never-checked list (the 14 late-r9 registrations) plus this
-    # round's 9 new registrations and 1 changed-since-green re-check
-    # are the hard commitments. Slots: (a) 23 never driver-checked;
-    # (b) 1 changed-since-green (gram_dup_fraction switched to
-    # positional grams per ADVICE r9); (c) 7 canaries for the three
-    # operator modules the tool flags as changed this round (graph.py —
-    # de-hinted representatives + star components; text.py — the winnow
-    # let-binding; streaming.py — drain-timeout hardening); (d) the 6
-    # remaining r4-green rows and (e) 13 oldest r5/r6-green rows chosen
-    # for family coverage (tpch/sketch/scoring/datadiff/sample/quality/
-    # events/multimodal) — the stalest all-time coverage. Queries green
-    # in r9 rotate OUT (their green is current); this closes all-time
-    # coverage at 256/256 once green.
-    # --- (a) 23 never driver-checked ---
-    "compaction_plan_orders", "winnowing_fingerprint_documents",
-    "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
-    "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
-    "session_markov_nll_events", "holt_linear_forecast_user_value",
-    "heaps_law_fit_documents", "good_turing_unseen_mass_documents",
-    "dedup_prefix_filter_exact_documents", "embedding_drift_report",
-    "readability_flesch_documents", "ivf_incremental_assign_embeddings",
-    "unimax_allocation_documents", "dedup_components_star_documents",
-    "semantic_decontaminate_embeddings", "softdedup_weight_documents",
-    "winnowing_incremental_overlap_documents", "ivf_probe_sweep_report",
-    "dedup_savings_report_documents", "split_repair_documents",
-    "minhash_estimate_error_report",
+    # Round-11 rotation, derived with ``python tools/recheck_queue.py``
+    # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
+    # registered 258; never-checked (2): ivf_index_lifecycle_report,
+    # streaming_semdedup_replay; changed-since-green (1):
+    # split_repair_documents (docstring block edited); changed operator
+    # modules (3): dedup.py (decontaminate de-hinted), graph.py
+    # (docstring), streaming.py (semantic sink + try/finally persists).
+    # Slots: (a) 2 never-checked; (b) 1 changed-since-green; (c) 8
+    # changed-module canaries, stalest-first (decontaminate_documents
+    # ALSO has a genuinely changed plan — the de-hinted anti-join);
+    # (d) family representatives + fill = ALL 30 remaining r5-green
+    # rows (the stalest all-time coverage) and the oldest r6/r7 greens,
+    # chosen so every graded family (tpch/sketch/scoring/datadiff/
+    # sample/quality/events/text/dedup) keeps a window representative.
+    # --- (a) 2 never driver-checked ---
+    "ivf_index_lifecycle_report", "streaming_semdedup_replay",
     # --- (b) changed since green ---
-    "gram_dup_fraction_documents",
-    # --- (c) changed-module canaries: graph.py (components consumers),
-    # text.py (fingerprint family), streaming.py (replay sinks) ---
-    "dedup_components_documents", "dedup_canonical_selection",
-    "entity_resolution_parts", "text_fingerprint_documents",
-    "text_langid_confusion", "streaming_topk_merge_replay",
-    "streaming_incremental_merge_replay",
-    # --- (d) the 6 remaining r4-green rows (stalest all-time) ---
-    "embedding_hyperplane_near_dup", "embedding_near_dup_ivf",
-    "events_sliding_daily_12h", "flatten_struct_orders",
-    "mixture_resample_documents", "null_safe_join_status",
-    # --- (e) 13 oldest r5/r6-green rows, family-diverse fill ---
-    "q15_top_revenue_supplier", "q9_nation_year_profit",
-    "sketch_cardinality_users", "score_multiclass_model",
-    "score_regressor_model", "datadiff_hash_histogram_orders",
-    "datadiff_tvd_lineitem_sample", "validate_orders_quality",
-    "hash_sample_lineitem", "stratified_quota_sample",
-    "events_debounce_5m", "events_sessions_30m",
-    "multimodal_decode_features",
+    "split_repair_documents",
+    # --- (c) 8 changed-module canaries (dedup.py / graph.py /
+    #     streaming.py), stalest green first ---
+    "decontaminate_documents", "dedup_exact_documents",
+    "boilerplate_ngrams_documents", "fuzzy_match_part_names",
+    "lsh_recall_precision_report", "pagerank_customer_supplier",
+    "cross_source_neardup_matrix", "streaming_dedup_lsh_replay",
+    # --- (d) family representatives (stalest member of each graded
+    #     family not already covered above) ---
+    "events_tumbling_daily", "sketch_distinct_users_by_type",
+    "train_ols_score_lineitem", "mixture_sample_documents",
+    "q11_important_parts", "psi_quantile_drift_lineitem",
+    "robust_outliers_orders",
+    # --- (e) stalest-green fill: all 28 remaining r5 rows, then r6 ---
+    "agg_orders_by_status", "audit_literals_customer",
+    "bloom_pruned_join_revenue", "deterministic_limit_orders",
+    "embedding_ann_ivf", "embedding_topk_bruteforce",
+    "funnel_events", "grouped_topk_orders",
+    "incremental_agg_orders", "keyword_search_documents",
+    "median_price_by_status", "merge_upsert_orders",
+    "pack_sequences_documents", "pandify_decimal_orders",
+    "pivot_orders_priority", "q10_returned_revenue",
+    "q3_unshipped_revenue", "rollup_orders",
+    "salted_join_lineitem_nation", "setops_nation_keys",
+    "text_stats_documents", "train_logistic_gd_lineitem",
+    "unpivot_lineitem_charges", "window_lag_rolling_orders",
+    "zorder_orders_locality", "zscore_orders_by_month",
+    "ab_test_purchase_rate", "chi_square_orders_status_priority",
+    "chunk_documents_overlapping", "cohort_retention_events",
+    "correlation_matrix_lineitem", "cube_orders_status_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -31,7 +31,9 @@ __all__ = [
     "stream_topk_sink",
     "stream_quality_gate_sink",
     "stream_dedup_lsh_sink",
+    "stream_semantic_dedup_sink",
     "purge_ids_from_dedup_index",
+    "purge_ids_from_semantic_index",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -858,6 +860,162 @@ def stream_dedup_lsh_sink(
     return writer.start()
 
 
+def stream_semantic_dedup_sink(
+    stream: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    accepted_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    available_now: bool = True,
+    checkpoint: str | None = None,
+    on_batch=None,
+):
+    """Streaming SEMANTIC (embedding-cosine) dedup against a persisted
+    cell-bucketed index — the embedding analogue of
+    :func:`stream_dedup_lsh_sink`, mirroring `semdedup_prune_embeddings`
+    the way that sink mirrors MinHash. Each micro-batch is:
+
+    1. assigned to the FIXED ``centroids`` cells (`ivf_assign`; the
+       blocking key — candidates form only within a cell, never
+       all-pairs) with its cosine-to-own-centroid recorded;
+    2. deduped WITHIN itself under SemDeDup's keep-least-like-centroid
+       policy: any same-cell pair with cosine ≥ ``threshold`` drops the
+       member with the HIGHER centroid similarity (tie → higher id) —
+       the same single-pass order-free rule the batch query pins;
+    3. checked against every PREVIOUSLY accepted vector in the index
+       (same cell, cosine ≥ threshold ⇒ the NEW vector drops —
+       first-accepted-wins, exactly the LSH sink's cross-batch rule);
+    4. its accepted vectors appended to ``index_path/vectors/batch=<id>``
+       for future batches.
+
+    Centroids are a bounded, caller-owned frame (k cells — typically the
+    persisted `ann_index.py` centroid table) and are NEVER retrained by
+    the sink: assignment must stay comparable across the index lifetime.
+    Cosines are rounded to 6dp before every compare so the replay oracle
+    (`streaming_semdedup_replay`) hashes identically.
+
+    Exactly-once discipline: writes land under ``batch=<id>`` with
+    overwrite semantics and the index lookup EXCLUDES the current batch
+    id, so a foreachBatch replay never matches a batch against its own
+    half-committed rows. Scale: per batch O(|batch| × k) assignment
+    (centroids broadcast) plus within-cell pair joins against batch +
+    index — the corpus is never re-paired with itself.
+    """
+    from spark_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    spark = stream.sparkSession
+    vectors_path = index_path.rstrip("/") + "/vectors"
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        pinned: list[DataFrame] = []
+
+        def pin(frame: DataFrame) -> DataFrame:
+            pinned.append(frame.persist())
+            return frame
+
+        try:
+            assigned = pin(
+                ivf_assign(
+                    batch_df.select(
+                        F.col(id_col).alias("__id"),
+                        F.col(vec_col).cast("array<double>").alias("__v"),
+                    ),
+                    centroids.select(
+                        F.col("cell"), F.col("centroid")
+                    ),
+                    "__id",
+                    "__v",
+                )
+                .join(F.broadcast(centroids), "cell")
+                .select(
+                    "__id",
+                    "__v",
+                    "cell",
+                    F.round(cosine_similarity("__v", "centroid"), 6).alias(
+                        "__csim"
+                    ),
+                )
+            )
+
+            # (1) within-batch: SemDeDup policy — pair loss drops the
+            # higher-centroid-sim member (tie: higher id), order-free
+            a = assigned.select(
+                F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+                "cell", F.col("__csim").alias("sa"),
+            )
+            b = assigned.select(
+                F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+                F.col("cell").alias("cell_b"), F.col("__csim").alias("sb"),
+            )
+            intra_drop = (
+                a.join(
+                    b,
+                    (F.col("cell") == F.col("cell_b"))
+                    & (F.col("id_a") != F.col("id_b")),
+                )
+                .filter(F.round(cosine_similarity("__va", "__vb"), 6) >= threshold)
+                .filter(
+                    (F.col("sa") < F.col("sb"))
+                    | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+                )
+                .select(F.col("id_b").alias("__drop_id"))
+                .distinct()
+            )
+
+            # (2) cross-batch vs the persisted index (self-batch excluded:
+            # a replay's half-committed rows must not veto the batch)
+            idx = _try_read_parquet(spark, vectors_path)
+            if idx is not None:
+                idx = idx.filter(F.col("batch") != batch_id)
+                cross_drop = (
+                    assigned.join(
+                        idx.select(
+                            F.col("cell").alias("cell_i"),
+                            F.col("__v").alias("__vi"),
+                        ),
+                        F.col("cell") == F.col("cell_i"),
+                    )
+                    .filter(
+                        F.round(cosine_similarity("__v", "__vi"), 6) >= threshold
+                    )
+                    .select(F.col("__id").alias("__drop_id"))
+                    .distinct()
+                )
+                drops = intra_drop.unionByName(cross_drop).distinct()
+            else:
+                drops = intra_drop
+
+            accepted = pin(
+                batch_df.join(
+                    drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
+                )
+            )
+            accepted.write.mode("overwrite").parquet(
+                f"{accepted_path}/batch={batch_id}"
+            )
+            kept = accepted.select(F.col(id_col).alias("__id"))
+            assigned.join(kept, "__id").select(
+                "__id", "__v", "cell", "__csim"
+            ).write.mode("overwrite").parquet(f"{vectors_path}/batch={batch_id}")
+            if on_batch is not None:
+                on_batch(batch_id, accepted.count())
+        finally:
+            for df_ in pinned:
+                df_.unpersist()
+
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_quality_gate_sink(
     stream: DataFrame,
     target_path: str,
@@ -1071,13 +1229,46 @@ def purge_ids_from_dedup_index(
     and shingle arrays (the optional ``accepted_path`` rewrite does move
     document payloads — that IS the table being redacted).
     """
-    tomb = ids.toDF("__purge_id")
-    out = {}
     sub_tables = [("bands", index_path.rstrip("/") + "/bands", "__id"),
                   ("shingles", index_path.rstrip("/") + "/shingles", "__id")]
     if accepted_path is not None:
         sub_tables.append(("accepted", accepted_path, id_col))
+    return _purge_from_batched_tables(spark, sub_tables, ids)
 
+
+def purge_ids_from_semantic_index(
+    spark: SparkSession,
+    index_path: str,
+    ids,
+    accepted_path: str | None = None,
+    id_col: str = "vec_id",
+) -> dict:
+    """Right-to-be-forgotten for the streaming SEMANTIC dedup state
+    (`stream_semantic_dedup_sink`'s ``vectors/`` table and, optionally,
+    its accepted table) — the same contract `purge_ids_from_dedup_index`
+    gives the LSH sink: a forgotten vector stops vetoing future
+    near-duplicates because its row leaves the only table the sink's
+    cross-batch check reads. Staged-copy crash discipline and
+    ``batch=<id>`` layout preservation are identical (shared helper)."""
+    sub_tables = [("vectors", index_path.rstrip("/") + "/vectors", "__id")]
+    if accepted_path is not None:
+        sub_tables.append(("accepted", accepted_path, id_col))
+    return _purge_from_batched_tables(spark, sub_tables, ids)
+
+
+def _purge_from_batched_tables(
+    spark: SparkSession, sub_tables, ids
+) -> dict:
+    """Shared purge engine for the ``batch=<id>``-partitioned index
+    layouts: anti-join each sub-table against the tombstone ids and
+    rewrite it through a staged copy (parquet reads are lazy —
+    overwriting the path being read would corrupt it), preserving the
+    batch partition column so replay exclusion keeps working. A table
+    whose rows are ALL purged is deleted outright (no-schema parquet
+    can't round-trip; absence is the empty state every reader of this
+    layout handles)."""
+    tomb = ids.toDF("__purge_id")
+    out = {}
     for name, path, col in sub_tables:
         df = _try_read_parquet(spark, path)
         if df is None:

@@ -30,6 +30,9 @@ PKG = Path(__file__).resolve().parent.parent / "spark_pipeline_spark"
 _ALLOWED = {
     ("streaming.py", "dim"): "stream-side dimension table by API contract "
     "(enrich-stream-with-dim join; dims are bounded, the stream is not)",
+    ("streaming.py", "centroids"): "k-cell centroid frame by API contract "
+    "(semantic dedup sink's blocking key; never retrained, never "
+    "corpus-scaling)",
     ("operators/training.py", "weights"): "one-row GD weight frame per round",
     ("operators/bloomjoin.py", "bitmap"): "one-row bloom-bitmap aggregate",
     ("operators/similarity.py", "q"): "fixed query set by API contract "

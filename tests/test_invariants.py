@@ -378,31 +378,23 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # The r10 rotation closes all-time driver coverage at 256/256: every
-    # query that has never appeared in a CORRECTNESS_r*.json (enumerated
-    # by `python tools/recheck_queue.py` from git history) must be
-    # inside, plus the changed-since-green re-checks. Spot-check the
-    # commitments rather than re-deriving git state in a unit test.
+    # All-time driver coverage closed at 256/256 in r10, so the r11
+    # window is pure rotation: never-checked new registrations +
+    # changed-since-green + changed-module canaries (enumerated by
+    # `python tools/recheck_queue.py` from git history), stalest greens
+    # as fill. Spot-check the hard commitments rather than re-deriving
+    # git state in a unit test.
     must_cover = {
-        # r10 never-checked commitments (tools/recheck_queue.py): the 14
-        # late-r9 registrations plus the 9 r10 additions
-        "compaction_plan_orders", "winnowing_fingerprint_documents",
-        "winnowing_overlap_pairs_documents", "bigram_redundancy_documents",
-        "text_bigram_backoff_nll_documents", "assoc_rules_parts_orders",
-        "session_markov_nll_events", "holt_linear_forecast_user_value",
-        "heaps_law_fit_documents", "good_turing_unseen_mass_documents",
-        "dedup_prefix_filter_exact_documents", "embedding_drift_report",
-        "readability_flesch_documents", "ivf_incremental_assign_embeddings",
-        "unimax_allocation_documents", "dedup_components_star_documents",
-        "semantic_decontaminate_embeddings", "softdedup_weight_documents",
-        "winnowing_incremental_overlap_documents", "ivf_probe_sweep_report",
-        "dedup_savings_report_documents", "split_repair_documents",
-        "minhash_estimate_error_report",
-        # changed-since-green re-check (positional-gram semantics fix)
-        "gram_dup_fraction_documents",
-        # module-changed canaries (graph.py / text.py / streaming.py, r10)
-        "dedup_components_documents", "text_fingerprint_documents",
-        "streaming_topk_merge_replay",
+        # r11 never-checked commitments: the two new registrations
+        "ivf_index_lifecycle_report", "streaming_semdedup_replay",
+        # changed since green (docstring block edited in r11)
+        "split_repair_documents",
+        # module-changed canaries (dedup.py / graph.py / streaming.py);
+        # decontaminate_documents additionally has a genuinely changed
+        # plan — the de-hinted contaminated-id anti-join
+        "decontaminate_documents", "dedup_exact_documents",
+        "boilerplate_ngrams_documents", "pagerank_customer_supplier",
+        "streaming_dedup_lsh_replay",
     }
     missing = must_cover - set(window)
     assert not missing, f"r10 priority queries outside the window: {missing}"

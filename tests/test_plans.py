@@ -81,6 +81,8 @@ _NLJ_ALLOWED = {
     "assoc_rules_parts_orders",  # one-row order-count broadcast
     "embedding_drift_report",  # cross of three ONE-ROW stat aggregates
     "ivf_incremental_assign_embeddings",  # centroid broadcast + one-row totals
+    "streaming_semdedup_replay",  # k-centroid frames broadcast (ivf_assign shape)
+    "ivf_index_lifecycle_report",  # k-centroid frames broadcast (ivf_assign shape)
 }
 
 
@@ -325,6 +327,7 @@ _BOUNDED_HINTS = {
     "embedding_ann_ivf_nprobe2": "seed centroids + fixed query set",
     "embedding_near_dup_ivf": "seed centroids (fixed k cells)",
     "semdedup_prune_embeddings": "seed centroids (fixed k cells)",
+    "streaming_semdedup_replay": "seed centroids (fixed k cells)",
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",

@@ -1278,3 +1278,283 @@ def test_stream_dedup_lsh_sink_failed_batch_leaks_no_cached_blocks(
     assert cached_ids() == baseline, (
         "failed micro-batch left cached RDD blocks behind"
     )
+
+
+def _seed_centroids(spark):
+    return (
+        t(spark, SF_SMALL, "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cell"),
+                F.col("embedding").cast("array<double>").alias("centroid"))
+    )
+
+
+def test_stream_semantic_dedup_sink_matches_batch_replay_query(spark, tmp_path):
+    """The registered `streaming_semdedup_replay` oracle query claims to
+    encode the semantic sink's accept/reject protocol — prove it: drive
+    the REAL sink over the same vec_id-mod-3 batch split (in batch
+    order) and assert per-batch accepted counts match the replay."""
+    from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_semantic_dedup_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "emb_stream_replay")
+    for b in range(3):
+        e.filter(F.pmod("vec_id", F.lit(3)) == b).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = read_parquet_stream(
+        spark, src, "vec_id bigint, embedding array<float>",
+        max_files_per_trigger=1,
+    )
+    counts: dict[int, int] = {}
+    q = stream_semantic_dedup_sink(
+        stream,
+        _seed_centroids(spark),
+        str(tmp_path / "sem_idx"),
+        str(tmp_path / "sem_acc"),
+        threshold=0.4,
+        checkpoint=str(tmp_path / "sem_ckpt"),
+        on_batch=lambda bid, n: counts.__setitem__(bid, n),
+    )
+    q.awaitTermination(240)
+
+    replay = {
+        r["batch"]: (r["n_in"], r["n_accepted"])
+        for r in REGISTRY["streaming_semdedup_replay"].fn(spark, SF_SMALL).collect()
+    }
+    sink_sizes = {
+        b: e.filter(F.pmod("vec_id", F.lit(3)) == b).count() for b in range(3)
+    }
+    for b in range(3):
+        n_in, n_accepted = replay[b]
+        assert sink_sizes[b] == n_in
+        assert counts[b] == n_accepted, (b, counts, replay)
+
+
+def test_stream_semantic_dedup_sink_single_batch_matches_semdedup_policy(
+    spark, tmp_path
+):
+    """One batch holding the whole corpus: the sink's rejected set must
+    equal `semdedup_prune_embeddings`'s kept=0 set — intra-batch drops
+    ARE the SemDeDup policy (same centroids, threshold, tie-breaks)."""
+    from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_semantic_dedup_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "emb_stream_one")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    q = stream_semantic_dedup_sink(
+        read_parquet_stream(
+            spark, src, "vec_id bigint, embedding array<float>",
+            max_files_per_trigger=10,
+        ),
+        _seed_centroids(spark),
+        str(tmp_path / "one_idx"),
+        str(tmp_path / "one_acc"),
+        threshold=0.4,
+        checkpoint=str(tmp_path / "one_ckpt"),
+    )
+    q.awaitTermination(240)
+
+    accepted = {
+        r["vec_id"]
+        for r in spark.read.parquet(str(tmp_path / "one_acc")).collect()
+    }
+    want_kept = {
+        r["vec_id"]
+        for r in REGISTRY["semdedup_prune_embeddings"].fn(spark, SF_SMALL)
+        .filter(F.col("kept") == 1).collect()
+    }
+    assert accepted == want_kept
+
+
+def test_stream_semantic_dedup_sink_cross_batch_veto_and_forgiveness(
+    spark, tmp_path
+):
+    """Cross-batch semantics: an exact copy of a vector the index holds
+    is VETOED in a later batch (first-accepted-wins), while a copy of a
+    REJECTED batch-1 vector is judged only against accepted state. Also
+    pins the intra-batch tie-break: identical newcomers (equal centroid
+    sim) keep the lowest id."""
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_semantic_dedup_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "emb_stream_cross")
+    idx = str(tmp_path / "cross_idx")
+    acc = str(tmp_path / "cross_acc")
+    ckpt = str(tmp_path / "cross_ckpt")
+    cen = _seed_centroids(spark)
+
+    def run_once():
+        q = stream_semantic_dedup_sink(
+            read_parquet_stream(
+                spark, src, "vec_id bigint, embedding array<float>",
+                max_files_per_trigger=1,
+            ),
+            cen, idx, acc, threshold=0.4, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    first = e.filter(F.col("vec_id") < 400)
+    first.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    acc1 = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert acc1, "batch 1 accepted nothing"
+    survivor = min(acc1)
+
+    # batch 2: fresh vectors + a replant of an ACCEPTED vector (vetoed
+    # by the index) + an identical intra-batch trio seeded from a fresh
+    # vector (tie-break: lowest id survives)
+    fresh = e.filter(F.col("vec_id") >= 400)
+    replant = e.filter(F.col("vec_id") == survivor).withColumn(
+        "vec_id", F.lit(9007).cast("long")
+    )
+    twin_a = e.filter(F.col("vec_id") == 450).withColumn(
+        "vec_id", F.lit(9000).cast("long")
+    )
+    twin_b = e.filter(F.col("vec_id") == 450).withColumn(
+        "vec_id", F.lit(9001).cast("long")
+    )
+    fresh.unionByName(replant).unionByName(twin_a).unionByName(
+        twin_b
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    ids = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert 9007 not in ids  # exact copy of indexed vector: vetoed
+    # the identical trio {450, 9000, 9001}: ties drop higher ids, so at
+    # most the lowest of those present can survive
+    assert 9000 not in ids and 9001 not in ids
+    # the index holds only accepted ids
+    idx_ids = {
+        r["__id"]
+        for r in spark.read.parquet(idx + "/vectors").select("__id").collect()
+    }
+    assert idx_ids == ids
+
+
+def test_purge_ids_from_semantic_index_forgets_vetoes(spark, tmp_path):
+    """GDPR delete-propagation for the SEMANTIC sink's derived state:
+    after purging a vector, (a) no trace remains in vectors/ or the
+    accepted table, (b) batch layout survives, and (c) an exact copy
+    arriving later is ACCEPTED — the forgotten vector no longer vetoes."""
+    from spark_pipeline_spark.streaming import (
+        purge_ids_from_semantic_index,
+        read_parquet_stream,
+        stream_semantic_dedup_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "sem_purge_src")
+    idx = str(tmp_path / "sem_purge_idx")
+    acc = str(tmp_path / "sem_purge_acc")
+    ckpt = str(tmp_path / "sem_purge_ckpt")
+    cen = _seed_centroids(spark)
+
+    def run_once():
+        q = stream_semantic_dedup_sink(
+            read_parquet_stream(
+                spark, src, "vec_id bigint, embedding array<float>",
+                max_files_per_trigger=100,
+            ),
+            cen, idx, acc, threshold=0.4, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    e.filter(F.col("vec_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    acc1 = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert acc1
+    victim = min(acc1)
+
+    removed = purge_ids_from_semantic_index(
+        spark, idx, spark.createDataFrame([(victim,)], "id long"),
+        accepted_path=acc,
+    )
+    assert removed["vectors_removed"] == 1
+    assert removed["accepted_removed"] == 1
+    vecs = spark.read.parquet(idx + "/vectors")
+    assert vecs.filter(F.col("__id") == victim).count() == 0
+    assert "batch" in vecs.columns
+
+    # an exact copy of the forgotten vector is accepted now — unless it
+    # cosine-matches some OTHER still-indexed vector IN ITS CELL (the
+    # sink's blocking key); compute that veto count first
+    from spark_pipeline_spark.operators.similarity import (
+        cosine_similarity,
+        ivf_assign,
+    )
+
+    v = ivf_assign(
+        e.filter(F.col("vec_id") == victim), cen, "vec_id", "embedding"
+    ).select(F.col("embedding").alias("__pv"), F.col("cell").alias("__pcell"))
+    still_vetoed = (
+        vecs.join(v, vecs["cell"] == F.col("__pcell"))
+        .filter(F.round(cosine_similarity("__v", "__pv"), 6) >= 0.4)
+        .count()
+    )
+    e.filter(F.col("vec_id") == victim).withColumn(
+        "vec_id", F.lit(8888).cast("long")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    if still_vetoed:
+        assert 8888 not in ids  # some other survivor still vetoes it
+    else:
+        assert 8888 in ids  # the purge restored acceptability
+
+
+def test_stream_semantic_dedup_sink_replay_excludes_self_batch(spark, tmp_path):
+    """Crash-replay safety: re-processing the SAME batch id with the
+    index already holding that batch's rows (the crashed-after-index-
+    write case, simulated by wiping the checkpoint) must not let the
+    batch veto itself — accepted output is identical, not empty."""
+    import shutil
+
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_semantic_dedup_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").filter(
+        F.col("vec_id") < 200
+    )
+    src = str(tmp_path / "sem_replay_src")
+    idx = str(tmp_path / "sem_replay_idx")
+    acc = str(tmp_path / "sem_replay_acc")
+    ckpt = str(tmp_path / "sem_replay_ckpt")
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = stream_semantic_dedup_sink(
+            read_parquet_stream(
+                spark, src, "vec_id bigint, embedding array<float>",
+                max_files_per_trigger=100,
+            ),
+            _seed_centroids(spark), idx, acc,
+            threshold=0.4, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    run_once()
+    first = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert first and first < {r["vec_id"] for r in e.collect()} | first
+
+    # wipe the checkpoint: the file source re-discovers the same file as
+    # batch 0 while vectors/batch=0 already exists — the replay case
+    shutil.rmtree(ckpt)
+    run_once()
+    second = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
+    assert second == first, "replay changed the accepted set (self-veto?)"
