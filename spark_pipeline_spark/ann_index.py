@@ -49,6 +49,7 @@ __all__ = [
     "refresh_ivf_index",
     "purge_ids_from_ivf_index",
     "ivf_index_search",
+    "ivf_index_search_int8",
     "ivf_index_stats",
 ]
 
@@ -358,6 +359,115 @@ def ivf_index_search(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
+    )
+
+
+def ivf_index_search_int8(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    oversample: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Memory-tight search against the persisted index: candidate
+    generation + first-pass ranking scan ONLY the int8 ``codes/`` table
+    (4× smaller than the float vectors), then the top ``k·oversample``
+    shortlist per query fetches float vectors from ``assignments/`` BY
+    ID for the exact rerank — the classic quantized-scan + float-rerank
+    retrieval layout, here over the durable tables.
+
+    Determinism: code dot products and norms are exact integers (dim·
+    127² « 2^53 — the `ann_int8_recall_report` argument), so the
+    shortlist is engine-exact; the returned ``cosine`` is the float
+    rerank value, same output shape as :func:`ivf_index_search`.
+
+    Scale: the codes table is NOT cell-partitioned (codes rows are
+    fixed-width and 4× smaller — the probe filter is a pushed data
+    filter, not directory pruning), the float table is touched only for
+    |queries|·k·oversample rows via an id equi-join."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    cen_path, asg_path, code_path = _paths(index_path)
+    cen = spark.read.parquet(cen_path).select(
+        "cell", F.col("centroid").alias("__cenv")
+    )
+    q = _int8_codes(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+        ),
+        "__qv",
+    ).select(
+        "query_id", "__qv",
+        F.transform("codes", lambda c: c.cast("long")).alias("__qc"),
+        F.aggregate(
+            F.transform("codes", lambda c: c.cast("long")),
+            F.lit(0).cast("long"), lambda a, c: a + c * c,
+        ).alias("__qn2"),
+    )
+    probe_w = F.struct(
+        cosine_similarity("__qv", "__cenv").alias("s"), (-F.col("cell")).alias("c")
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
+    q_probes = (
+        q.join(F.broadcast(cen), how="cross")
+        .withColumn("__probe_ord", probe_w)
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qc", "__qn2", "cell")
+    )
+
+    codes = spark.read.parquet(code_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("codes", lambda c: c.cast("long")).alias("__nc"),
+        "cell",
+    ).withColumn(
+        "__nn2",
+        F.aggregate("__nc", F.lit(0).cast("long"), lambda a, c: a + c * c),
+    )
+    dot = F.aggregate(
+        F.zip_with("__qc", "__nc", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda a, x: a + x,
+    )
+    denom = (F.col("__qn2") * F.col("__nn2")).cast("double")
+    int8_cos = F.when(denom > 0, dot.cast("double") / F.sqrt(denom)).otherwise(
+        F.lit(-2.0)
+    )
+    scored = codes.join(F.broadcast(q_probes), on="cell")
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("__icos"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        scored.withColumn("__icos", int8_cos)
+        .withColumn("__sr", F.row_number().over(sw))
+        .filter(F.col("__sr") <= k * oversample)
+        .select("query_id", "neighbor_id", "cell")
+    )
+
+    floats = spark.read.parquet(asg_path).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    qv = q.select("query_id", "__qv")
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(floats, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id", "cell",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -34,6 +34,7 @@ __all__ = [
     "stream_semantic_dedup_sink",
     "purge_ids_from_dedup_index",
     "purge_ids_from_semantic_index",
+    "expire_index_batches",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -1254,6 +1255,51 @@ def purge_ids_from_semantic_index(
     if accepted_path is not None:
         sub_tables.append(("accepted", accepted_path, id_col))
     return _purge_from_batched_tables(spark, sub_tables, ids)
+
+
+def expire_index_batches(
+    spark: SparkSession,
+    index_path: str,
+    keep_last_n: int,
+    sub_dirs: Sequence[str],
+) -> dict:
+    """Retention/TTL for the ``batch=<id>``-partitioned index layouts —
+    the bounded-state policy that keeps a forever-running dedup sink's
+    state from growing with stream length: keep only the newest
+    ``keep_last_n`` batches of each sub-table and DELETE the older
+    ``batch=<id>`` directories outright (sliding-window dedup: a
+    document older than the horizon stops vetoing new near-duplicates,
+    the standard trade for bounded state). Applies to the LSH index
+    (``sub_dirs=("bands", "shingles")``), the semantic index
+    (``("vectors",)``), and the ANN index (``("assignments", "codes")``).
+
+    Each sub-table's batch ids are discovered from its own partition
+    column (a few distinct values — never row data) and expired
+    oldest-first, directory by directory. A crash mid-expiry leaves a
+    batch half-present across sub-tables, which only WEAKENS dedup for
+    that batch (unverifiable candidates drop out of either join side);
+    re-running the expiry is idempotent and heals it. Returns
+    ``{sub_dir: [expired batch ids]}``."""
+    if keep_last_n < 0:
+        raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
+    root = index_path.rstrip("/")
+    out: dict = {}
+    for name in sub_dirs:
+        path = f"{root}/{name}"
+        df = _try_read_parquet(spark, path)
+        if df is None:
+            out[name] = []
+            continue
+        ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
+        drop = ids[: len(ids) - keep_last_n] if keep_last_n else ids
+        for b in drop:
+            _hadoop_delete(spark, f"{path}/batch={b}")
+        if len(drop) == len(ids):
+            # every batch expired: remove the now-empty parent so readers
+            # see the absent-table empty state instead of a schemaless dir
+            _hadoop_delete(spark, path)
+        out[name] = drop
+    return out
 
 
 def _purge_from_batched_tables(

@@ -168,3 +168,34 @@ def test_index_stats_report(spark, tmp_path):
     assert all(1 <= r["n_batches"] <= 2 for r in rows)
     assert any(r["n_batches"] == 2 for r in rows)
     assert all(0 < r["mean_code_err"] < 0.01 for r in rows)
+
+
+def test_int8_search_matches_float_search(spark, tmp_path):
+    """The quantized-scan + float-rerank path returns the same top-k as
+    the float search whenever the int8 shortlist covers it (oversample
+    headroom) — and its first-pass ranking never touches the float
+    table (memory-tight contract checked on recall, not the plan: the
+    shortlist join is by id, bounded by |queries|*k*oversample)."""
+    e = _emb(spark)
+    path = str(tmp_path / "ivf_i8")
+    build_ivf_index(spark, e, path, k_cells=4)
+    queries = e.filter(F.col("vec_id") % 100 == 7)
+
+    from spark_pipeline_spark.ann_index import ivf_index_search_int8
+
+    got_f = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_index_search(spark, path, queries, k=5, nprobe=2).collect()
+    }
+    got_i = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in ivf_index_search_int8(
+            spark, path, queries, k=5, nprobe=2, oversample=4
+        ).collect()
+    }
+    assert len(got_i) == len(got_f) == 5 * queries.count()
+    # rerank is exact-float, so agreement is per-(query, rank) recall;
+    # int8 first-pass can only miss a true neighbor if quantization
+    # reorders it out of the 4x shortlist — demand near-total agreement
+    agree = sum(got_i[k2] == got_f[k2] for k2 in got_f)
+    assert agree / len(got_f) >= 0.95, (agree, len(got_f))

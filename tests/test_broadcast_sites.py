@@ -56,6 +56,8 @@ _ALLOWED = {
     "contract",
     ("ann_index.py", "q_probes"): "fixed query set × nprobe cells "
     "(search API contract; the corpus side never shuffles)",
+    ("ann_index.py", "qv"): "fixed query set (float rerank side of the "
+    "int8 search; corpus shortlist is |queries|*k*oversample rows)",
     ("ann_index.py", "tot"): "one-row per-cell-totals aggregate",
     ("operators/packing.py", "offsets"): "per-bucket offsets: fixed bucket count",
     ("operators/packing.py", "bounds"): "one-row length-quantile bounds",

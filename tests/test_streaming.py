@@ -1558,3 +1558,67 @@ def test_stream_semantic_dedup_sink_replay_excludes_self_batch(spark, tmp_path):
     run_once()
     second = {r["vec_id"] for r in spark.read.parquet(acc).collect()}
     assert second == first, "replay changed the accepted set (self-veto?)"
+
+
+def test_expire_index_batches_sliding_window_dedup(spark, tmp_path):
+    """TTL retention: after expiring the oldest batch, (a) its
+    directories are gone from every sub-table, (b) a near-copy of a doc
+    the EXPIRED batch accepted is now ACCEPTED (the veto horizon slid
+    past it), (c) docs in retained batches still veto, and (d) the call
+    is idempotent."""
+    from spark_pipeline_spark.streaming import (
+        expire_index_batches,
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "ttl_src")
+    idx = str(tmp_path / "ttl_idx")
+    acc = str(tmp_path / "ttl_acc")
+    ckpt = str(tmp_path / "ttl_ckpt")
+
+    def run_once():
+        q = stream_dedup_lsh_sink(
+            read_parquet_stream(
+                spark, src, "doc_id bigint, text string",
+                max_files_per_trigger=1,
+            ),
+            idx, acc, "doc_id", "text", threshold=0.9, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    # batch 0 and batch 1, distinct doc populations
+    d.filter(F.col("doc_id") < 100).coalesce(1).write.mode("append").parquet(src)
+    d.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    run_once()
+    acc_ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    batch0_doc = min(i for i in acc_ids if i < 100)
+    batch1_doc = min(i for i in acc_ids if i >= 100)
+
+    expired = expire_index_batches(spark, idx, 1, ("bands", "shingles"))
+    assert expired == {"bands": [0], "shingles": [0]}
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(idx + "/bands").select("batch").distinct().collect()
+    }
+    assert batches == {1}
+    # idempotent: nothing older than the horizon remains
+    assert expire_index_batches(spark, idx, 1, ("bands", "shingles")) == {
+        "bands": [], "shingles": [],
+    }
+
+    # batch 2: copies of one expired-batch doc and one retained-batch doc
+    d.filter(F.col("doc_id") == batch0_doc).withColumn(
+        "doc_id", F.lit(9100).cast("long")
+    ).unionByName(
+        d.filter(F.col("doc_id") == batch1_doc).withColumn(
+            "doc_id", F.lit(9101).cast("long")
+        )
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert 9100 in ids  # expired doc no longer vetoes: horizon slid past
+    assert 9101 not in ids  # retained doc still vetoes

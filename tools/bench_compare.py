@@ -1,0 +1,84 @@
+"""Diff two bench_full_*.json artifacts per query, floor-adjusted.
+
+Usage: ``python tools/bench_compare.py OLD.json NEW.json [--top N]``
+
+`bench.py` writes the full untruncated result (timings + spreads +
+the measured per-job scheduling floor) to ``bench_full_latest.json``;
+committing one per round (``bench_full_rN.json``) makes regressions
+diffable from artifacts alone — the gap VERDICT r10 called out.
+
+Comparison is done on FLOOR-ADJUSTED times (max(t − floor, 0) with each
+file's own measured floor): on local[N] every query pays a fixed ~0.2 s
+job-submission cost that a real cluster amortizes away, so raw ratios on
+sub-0.5 s queries measure the box, not the plan. Queries whose adjusted
+time is under ``--floor-x`` floors in BOTH runs are reported but never
+flagged: they are scheduling-floor-bound and their ratio is noise by
+construction.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--top", type=int, default=15, help="rows to print")
+    ap.add_argument(
+        "--flag-ratio", type=float, default=1.5,
+        help="flag queries whose adjusted ratio exceeds this",
+    )
+    ap.add_argument(
+        "--floor-x", type=float, default=2.0,
+        help="adjusted times under this many floors are never flagged",
+    )
+    args = ap.parse_args()
+
+    old = json.load(open(args.old))
+    new = json.load(open(args.new))
+    f_old = old.get("floor_sec", 0.0)
+    f_new = new.get("floor_sec", 0.0)
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    added = sorted(set(new["queries"]) - set(old["queries"]))
+    removed = sorted(set(old["queries"]) - set(new["queries"]))
+
+    rows = []
+    flagged = []
+    for q in common:
+        to, tn = old["queries"][q], new["queries"][q]
+        ao, an = max(to - f_old, 0.0), max(tn - f_new, 0.0)
+        ratio = an / ao if ao > 1e-9 else (1.0 if an < 1e-9 else float("inf"))
+        floor_bound = ao < args.floor_x * f_old and an < args.floor_x * f_new
+        rows.append((ratio, q, to, tn, ao, an, floor_bound))
+        if ratio > args.flag_ratio and not floor_bound:
+            flagged.append(q)
+
+    rows.sort(reverse=True)
+    tot_o = sum(old["queries"][q] for q in common)
+    tot_n = sum(new["queries"][q] for q in common)
+    adj_o = sum(max(old["queries"][q] - f_old, 0.0) for q in common)
+    adj_n = sum(max(new["queries"][q] - f_new, 0.0) for q in common)
+    print(f"common {len(common)} queries | raw {tot_o:.2f}s -> {tot_n:.2f}s "
+          f"({tot_n / tot_o:.2f}x) | floor-adjusted {adj_o:.2f}s -> "
+          f"{adj_n:.2f}s ({adj_n / max(adj_o, 1e-9):.2f}x) | "
+          f"floors {f_old:.3f}/{f_new:.3f}s")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    print(f"\nworst adjusted ratios (top {args.top}; * = floor-bound, not flagged):")
+    for ratio, q, to, tn, ao, an, fb in rows[: args.top]:
+        mark = "*" if fb else (" <-- FLAG" if q in flagged else "")
+        print(f"  {ratio:6.2f}x  {q:45s} raw {to:7.3f}->{tn:7.3f}  "
+              f"adj {ao:7.3f}->{an:7.3f}{mark}")
+    print(f"\nflagged (> {args.flag_ratio}x adjusted, not floor-bound): "
+          f"{flagged or 'none'}")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
