@@ -43,6 +43,7 @@ __all__ = [
     "main_pipeline",
     "main_refresher",
     "main_query",
+    "main_ann",
 ]
 
 
@@ -341,6 +342,112 @@ def main_query(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_ann(argv: list[str] | None = None) -> int:
+    """Operate the persisted IVF index (`ann_index.py`) from a config —
+    the verb that turns the ANN lifecycle into a config + cron line,
+    exactly like ``refresher`` does for aggregate snapshots.
+
+    Config shape::
+
+        {"index-path": "/data/ann_index",
+         "action": "build" | "refresh" | "purge" | "expire" | "stats",
+         # build / refresh:
+         "source": {...},              # any load() source of vectors
+         "id-col": "vec_id",           # default
+         "vec-col": "embedding",       # default
+         "k-cells": 4,                 # build only
+         "iters": 0,                   # build only: Lloyd rounds
+         "batch-id": 7,                # refresh only: replay-idempotent id
+         # purge:
+         "ids": [1, 2, 3],             # or "ids-source": {...} one-col source
+         # expire:
+         "keep-last-n": 30,
+         # refresh / stats: optional report sink
+         "sink": {...}}
+
+    Missing/unknown keys exit 2 with a message, never a bare traceback.
+    """
+    conf, _ = _parse_args(argv, "ann")
+    t0 = time.time()
+    action = conf.get("action")
+    if action not in ("build", "refresh", "purge", "expire", "stats"):
+        print(
+            f"ann config 'action' must be build/refresh/purge/expire/stats, "
+            f"got {action!r}"
+        )
+        return 2
+    if not conf.get("index-path"):
+        print("ann config missing required key: index-path")
+        return 2
+    index_path = conf["index-path"]
+    spark = _session(conf, "ann")
+    from spark_pipeline_spark import ann_index
+    from spark_pipeline_spark.io.sources import load
+
+    id_col = conf.get("id-col", "vec_id")
+    vec_col = conf.get("vec-col", "embedding")
+    report = None
+    if action == "build":
+        if not conf.get("source"):
+            print("ann build requires 'source'")
+            return 2
+        info = ann_index.build_ivf_index(
+            spark, load(spark, conf["source"]), index_path,
+            k_cells=int(conf.get("k-cells", 4)),
+            iters=int(conf.get("iters", 0)),
+            id_col=id_col, vec_col=vec_col,
+        )
+        print(f"built index: {info}")
+    elif action == "refresh":
+        if not conf.get("source"):
+            print("ann refresh requires 'source'")
+            return 2
+        batch_id = conf.get("batch-id")
+        report = ann_index.refresh_ivf_index(
+            spark, load(spark, conf["source"]), index_path,
+            batch_id=None if batch_id is None else int(batch_id),
+            id_col=id_col, vec_col=vec_col,
+        )
+    elif action == "purge":
+        if conf.get("ids") is not None:
+            ids = spark.createDataFrame(
+                [(int(i),) for i in conf["ids"]], f"{id_col} long"
+            )
+        elif conf.get("ids-source"):
+            ids = load(spark, conf["ids-source"])
+        else:
+            print("ann purge requires 'ids' or 'ids-source'")
+            return 2
+        print(
+            "purged:",
+            ann_index.purge_ids_from_ivf_index(spark, index_path, ids),
+        )
+    elif action == "expire":
+        if conf.get("keep-last-n") is None:
+            print("ann expire requires 'keep-last-n'")
+            return 2
+        from spark_pipeline_spark.streaming import expire_index_batches
+
+        print(
+            "expired:",
+            expire_index_batches(
+                spark, index_path, int(conf["keep-last-n"]),
+                ("assignments", "codes"),
+            ),
+        )
+    else:  # stats
+        report = ann_index.ivf_index_stats(spark, index_path)
+    if report is not None:
+        if "sink" in conf:
+            from spark_pipeline_spark.io.sinks import save
+
+            save(report, conf["sink"])
+        else:
+            report.show(50, truncate=False)
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return 0
+
+
 def main_refresher(argv: list[str] | None = None) -> int:
     """Incrementally refresh a persisted aggregate snapshot from a delta
     source — the operational wrapper over ``operators/incremental.py``
@@ -457,7 +564,8 @@ def main_refresher(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":  # pragma: no cover
     raise SystemExit(
-        "invoke via the mover/scorer/trainer/validator/pipeline/refresher "
-        "console scripts or call main_mover/main_scorer/main_trainer/"
-        "main_validator/main_pipeline/main_refresher directly"
+        "invoke via the mover/scorer/trainer/validator/pipeline/refresher/"
+        "query/ann console scripts or call main_mover/main_scorer/"
+        "main_trainer/main_validator/main_pipeline/main_refresher/"
+        "main_query/main_ann directly"
     )

@@ -720,3 +720,67 @@ def test_jsonl_roundtrip_through_dispatchers(spark, tmp_path):
     a = {r["doc_id"]: (r["text"], r["lang"]) for r in src.collect()}
     b = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     assert a == b
+
+
+def test_main_ann_lifecycle_e2e(spark, tmp_path, capsys):
+    """The `ann` verb drives the whole persisted-index lifecycle from
+    configs: build → refresh (report to a sink) → expire → purge →
+    stats, with exit-2 (not tracebacks) on malformed configs."""
+    import json as _json
+
+    from spark_pipeline_spark.cli import main_ann
+
+    idx = str(tmp_path / "ann_idx")
+    emb = f"{SF_SMALL}/embeddings.parquet"
+
+    def conf(d):
+        p = tmp_path / f"ann_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    src_base = {
+        "storage": "file", "format": "parquet", "path": emb,
+        "transform-sql": "SELECT vec_id, embedding FROM dataset_temp WHERE vec_id < 400",
+    }
+    src_new = {
+        "storage": "file", "format": "parquet", "path": emb,
+        "transform-sql": "SELECT vec_id, embedding FROM dataset_temp WHERE vec_id >= 400",
+    }
+    # bad configs exit 2 with a message
+    assert main_ann(["--conf", conf({"action": "bogus", "index-path": idx})]) == 2
+    assert main_ann(["--conf", conf({"action": "build"})]) == 2
+    assert main_ann(["--conf", conf({"action": "build", "index-path": idx})]) == 2
+    capsys.readouterr()
+
+    assert main_ann(["--conf", conf(
+        {"action": "build", "index-path": idx, "source": src_base}
+    )]) == 0
+    assert "built index" in capsys.readouterr().out
+
+    report_out = str(tmp_path / "refresh_report")
+    assert main_ann(["--conf", conf(
+        {"action": "refresh", "index-path": idx, "source": src_new,
+         "batch-id": 1, "sink": {"format": "parquet", "path": report_out}}
+    )]) == 0
+    rep = spark.read.parquet(report_out)
+    assert rep.agg(F.sum("n_new")).first()[0] == 100
+    assert spark.read.parquet(idx + "/assignments").count() == 500
+
+    assert main_ann(["--conf", conf(
+        {"action": "purge", "index-path": idx, "ids": [7]}
+    )]) == 0
+    assert "purged: {'assignments_removed': 1" in capsys.readouterr().out
+
+    assert main_ann(["--conf", conf(
+        {"action": "expire", "index-path": idx, "keep-last-n": 1}
+    )]) == 0
+    batches = {
+        r["batch"] for r in spark.read.parquet(idx + "/assignments")
+        .select("batch").distinct().collect()
+    }
+    assert batches == {1}
+
+    assert main_ann(["--conf", conf(
+        {"action": "stats", "index-path": idx}
+    )]) == 0
+    assert "mean_code_err" in capsys.readouterr().out
