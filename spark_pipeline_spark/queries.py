@@ -16353,6 +16353,10 @@ _DRIVER_WINDOW = [
     # Slots: (a) 2 never-checked; (b) 1 changed-since-green; (c) 8
     # changed-module canaries, stalest-first (decontaminate_documents
     # ALSO has a genuinely changed plan — the de-hinted anti-join);
+    # late-r11 note: similarity.py changed after rotation (norm folds
+    # hoisted below the joins — float-identical by construction); its
+    # in-window canaries are embedding_ann_ivf, embedding_topk_bruteforce
+    # and both (a)-slot queries, all parity-green post-change;
     # (d) family representatives + fill = ALL 30 remaining r5-green
     # rows (the stalest all-time coverage) and the oldest r6/r7 greens,
     # chosen so every graded family (tpch/sketch/scoring/datadiff/

@@ -38,7 +38,8 @@ _ALLOWED = {
     ("operators/similarity.py", "q"): "fixed query set by API contract "
     "(brute-force / IVF probe side)",
     ("operators/similarity.py", "cen"): "k seed centroids (fixed cell count)",
-    ("operators/similarity.py", "q_probes"): "fixed query set × nprobe cells",
+    ("operators/similarity.py", "qn"): "fixed query set × nprobe cells "
+    "(multiprobe side, with its norms precomputed)",
     ("operators/similarity.py", "pv"): "one-row power-iteration direction",
     ("operators/sampling.py", "proportions"): "per-group proportions: "
     "bounded group count by stratification contract",
