@@ -1691,8 +1691,9 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus standing in for an eval set, so contamination is
     guaranteed and the oracle can replay the draw). The benchmark's
     distinct gram hashes broadcast; the corpus meets them in a map-side
-    semi-join and the contaminated-id set anti-joins back by broadcast —
-    the corpus never shuffles."""
+    semi-join; the contaminated-id anti-join is deliberately UN-hinted
+    (the set is corpus-fanout, not benchmark-bounded — AQE
+    broadcast-converts when it is actually small)."""
     from spark_pipeline_spark.operators.dedup import decontaminate
     from spark_pipeline_spark.operators.sampling import hash_sample
 
@@ -16327,6 +16328,230 @@ def streaming_semdedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_in"),
         (F.count(F.lit(1)) - F.count("__dropped")).alias("n_accepted"),
         F.count("__dropped").alias("n_rejected"),
+    )
+
+
+@register(
+    "ks_drift_price_halves",
+    oracle="""
+        WITH rows_ AS (
+          SELECT floor(l_extendedprice * 100 + 0.5)::BIGINT AS v,
+                 CASE WHEN ('0x' || substr(md5(l_orderkey::VARCHAR || '|'
+                            || l_linenumber::VARCHAR), 1, 8))::BIGINT
+                           / 4294967296.0 < 0.5
+                      THEN 1 ELSE 0 END AS a
+          FROM lineitem
+        ),
+        cnt AS (
+          SELECT v, sum(a)::BIGINT AS ca, sum(1 - a)::BIGINT AS cb
+          FROM rows_ GROUP BY v
+        ),
+        tot AS (
+          SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb FROM cnt
+        ),
+        cum AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v)::BIGINT AS cca,
+                 sum(cb) OVER (ORDER BY v)::BIGINT AS ccb
+          FROM cnt
+        ),
+        d AS (
+          SELECT v, abs(cca * nb - ccb * na)::BIGINT AS num
+          FROM cum, tot
+        )
+        SELECT na, nb,
+               (SELECT count(*) FROM cnt)::BIGINT AS n_values,
+               round((SELECT max(num) FROM d)::DOUBLE / (na * nb), 6)
+                 AS d_stat,
+               (SELECT min(v) FROM d WHERE num = (SELECT max(num) FROM d))
+                 AS d_at_cents
+        FROM tot
+    """,
+    tags=("datadiff", "drift", "ks", "stats"),
+)
+def ks_drift_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic between two
+    deterministic hash-halves of lineitem prices — the distribution-
+    shift test that needs no binning choice (completes the drift family:
+    TVD/PSI are bin-dependent, KS is the sup-norm of the ECDF gap).
+    Prices compare as integer cents and the D numerator is the integer
+    |cumA·nB − cumB·nA| (≪ 2^53), so the statistic and its argmax are
+    engine-exact; on honestly-split halves D is small — the query is the
+    null-calibration harness a real drift monitor compares against.
+
+    Scale shape: per-value counts are one map-side-combined aggregate;
+    the ECDF prefix sums run as the two-pass bucket pattern
+    (`packing.py` offsets discipline) — per-BUCKET totals cumsum over a
+    ~|buckets|-row frame that broadcasts back, then an in-bucket window
+    partitioned by bucket — so no global single-partition sort ever
+    happens; the exchange carries |distinct values| fixed-width rows."""
+    from spark_pipeline_spark.functions import md5_unit
+    from pyspark.sql import Window
+
+    l = t(spark, sf_dir, "lineitem")
+    a = (
+        md5_unit(
+            F.concat(
+                F.col("l_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        < 0.5
+    )
+    cnt = (
+        l.select(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+            F.when(a, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("a").cast("long").alias("ca"),
+            F.sum(1 - F.col("a")).cast("long").alias("cb"),
+        )
+    )
+    cnt = query_persist(cnt)
+    tot = cnt.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    # two-pass prefix sum: bucket totals cumsum (tiny frame), then the
+    # in-bucket window — no unpartitioned global sort
+    bucketed = cnt.withColumn("__bkt", (F.col("v") / 100000).cast("long"))
+    bkt_tot = bucketed.groupBy("__bkt").agg(
+        F.sum("ca").alias("__bca"), F.sum("cb").alias("__bcb")
+    )
+    wb = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bkt_tot.select(
+        "__bkt",
+        F.coalesce(F.sum("__bca").over(wb), F.lit(0)).alias("__offa"),
+        F.coalesce(F.sum("__bcb").over(wb), F.lit(0)).alias("__offb"),
+    )
+    wv = Window.partitionBy("__bkt").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        bucketed.join(F.broadcast(offsets), "__bkt")
+        .select(
+            "v",
+            (F.sum("ca").over(wv) + F.col("__offa")).cast("long").alias("cca"),
+            (F.sum("cb").over(wv) + F.col("__offb")).cast("long").alias("ccb"),
+        )
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "na",
+        "nb",
+        "n_values",
+        F.abs(F.col("cca") * F.col("nb") - F.col("ccb") * F.col("na"))
+        .cast("long")
+        .alias("num"),
+    )
+    return d.groupBy("na", "nb", "n_values").agg(
+        F.round(
+            F.max("num").cast("double") / (F.col("na") * F.col("nb")), 6
+        ).alias("d_stat"),
+        F.max_by("v", F.struct(F.col("num"), -F.col("v"))).alias("d_at_cents"),
+    ).select("na", "nb", "n_values", "d_stat", "d_at_cents")
+
+
+@register(
+    "decontamination_attribution_documents",
+    oracle=f"""
+        WITH w AS (
+          SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(
+                   range(1, len(w) - {_DECON_N - 2}),
+                   i -> {" || ' ' || ".join(f"w[i+{k}]" for k in range(_DECON_N)).replace("w[i+0]", "w[i]")}
+                 ))) AS g
+          FROM w WHERE len(w) >= {_DECON_N}
+        ),
+        gh AS (
+          SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+          FROM grams
+        ),
+        bench AS (
+          SELECT doc_id AS bench_id, h FROM gh
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < {_DECON_FRAC}
+        ),
+        bench_ids AS (SELECT DISTINCT bench_id FROM bench),
+        hits AS (
+          SELECT b.bench_id, g.doc_id, b.h
+          FROM gh g JOIN bench b ON g.h = b.h AND g.doc_id != b.bench_id
+        )
+        SELECT bi.bench_id,
+               coalesce(count(DISTINCT h.doc_id), 0)::BIGINT
+                 AS n_contaminated_docs,
+               coalesce(count(DISTINCT h.h), 0)::BIGINT AS n_leaked_grams
+        FROM bench_ids bi LEFT JOIN hits h USING (bench_id)
+        GROUP BY bi.bench_id
+    """,
+    tags=("dedup", "decontamination", "attribution", "llm-pipeline"),
+)
+def decontamination_attribution_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The triage view `decontaminate_documents` doesn't give: PER
+    BENCHMARK ITEM, how many corpus documents share an 8-gram with it
+    and how many of its grams leaked — the report that tells an eval
+    owner WHICH test items are compromised (and whether it's one stock
+    phrase or wholesale copying) before anyone re-runs the eval. Bench
+    items with zero leakage appear with zeros: 'clean' is a statement,
+    not an absence.
+
+    Scale shape: one gram pass over the corpus (the decontaminate
+    machinery); the benchmark's (id, gram-hash) frame is
+    benchmark-bounded and meets the corpus gram stream in an equi-join
+    on the hash; per-bench-item distinct aggregates are map-side
+    combined. No hint on the hit join — the hit set is corpus-fanout,
+    AQE decides (the decontaminate lesson)."""
+    from spark_pipeline_spark.functions import md5_int, md5_unit
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__w")
+    ).filter(F.size("__w") >= _DECON_N)
+    w = F.col("__w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - (_DECON_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + k) for k in range(_DECON_N)]
+            ),
+        )
+    )
+    gh = query_persist(
+        toks.select("doc_id", F.explode(grams).alias("__g")).select(
+            "doc_id", md5_int(F.col("__g")).alias("h")
+        )
+    )
+    is_bench = md5_unit("doc_id") < _DECON_FRAC
+    bench = gh.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "h")
+    bench_ids = d.filter(is_bench).select(F.col("doc_id").alias("bench_id"))
+    hits = (
+        gh.join(bench, "h")
+        .filter(F.col("doc_id") != F.col("bench_id"))
+        .select("bench_id", "doc_id", "h")
+    )
+    per_bench = hits.groupBy("bench_id").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_contaminated_docs"),
+        F.countDistinct("h").cast("long").alias("n_leaked_grams"),
+    )
+    return bench_ids.join(per_bench, "bench_id", "left").select(
+        "bench_id",
+        F.coalesce("n_contaminated_docs", F.lit(0)).cast("long").alias(
+            "n_contaminated_docs"
+        ),
+        F.coalesce("n_leaked_grams", F.lit(0)).cast("long").alias(
+            "n_leaked_grams"
+        ),
     )
 
 

@@ -83,6 +83,7 @@ _NLJ_ALLOWED = {
     "ivf_incremental_assign_embeddings",  # centroid broadcast + one-row totals
     "streaming_semdedup_replay",  # k-centroid frames broadcast (ivf_assign shape)
     "ivf_index_lifecycle_report",  # k-centroid frames broadcast (ivf_assign shape)
+    "ks_drift_price_halves",  # one-row totals broadcast over |values| rows
 }
 
 
@@ -328,6 +329,8 @@ _BOUNDED_HINTS = {
     "embedding_near_dup_ivf": "seed centroids (fixed k cells)",
     "semdedup_prune_embeddings": "seed centroids (fixed k cells)",
     "streaming_semdedup_replay": "seed centroids (fixed k cells)",
+    "ks_drift_price_halves": "per-bucket ECDF offsets: fixed bucket count "
+    "(price-range/1e5 buckets, the packing.py two-pass prefix-sum shape)",
     "kmeans_update_centroids": "k seed centroids",
     "ivf_recall_report": "seed centroids + fixed query set",
     "ann_ndcg_mrr_report": "seed centroids + fixed query set",
