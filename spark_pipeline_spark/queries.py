@@ -16586,8 +16586,10 @@ _DRIVER_WINDOW = [
     # rows (the stalest all-time coverage) and the oldest r6/r7 greens,
     # chosen so every graded family (tpch/sketch/scoring/datadiff/
     # sample/quality/events/text/dedup) keeps a window representative.
-    # --- (a) 2 never driver-checked ---
+    # --- (a) 4 never driver-checked (2 late-r11 registrations took the
+    #     two newest-fill slots: new registrations outrank stale greens) ---
     "ivf_index_lifecycle_report", "streaming_semdedup_replay",
+    "ks_drift_price_halves", "decontamination_attribution_documents",
     # --- (b) changed since green ---
     "split_repair_documents",
     # --- (c) 8 changed-module canaries (dedup.py / graph.py /
@@ -16618,7 +16620,6 @@ _DRIVER_WINDOW = [
     "zorder_orders_locality", "zscore_orders_by_month",
     "ab_test_purchase_rate", "chi_square_orders_status_priority",
     "chunk_documents_overlapping", "cohort_retention_events",
-    "correlation_matrix_lineitem", "cube_orders_status_priority",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
