@@ -121,6 +121,15 @@ def build_ivf_index(
         base.orderBy(w).limit(k_cells)
         .select(w.alias("cell"), F.col("embedding").alias("centroid"))
     )
+    # An empty corpus must refuse loudly: a centroid-less index silently
+    # drops every vector a later refresh assigns (ivf_assign against zero
+    # cells keeps nothing) — the worst failure mode is the quiet one.
+    if not seeds.head(1):
+        raise ValueError(
+            "build_ivf_index: source has no vectors — refusing to write a "
+            "centroid-less index (refreshes against it would silently drop "
+            "every vector)"
+        )
     cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
 
     # centroids: staged swap (replace-in-place table)
@@ -205,11 +214,18 @@ def refresh_ivf_index(
 
     # growth-skew report: persisted history (excluding this batch — a
     # replay must not count its own half-written rows as "existing")
-    # vs the batch just written, read back from its committed directory
-    new_counts = (
-        spark.read.parquet(f"{asg_path}/batch={batch_id}")
-        .groupBy("cell").agg(F.count(F.lit(1)).alias("n_new"))
-    )
+    # vs the batch just written, read back from its committed directory.
+    # An EMPTY batch (cron tick with no new data) writes no data files,
+    # so its dir can't be re-read — the zero-new report is built directly.
+    new_batch = _try_read(spark, f"{asg_path}/batch={batch_id}")
+    if new_batch is not None:
+        new_counts = new_batch.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_new")
+        )
+    else:
+        new_counts = cen.select(
+            "cell", F.lit(0).cast("long").alias("n_new")
+        ).limit(0)
     if existing is not None:
         old_counts = (
             existing.filter(F.col("batch") != batch_id)

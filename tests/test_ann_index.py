@@ -199,3 +199,30 @@ def test_int8_search_matches_float_search(spark, tmp_path):
     # reorders it out of the 4x shortlist — demand near-total agreement
     agree = sum(got_i[k2] == got_f[k2] for k2 in got_f)
     assert agree / len(got_f) >= 0.95, (agree, len(got_f))
+
+
+def test_empty_corpus_build_refuses_and_empty_refresh_is_graceful(
+    spark, tmp_path
+):
+    """An empty corpus must not produce a centroid-less index (a later
+    refresh against it would silently drop every vector) — build raises.
+    An empty REFRESH batch (cron tick with no new data) is the normal
+    case and reports zero growth everywhere."""
+    import pytest
+
+    e = _emb(spark)
+    empty = e.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="no vectors"):
+        build_ivf_index(spark, empty, str(tmp_path / "ivf_empty"))
+
+    path = str(tmp_path / "ivf_tick")
+    build_ivf_index(spark, e, path)
+    rep = refresh_ivf_index(spark, empty, path, batch_id=1).collect()
+    assert rep and all(r["n_new"] == 0 for r in rep)
+    assert sum(r["n_existing"] for r in rep) == 500
+    assert all(r["resplit_flag"] == 0 for r in rep)
+    # search still works over the unchanged corpus
+    got = ivf_index_search(
+        spark, path, e.filter(F.col("vec_id") == 5), k=3
+    ).collect()
+    assert len(got) == 3
