@@ -16555,6 +16555,142 @@ def decontamination_attribution_documents(
     )
 
 
+@register(
+    "streaming_dedup_ttl_replay",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        docs AS (SELECT doc_id, doc_id % 3 AS b FROM documents),
+        e AS (
+          SELECT s.src, s.dst, ds.b AS sb, dd.b AS db
+          FROM (SELECT id_a AS src, id_b AS dst FROM ver
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM ver) s
+            JOIN docs ds ON ds.doc_id = s.src
+            JOIN docs dd ON dd.doc_id = s.dst
+        ),
+        acc0 AS (
+          SELECT doc_id FROM docs WHERE b = 0 AND doc_id NOT IN
+            (SELECT dst FROM e WHERE sb = 0 AND db = 0 AND src < dst)
+        ),
+        drop1 AS (
+          SELECT dst FROM e WHERE sb = 1 AND db = 1 AND src < dst
+          UNION
+          SELECT dst FROM e
+          WHERE db = 1 AND src IN (SELECT doc_id FROM acc0)
+        ),
+        acc1 AS (
+          SELECT doc_id FROM docs
+          WHERE b = 1 AND doc_id NOT IN (SELECT dst FROM drop1)
+        ),
+        -- TTL horizon = 1 batch: batch 2 is vetoed ONLY by batch 1's
+        -- accepted docs (batch 0's index entries have expired)
+        drop2 AS (
+          SELECT dst FROM e WHERE sb = 2 AND db = 2 AND src < dst
+          UNION
+          SELECT dst FROM e
+          WHERE db = 2 AND src IN (SELECT doc_id FROM acc1)
+        ),
+        acc2 AS (
+          SELECT doc_id FROM docs
+          WHERE b = 2 AND doc_id NOT IN (SELECT dst FROM drop2)
+        ),
+        acc AS (SELECT doc_id FROM acc0 UNION ALL SELECT doc_id FROM acc1
+                UNION ALL SELECT doc_id FROM acc2)
+        SELECT d.b AS batch,
+               count(*) AS n_in,
+               count(a.doc_id) AS n_accepted,
+               count(*) - count(a.doc_id) AS n_rejected
+        FROM docs d LEFT JOIN acc a ON a.doc_id = d.doc_id
+        GROUP BY d.b
+    """,
+    tags=("streaming", "dedup", "ttl", "replay", "llm-pipeline"),
+)
+def streaming_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`expire_index_batches`' sliding-window semantics as one
+    driver-hashable batch query: the LSH sink's accept/reject protocol
+    (`streaming_dedup_lsh_replay`) under a keep-newest-1 retention
+    policy — batch b is vetoed only by batch b−1's ACCEPTED docs, never
+    by the expired batch b−2 (a doc past the horizon stops vetoing, the
+    bounded-state trade the TTL test pins on the live sink). Returns
+    per-batch (n_in, n_accepted, n_rejected); on this corpus the
+    horizon's effect is observable as batch-2 acceptances the unbounded
+    replay rejects.
+
+    Plan shape: identical to the LSH replay — the verified pair set
+    computes ONCE; only the fold's "earlier accepted" frame narrows to
+    the previous batch, so the TTL variant costs the same one pair pass."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+
+    d = t(spark, sf_dir, "documents")
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    docs = d.select("doc_id", F.pmod("doc_id", F.lit(3)).alias("b"))
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    e = query_persist(
+        sym.join(docs.select(F.col("doc_id").alias("src"), F.col("b").alias("sb")), "src")
+        .join(docs.select(F.col("doc_id").alias("dst"), F.col("b").alias("db")), "dst")
+    )
+
+    flagged = []
+    last_accepted = None  # keep-newest-1: only the PREVIOUS batch vetoes
+    for b in range(3):
+        batch_docs = docs.filter(F.col("b") == b)
+        drops = (
+            e.filter((F.col("sb") == b) & (F.col("db") == b) & (F.col("src") < F.col("dst")))
+            .select("dst")
+        )
+        if last_accepted is not None:
+            drops = drops.unionByName(
+                e.filter(F.col("db") == b)
+                .join(last_accepted.withColumnRenamed("doc_id", "src"), "src")
+                .select("dst")
+            )
+        drops = drops.distinct()
+        accepted_b = batch_docs.join(
+            drops, batch_docs["doc_id"] == drops["dst"], "left_anti"
+        ).select("doc_id")
+        last_accepted = accepted_b  # horizon slides: b-1 only
+        flagged.append(
+            batch_docs.join(
+                drops.withColumnRenamed("dst", "doc_id").withColumn(
+                    "__dropped", F.lit(1)
+                ),
+                "doc_id",
+                "left",
+            ).select("b", "__dropped")
+        )
+
+    tagged = flagged[0]
+    for f_ in flagged[1:]:
+        tagged = tagged.unionByName(f_)
+    return tagged.groupBy(F.col("b").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_in"),
+        (F.count(F.lit(1)) - F.count("__dropped")).alias("n_accepted"),
+        F.count("__dropped").alias("n_rejected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -16586,10 +16722,11 @@ _DRIVER_WINDOW = [
     # rows (the stalest all-time coverage) and the oldest r6/r7 greens,
     # chosen so every graded family (tpch/sketch/scoring/datadiff/
     # sample/quality/events/text/dedup) keeps a window representative.
-    # --- (a) 4 never driver-checked (2 late-r11 registrations took the
-    #     two newest-fill slots: new registrations outrank stale greens) ---
+    # --- (a) 5 never driver-checked (late-r11 registrations take the
+    #     newest-fill slots: new registrations outrank stale greens) ---
     "ivf_index_lifecycle_report", "streaming_semdedup_replay",
     "ks_drift_price_halves", "decontamination_attribution_documents",
+    "streaming_dedup_ttl_replay",
     # --- (b) changed since green ---
     "split_repair_documents",
     # --- (c) 8 changed-module canaries (dedup.py / graph.py /
@@ -16618,7 +16755,7 @@ _DRIVER_WINDOW = [
     "text_stats_documents", "train_logistic_gd_lineitem",
     "unpivot_lineitem_charges", "window_lag_rolling_orders",
     "zorder_orders_locality", "zscore_orders_by_month",
-    "ab_test_purchase_rate", "chi_square_orders_status_priority",
+    "chi_square_orders_status_priority",
     "chunk_documents_overlapping", "cohort_retention_events",
 ]
 

@@ -385,9 +385,10 @@ def test_driver_window_contract():
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r11 never-checked commitments: the four new registrations
+        # r11 never-checked commitments: the five new registrations
         "ivf_index_lifecycle_report", "streaming_semdedup_replay",
         "ks_drift_price_halves", "decontamination_attribution_documents",
+        "streaming_dedup_ttl_replay",
         # changed since green (docstring block edited in r11)
         "split_repair_documents",
         # module-changed canaries (dedup.py / graph.py / streaming.py);
