@@ -350,19 +350,23 @@ def main_ann(argv: list[str] | None = None) -> int:
     Config shape::
 
         {"index-path": "/data/ann_index",
-         "action": "build" | "refresh" | "purge" | "expire" | "stats",
-         # build / refresh:
+         "action": "build" | "refresh" | "search" | "purge" | "expire"
+                   | "stats",
+         # build / refresh / search:
          "source": {...},              # any load() source of vectors
          "id-col": "vec_id",           # default
          "vec-col": "embedding",       # default
          "k-cells": 4,                 # build only
          "iters": 0,                   # build only: Lloyd rounds
          "batch-id": 7,                # refresh only: replay-idempotent id
+         # search: source = the query vectors
+         "k": 5, "nprobe": 1,
+         "quantized": true,            # int8 codes scan + float rerank
          # purge:
          "ids": [1, 2, 3],             # or "ids-source": {...} one-col source
          # expire:
          "keep-last-n": 30,
-         # refresh / stats: optional report sink
+         # refresh / search / stats: optional result sink
          "sink": {...}}
 
     Missing/unknown keys exit 2 with a message, never a bare traceback.
@@ -370,10 +374,10 @@ def main_ann(argv: list[str] | None = None) -> int:
     conf, _ = _parse_args(argv, "ann")
     t0 = time.time()
     action = conf.get("action")
-    if action not in ("build", "refresh", "purge", "expire", "stats"):
+    if action not in ("build", "refresh", "search", "purge", "expire", "stats"):
         print(
-            f"ann config 'action' must be build/refresh/purge/expire/stats, "
-            f"got {action!r}"
+            f"ann config 'action' must be build/refresh/search/purge/expire/"
+            f"stats, got {action!r}"
         )
         return 2
     if not conf.get("index-path"):
@@ -407,6 +411,20 @@ def main_ann(argv: list[str] | None = None) -> int:
             spark, load(spark, conf["source"]), index_path,
             batch_id=None if batch_id is None else int(batch_id),
             id_col=id_col, vec_col=vec_col,
+        )
+    elif action == "search":
+        if not conf.get("source"):
+            print("ann search requires 'source' (the query vectors)")
+            return 2
+        fn = (
+            ann_index.ivf_index_search_int8
+            if conf.get("quantized")
+            else ann_index.ivf_index_search
+        )
+        report = fn(
+            spark, index_path, load(spark, conf["source"]),
+            k=int(conf.get("k", 5)), nprobe=int(conf.get("nprobe", 1)),
+            query_id=id_col, vec_col=vec_col,
         )
     elif action == "purge":
         if conf.get("ids") is not None:

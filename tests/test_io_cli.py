@@ -784,3 +784,24 @@ def test_main_ann_lifecycle_e2e(spark, tmp_path, capsys):
         {"action": "stats", "index-path": idx}
     )]) == 0
     assert "mean_code_err" in capsys.readouterr().out
+
+    # search: both the float path and the quantized-scan path, to a sink
+    hits_out = str(tmp_path / "search_hits")
+    q_src = {
+        "storage": "file", "format": "parquet", "path": emb,
+        "transform-sql": "SELECT vec_id, embedding FROM dataset_temp "
+                         "WHERE vec_id = 450",
+    }
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "source": q_src,
+         "k": 3, "nprobe": 2,
+         "sink": {"format": "parquet", "path": hits_out}}
+    )]) == 0
+    hits = spark.read.parquet(hits_out)
+    assert hits.count() == 3
+    assert {r["neighbor_id"] for r in hits.collect()} >= {450}
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "source": q_src,
+         "k": 3, "nprobe": 2, "quantized": True}
+    )]) == 0
+    assert "neighbor_id" in capsys.readouterr().out
