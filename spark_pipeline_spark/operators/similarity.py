@@ -329,12 +329,25 @@ def hyperplane_near_dup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    va = sig.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
-    vb = sig.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
+    va = sig.select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va")
+    ).withColumn("__na", l2_norm("__va"))
+    vb = sig.select(
+        F.col("__id").alias("id_b"), F.col("__v").alias("__vb")
+    ).withColumn("__nb", l2_norm("__vb"))
+    denom = F.col("__na") * F.col("__nb")
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine_similarity("__va", "__vb").alias("cosine"))
+        .select(
+            "id_a",
+            "id_b",
+            F.when(denom != 0, dot_product("__va", "__vb") / denom).alias(
+                "cosine"
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
     )
 

@@ -3822,21 +3822,29 @@ def semdedup_prune_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
+    # norms once per row below the pair join (the similarity.py argument:
+    # interpreted HOF folds get no codegen CSE); float-identical
     a = cs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
         "cell",
         F.col("centroid_sim").alias("sa"),
+        l2_norm("embedding").alias("na"),
     )
     b = cs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
         F.col("cell").alias("cell_b"),
         F.col("centroid_sim").alias("sb"),
+        l2_norm("embedding").alias("nb"),
     )
+    pair_denom = F.col("na") * F.col("nb")
+    pair_cos = F.when(pair_denom != 0, dot_product("va", "vb") / pair_denom)
     dropped = (
         a.join(b, (F.col("cell") == F.col("cell_b")) & (F.col("id_a") != F.col("id_b")))
-        .filter(F.round(cosine_similarity("va", "vb"), 6) >= 0.4)
+        .filter(F.round(pair_cos, 6) >= 0.4)
         .filter(
             (F.col("sa") < F.col("sb"))
             | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
@@ -16267,21 +16275,27 @@ def streaming_semdedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity("embedding", "centroid"), 6).alias("s"),
         )
     )
+    from spark_pipeline_spark.functions import dot_product, l2_norm
+
     x = cs.select(
         F.col("vec_id").alias("src"), F.col("embedding").alias("__vx"),
         "cell", F.col("s").alias("ss"), F.col("b").alias("sb"),
+        l2_norm("embedding").alias("__nx"),
     )
     y = cs.select(
         F.col("vec_id").alias("dst"), F.col("embedding").alias("__vy"),
         F.col("cell").alias("cell_y"), F.col("s").alias("sd"),
         F.col("b").alias("db"),
+        l2_norm("embedding").alias("__ny"),
     )
+    pair_denom = F.col("__nx") * F.col("__ny")
+    pair_cos = F.when(pair_denom != 0, dot_product("__vx", "__vy") / pair_denom)
     edges = query_persist(
         x.join(
             y,
             (F.col("cell") == F.col("cell_y")) & (F.col("src") != F.col("dst")),
         )
-        .filter(F.round(cosine_similarity("__vx", "__vy"), 6) >= 0.4)
+        .filter(F.round(pair_cos, 6) >= 0.4)
         .select("src", "dst", "ss", "sd", "sb", "db")
     )
     policy = (F.col("ss") < F.col("sd")) | (

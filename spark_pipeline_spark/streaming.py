@@ -904,6 +904,7 @@ def stream_semantic_dedup_sink(
     (centroids broadcast) plus within-cell pair joins against batch +
     index — the corpus is never re-paired with itself.
     """
+    from spark_pipeline_spark.functions import dot_product, l2_norm
     from spark_pipeline_spark.operators.similarity import (
         cosine_similarity,
         ivf_assign,
@@ -940,6 +941,10 @@ def stream_semantic_dedup_sink(
                     F.round(cosine_similarity("__v", "centroid"), 6).alias(
                         "__csim"
                     ),
+                    # norm materialized once per row: the pair joins below
+                    # then pay only the dot fold per pair (HOF folds get
+                    # no codegen CSE — operators/similarity.py's argument)
+                    l2_norm("__v").alias("__n"),
                 )
             )
 
@@ -948,10 +953,16 @@ def stream_semantic_dedup_sink(
             a = assigned.select(
                 F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
                 "cell", F.col("__csim").alias("sa"),
+                F.col("__n").alias("__na"),
             )
             b = assigned.select(
                 F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
                 F.col("cell").alias("cell_b"), F.col("__csim").alias("sb"),
+                F.col("__n").alias("__nb"),
+            )
+            pair_denom = F.col("__na") * F.col("__nb")
+            pair_cos = F.when(
+                pair_denom != 0, dot_product("__va", "__vb") / pair_denom
             )
             intra_drop = (
                 a.join(
@@ -959,7 +970,7 @@ def stream_semantic_dedup_sink(
                     (F.col("cell") == F.col("cell_b"))
                     & (F.col("id_a") != F.col("id_b")),
                 )
-                .filter(F.round(cosine_similarity("__va", "__vb"), 6) >= threshold)
+                .filter(F.round(pair_cos, 6) >= threshold)
                 .filter(
                     (F.col("sa") < F.col("sb"))
                     | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
@@ -973,17 +984,19 @@ def stream_semantic_dedup_sink(
             idx = _try_read_parquet(spark, vectors_path)
             if idx is not None:
                 idx = idx.filter(F.col("batch") != batch_id)
+                cross_denom = F.col("__n") * F.col("__ni")
+                cross_cos = F.when(
+                    cross_denom != 0, dot_product("__v", "__vi") / cross_denom
+                )
                 cross_drop = (
                     assigned.join(
                         idx.select(
                             F.col("cell").alias("cell_i"),
                             F.col("__v").alias("__vi"),
-                        ),
+                        ).withColumn("__ni", l2_norm("__vi")),
                         F.col("cell") == F.col("cell_i"),
                     )
-                    .filter(
-                        F.round(cosine_similarity("__v", "__vi"), 6) >= threshold
-                    )
+                    .filter(F.round(cross_cos, 6) >= threshold)
                     .select(F.col("__id").alias("__drop_id"))
                     .distinct()
                 )
