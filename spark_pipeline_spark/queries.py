@@ -16741,8 +16741,9 @@ _DRIVER_WINDOW = [
     "ivf_index_lifecycle_report", "streaming_semdedup_replay",
     "ks_drift_price_halves", "decontamination_attribution_documents",
     "streaming_dedup_ttl_replay",
-    # --- (b) changed since green ---
-    "split_repair_documents",
+    # --- (b) changed since green (split_repair: docstring block;
+    #     semdedup_prune: the late-r11 norm hoist in its pair join) ---
+    "split_repair_documents", "semdedup_prune_embeddings",
     # --- (c) 8 changed-module canaries (dedup.py / graph.py /
     #     streaming.py), stalest green first ---
     "decontaminate_documents", "dedup_exact_documents",
@@ -16769,7 +16770,6 @@ _DRIVER_WINDOW = [
     "text_stats_documents", "train_logistic_gd_lineitem",
     "unpivot_lineitem_charges", "window_lag_rolling_orders",
     "zorder_orders_locality", "zscore_orders_by_month",
-    "chi_square_orders_status_priority",
     "chunk_documents_overlapping", "cohort_retention_events",
 ]
 

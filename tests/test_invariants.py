@@ -389,8 +389,8 @@ def test_driver_window_contract():
         "ivf_index_lifecycle_report", "streaming_semdedup_replay",
         "ks_drift_price_halves", "decontamination_attribution_documents",
         "streaming_dedup_ttl_replay",
-        # changed since green (docstring block edited in r11)
-        "split_repair_documents",
+        # changed since green (docstring block / late-r11 norm hoist)
+        "split_repair_documents", "semdedup_prune_embeddings",
         # module-changed canaries (dedup.py / graph.py / streaming.py);
         # decontaminate_documents additionally has a genuinely changed
         # plan — the de-hinted contaminated-id anti-join
