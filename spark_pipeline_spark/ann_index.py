@@ -65,6 +65,32 @@ def _try_read(spark: SparkSession, path: str) -> DataFrame | None:
     return _try_read_parquet(spark, path)
 
 
+def _empty_search_frame(
+    spark: SparkSession, queries: DataFrame, query_id: str,
+    cen: DataFrame | None,
+) -> DataFrame:
+    """The empty-index search result: purge/expire helpers delete a
+    sub-table's directory when its last row goes, and their contract is
+    that ABSENCE is the empty state every reader handles — so search
+    over a fully-purged index returns zero rows with the normal result
+    schema instead of raising AnalysisException. neighbor_id takes the
+    query id's type (one id domain per index by construction)."""
+    from pyspark.sql import types as T
+
+    qt = queries.schema[query_id].dataType
+    ct = cen.schema["cell"].dataType if cen is not None else T.IntegerType()
+    schema = T.StructType(
+        [
+            T.StructField("query_id", qt),
+            T.StructField("neighbor_id", qt),
+            T.StructField("cell", ct),
+            T.StructField("cosine", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    return spark.createDataFrame([], schema)
+
+
 def _int8_codes(df: DataFrame, vec_col: str) -> DataFrame:
     """Append symmetric int8 codes + the per-vector scale.
 
@@ -165,8 +191,13 @@ def _write_batch(
         assigned.write.mode("overwrite").partitionBy("cell").parquet(
             f"{asg_path}/batch={batch_id}"
         )
+        # scale is persisted at FULL precision: readers reconstruct
+        # x ≈ code/scale, and the parity oracles reconstruct with the
+        # unrounded 127/max|x| — rounding here would drift the 6th
+        # decimal of downstream round(avg(err),6) cells. Round only in
+        # display/report columns, never in the stored value.
         _int8_codes(assigned, "embedding").select(
-            "vec_id", "cell", "codes", F.round("scale", 6).alias("scale")
+            "vec_id", "cell", "codes", "scale"
         ).write.mode("overwrite").parquet(f"{code_path}/batch={batch_id}")
     finally:
         assigned.unpersist()
@@ -341,9 +372,11 @@ def ivf_index_search(
     from spark_pipeline_spark.operators.similarity import cosine_similarity
 
     cen_path, asg_path, _ = _paths(index_path)
-    cen = spark.read.parquet(cen_path).select(
-        "cell", F.col("centroid").alias("__cenv")
-    )
+    cen_raw = _try_read(spark, cen_path)
+    asg_raw = _try_read(spark, asg_path)
+    if cen_raw is None or asg_raw is None:
+        return _empty_search_frame(spark, queries, query_id, cen_raw)
+    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
@@ -361,7 +394,7 @@ def ivf_index_search(
         .filter(F.col("__pr") <= nprobe)
         .select("query_id", "__qv", "cell")
     )
-    corpus = spark.read.parquet(asg_path).select(
+    corpus = asg_raw.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"),
         "cell",
     )
@@ -410,9 +443,12 @@ def ivf_index_search_int8(
     from spark_pipeline_spark.operators.similarity import cosine_similarity
 
     cen_path, asg_path, code_path = _paths(index_path)
-    cen = spark.read.parquet(cen_path).select(
-        "cell", F.col("centroid").alias("__cenv")
-    )
+    cen_raw = _try_read(spark, cen_path)
+    code_raw = _try_read(spark, code_path)
+    asg_raw = _try_read(spark, asg_path)
+    if cen_raw is None or code_raw is None or asg_raw is None:
+        return _empty_search_frame(spark, queries, query_id, cen_raw)
+    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
     q = _int8_codes(
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -439,7 +475,7 @@ def ivf_index_search_int8(
         .select("query_id", "__qc", "__qn2", "cell")
     )
 
-    codes = spark.read.parquet(code_path).select(
+    codes = code_raw.select(
         F.col("vec_id").alias("neighbor_id"),
         F.transform("codes", lambda c: c.cast("long")).alias("__nc"),
         "cell",
@@ -468,7 +504,7 @@ def ivf_index_search_int8(
         .select("query_id", "neighbor_id", "cell")
     )
 
-    floats = spark.read.parquet(asg_path).select(
+    floats = asg_raw.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
     )
     qv = q.select("query_id", "__qv")
@@ -492,9 +528,27 @@ def ivf_index_stats(spark: SparkSession, index_path: str) -> DataFrame:
     batch span, and the int8 codes' mean reconstruction error (mean
     |x - code/scale| per vector, averaged over the cell) — the
     operational dashboard row an index owner watches between rebuilds."""
-    _, asg_path, code_path = _paths(index_path)
-    asg = spark.read.parquet(asg_path)
-    codes = spark.read.parquet(code_path)
+    cen_path, asg_path, code_path = _paths(index_path)
+    asg = _try_read(spark, asg_path)
+    codes = _try_read(spark, code_path)
+    if asg is None or codes is None:
+        # purge/expire delete an emptied sub-table's directory; the
+        # stats view of that state is zero cells, not AnalysisException
+        from pyspark.sql import types as T
+
+        cen = _try_read(spark, cen_path)
+        ct = cen.schema["cell"].dataType if cen is not None else T.IntegerType()
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cell", ct),
+                    T.StructField("n_vectors", T.LongType()),
+                    T.StructField("n_batches", T.LongType()),
+                    T.StructField("mean_code_err", T.DoubleType()),
+                ]
+            ),
+        )
     err = F.when(
         F.col("scale") > 0,
         F.aggregate(

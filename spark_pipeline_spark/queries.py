@@ -16495,7 +16495,14 @@ def ks_drift_price_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
                 / 4294967296.0 < {_DECON_FRAC}
         ),
-        bench_ids AS (SELECT DISTINCT bench_id FROM bench),
+        bench_ids AS (
+          -- hash predicate ALONE (not the grams CTE): a bench doc too
+          -- short to produce any 8-gram still gets its zero row — same
+          -- as the Spark side's d.filter(is_bench)
+          SELECT doc_id AS bench_id FROM documents
+          WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                / 4294967296.0 < {_DECON_FRAC}
+        ),
         hits AS (
           SELECT b.bench_id, g.doc_id, b.h
           FROM gh g JOIN bench b ON g.h = b.h AND g.doc_id != b.bench_id

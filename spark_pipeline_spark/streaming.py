@@ -1304,7 +1304,10 @@ def expire_index_batches(
             out[name] = []
             continue
         ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
-        drop = ids[: len(ids) - keep_last_n] if keep_last_n else ids
+        # clamp the cut point: keep_last_n > len(ids) must drop NOTHING
+        # (a negative slice stop would trim from the END — i.e. asking to
+        # retain MORE batches than exist would delete the oldest ones)
+        drop = ids[: max(0, len(ids) - keep_last_n)] if keep_last_n else ids
         for b in drop:
             _hadoop_delete(spark, f"{path}/batch={b}")
         if len(drop) == len(ids):

@@ -226,3 +226,31 @@ def test_empty_corpus_build_refuses_and_empty_refresh_is_graceful(
         spark, path, e.filter(F.col("vec_id") == 5), k=3
     ).collect()
     assert len(got) == 3
+
+
+def test_fully_purged_index_reads_as_empty_not_error(spark, tmp_path):
+    """purge_ids_from_ivf_index deletes a sub-table's directory when its
+    last row goes, and its contract says absence is the empty state —
+    so search (float and int8 paths) and stats over a fully-purged
+    index return ZERO rows with the normal result columns instead of
+    raising AnalysisException."""
+    from spark_pipeline_spark.ann_index import ivf_index_search_int8
+
+    e = _emb(spark).filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivf_all_purged")
+    build_ivf_index(spark, e, path, k_cells=2)
+    removed = purge_ids_from_ivf_index(
+        spark, path, e.select(F.col("vec_id").alias("id"))
+    )
+    assert removed == {"assignments_removed": 20, "codes_removed": 20}
+
+    q = _emb(spark).filter(F.col("vec_id") == 400)
+    got = ivf_index_search(spark, path, q, k=3, nprobe=2)
+    assert got.count() == 0
+    assert got.columns == ["query_id", "neighbor_id", "cell", "cosine", "rank"]
+    got8 = ivf_index_search_int8(spark, path, q, k=3, nprobe=2)
+    assert got8.count() == 0
+    assert got8.columns == got.columns
+    stats = ivf_index_stats(spark, path)
+    assert stats.count() == 0
+    assert stats.columns == ["cell", "n_vectors", "n_batches", "mean_code_err"]

@@ -1560,6 +1560,34 @@ def test_stream_semantic_dedup_sink_replay_excludes_self_batch(spark, tmp_path):
     assert second == first, "replay changed the accepted set (self-veto?)"
 
 
+def test_expire_keep_more_than_exists_deletes_nothing(spark, tmp_path):
+    """Regression: keep_last_n GREATER than the number of existing
+    batches must expire nothing. The unclamped slice
+    ``ids[: len(ids) - keep_last_n]`` goes negative there, and a
+    negative stop trims from the END — i.e. asking to retain MORE
+    history than exists would silently delete the OLDEST batches
+    (the documented `ann expire` config example is keep-last-n: 30,
+    far above a young index's batch count)."""
+    from spark_pipeline_spark.streaming import expire_index_batches
+
+    idx = str(tmp_path / "idx")
+    for b in range(3):
+        spark.range(5).selectExpr("id AS doc_id").write.parquet(
+            f"{idx}/bands/batch={b}"
+        )
+    assert expire_index_batches(spark, idx, 4, ("bands",)) == {"bands": []}
+    batches = {
+        r["batch"]
+        for r in spark.read.parquet(idx + "/bands")
+        .select("batch").distinct().collect()
+    }
+    assert batches == {0, 1, 2}
+    # boundary: keep exactly what exists — still nothing expired
+    assert expire_index_batches(spark, idx, 3, ("bands",)) == {"bands": []}
+    # and one fewer keeps the NEWEST two, dropping only batch 0
+    assert expire_index_batches(spark, idx, 2, ("bands",)) == {"bands": [0]}
+
+
 def test_expire_index_batches_sliding_window_dedup(spark, tmp_path):
     """TTL retention: after expiring the oldest batch, (a) its
     directories are gone from every sub-table, (b) a near-copy of a doc
