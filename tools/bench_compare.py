@@ -38,10 +38,31 @@ def main() -> int:
     )
     args = ap.parse_args()
 
-    old = json.load(open(args.old))
-    new = json.load(open(args.new))
-    f_old = old.get("floor_sec", 0.0)
-    f_new = new.get("floor_sec", 0.0)
+    def load(path):
+        d = json.load(open(path))
+        # driver BENCH_rN.json artifacts wrap the bench line in "parsed"
+        return d["parsed"] if "parsed" in d and "queries" not in d else d
+
+    old = load(args.old)
+    new = load(args.new)
+    f_old = old.get("floor_sec")
+    f_new = new.get("floor_sec")
+    if f_old is None or f_new is None:
+        # one-sided floor adjustment is asymmetric: subtracting the
+        # scheduling floor from only ONE run flatters it on every
+        # sub-second query. Say so loudly and quote raw numbers first.
+        missing = [
+            p for p, f in ((args.old, f_old), (args.new, f_new)) if f is None
+        ]
+        print(
+            "WARNING: no measured floor_sec in "
+            f"{', '.join(missing)} — treating as 0; the floor-adjusted "
+            "ratio is ASYMMETRIC (flatters the side with a measured "
+            "floor). Trust the RAW ratio for this pair.",
+            file=sys.stderr,
+        )
+    f_old = f_old or 0.0
+    f_new = f_new or 0.0
     common = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     removed = sorted(set(old["queries"]) - set(new["queries"]))
