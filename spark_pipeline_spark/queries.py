@@ -4623,33 +4623,97 @@ _COVERAGE_LEVELS = (0.5, 0.9, 0.99)
 )
 def vocab_coverage_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: smallest top-k term set covering 50 /
-    90 / 99 % of corpus tokens — the tokenizer-sizing statistic. The
-    corpus collapses to its vocabulary FIRST (one term-keyed aggregate);
-    the ordered running-sum window runs over the vocabulary only. At
-    open-web scale the vocabulary is still ≪ corpus but its global
-    window would single-partition — pre-bucket by frequency band first
-    if the vocabulary itself outgrows one task."""
+    90 / 99 % of corpus tokens — the tokenizer-sizing statistic.
+
+    No per-term window at all: within an equal-frequency group the
+    running sum climbs by a CONSTANT n per rank, so after collapsing
+    the vocabulary to its frequency histogram (|distinct n| rows —
+    ≤ √(2·total tokens) since distinct frequencies must sum to ≤ total)
+    the crossing rank is arithmetic: the level lands in the one group
+    with before_sum < ⌈lvl·total⌉ ≤ before_sum + c·n, and the in-group
+    rank is ceil((lvl·total − before_sum)/n). The histogram's ordered
+    prefix sums run as the two-pass bucket pattern (`ks_drift`'s
+    offsets discipline): per-⅛-octave-bucket totals cumsum over a
+    ~|buckets|-row frame that broadcasts back, then an in-bucket window
+    partitioned by bucket — no single-partition global sort anywhere,
+    and the hapax-heavy tail of a Zipf vocabulary collapses to ONE
+    histogram row instead of dominating a window partition.
+
+    Threshold comparisons mirror the oracle's double semantics
+    (bigint running vs double lvl·total) and the division-derived rank
+    is re-checked at ±1 with the exact long-arithmetic comparison, so
+    float slop in the division can't shift the answer."""
     from pyspark.sql import Window
 
     toks = t(spark, sf_dir, "documents").select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), "\\s+")).alias("term")
     )
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.col("term"))
-    ranked = vocab.select(
-        "n",
-        F.row_number().over(w).alias("rk"),
-        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("running"),
-        F.sum("n").over(Window.partitionBy()).alias("total"),
+    byn = query_persist(
+        vocab.groupBy("n").agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+    # two-pass prefix sums over the frequency histogram, DESC by n:
+    # ⅛-octave buckets are order-aligned with n and bound every
+    # in-bucket partition to ≲9 % of its frequency range
+    bucketed = byn.withColumn("__bkt", F.floor(F.log2("n") * 8).cast("long"))
+    bkt_tot = bucketed.groupBy("__bkt").agg(
+        F.sum(F.col("n") * F.col("c")).alias("__bs"), F.sum("c").alias("__bc")
+    )
+    wb = Window.orderBy(F.desc("__bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bkt_tot.select(
+        "__bkt",
+        F.coalesce(F.sum("__bs").over(wb), F.lit(0)).cast("long").alias("__offs"),
+        F.coalesce(F.sum("__bc").over(wb), F.lit(0)).cast("long").alias("__offc"),
+    )
+    wv = Window.partitionBy("__bkt").orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp = bucketed.join(F.broadcast(offsets), "__bkt").select(
+        "n",
+        "c",
+        (
+            F.coalesce(F.sum(F.col("n") * F.col("c")).over(wv), F.lit(0))
+            + F.col("__offs")
+        ).cast("long").alias("before_sum"),
+        (F.coalesce(F.sum("c").over(wv), F.lit(0)) + F.col("__offc"))
+        .cast("long").alias("before_rank"),
+    )
+    tot = byn.agg(F.sum(F.col("n") * F.col("c")).cast("long").alias("total"))
     levels = spark.createDataFrame(
         [(float(v),) for v in _COVERAGE_LEVELS], "coverage double"
     )
-    return (
-        ranked.join(F.broadcast(levels))
-        .filter(F.col("running") >= F.col("coverage") * F.col("total"))
-        .groupBy("coverage")
-        .agg(F.min("rk").alias("k_terms"))
+    thr = F.col("coverage") * F.col("total").cast("double")
+    crossing = (
+        grp.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(levels))
+        .filter(
+            (F.col("before_sum").cast("double") < thr)
+            & (
+                (F.col("before_sum") + F.col("c") * F.col("n")).cast("double")
+                >= thr
+            )
+        )
+    )
+    reach = lambda r: (F.col("before_sum") + r * F.col("n")).cast(
+        "double"
+    ) >= thr
+    r0 = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(
+            F.ceil((thr - F.col("before_sum").cast("double")) / F.col("n"))
+            .cast("long"),
+            F.col("c"),
+        ),
+    )
+    r = (
+        F.when((r0 - 1 >= 1) & reach(r0 - 1), r0 - 1)
+        .when(reach(r0), r0)
+        .otherwise(F.least(r0 + 1, F.col("c")))
+    )
+    return crossing.select(
+        "coverage", (F.col("before_rank") + r).cast("long").alias("k_terms")
     )
 
 
@@ -15668,6 +15732,143 @@ def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("split"))
         .alias("final_split"),
         F.col("__leak").isNotNull().alias("moved"),
+    )
+
+
+@register(
+    "split_repair_components_documents",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sp AS (
+          SELECT doc_id,
+                 CASE WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_TRAIN!r} THEN 'train'
+                      WHEN ('0x' || substr(md5('{_SPLIT_SEED}|' || doc_id::VARCHAR),
+                                           1, 8))::BIGINT / 4294967296.0
+                           < {_SPLIT_VAL!r} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ),
+        comp AS (
+          SELECT n.id AS doc_id, least(n.id, min(r.d)) AS component
+          FROM (SELECT DISTINCT s AS id FROM sym) n
+          JOIN reach r ON r.s = n.id
+          GROUP BY n.id
+        ),
+        cs AS (
+          SELECT c.component,
+                 max(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END) AS has_train,
+                 max(CASE WHEN s.split = 'val' THEN 1 ELSE 0 END) AS has_val
+          FROM comp c JOIN sp s USING (doc_id)
+          GROUP BY c.component
+        ),
+        tgt AS (
+          SELECT c.doc_id,
+                 CASE WHEN cs.has_train = 1 THEN 'train'
+                      WHEN cs.has_val = 1 THEN 'val'
+                      ELSE 'test' END AS comp_split
+          FROM comp c JOIN cs USING (component)
+        )
+        SELECT sp.doc_id, sp.split,
+               coalesce(t.comp_split, sp.split) AS final_split,
+               coalesce(t.comp_split, sp.split) <> sp.split AS moved
+        FROM sp LEFT JOIN tgt t ON t.doc_id = sp.doc_id
+    """,
+    tags=("dedup", "split", "leakage", "graph", "eval", "llm-pipeline"),
+)
+def split_repair_components_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Leakage-free-BY-CONSTRUCTION split repair — the fixed point
+    `split_repair_documents` honestly disclaims: every verified
+    near-dup CONNECTED COMPONENT lands in exactly one split, so ZERO
+    cross-split verified pairs can remain (asserted in
+    `tests/test_graph.py::test_component_split_repair_leakage_free`).
+    Component target: train if any member started in train (training
+    on a dup is harmless; evaluating on one inflates scores), else val
+    if any member started in val, else test — so singleton and
+    already-pure components never move, and the val/test hash draw
+    stays untouched for clean docs, same stability contract as the
+    single-pass repair. The cost of the guarantee is transitivity:
+    a long dup chain pulls its whole component into train even where
+    the single-pass version would have left far ends alone — both
+    queries stay registered so a pipeline owner picks the trade.
+
+    Scale shape: the same banded-LSH verified pairs (never all-pairs),
+    large-star/small-star components (`graph.py` — O(log n) rounds,
+    diameter-independent), then two id-keyed joins: component→split
+    profile is a |components|-row aggregate, the final assignment one
+    left join on doc_id. Everything shuffles on ids, never text."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import connected_components_star
+
+    d = t(spark, sf_dir, "documents")
+    u = md5_unit(
+        F.concat(F.lit(f"{_SPLIT_SEED}|"), F.col("doc_id").cast("string"))
+    )
+    split = (
+        F.when(u < _SPLIT_TRAIN, F.lit("train"))
+        .when(u < _SPLIT_VAL, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    sp = query_persist(d.select("doc_id", split.alias("split")))
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    profile = (
+        comp.join(sp, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max((F.col("split") == "train").cast("int")).alias("__has_train"),
+            F.max((F.col("split") == "val").cast("int")).alias("__has_val"),
+        )
+    )
+    tgt = comp.join(profile, "component").select(
+        "doc_id",
+        F.when(F.col("__has_train") == 1, F.lit("train"))
+        .when(F.col("__has_val") == 1, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("__comp_split"),
+    )
+    return sp.join(tgt, "doc_id", "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("__comp_split", F.col("split")).alias("final_split"),
+        (F.coalesce("__comp_split", F.col("split")) != F.col("split")).alias(
+            "moved"
+        ),
     )
 
 

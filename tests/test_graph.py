@@ -94,3 +94,110 @@ def test_pagerank_mass_conservation_and_tiny_graph(spark):
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["b"] > ranks["a"] and ranks["b"] > ranks["c"]
     assert abs(ranks["a"] - ranks["c"]) < 1e-12  # symmetry
+
+
+def test_component_split_repair_leakage_free(spark):
+    """The property split_repair_components_documents buys with
+    component closure (and the single-pass split_repair_documents
+    honestly disclaims): ZERO verified near-dup pairs cross a split
+    boundary in the final assignment — for EVERY boundary, not just
+    train-vs-eval. Also: the repair must actually differ from the
+    single-pass result on this corpus or the stronger guarantee is
+    vacuously tested, and clean docs must never move."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.queries import REGISTRY, t
+    from tests.conftest import SF_SMALL
+
+    out = REGISTRY["split_repair_components_documents"].fn(
+        spark, SF_SMALL
+    ).persist()
+    d = t(spark, SF_SMALL, "documents")
+    pairs = (
+        minhash_near_dup_pairs(
+            d, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.0
+        )
+        .filter(F.col("jaccard") >= 0.7)
+        .select("id_a", "id_b")
+    )
+    fs = out.select("doc_id", "final_split")
+    crossing = (
+        pairs.join(
+            fs.select(
+                F.col("doc_id").alias("id_a"), F.col("final_split").alias("fa")
+            ),
+            "id_a",
+        )
+        .join(
+            fs.select(
+                F.col("doc_id").alias("id_b"), F.col("final_split").alias("fb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("fa") != F.col("fb"))
+    )
+    assert crossing.count() == 0
+
+    # every doc appears exactly once, moved flag is consistent
+    assert out.count() == d.count()
+    assert out.filter(
+        F.col("moved") != (F.col("split") != F.col("final_split"))
+    ).count() == 0
+    # docs outside any verified pair never move
+    paired = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    ).distinct()
+    clean_moved = out.filter(F.col("moved")).join(paired, "doc_id", "left_anti")
+    assert clean_moved.count() == 0
+
+    out.unpersist()
+
+
+def test_component_closure_repairs_chain_single_pass_misses(spark, tmp_path):
+    """Non-vacuity of the closure guarantee, on a corpus where it
+    BITES (the driver corpora's dup chains are too short to straddle
+    three splits): a train≈val≈test chain A–B–C with J(A,C) < 0.7.
+    Single-pass repair pulls only B (A's direct neighbor) into train
+    and leaves the verified (B, C) pair crossing train/test; component
+    closure moves the whole chain and leaves zero crossings."""
+    import hashlib
+
+    from spark_pipeline_spark.queries import REGISTRY
+
+    def unit(i: int) -> float:
+        return int(
+            hashlib.md5(f"split-v1|{i}".encode()).hexdigest()[:8], 16
+        ) / 2**32
+
+    a_id = next(i for i in range(1, 10_000) if unit(i) < 0.8)
+    b_id = next(i for i in range(1, 10_000) if 0.8 <= unit(i) < 0.9)
+    c_id = next(i for i in range(1, 10_000) if unit(i) >= 0.9)
+    toks = [f"tok{k}" for k in range(1, 12)]
+    # 3-shingle Jaccards: J(A,B)=8/9, J(B,C)=7/9 (both >= 0.7),
+    # J(A,C)=6/9 (< 0.7 -- the chain is genuinely transitive)
+    docs = [
+        (a_id, " ".join(toks[:10])),
+        (b_id, " ".join(toks[:11])),
+        (c_id, " ".join(toks[2:11])),
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf_dir = str(tmp_path)
+
+    def crossings(name):
+        fs = REGISTRY[name].fn(spark, sf_dir).select("doc_id", "final_split")
+        m = {r["doc_id"]: r["final_split"] for r in fs.collect()}
+        return m, sum(
+            1
+            for x, y in [(a_id, b_id), (b_id, c_id)]
+            if m[x] != m[y]
+        )
+
+    single_map, single_x = crossings("split_repair_documents")
+    assert single_map[b_id] == "train"  # direct neighbor pulled in
+    assert single_map[c_id] == "test"  # indirect neighbor missed
+    assert single_x == 1  # the (B, C) pair still crosses
+
+    comp_map, comp_x = crossings("split_repair_components_documents")
+    assert comp_map == {a_id: "train", b_id: "train", c_id: "train"}
+    assert comp_x == 0
