@@ -13,6 +13,8 @@ Layout under ``index_path``::
     centroids/                      (cell int, centroid array<double>)
     assignments/batch=<n>/cell=<c>/ (vec_id, embedding)
     codes/batch=<n>/                (vec_id, cell, codes array<int>, scale)
+    pq_codebook/                    (m int, code int, cv array<double>)
+    codes_pq/batch=<n>/             (vec_id, cell, codes array<int> by m)
 
 Why this shape at 100 TB:
 
@@ -50,7 +52,9 @@ __all__ = [
     "purge_ids_from_ivf_index",
     "ivf_index_search",
     "ivf_index_search_int8",
+    "ivf_index_search_pq",
     "ivf_index_stats",
+    "ivf_index_pq_stats",
 ]
 
 
@@ -114,6 +118,95 @@ def _int8_codes(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+def _pq_paths(index_path: str) -> tuple[str, str]:
+    root = index_path.rstrip("/")
+    return root + "/pq_codebook", root + "/codes_pq"
+
+
+def _sq_dist_micro(a, b):
+    """Squared L2 in integer MICROS — `ann_pq_recall_report`'s
+    determinism contract: every distance rounds to a long BEFORE any
+    ranking or summation, so codes and ADC sums are engine-exact."""
+    fold = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(fold * F.lit(1000000.0), 0).cast("long")
+
+
+def _pq_subspaces(df: DataFrame, vec_col: str, m_sub: int, dim: int):
+    """Explode ``vec_col`` into ``m_sub`` equal contiguous subvectors:
+    one row per (input row, m) with the slice as ``__sv``."""
+    sub_dim = dim // m_sub
+    parts = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.slice(vec_col, m * sub_dim + 1, sub_dim).alias("__sv"),
+            )
+            for m in range(m_sub)
+        ]
+    )
+    return df.withColumn("__part", F.explode(parts)).select(
+        *[c for c in df.columns if c != vec_col],
+        F.col("__part.m").alias("m"),
+        F.col("__part.__sv").alias("__sv"),
+    )
+
+
+def _pq_train_codebook(
+    base: DataFrame, m_sub: int, k_codes: int, dim: int
+) -> DataFrame:
+    """Seed PQ codebook: the ``k_codes`` lowest-id vectors' subvectors
+    (the deterministic stand-in for trained sub-centroids —
+    `ann_pq_recall_report`'s convention, made durable). Returns
+    ``(m, code, cv)`` with code = the seed's rank by vec_id (0-based),
+    so the codebook is engine-independent regardless of which ids the
+    build corpus happens to contain."""
+    from pyspark.sql import Window
+
+    seeds = (
+        base.orderBy("vec_id")
+        .limit(k_codes)
+        .withColumn(
+            "code",
+            F.row_number().over(Window.orderBy("vec_id")).cast("int") - 1,
+        )
+    )
+    return _pq_subspaces(seeds, "embedding", m_sub, dim).select(
+        "m", "code", F.col("__sv").alias("cv")
+    )
+
+
+def _pq_encode(assigned: DataFrame, codebook: DataFrame, dim: int) -> DataFrame:
+    """PQ-encode ``(vec_id, cell, embedding)`` against the (broadcast)
+    codebook: per subspace, the nearest sub-centroid by integer-micro
+    squared L2 (tie → lower code); collapsed to one ``codes`` array
+    ordered by m. The corpus never shuffles to be encoded — only the
+    M·K codebook moves."""
+    m_sub = codebook.select(F.max("m")).first()[0] + 1
+    sub = _pq_subspaces(
+        assigned.select("vec_id", "cell", "embedding"), "embedding", m_sub, dim
+    )
+    d = sub.join(F.broadcast(codebook), "m").select(
+        "vec_id",
+        "cell",
+        "m",
+        "code",
+        _sq_dist_micro(F.col("__sv"), F.col("cv")).alias("__d"),
+    )
+    best = d.groupBy("vec_id", "cell", "m").agg(
+        F.min_by("code", F.struct(F.col("__d"), F.col("code"))).alias("code")
+    )
+    return best.groupBy("vec_id", "cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
 def build_ivf_index(
     spark: SparkSession,
     df: DataFrame,
@@ -122,6 +215,8 @@ def build_ivf_index(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    pq_m: int = 2,
+    pq_k: int = 4,
 ) -> dict:
     """(Re)build the persisted index from scratch: seed centroids from
     the ``k_cells`` lowest-id vectors (deterministic — the convention
@@ -169,10 +264,34 @@ def build_ivf_index(
         cell_id="cell", cell_vec="centroid",
     )
     # a rebuild owns the whole history: drop any previous batch dirs
+    pq_cb_path, pq_codes_path = _pq_paths(index_path)
     _hadoop_delete(spark, asg_path)
     _hadoop_delete(spark, code_path)
+    _hadoop_delete(spark, pq_codes_path)
     n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
-    return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0}
+
+    # PQ codebook: trained once at build (M·K subvector rows, seeded
+    # like the centroids), FIXED across refreshes — codes must stay
+    # comparable across the index lifetime, same contract as centroids.
+    dim = len(spark.read.parquet(cen_path).head()["centroid"])
+    if dim % pq_m:
+        raise ValueError(
+            f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
+        )
+    codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
+    cb_staging = pq_cb_path + "__staging"
+    codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+    spark.read.parquet(cb_staging).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(pq_cb_path)
+    _hadoop_delete(spark, cb_staging)
+    _pq_encode(
+        spark.read.parquet(f"{asg_path}/batch=0"),
+        spark.read.parquet(pq_cb_path),
+        dim,
+    ).write.mode("overwrite").parquet(f"{pq_codes_path}/batch=0")
+    return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0,
+            "pq_m": pq_m, "pq_k": pq_k}
 
 
 def _write_batch(
@@ -242,6 +361,21 @@ def refresh_ivf_index(
         cen, "vec_id", "embedding", cell_id="cell", cell_vec="centroid",
     )
     _write_batch(spark, assigned, asg_path, code_path, batch_id)
+
+    # PQ codes for the batch, against the FIXED persisted codebook (an
+    # index built before the PQ layout existed has none — skip, the
+    # documented backward-compat posture; rebuild to add PQ). Encoded
+    # from the batch's COMMITTED directory so a replay reproduces the
+    # exact rows; an empty batch wrote no files and encodes nothing.
+    pq_cb_path, pq_codes_path = _pq_paths(index_path)
+    codebook = _try_read(spark, pq_cb_path)
+    if codebook is not None:
+        committed = _try_read(spark, f"{asg_path}/batch={batch_id}")
+        if committed is not None:
+            dim = len(cen.head()["centroid"])
+            _pq_encode(committed, codebook, dim).write.mode(
+                "overwrite"
+            ).parquet(f"{pq_codes_path}/batch={batch_id}")
 
     # growth-skew report: persisted history (excluding this batch — a
     # replay must not count its own half-written rows as "existing")
@@ -316,11 +450,13 @@ def purge_ids_from_ivf_index(
     from spark_pipeline_spark.streaming import _hadoop_delete
 
     _, asg_path, code_path = _paths(index_path)
+    _, pq_codes_path = _pq_paths(index_path)
     tomb = ids.toDF("__purge_id")
     out = {}
     for name, path, parts in (
         ("assignments", asg_path, ["batch", "cell"]),
         ("codes", code_path, ["batch"]),
+        ("codes_pq", pq_codes_path, ["batch"]),
     ):
         df = _try_read(spark, path)
         if df is None:
@@ -520,6 +656,175 @@ def ivf_index_search_int8(
         )
         .withColumn("rank", F.row_number().over(rw))
         .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index_search_pq(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    oversample: int = 3,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """PQ (ADC) search against the persisted index: candidate
+    generation + first-pass ranking scan ONLY ``codes_pq/`` (M small
+    ints per vector — the 32× shrink PQ exists for), ranking candidates
+    by asymmetric-distance computation: the query's per-(subspace,
+    code) integer-micro distance table, summed by code lookup. The top
+    ``k·oversample`` shortlist per query then fetches float vectors
+    from ``assignments/`` BY ID for the exact cosine rerank — the same
+    quantized-scan + float-rerank layout as
+    :func:`ivf_index_search_int8`, with PQ as the first pass.
+
+    Determinism: sub-distances round to integer micros before any
+    ranking or summation (`ann_pq_recall_report`'s contract), so codes,
+    ADC sums, and the shortlist are engine-exact; ties break by lower
+    code / lower neighbor_id. Returns the standard
+    ``(query_id, neighbor_id, cell, cosine, rank)`` shape.
+
+    Scale: the ADC table is |queries|·M·K rows (broadcast); the codes
+    scan carries M ints per corpus row and prunes to probed cells via
+    the pushed cell filter; the float table is touched only for
+    |queries|·k·oversample rows via an id equi-join."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    cen_path, asg_path, _ = _paths(index_path)
+    pq_cb_path, pq_codes_path = _pq_paths(index_path)
+    cen_raw = _try_read(spark, cen_path)
+    cb = _try_read(spark, pq_cb_path)
+    pq_raw = _try_read(spark, pq_codes_path)
+    asg_raw = _try_read(spark, asg_path)
+    if cen_raw is None or cb is None or pq_raw is None or asg_raw is None:
+        return _empty_search_frame(spark, queries, query_id, cen_raw)
+
+    dim = len(cen_raw.head()["centroid"])
+    m_sub = cb.select(F.max("m")).first()[0] + 1
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    # probe ranking: nprobe nearest cells by centroid cosine (ties →
+    # lower cell), identical to the float/int8 paths
+    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
+    probe_w = F.struct(
+        cosine_similarity("__qv", "__cenv").alias("s"),
+        (-F.col("cell")).alias("c"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
+    q_probes = (
+        q.join(F.broadcast(cen), how="cross")
+        .withColumn("__probe_ord", probe_w)
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "cell")
+    )
+
+    # ADC table: |queries|·M·K integer-micro sub-distances, broadcast
+    adc = (
+        _pq_subspaces(q.withColumnRenamed("__qv", "embedding"),
+                      "embedding", m_sub, dim)
+        .join(F.broadcast(cb), "m")
+        .select(
+            "query_id", "m", "code",
+            _sq_dist_micro(F.col("__sv"), F.col("cv")).alias("__d"),
+        )
+    )
+
+    cand = (
+        pq_raw.select(
+            F.col("vec_id").alias("neighbor_id"), "cell",
+            F.posexplode("codes").alias("m", "code"),
+        )
+        .join(F.broadcast(q_probes), "cell")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    approx = (
+        cand.join(F.broadcast(adc), ["query_id", "m", "code"])
+        .groupBy("query_id", "neighbor_id", "cell")
+        .agg(F.sum("__d").alias("__adc"))
+    )
+    sw = Window.partitionBy("query_id").orderBy(
+        F.asc("__adc"), F.asc("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("__sr", F.row_number().over(sw))
+        .filter(F.col("__sr") <= k * oversample)
+        .select("query_id", "neighbor_id", "cell")
+    )
+
+    floats = asg_raw.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv")
+    )
+    rw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        shortlist.join(floats, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "neighbor_id", "cell",
+            cosine_similarity("__qv", "__cv").alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
+    """Per-cell PQ health report from the persisted tables: member
+    count and the mean PQ reconstruction error — mean integer-micro
+    squared L2 between each vector and its codebook reconstruction,
+    divided by dim, averaged per cell (the PQ sibling of
+    `ivf_index_stats`' int8 ``mean_code_err``). Absent tables (fully
+    purged / pre-PQ index) read as zero cells, not an error."""
+    from pyspark.sql import types as T
+
+    cen_path, asg_path, _ = _paths(index_path)
+    pq_cb_path, pq_codes_path = _pq_paths(index_path)
+    asg = _try_read(spark, asg_path)
+    cb = _try_read(spark, pq_cb_path)
+    pq = _try_read(spark, pq_codes_path)
+    if asg is None or cb is None or pq is None:
+        cen = _try_read(spark, cen_path)
+        ct = cen.schema["cell"].dataType if cen is not None else T.IntegerType()
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("cell", ct),
+                    T.StructField("n_vectors", T.LongType()),
+                    T.StructField("mean_pq_err_micro", T.DoubleType()),
+                ]
+            ),
+        )
+    dim = len(_try_read(spark, cen_path).head()["centroid"])
+    m_sub = cb.select(F.max("m")).first()[0] + 1
+    sub = _pq_subspaces(
+        asg.select("vec_id", "cell", "embedding"), "embedding", m_sub, dim
+    )
+    coded = pq.select(
+        "vec_id", F.posexplode("codes").alias("m", "code")
+    )
+    err = (
+        sub.join(coded, ["vec_id", "m"])
+        .join(F.broadcast(cb), ["m", "code"])
+        .select(
+            "vec_id", "cell",
+            _sq_dist_micro(F.col("__sv"), F.col("cv")).alias("__d"),
+        )
+        .groupBy("vec_id", "cell")
+        .agg((F.sum("__d") / F.lit(dim)).alias("__verr"))
+    )
+    return err.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.round(F.avg("__verr"), 6).alias("mean_pq_err_micro"),
     )
 
 

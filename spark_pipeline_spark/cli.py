@@ -450,7 +450,7 @@ def main_ann(argv: list[str] | None = None) -> int:
             "expired:",
             expire_index_batches(
                 spark, index_path, int(conf["keep-last-n"]),
-                ("assignments", "codes"),
+                ("assignments", "codes", "codes_pq"),
             ),
         )
     else:  # stats

@@ -38,7 +38,9 @@ __all__ = [
 ]
 
 
-def _free_local_checkpoint(df: DataFrame) -> None:
+def _free_local_checkpoint(
+    df: DataFrame, successor: DataFrame | None = None
+) -> None:
     """Release the cached blocks behind a SUPERSEDED localCheckpoint
     round. ContextCleaner only reclaims them once the JVM-side RDD is
     garbage, which py4j defers until Python GC — so an iterative loop
@@ -46,11 +48,20 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     caller. PRECONDITION — only call on frames that are never read
     again (the next round is already eagerly materialized): for a
     localCheckpoint, freeing deletes the only copy and the truncated
-    lineage cannot recompute it. Reliable-checkpoint frames are ALSO
-    LogicalRDD nodes, so their blocks are unpersisted too — harmless
-    there (data recomputes from the checkpoint files), not skipped.
-    No-op only for frames that are not checkpoints at all.
+    lineage cannot recompute it. Callers pass the frame that REPLACES
+    ``df`` as ``successor`` and the precondition is asserted, not
+    trusted: an eager (local)checkpoint analyzes to a LogicalRDD, so a
+    non-LogicalRDD successor means the new round was never
+    materialized and ``df`` could still be read. Reliable-checkpoint
+    frames are ALSO LogicalRDD nodes, so their blocks are unpersisted
+    too — harmless there (data recomputes from the checkpoint files),
+    not skipped. No-op only for frames that are not checkpoints at all.
     """
+    if successor is not None:
+        assert (
+            successor._jdf.queryExecution().analyzed().nodeName()
+            == "LogicalRDD"
+        ), "freeing a checkpoint whose successor is not yet materialized"
     try:
         node = df._jdf.queryExecution().analyzed()
         if node.nodeName() == "LogicalRDD":
@@ -103,7 +114,7 @@ def connected_components(
         else:
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("label") != F.col("__old")).count()
-        _free_local_checkpoint(labels)  # superseded round's blocks
+        _free_local_checkpoint(labels, successor=new_labels)  # superseded round
         labels = new_labels.drop("__old")
         if changed == 0:
             sym.unpersist()
@@ -199,7 +210,7 @@ def connected_components_star(
             F.count(F.lit(1)).alias("n"),
             F.bit_xor(F.xxhash64("u", "v")).alias("h"),
         ).collect()[0]
-        _free_local_checkpoint(e)  # superseded round's blocks
+        _free_local_checkpoint(e, successor=e2)  # superseded round
         if prev_sig == (sig["n"], sig["h"]):
             e = e2
             break
@@ -296,6 +307,6 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
-        _free_local_checkpoint(ranks)  # superseded round's blocks
+        _free_local_checkpoint(ranks, successor=new_ranks)  # superseded round
         ranks = new_ranks
     return ranks

@@ -565,6 +565,75 @@ def stream_stream_interval_join(
     return l.join(r, cond, how).drop(r[key])
 
 
+def _start_foreach_batch(
+    stream: DataFrame, process, checkpoint: str | None, available_now: bool
+):
+    """Shared writer tail for every foreachBatch sink: attach the batch
+    callback, optional checkpoint, optional AvailableNow trigger, start.
+    One place to grow sink-wide options (trigger intervals, query names)
+    instead of six copies."""
+    writer = stream.writeStream.foreachBatch(process).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _accept_reject_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    id_col: str,
+    accepted_path: str,
+    prepare,
+    on_batch,
+) -> None:
+    """Shared accept/persist/replay-idempotence engine for the
+    index-backed dedup sinks (LSH and semantic), the write-side sibling
+    of :func:`_purge_from_batched_tables`:
+
+    - every persist goes through ``pin`` and is released in the finally
+      — an exception mid-batch must not leak cached blocks for the life
+      of the session (SCALE.md: the r10 sf0.1 sweep OOM was exactly
+      this class of driver-lifetime leak);
+    - ``prepare(pin, batch_df, batch_id)`` runs the family-specific
+      candidate generation and returns ``(drops, write_index)`` where
+      ``drops`` carries the batch ids to reject as ``__drop_id`` and
+      ``write_index(kept_ids)`` appends the family's index rows for the
+      ACCEPTED ids under their ``batch=<id>`` directories;
+    - the accepted set lands at ``accepted_path/batch=<id>`` with
+      overwrite semantics — idempotent by path, so a foreachBatch
+      replay rewrites the same files;
+    - ``on_batch(batch_id, n_accepted)`` reports one scalar.
+
+    The self-batch index exclusion (a replay must not match a batch
+    against its own half-committed rows) stays INSIDE each family's
+    ``prepare`` — it is part of candidate generation, not of this
+    accept protocol."""
+    pinned: list[DataFrame] = []
+
+    def pin(frame: DataFrame) -> DataFrame:
+        pinned.append(frame.persist())
+        return frame
+
+    try:
+        drops, write_index = prepare(pin, batch_df, batch_id)
+        accepted = pin(
+            batch_df.join(
+                drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
+            )
+        )
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}"
+        )
+        write_index(accepted.select(F.col(id_col).alias("__id")))
+        if on_batch is not None:
+            on_batch(batch_id, accepted.count())
+    finally:
+        for df_ in pinned:
+            df_.unpersist()
+
+
 def stream_upsert_sink(
     stream: DataFrame,
     target_path: str,
@@ -626,12 +695,7 @@ def stream_upsert_sink(
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def stream_incremental_agg_sink(
@@ -681,12 +745,7 @@ def stream_incremental_agg_sink(
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def stream_dedup_lsh_sink(
@@ -740,125 +799,103 @@ def stream_dedup_lsh_sink(
     bands_path = index_path.rstrip("/") + "/bands"
     shingles_path = index_path.rstrip("/") + "/shingles"
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        # every persist in this callback is registered here and released
-        # in the finally below — an exception mid-batch must not leak
-        # cached blocks for the life of the session (SCALE.md: the r10
-        # sf0.1 sweep OOM was exactly this class of driver-lifetime leak)
-        pinned: list[DataFrame] = []
+    def prepare(pin, batch_df: DataFrame, batch_id: int):
+        base = pin(
+            shingle_table(
+                ensure_min_partitions(batch_df.select(id_col, text_col)),
+                id_col,
+                text_col,
+                n,
+            )
+        )
+        # materialize the hash array as its own projection before fanning
+        # it into the signature slots — an inlined transform re-evaluates
+        # per slot (dedup.py: measured 2.5× for 16 slots)
+        hashed = base.select(
+            "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+        )
+        banded = pin(
+            hashed.select(
+                "__id",
+                F.posexplode(
+                    _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
+                ).alias("__band", "__key"),
+            )
+        )
 
-        def pin(frame: DataFrame) -> DataFrame:
-            pinned.append(frame.persist())
-            return frame
+        # (1) within-batch dedup: verified near-dup pairs, higher id drops
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__key") == F.col("b.__key"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .distinct()
+        )
+        sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
+        sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
+        intra_drop = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(jaccard_similarity("__sh_a", "__sh_b") >= threshold)
+            .select(F.col("id_b").alias("__drop_id"))
+            .distinct()
+        )
 
-        try:
-            base = pin(
-                shingle_table(
-                    ensure_min_partitions(batch_df.select(id_col, text_col)),
-                    id_col,
-                    text_col,
-                    n,
+        # (2) cross-batch dedup against the index (excluding THIS batch's
+        # possibly half-committed replay rows). The index holds
+        # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
+        # committed parquet", probed by the read itself — a crash that
+        # left only _temporary content reads as absent.
+        idx_bands = _try_read_parquet(spark, bands_path)
+        idx_sh = _try_read_parquet(spark, shingles_path)
+        if idx_bands is not None and idx_sh is not None:
+            idx_bands = idx_bands.filter(F.col("batch") != batch_id)
+            idx_sh = idx_sh.filter(F.col("batch") != batch_id)
+            xcand = (
+                banded.join(
+                    idx_bands,
+                    (banded["__band"] == idx_bands["__band"])
+                    & (banded["__key"] == idx_bands["__key"]),
                 )
+                .select(banded["__id"], idx_bands["__id"].alias("__cid"))
+                .distinct()
             )
-            # materialize the hash array as its own projection before fanning
-            # it into the signature slots — an inlined transform re-evaluates
-            # per slot (dedup.py: measured 2.5× for 16 slots)
-            hashed = base.select(
-                "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
-            )
-            banded = pin(
-                hashed.select(
-                    "__id",
-                    F.posexplode(
-                        _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
-                    ).alias("__band", "__key"),
-                )
-            )
-
-            # (1) within-batch dedup: verified near-dup pairs, higher id drops
-            cand = (
-                banded.alias("a")
+            cross_drop = (
+                xcand.join(base.select("__id", "__sh"), "__id")
                 .join(
-                    banded.alias("b"),
-                    (F.col("a.__band") == F.col("b.__band"))
-                    & (F.col("a.__key") == F.col("b.__key"))
-                    & (F.col("a.__id") < F.col("b.__id")),
+                    idx_sh.select(
+                        F.col("__id").alias("__cid"), F.col("__sh").alias("__csh")
+                    ),
+                    "__cid",
                 )
-                .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+                .filter(jaccard_similarity("__sh", "__csh") >= threshold)
+                .select(F.col("__id").alias("__drop_id"))
                 .distinct()
             )
-            sa = base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a"))
-            sb = base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b"))
-            intra_drop = (
-                cand.join(sa, "id_a")
-                .join(sb, "id_b")
-                .filter(jaccard_similarity("__sh_a", "__sh_b") >= threshold)
-                .select(F.col("id_b").alias("__drop_id"))
-                .distinct()
-            )
+            drops = intra_drop.unionByName(cross_drop).distinct()
+        else:
+            drops = intra_drop
 
-            # (2) cross-batch dedup against the index (excluding THIS batch's
-            # possibly half-committed replay rows). The index holds
-            # batch=<id> SUBDIRECTORIES, so "exists" means "has readable
-            # committed parquet", probed by the read itself — a crash that
-            # left only _temporary content reads as absent.
-            idx_bands = _try_read_parquet(spark, bands_path)
-            idx_sh = _try_read_parquet(spark, shingles_path)
-            if idx_bands is not None and idx_sh is not None:
-                idx_bands = idx_bands.filter(F.col("batch") != batch_id)
-                idx_sh = idx_sh.filter(F.col("batch") != batch_id)
-                xcand = (
-                    banded.join(
-                        idx_bands,
-                        (banded["__band"] == idx_bands["__band"])
-                        & (banded["__key"] == idx_bands["__key"]),
-                    )
-                    .select(banded["__id"], idx_bands["__id"].alias("__cid"))
-                    .distinct()
-                )
-                cross_drop = (
-                    xcand.join(base.select("__id", "__sh"), "__id")
-                    .join(
-                        idx_sh.select(
-                            F.col("__id").alias("__cid"), F.col("__sh").alias("__csh")
-                        ),
-                        "__cid",
-                    )
-                    .filter(jaccard_similarity("__sh", "__csh") >= threshold)
-                    .select(F.col("__id").alias("__drop_id"))
-                    .distinct()
-                )
-                drops = intra_drop.unionByName(cross_drop).distinct()
-            else:
-                drops = intra_drop
-
-            accepted = pin(
-                batch_df.join(
-                    drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
-                )
-            )
-            accepted.write.mode("overwrite").parquet(
-                f"{accepted_path}/batch={batch_id}"
-            )
-            kept_ids = accepted.select(F.col(id_col).alias("__id"))
+        def write_index(kept_ids: DataFrame) -> None:
             banded.join(kept_ids, "__id").write.mode("overwrite").parquet(
                 f"{bands_path}/batch={batch_id}"
             )
             base.join(kept_ids, "__id").write.mode("overwrite").parquet(
                 f"{shingles_path}/batch={batch_id}"
             )
-            if on_batch is not None:
-                on_batch(batch_id, accepted.count())
-        finally:
-            for df_ in pinned:
-                df_.unpersist()
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+        return drops, write_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _accept_reject_batch(
+            batch_df, batch_id, id_col, accepted_path, prepare, on_batch
+        )
+
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def stream_semantic_dedup_sink(
@@ -913,121 +950,103 @@ def stream_semantic_dedup_sink(
     spark = stream.sparkSession
     vectors_path = index_path.rstrip("/") + "/vectors"
 
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        pinned: list[DataFrame] = []
+    def prepare(pin, batch_df: DataFrame, batch_id: int):
+        assigned = pin(
+            ivf_assign(
+                batch_df.select(
+                    F.col(id_col).alias("__id"),
+                    F.col(vec_col).cast("array<double>").alias("__v"),
+                ),
+                centroids.select(
+                    F.col("cell"), F.col("centroid")
+                ),
+                "__id",
+                "__v",
+            )
+            .join(F.broadcast(centroids), "cell")
+            .select(
+                "__id",
+                "__v",
+                "cell",
+                F.round(cosine_similarity("__v", "centroid"), 6).alias(
+                    "__csim"
+                ),
+                # norm materialized once per row: the pair joins below
+                # then pay only the dot fold per pair (HOF folds get
+                # no codegen CSE — operators/similarity.py's argument)
+                l2_norm("__v").alias("__n"),
+            )
+        )
 
-        def pin(frame: DataFrame) -> DataFrame:
-            pinned.append(frame.persist())
-            return frame
+        # (1) within-batch: SemDeDup policy — pair loss drops the
+        # higher-centroid-sim member (tie: higher id), order-free
+        a = assigned.select(
+            F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+            "cell", F.col("__csim").alias("sa"),
+            F.col("__n").alias("__na"),
+        )
+        b = assigned.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("cell").alias("cell_b"), F.col("__csim").alias("sb"),
+            F.col("__n").alias("__nb"),
+        )
+        pair_denom = F.col("__na") * F.col("__nb")
+        pair_cos = F.when(
+            pair_denom != 0, dot_product("__va", "__vb") / pair_denom
+        )
+        intra_drop = (
+            a.join(
+                b,
+                (F.col("cell") == F.col("cell_b"))
+                & (F.col("id_a") != F.col("id_b")),
+            )
+            .filter(F.round(pair_cos, 6) >= threshold)
+            .filter(
+                (F.col("sa") < F.col("sb"))
+                | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+            )
+            .select(F.col("id_b").alias("__drop_id"))
+            .distinct()
+        )
 
-        try:
-            assigned = pin(
-                ivf_assign(
-                    batch_df.select(
-                        F.col(id_col).alias("__id"),
-                        F.col(vec_col).cast("array<double>").alias("__v"),
-                    ),
-                    centroids.select(
-                        F.col("cell"), F.col("centroid")
-                    ),
-                    "__id",
-                    "__v",
-                )
-                .join(F.broadcast(centroids), "cell")
-                .select(
-                    "__id",
-                    "__v",
-                    "cell",
-                    F.round(cosine_similarity("__v", "centroid"), 6).alias(
-                        "__csim"
-                    ),
-                    # norm materialized once per row: the pair joins below
-                    # then pay only the dot fold per pair (HOF folds get
-                    # no codegen CSE — operators/similarity.py's argument)
-                    l2_norm("__v").alias("__n"),
-                )
+        # (2) cross-batch vs the persisted index (self-batch excluded:
+        # a replay's half-committed rows must not veto the batch)
+        idx = _try_read_parquet(spark, vectors_path)
+        if idx is not None:
+            idx = idx.filter(F.col("batch") != batch_id)
+            cross_denom = F.col("__n") * F.col("__ni")
+            cross_cos = F.when(
+                cross_denom != 0, dot_product("__v", "__vi") / cross_denom
             )
-
-            # (1) within-batch: SemDeDup policy — pair loss drops the
-            # higher-centroid-sim member (tie: higher id), order-free
-            a = assigned.select(
-                F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-                "cell", F.col("__csim").alias("sa"),
-                F.col("__n").alias("__na"),
-            )
-            b = assigned.select(
-                F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
-                F.col("cell").alias("cell_b"), F.col("__csim").alias("sb"),
-                F.col("__n").alias("__nb"),
-            )
-            pair_denom = F.col("__na") * F.col("__nb")
-            pair_cos = F.when(
-                pair_denom != 0, dot_product("__va", "__vb") / pair_denom
-            )
-            intra_drop = (
-                a.join(
-                    b,
-                    (F.col("cell") == F.col("cell_b"))
-                    & (F.col("id_a") != F.col("id_b")),
+            cross_drop = (
+                assigned.join(
+                    idx.select(
+                        F.col("cell").alias("cell_i"),
+                        F.col("__v").alias("__vi"),
+                    ).withColumn("__ni", l2_norm("__vi")),
+                    F.col("cell") == F.col("cell_i"),
                 )
-                .filter(F.round(pair_cos, 6) >= threshold)
-                .filter(
-                    (F.col("sa") < F.col("sb"))
-                    | ((F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
-                )
-                .select(F.col("id_b").alias("__drop_id"))
+                .filter(F.round(cross_cos, 6) >= threshold)
+                .select(F.col("__id").alias("__drop_id"))
                 .distinct()
             )
+            drops = intra_drop.unionByName(cross_drop).distinct()
+        else:
+            drops = intra_drop
 
-            # (2) cross-batch vs the persisted index (self-batch excluded:
-            # a replay's half-committed rows must not veto the batch)
-            idx = _try_read_parquet(spark, vectors_path)
-            if idx is not None:
-                idx = idx.filter(F.col("batch") != batch_id)
-                cross_denom = F.col("__n") * F.col("__ni")
-                cross_cos = F.when(
-                    cross_denom != 0, dot_product("__v", "__vi") / cross_denom
-                )
-                cross_drop = (
-                    assigned.join(
-                        idx.select(
-                            F.col("cell").alias("cell_i"),
-                            F.col("__v").alias("__vi"),
-                        ).withColumn("__ni", l2_norm("__vi")),
-                        F.col("cell") == F.col("cell_i"),
-                    )
-                    .filter(F.round(cross_cos, 6) >= threshold)
-                    .select(F.col("__id").alias("__drop_id"))
-                    .distinct()
-                )
-                drops = intra_drop.unionByName(cross_drop).distinct()
-            else:
-                drops = intra_drop
-
-            accepted = pin(
-                batch_df.join(
-                    drops, batch_df[id_col] == drops["__drop_id"], "left_anti"
-                )
-            )
-            accepted.write.mode("overwrite").parquet(
-                f"{accepted_path}/batch={batch_id}"
-            )
-            kept = accepted.select(F.col(id_col).alias("__id"))
-            assigned.join(kept, "__id").select(
+        def write_index(kept_ids: DataFrame) -> None:
+            assigned.join(kept_ids, "__id").select(
                 "__id", "__v", "cell", "__csim"
             ).write.mode("overwrite").parquet(f"{vectors_path}/batch={batch_id}")
-            if on_batch is not None:
-                on_batch(batch_id, accepted.count())
-        finally:
-            for df_ in pinned:
-                df_.unpersist()
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+        return drops, write_index
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        _accept_reject_batch(
+            batch_df, batch_id, id_col, accepted_path, prepare, on_batch
+        )
+
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def stream_quality_gate_sink(
@@ -1076,12 +1095,7 @@ def stream_quality_gate_sink(
                 batch_id, ok, {r["rule"]: r["violations"] for r in report}
             )
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def stream_topk_sink(
@@ -1135,12 +1149,7 @@ def stream_topk_sink(
 
         _replay_guarded_swap(spark, target_path, batch_id, merge)
 
-    writer = stream.writeStream.foreachBatch(process).outputMode("update")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def run_available_now_to_memory(

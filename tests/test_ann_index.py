@@ -112,7 +112,9 @@ def test_purge_removes_retrievability(spark, tmp_path):
     removed = purge_ids_from_ivf_index(
         spark, path, spark.createDataFrame([(victim,)], "id long")
     )
-    assert removed == {"assignments_removed": 1, "codes_removed": 1}
+    assert removed == {
+        "assignments_removed": 1, "codes_removed": 1, "codes_pq_removed": 1,
+    }
 
     asg = spark.read.parquet(path + "/assignments")
     assert asg.filter(F.col("vec_id") == victim).count() == 0
@@ -242,7 +244,9 @@ def test_fully_purged_index_reads_as_empty_not_error(spark, tmp_path):
     removed = purge_ids_from_ivf_index(
         spark, path, e.select(F.col("vec_id").alias("id"))
     )
-    assert removed == {"assignments_removed": 20, "codes_removed": 20}
+    assert removed == {
+        "assignments_removed": 20, "codes_removed": 20, "codes_pq_removed": 20,
+    }
 
     q = _emb(spark).filter(F.col("vec_id") == 400)
     got = ivf_index_search(spark, path, q, k=3, nprobe=2)
@@ -254,3 +258,82 @@ def test_fully_purged_index_reads_as_empty_not_error(spark, tmp_path):
     stats = ivf_index_stats(spark, path)
     assert stats.count() == 0
     assert stats.columns == ["cell", "n_vectors", "n_batches", "mean_code_err"]
+
+
+def test_pq_search_lifecycle(spark, tmp_path):
+    """PQ layer of the persisted index: build writes pq_codebook/ +
+    codes_pq/batch=0; refresh appends codes_pq/batch=1 with the FIXED
+    codebook; ivf_index_search_pq self-retrieves (ADC shortlist must
+    contain the vector's own code row; float rerank pins cosine 1.0 at
+    rank 1); purge removes the pq rows; a pre-PQ index (no codebook)
+    refreshes gracefully without writing PQ codes."""
+    from spark_pipeline_spark.ann_index import (
+        ivf_index_pq_stats,
+        ivf_index_search_pq,
+    )
+    from spark_pipeline_spark.streaming import _hadoop_delete
+
+    e = _emb(spark)
+    old = e.filter(F.col("vec_id") < 400)
+    new = e.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "ivf_pq")
+    info = build_ivf_index(spark, old, path, k_cells=4)
+    assert info["pq_m"] == 2 and info["pq_k"] == 4
+    cb = spark.read.parquet(path + "/pq_codebook")
+    assert cb.count() == 2 * 4  # M x K rows
+    refresh_ivf_index(spark, new, path, batch_id=1)
+    pq = spark.read.parquet(path + "/codes_pq")
+    assert {r["batch"] for r in pq.select("batch").distinct().collect()} == {0, 1}
+    assert pq.count() == 500
+    # codes are M ints, every value a valid codebook code
+    row = pq.select("codes").head()
+    assert len(row["codes"]) == 2 and all(0 <= c < 4 for c in row["codes"])
+
+    q = e.filter(F.col("vec_id").isin(7, 123, 450))
+    # modest oversample: k rows per query, rerank ordering is true cosine
+    got = ivf_index_search_pq(spark, path, q, k=3, nprobe=4, oversample=5)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {7, 123, 450}
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3]
+        assert rs[0]["cosine"] >= rs[1]["cosine"] >= rs[2]["cosine"]
+    # exhaustive oversample covers every probed-cell candidate, so the
+    # float rerank must EQUAL the float search exactly — the PQ pass
+    # then only prunes, never reorders
+    got_pq = ivf_index_search_pq(
+        spark, path, q, k=3, nprobe=4, oversample=200
+    ).select("query_id", "neighbor_id", "rank").collect()
+    got_f = ivf_index_search(
+        spark, path, q, k=3, nprobe=4
+    ).select("query_id", "neighbor_id", "rank").collect()
+    assert sorted(map(tuple, got_pq)) == sorted(map(tuple, got_f))
+
+    stats = {r["cell"]: r for r in ivf_index_pq_stats(spark, path).collect()}
+    assert sum(r["n_vectors"] for r in stats.values()) == 500
+    assert all(r["mean_pq_err_micro"] >= 0 for r in stats.values())
+
+    victim = 123
+    removed = purge_ids_from_ivf_index(
+        spark, path, spark.createDataFrame([(victim,)], "id long")
+    )
+    assert removed["codes_pq_removed"] == 1
+    after = ivf_index_search_pq(
+        spark, path, e.filter(F.col("vec_id") == 7), k=3, nprobe=4,
+        oversample=5,
+    )
+    assert victim not in {r["neighbor_id"] for r in after.collect()}
+
+    # pre-PQ index: drop the pq tables, refresh must not recreate them
+    _hadoop_delete(spark, path + "/pq_codebook")
+    _hadoop_delete(spark, path + "/codes_pq")
+    refresh_ivf_index(
+        spark, e.filter(F.col("vec_id") < 0), path, batch_id=2
+    )
+    from spark_pipeline_spark.ann_index import _try_read
+
+    assert _try_read(spark, path + "/codes_pq") is None
+    # and the PQ search over the de-PQ'd index is the empty state
+    assert ivf_index_search_pq(spark, path, q, k=3).count() == 0

@@ -424,3 +424,88 @@ def test_window_showcase_single_window_single_exchange(spark):
         if "Arguments: hashpartitioning" in l or "Exchange hashpartitioning" in l
     ]
     assert len(exchanges) == 1, f"expected one exchange, saw: {exchanges}"
+
+
+# Global (empty-partitionSpec) Window nodes with NO rank-limit rescue
+# (WindowGroupLimit / TakeOrderedAndProject below them) run in ONE task —
+# fine only when the windowed frame is provably bounded, never when it
+# grows with the data. Every entry documents its bound; a query not
+# listed here must not plan one.
+_BOUNDED_GLOBAL_WINDOWS = {
+    # grand-total / normalizing window over a contingency or bin frame
+    "chi_square_orders_status_priority",  # |status|x|priority| cells
+    "entropy_profile_orders",  # |distinct values per profiled column|
+    "psi_quantile_drift_lineitem",  # |quantile bins|
+    "shard_assign_documents",  # |shards| totals
+    "eval_average_precision_binned",  # |score bins|
+    "eval_roc_auc_binned",  # |score bins|
+    # cumulative series over a calendar/ordinal frame
+    "compaction_plan_orders",  # |days|
+    "cusum_changepoint_daily_value",  # |days|
+    "user_growth_accounting",  # |days|
+    "user_survival_curve",  # |weeks|
+    "streaming_late_arrival_report",  # |batches|
+    # two-pass bucket-offset prefix sums: the global window runs over the
+    # per-BUCKET totals frame only (|buckets|, not |rows|)
+    "global_row_number_documents",
+    "ks_drift_price_halves",
+    "pack_sequences_documents",
+    "token_budget_sample_documents",
+    "vocab_coverage_documents",  # ~8*log2(max term freq) octave buckets
+    # rank over the source catalog (|sources|, a corpus-mix constant)
+    "source_concentration_documents",
+    "unimax_allocation_documents",
+}
+
+
+def _plan_kids(node):
+    if node.nodeName() == "AdaptiveSparkPlan":
+        return [node.inputPlan()]
+    return [node.children().apply(i) for i in range(node.children().size())]
+
+
+def _subtree_has(node, name):
+    return node.nodeName() == name or any(
+        _subtree_has(c, name) for c in _plan_kids(node)
+    )
+
+
+def _unrescued_global_windows(df):
+    out = []
+
+    def walk(node):
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            rescued = any(
+                _subtree_has(c, "WindowGroupLimit")
+                or _subtree_has(c, "TakeOrderedAndProject")
+                for c in _plan_kids(node)
+            )
+            if not rescued:
+                out.append(node.simpleString(120))
+        for c in _plan_kids(node):
+            walk(c)
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_global_window(spark, name):
+    """An empty-partitionSpec Window without a rank-limit rescue is a
+    single-task sort of its whole input — unrunnable at scale unless
+    the input frame is provably bounded. Every such site must be in
+    _BOUNDED_GLOBAL_WINDOWS with its bound documented (the r11 verdict
+    found vocab_coverage_documents cumsumming the full vocabulary in
+    one task; this gate keeps that class out)."""
+    hits = _unrescued_global_windows(REGISTRY[name].fn(spark, SF_SMALL))
+    if name in _BOUNDED_GLOBAL_WINDOWS:
+        assert hits, (
+            f"{name} is allowlisted but plans no unrescued global window "
+            "— remove it from _BOUNDED_GLOBAL_WINDOWS"
+        )
+    else:
+        assert not hits, (
+            f"{name} plans an unrescued single-partition window: {hits[0]} "
+            "— bound the frame (bucket-offset prefix sums / rank<=k) or "
+            "document the bound in _BOUNDED_GLOBAL_WINDOWS"
+        )
