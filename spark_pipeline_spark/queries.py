@@ -16379,6 +16379,179 @@ def ivf_index_lifecycle_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_index_pq_report",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        lab AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.1 AS is_new
+          FROM e
+        ),
+        cen AS (
+          SELECT vec_id AS cell, v AS cv FROM lab
+          WHERE NOT is_new ORDER BY vec_id LIMIT 4
+        ),
+        assign AS (
+          SELECT l.vec_id, l.v, c.cell
+          FROM lab l CROSS JOIN cen c
+          QUALIFY row_number() OVER (
+            PARTITION BY l.vec_id
+            ORDER BY list_cosine_similarity(l.v, c.cv) DESC, c.cell ASC
+          ) = 1
+        ),
+        ms AS (SELECT unnest([0, 1]) AS m),
+        cb AS (
+          SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                   AS code,
+                 CASE WHEN m = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+          FROM (SELECT vec_id, v FROM lab WHERE NOT is_new
+                ORDER BY vec_id LIMIT 4) s CROSS JOIN ms
+        ),
+        sub AS (
+          SELECT a.vec_id, a.cell, m.m,
+                 CASE WHEN m.m = 0 THEN a.v[1:32] ELSE a.v[33:64] END AS sv
+          FROM assign a CROSS JOIN ms m
+        ),
+        codes AS (
+          SELECT s.vec_id, s.cell, s.m, c.code
+          FROM sub s JOIN cb c USING (m)
+          QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, s.m
+            ORDER BY round(1000000.0 * list_sum(list_transform(range(1, 33),
+                     i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))))::BIGINT,
+                     c.code
+          ) = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        probes AS (
+          SELECT q.query_id, q.qv, c.cell
+          FROM q CROSS JOIN cen c
+          QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell ASC
+          ) <= 2
+        ),
+        adc AS (
+          SELECT q.query_id, c.m, c.code,
+                 round(1000000.0 * list_sum(list_transform(range(1, 33),
+                       i -> ((CASE WHEN c.m = 0 THEN q.qv[1:32]
+                                   ELSE q.qv[33:64] END)[i] - c.cv[i])
+                          * ((CASE WHEN c.m = 0 THEN q.qv[1:32]
+                                   ELSE q.qv[33:64] END)[i] - c.cv[i]))))::BIGINT
+                   AS dmicro
+          FROM q CROSS JOIN cb c
+        ),
+        approx_d AS (
+          SELECT p.query_id, k.vec_id AS neighbor_id,
+                 sum(a.dmicro)::BIGINT AS d
+          FROM probes p
+            JOIN codes k ON k.cell = p.cell AND k.vec_id != p.query_id
+            JOIN adc a ON a.query_id = p.query_id
+                      AND a.m = k.m AND a.code = k.code
+          GROUP BY p.query_id, k.vec_id
+        ),
+        shortlist AS (
+          SELECT query_id, neighbor_id FROM approx_d
+          QUALIFY row_number() OVER (
+            PARTITION BY query_id ORDER BY d, neighbor_id) <= 9
+        ),
+        pq_top AS (
+          SELECT s.query_id, s.neighbor_id
+          FROM shortlist s
+            JOIN q ON q.query_id = s.query_id
+            JOIN e n ON n.vec_id = s.neighbor_id
+          QUALIFY row_number() OVER (
+            PARTITION BY s.query_id
+            ORDER BY list_cosine_similarity(q.qv, n.v) DESC, s.neighbor_id
+          ) <= 3
+        ),
+        exact AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id
+          FROM q JOIN e c ON q.query_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id
+          ) <= 3
+        )
+        SELECT x.query_id,
+               count(p.neighbor_id)::BIGINT AS n_hits,
+               round(count(p.neighbor_id) / 3.0, 6) AS recall_at_3
+        FROM exact x
+        LEFT JOIN pq_top p
+          ON p.query_id = x.query_id AND p.neighbor_id = x.neighbor_id
+        GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "index", "quantization", "pq", "eval",
+          "llm-pipeline"),
+    bench=True,
+)
+def ivf_index_pq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted index's PQ layer, exercised end-to-end as one
+    driver-hashable query (r11 verdict item 6): build on the "existing"
+    90 % (which trains + persists the PQ codebook), refresh with the
+    10 % "new" batch (codes_pq/batch=1 against the FIXED codebook),
+    then run `ivf_index_search_pq` — integer-micro ADC over the
+    persisted ``codes_pq/`` shortlists k·oversample = 9 candidates from
+    nprobe=2 cells, float cosine rerank from ``assignments/`` — and
+    grade per-query recall@3 against the exact float cosine top-3 over
+    the whole corpus. The oracle recomputes assignment, codebook,
+    codes, probes, ADC, rerank, and the exact baseline straight from
+    the base table, so a hash match proves the DURABLE PQ state
+    (codebook + codes, build AND refresh batches) round-trips losslessly
+    and the ADC ranking is engine-exact.
+
+    Scale shape: one corpus scan to build (+ one batch scan to
+    refresh); the search scans M ints per corpus row in the probed
+    cells only, the ADC table is |queries|·M·K broadcast rows, floats
+    are fetched for 9 ids per query. Output: 20 rows."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.ann_index import (
+        build_ivf_index,
+        ivf_index_search_pq,
+        refresh_ivf_index,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.similarity import cosine_topk
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = md5_unit("vec_id") < 0.1
+    index_path = "{}/spark_graft_ivf_pq_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
+    )
+    build_ivf_index(spark, e.filter(~is_new), index_path, k_cells=4)
+    refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
+
+    q = e.filter(F.col("vec_id") < 20)
+    pq_top = ivf_index_search_pq(
+        spark, index_path, q, k=3, nprobe=2, oversample=3, exclude_self=True
+    ).select(
+        "query_id", F.col("neighbor_id").alias("p_neighbor")
+    )
+    exact = cosine_topk(e, q, k=3, exclude_self=True).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        exact.join(
+            pq_top,
+            (exact["query_id"] == pq_top["query_id"])
+            & (exact["neighbor_id"] == pq_top["p_neighbor"]),
+            "left",
+        )
+        .drop(pq_top["query_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count("p_neighbor").cast("long").alias("n_hits"),
+            F.round(F.count("p_neighbor") / 3.0, 6).alias("recall_at_3"),
+        )
+    )
+
+
+@register(
     "streaming_semdedup_replay",
     oracle=f"""
         WITH {_SQL_IVF_ASSIGN},
