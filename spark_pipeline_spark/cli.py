@@ -361,7 +361,7 @@ def main_ann(argv: list[str] | None = None) -> int:
          "batch-id": 7,                # refresh only: replay-idempotent id
          # search: source = the query vectors
          "k": 5, "nprobe": 1,
-         "quantized": true,            # int8 codes scan + float rerank
+         "quantized": true | "pq",    # int8 or PQ-ADC scan + float rerank
          # purge:
          "ids": [1, 2, 3],             # or "ids-source": {...} one-col source
          # expire:
@@ -416,11 +416,15 @@ def main_ann(argv: list[str] | None = None) -> int:
         if not conf.get("source"):
             print("ann search requires 'source' (the query vectors)")
             return 2
-        fn = (
-            ann_index.ivf_index_search_int8
-            if conf.get("quantized")
-            else ann_index.ivf_index_search
-        )
+        # quantized: false/absent = float scan; true = int8 scan +
+        # float rerank; "pq" = ADC codes_pq scan + float rerank
+        quant = conf.get("quantized")
+        if quant == "pq":
+            fn = ann_index.ivf_index_search_pq
+        elif quant:
+            fn = ann_index.ivf_index_search_int8
+        else:
+            fn = ann_index.ivf_index_search
         report = fn(
             spark, index_path, load(spark, conf["source"]),
             k=int(conf.get("k", 5)), nprobe=int(conf.get("nprobe", 1)),
@@ -454,7 +458,11 @@ def main_ann(argv: list[str] | None = None) -> int:
             ),
         )
     else:  # stats
-        report = ann_index.ivf_index_stats(spark, index_path)
+        report = (
+            ann_index.ivf_index_pq_stats(spark, index_path)
+            if conf.get("pq")
+            else ann_index.ivf_index_stats(spark, index_path)
+        )
     if report is not None:
         if "sink" in conf:
             from spark_pipeline_spark.io.sinks import save

@@ -805,3 +805,45 @@ def test_main_ann_lifecycle_e2e(spark, tmp_path, capsys):
          "k": 3, "nprobe": 2, "quantized": True}
     )]) == 0
     assert "neighbor_id" in capsys.readouterr().out
+
+
+def test_main_ann_pq_search_and_stats(spark, tmp_path, capsys):
+    """The `ann` verb's PQ faces: quantized="pq" routes search through
+    the persisted ADC scan + float rerank, and stats with pq=true
+    reports the PQ reconstruction error table."""
+    import json as _json
+
+    from spark_pipeline_spark.cli import main_ann
+
+    idx = str(tmp_path / "ann_pq_idx")
+    emb = f"{SF_SMALL}/embeddings.parquet"
+
+    def conf(d):
+        p = tmp_path / f"annpq_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    assert main_ann(["--conf", conf(
+        {"action": "build", "index-path": idx,
+         "source": {"storage": "file", "format": "parquet", "path": emb}}
+    )]) == 0
+    capsys.readouterr()
+    hits_out = str(tmp_path / "pq_hits")
+    q_src = {
+        "storage": "file", "format": "parquet", "path": emb,
+        "transform-sql": "SELECT vec_id, embedding FROM dataset_temp "
+                         "WHERE vec_id = 42",
+    }
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "source": q_src,
+         "k": 3, "nprobe": 4, "quantized": "pq",
+         "sink": {"format": "parquet", "path": hits_out}}
+    )]) == 0
+    hits = spark.read.parquet(hits_out)
+    assert hits.count() == 3
+    assert set(hits.columns) == {"query_id", "neighbor_id", "cell",
+                                 "cosine", "rank"}
+    assert main_ann(["--conf", conf(
+        {"action": "stats", "index-path": idx, "pq": True}
+    )]) == 0
+    assert "mean_pq_err_micro" in capsys.readouterr().out

@@ -1,0 +1,242 @@
+"""10x-scale probe: synthesize an sf1-equivalent dataset from the
+read-only sf0.1 tables and measure the heavy dedup / graph / ANN / ECDF
+families on it (r11 verdict item 1 — every prior perf claim rests on
+sf0.1; this tool supplies the measured 10x row for SCALE.md).
+
+Synthesis (deterministic, no RNG):
+
+- ``documents``: each replica k remaps ``doc_id += k * ID_OFFSET`` and
+  suffixes EVERY whitespace token with ``_k`` (k >= 1; replica 0 is the
+  original). Suffixing all tokens preserves every within-replica shingle
+  Jaccard EXACTLY (dedup structure per replica == the sf0.1 corpus) and
+  makes cross-replica shingle matches impossible — so near-dup pairs,
+  components, and winnowing overlaps grow 10x LINEARLY instead of the
+  ~100x a naive text copy would produce (every doc would near-dup its 9
+  clones, changing the workload's character instead of its size).
+- ``embeddings``: ``vec_id += k * ID_OFFSET`` and a per-(replica, dim)
+  deterministic sign flip (md5 parity). Sign flips preserve norms and
+  every within-replica cosine exactly, while decorrelating replicas, so
+  cell populations and pair densities scale linearly.
+- ``lineitem`` / ``orders``: ``l_orderkey`` / ``o_orderkey`` shift by
+  ``k * ID_OFFSET`` (join integrity preserved); other columns unchanged
+  (10 orders per customer key is growth, not corruption).
+- small dims (region/nation/customer/supplier/part) copy through
+  unchanged; ``events`` copies through (no probe query reads it scaled).
+
+Usage::
+
+    python tools/scale_probe.py [--replicas 10] [--out DIR]
+        [--repeat 3] [--skip-build] [--json PATH]
+
+Prints ONE JSON line: per-query best-of-N at the synth scale, the same
+queries' time at sf0.1 (measured in the same session), and the
+wall ratio per query (linear growth at 10x data => ratio ~<= 10).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ID_OFFSET = 10**9
+
+# Heavy families: dedup pair joins, connected components, PageRank,
+# winnowing overlap, the persisted IVF/PQ lifecycles, semantic dedup,
+# the two-pass bucket-offset ECDF (lineitem, 600k -> 6M rows), and the
+# component-closure split repair (components + split + two id joins).
+PROBE_QUERIES = [
+    "dedup_minhash_lsh_documents",
+    "dedup_prefix_filter_exact_documents",
+    "dedup_components_star_documents",
+    "dedup_savings_report_documents",
+    "dedup_incremental_new_vs_corpus",
+    "pagerank_neardup_documents",
+    "winnowing_overlap_pairs_documents",
+    "cross_source_neardup_matrix",
+    "split_repair_components_documents",
+    "semdedup_prune_embeddings",
+    "ivf_index_lifecycle_report",
+    "ivf_index_pq_report",
+    "ivf_probe_sweep_report",
+    "ks_drift_price_halves",
+]
+
+COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events")
+
+
+def _signs(replica: int, dim: int) -> list[float]:
+    return [
+        1.0
+        if int(hashlib.md5(f"{replica}|{d}".encode()).hexdigest(), 16) % 2 == 0
+        else -1.0
+        for d in range(dim)
+    ]
+
+
+def build_synth(spark, src_dir: str, out_dir: str, replicas: int) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    for tbl in COPY_TABLES:
+        spark.read.parquet(f"{src_dir}/{tbl}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/{tbl}.parquet")
+
+    d = spark.read.parquet(f"{src_dir}/documents.parquet")
+    doc_parts = []
+    for k in range(replicas):
+        part = d.withColumn(
+            "doc_id", (F.col("doc_id") + F.lit(k * ID_OFFSET)).cast("long")
+        )
+        if k > 0:
+            part = part.withColumn(
+                "text",
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda x: F.concat(x, F.lit(f"_{k}")),
+                    ),
+                ),
+            )
+        doc_parts.append(part)
+    docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        docs = docs.unionByName(p)
+    docs.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+
+    e = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    dim = len(e.select("embedding").head()["embedding"])
+    emb_parts = []
+    for k in range(replicas):
+        part = e.withColumn(
+            "vec_id", (F.col("vec_id") + F.lit(k * ID_OFFSET)).cast("long")
+        )
+        if k > 0:
+            sgn = F.array(*[F.lit(s) for s in _signs(k, dim)])
+            part = part.withColumn(
+                "embedding",
+                F.zip_with(
+                    F.col("embedding").cast("array<float>"),
+                    sgn,
+                    lambda x, s: (x * s).cast("float"),
+                ),
+            )
+        emb_parts.append(part)
+    embs = emb_parts[0]
+    for p in emb_parts[1:]:
+        embs = embs.unionByName(p)
+    embs.repartition(16).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+
+    for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
+        base = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        parts = [
+            base.withColumn(key, (F.col(key) + F.lit(k * ID_OFFSET)).cast("long"))
+            for k in range(replicas)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{tbl}.parquet"
+        )
+
+
+def time_queries(spark, sf_dir: str, names, repeat: int):
+    from spark_pipeline_spark.queries import REGISTRY
+    from spark_pipeline_spark.session import release_query_caches
+
+    out = {}
+    for name in names:
+        runs = []
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(min(runs), 4)
+        release_query_caches()
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/spark_graft_sf1synth")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--repeat", type=int, default=3)
+    ap.add_argument("--skip-build", action="store_true")
+    ap.add_argument(
+        "--json",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scale_probe_latest.json",
+        ),
+    )
+    args = ap.parse_args()
+
+    from spark_pipeline_spark import get_session
+
+    spark = get_session(
+        "scale-probe",
+        conf={
+            "spark.driver.memory": "16g",
+            "spark.sql.shuffle.partitions": "64",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.skip_build:
+        t0 = time.perf_counter()
+        build_synth(spark, args.src, args.out, args.replicas)
+        build_sec = round(time.perf_counter() - t0, 1)
+    else:
+        build_sec = None
+
+    from spark_pipeline_spark.queries import REGISTRY
+
+    names = [n for n in PROBE_QUERIES if n in REGISTRY]
+    # warm-up
+    REGISTRY[names[0]].fn(spark, args.src).count()
+
+    base = time_queries(spark, args.src, names, args.repeat)
+    synth = time_queries(spark, args.out, names, args.repeat)
+    ratios = {
+        n: round(synth[n] / base[n], 2) if base[n] > 1e-9 else None
+        for n in names
+    }
+    result = {
+        "metric": "scale_probe_wall",
+        "unit": "sec",
+        "replicas": args.replicas,
+        "build_sec": build_sec,
+        "repeat": args.repeat,
+        "base_sf_dir": args.src,
+        "base_total": round(sum(base.values()), 2),
+        "synth_total": round(sum(synth.values()), 2),
+        "total_ratio": round(sum(synth.values()) / sum(base.values()), 2),
+        "base": base,
+        "synth": synth,
+        "ratio": ratios,
+    }
+    print(json.dumps(result))
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
