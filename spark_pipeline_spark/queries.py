@@ -17099,59 +17099,55 @@ def streaming_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-11 rotation, derived with ``python tools/recheck_queue.py``
+    # Round-12 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
-    # registered 258; never-checked (2): ivf_index_lifecycle_report,
-    # streaming_semdedup_replay; changed-since-green (1):
-    # split_repair_documents (docstring block edited); changed operator
-    # modules (3): dedup.py (decontaminate de-hinted), graph.py
-    # (docstring), streaming.py (semantic sink + try/finally persists).
-    # Slots: (a) 2 never-checked; (b) 1 changed-since-green; (c) 8
-    # changed-module canaries, stalest-first (decontaminate_documents
-    # ALSO has a genuinely changed plan — the de-hinted anti-join);
-    # late-r11 note: similarity.py changed after rotation (norm folds
-    # hoisted below the joins — float-identical by construction); its
-    # in-window canaries are embedding_ann_ivf, embedding_topk_bruteforce
-    # and both (a)-slot queries, all parity-green post-change;
-    # (d) family representatives + fill = ALL 30 remaining r5-green
-    # rows (the stalest all-time coverage) and the oldest r6/r7 greens,
-    # chosen so every graded family (tpch/sketch/scoring/datadiff/
-    # sample/quality/events/text/dedup) keeps a window representative.
-    # --- (a) 5 never driver-checked (late-r11 registrations take the
-    #     newest-fill slots: new registrations outrank stale greens) ---
-    "ivf_index_lifecycle_report", "streaming_semdedup_replay",
-    "ks_drift_price_halves", "decontamination_attribution_documents",
-    "streaming_dedup_ttl_replay",
-    # --- (b) changed since green (split_repair: docstring block;
-    #     semdedup_prune: the late-r11 norm hoist in its pair join) ---
-    "split_repair_documents", "semdedup_prune_embeddings",
-    # --- (c) 8 changed-module canaries (dedup.py / graph.py /
-    #     streaming.py), stalest green first ---
-    "decontaminate_documents", "dedup_exact_documents",
-    "boilerplate_ngrams_documents", "fuzzy_match_part_names",
-    "lsh_recall_precision_report", "pagerank_customer_supplier",
-    "cross_source_neardup_matrix", "streaming_dedup_lsh_replay",
-    # --- (d) family representatives (stalest member of each graded
-    #     family not already covered above) ---
-    "events_tumbling_daily", "sketch_distinct_users_by_type",
-    "train_ols_score_lineitem", "mixture_sample_documents",
-    "q11_important_parts", "psi_quantile_drift_lineitem",
-    "robust_outliers_orders",
-    # --- (e) stalest-green fill: all 28 remaining r5 rows, then r6 ---
-    "agg_orders_by_status", "audit_literals_customer",
-    "bloom_pruned_join_revenue", "deterministic_limit_orders",
-    "embedding_ann_ivf", "embedding_topk_bruteforce",
-    "funnel_events", "grouped_topk_orders",
-    "incremental_agg_orders", "keyword_search_documents",
-    "median_price_by_status", "merge_upsert_orders",
-    "pack_sequences_documents", "pandify_decimal_orders",
-    "pivot_orders_priority", "q10_returned_revenue",
-    "q3_unshipped_revenue", "rollup_orders",
-    "salted_join_lineitem_nation", "setops_nation_keys",
-    "text_stats_documents", "train_logistic_gd_lineitem",
-    "unpivot_lineitem_charges", "window_lag_rolling_orders",
-    "zorder_orders_locality", "zscore_orders_by_month",
-    "chunk_documents_overlapping", "cohort_retention_events",
+    # registered 263; never-checked (2): ivf_index_pq_report,
+    # split_repair_components_documents; changed-since-green (2):
+    # decontamination_attribution_documents (oracle bench_ids now from
+    # the hash predicate alone), vocab_coverage_documents (rewritten:
+    # frequency-histogram collapse + bucket-offset prefix sums); changed
+    # operator modules: graph.py (successor assertion), streaming.py
+    # (foreachBatch sink protocol unified), ann_index.py (PQ layer,
+    # full-precision scale persist, empty-index reads).
+    # Slots: (a) 2 never-checked; (b) 2 changed-since-green; (c) 9
+    # changed-module canaries — graph users (components/star/pagerank/
+    # canonical/entity/savings), the IVF lifecycle (persisted-scale
+    # precision change altered stored bytes), and the two dedup-sink
+    # replays whose semantics the refactored sinks must keep;
+    # (d) ALL 32 remaining r6-green rows (the stalest all-time
+    # coverage); (e) family fills from the r7/r8 stalest so every graded
+    # family keeps a window representative (sketch/scoring/tpch/datadiff).
+    # --- (a) never driver-checked ---
+    "ivf_index_pq_report", "split_repair_components_documents",
+    # --- (b) changed since green ---
+    "decontamination_attribution_documents", "vocab_coverage_documents",
+    # --- (c) changed-module canaries ---
+    "ivf_index_lifecycle_report", "dedup_components_star_documents",
+    "dedup_savings_report_documents", "pagerank_neardup_documents",
+    "dedup_canonical_selection", "entity_resolution_parts",
+    "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
+    "streaming_semdedup_replay",
+    # --- (d) stalest-green fill: all 32 remaining r6 rows ---
+    "ab_test_purchase_rate", "chi_square_orders_status_priority",
+    "correlation_matrix_lineitem", "cube_orders_status_priority",
+    "dataset_split_documents", "dedup_normalized_documents",
+    "entropy_profile_orders", "event_path_mining",
+    "events_props_by_type", "events_resample_6h_ffill",
+    "events_rolling_24h_value", "events_time_weighted_value",
+    "events_transition_matrix", "funnel_conversion_latency",
+    "interval_coverage_events", "inverted_index_documents",
+    "kmeans_update_centroids", "length_bucket_padding_documents",
+    "multimodal_frame_sample", "multimodal_media_metadata",
+    "percentile_rank_orders", "pii_redact_documents",
+    "pmi_term_pairs_documents", "power_iteration_pc1_embeddings",
+    "q1_pricing_summary", "q5_region_revenue",
+    "quantile_bucket_orders", "scd2_user_purchases",
+    "shard_assign_documents", "text_repetition_documents",
+    "text_unigram_nll_documents", "winsorize_orders_prices",
+    # --- (e) family fills (r7/r8 stalest with the graded tags) ---
+    "sliding_distinct_users_7d", "eval_calibration_bins",
+    "q12_shipmode_priority", "source_term_drift_kl",
+    "capped_sessions_events",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -378,25 +378,24 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # All-time driver coverage closed at 256/256 in r10, so the r11
+    # All-time driver coverage stays N/N (closed in r10), so the r12
     # window is pure rotation: never-checked new registrations +
     # changed-since-green + changed-module canaries (enumerated by
     # `python tools/recheck_queue.py` from git history), stalest greens
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r11 never-checked commitments: the five new registrations
-        "ivf_index_lifecycle_report", "streaming_semdedup_replay",
-        "ks_drift_price_halves", "decontamination_attribution_documents",
-        "streaming_dedup_ttl_replay",
-        # changed since green (docstring block / late-r11 norm hoist)
-        "split_repair_documents", "semdedup_prune_embeddings",
-        # module-changed canaries (dedup.py / graph.py / streaming.py);
-        # decontaminate_documents additionally has a genuinely changed
-        # plan — the de-hinted contaminated-id anti-join
-        "decontaminate_documents", "dedup_exact_documents",
-        "boilerplate_ngrams_documents", "pagerank_customer_supplier",
-        "streaming_dedup_lsh_replay",
+        # r12 never-checked commitments: the two new registrations
+        "ivf_index_pq_report", "split_repair_components_documents",
+        # changed since green (attribution oracle bench_ids fix; the
+        # vocab coverage bucket-offset rewrite)
+        "decontamination_attribution_documents", "vocab_coverage_documents",
+        # module-changed canaries (graph.py / streaming.py /
+        # ann_index.py — the persisted-scale precision change altered
+        # the lifecycle report's stored bytes)
+        "ivf_index_lifecycle_report", "dedup_components_star_documents",
+        "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
+        "streaming_semdedup_replay",
     }
     missing = must_cover - set(window)
     assert not missing, f"r10 priority queries outside the window: {missing}"
