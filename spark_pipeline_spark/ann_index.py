@@ -215,7 +215,7 @@ def build_ivf_index(
     iters: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    pq_m: int = 2,
+    pq_m: int | None = None,
     pq_k: int = 4,
 ) -> dict:
     """(Re)build the persisted index from scratch: seed centroids from
@@ -270,28 +270,35 @@ def build_ivf_index(
     _hadoop_delete(spark, pq_codes_path)
     n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
 
-    # PQ codebook: trained once at build (M·K subvector rows, seeded
-    # like the centroids), FIXED across refreshes — codes must stay
-    # comparable across the index lifetime, same contract as centroids.
-    dim = len(spark.read.parquet(cen_path).head()["centroid"])
-    if dim % pq_m:
-        raise ValueError(
-            f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
-        )
-    codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
-    cb_staging = pq_cb_path + "__staging"
-    codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
-    spark.read.parquet(cb_staging).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(pq_cb_path)
-    _hadoop_delete(spark, cb_staging)
-    _pq_encode(
-        spark.read.parquet(f"{asg_path}/batch=0"),
-        spark.read.parquet(pq_cb_path),
-        dim,
-    ).write.mode("overwrite").parquet(f"{pq_codes_path}/batch=0")
+    # PQ is an OPT-IN layer (pq_m set): the codebook trains once at
+    # build (M·K subvector rows, seeded like the centroids) and stays
+    # FIXED across refreshes — codes must stay comparable across the
+    # index lifetime, same contract as centroids. Opt-in because the
+    # encode pass re-reads the committed batch and costs extra write
+    # jobs a float/int8-only index never needs (it showed up as a
+    # measured +75% on the lifecycle bench when it briefly defaulted on).
+    if pq_m is not None:
+        dim = len(spark.read.parquet(cen_path).head()["centroid"])
+        if dim % pq_m:
+            raise ValueError(
+                f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
+            )
+        codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
+        cb_staging = pq_cb_path + "__staging"
+        codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+        spark.read.parquet(cb_staging).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(pq_cb_path)
+        _hadoop_delete(spark, cb_staging)
+        _pq_encode(
+            spark.read.parquet(f"{asg_path}/batch=0"),
+            spark.read.parquet(pq_cb_path),
+            dim,
+        ).write.mode("overwrite").parquet(f"{pq_codes_path}/batch=0")
+    else:
+        _hadoop_delete(spark, pq_cb_path)
     return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0,
-            "pq_m": pq_m, "pq_k": pq_k}
+            "pq_m": pq_m, "pq_k": pq_k if pq_m is not None else None}
 
 
 def _write_batch(

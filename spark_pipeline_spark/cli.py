@@ -357,6 +357,7 @@ def main_ann(argv: list[str] | None = None) -> int:
          "id-col": "vec_id",           # default
          "vec-col": "embedding",       # default
          "k-cells": 4,                 # build only
+         "pq-m": 2, "pq-k": 4,         # build only: opt-in PQ layer
          "iters": 0,                   # build only: Lloyd rounds
          "batch-id": 7,                # refresh only: replay-idempotent id
          # search: source = the query vectors
@@ -395,11 +396,14 @@ def main_ann(argv: list[str] | None = None) -> int:
         if not conf.get("source"):
             print("ann build requires 'source'")
             return 2
+        pq_m = conf.get("pq-m")
         info = ann_index.build_ivf_index(
             spark, load(spark, conf["source"]), index_path,
             k_cells=int(conf.get("k-cells", 4)),
             iters=int(conf.get("iters", 0)),
             id_col=id_col, vec_col=vec_col,
+            pq_m=None if pq_m is None else int(pq_m),
+            pq_k=int(conf.get("pq-k", 4)),
         )
         print(f"built index: {info}")
     elif action == "refresh":

@@ -16523,7 +16523,9 @@ def ivf_index_pq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashlib.md5(sf_dir.encode()).hexdigest()[:8],
         spark.sparkContext.applicationId,
     )
-    build_ivf_index(spark, e.filter(~is_new), index_path, k_cells=4)
+    build_ivf_index(
+        spark, e.filter(~is_new), index_path, k_cells=4, pq_m=2, pq_k=4
+    )
     refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
 
     q = e.filter(F.col("vec_id") < 20)
@@ -17083,6 +17085,99 @@ def streaming_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_in"),
         (F.count(F.lit(1)) - F.count("__dropped")).alias("n_accepted"),
         F.count("__dropped").alias("n_rejected"),
+    )
+
+
+@register(
+    "embedding_outlier_zscore_report",
+    oracle=f"""
+        WITH e AS ({_SQL_EMB}),
+        stats AS (
+          SELECT i AS dim, avg(v[i]) AS mu,
+                 sum(v[i] * v[i]) / count(*) - avg(v[i]) * avg(v[i]) AS vr
+          FROM e, unnest(range(1, len(v) + 1)) AS t(i)
+          GROUP BY i
+        ),
+        scored AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN s.vr > 0
+                          THEN (e.v[s.dim] - s.mu) * (e.v[s.dim] - s.mu) / s.vr
+                          ELSE 0 END) / max(len(e.v)) AS sc
+          FROM e, stats s
+          GROUP BY e.vec_id
+        )
+        SELECT vec_id, round(sc, 6) AS outlier_score,
+               row_number() OVER (
+                 ORDER BY round(sc, 6) DESC, vec_id) AS rank
+        FROM scored
+        QUALIFY rank <= 25
+    """,
+    tags=("similarity", "quality", "outlier", "monitoring", "llm-pipeline"),
+)
+def embedding_outlier_zscore_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-space outliers by diagonal Mahalanobis distance: the
+    per-dimension corpus mean/variance standardize every vector, and
+    the mean squared z across dims ranks the top-25 candidates — the
+    triage list an embedding-pipeline owner reads for encoder glitches,
+    corrupt inputs, and out-of-domain docs BEFORE they poison ANN cells
+    and SemDeDup thresholds (companion to `embedding_drift_report`,
+    which watches the population; this names the individuals).
+
+    Variance uses the naive sumsq/n − mean² form on BOTH engines so the
+    6dp-rounded scores agree; zero-variance dims contribute 0 (a
+    constant dim carries no outlier signal).
+
+    Scale shape: the per-dim moment pass is ONE aggregate with 2·dim+1
+    map-side-combined expressions — no posexplode, the corpus never
+    fans out ×dim; the one-row moment frame broadcasts back and the
+    per-vector score folds JVM-side; the global top-25 gets the
+    rank-limit rescue (TakeOrderedAndProject), never a full sort."""
+    from pyspark.sql import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    dim = len(e.select("v").head()["v"])
+    stats = e.agg(
+        F.array(
+            *[
+                (F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1)))
+                for d in range(dim)
+            ]
+        ).alias("__mu"),
+        F.array(
+            *[
+                (
+                    F.sum(
+                        F.element_at("v", d + 1) * F.element_at("v", d + 1)
+                    )
+                    / F.count(F.lit(1))
+                    - (F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1)))
+                    * (F.sum(F.element_at("v", d + 1)) / F.count(F.lit(1)))
+                )
+                for d in range(dim)
+            ]
+        ).alias("__vr"),
+    )
+    z2 = F.zip_with(
+        F.zip_with("v", "__mu", lambda x, m: (x - m) * (x - m)),
+        "__vr",
+        lambda d2, vr: F.when(vr > 0, d2 / vr).otherwise(F.lit(0.0)),
+    )
+    scored = e.crossJoin(F.broadcast(stats)).select(
+        "vec_id",
+        F.round(
+            F.aggregate(z2, F.lit(0.0), lambda a, x: a + x) / F.lit(float(dim)),
+            6,
+        ).alias("outlier_score"),
+    )
+    w = Window.orderBy(F.desc("outlier_score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
     )
 
 

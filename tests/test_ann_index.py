@@ -113,7 +113,7 @@ def test_purge_removes_retrievability(spark, tmp_path):
         spark, path, spark.createDataFrame([(victim,)], "id long")
     )
     assert removed == {
-        "assignments_removed": 1, "codes_removed": 1, "codes_pq_removed": 1,
+        "assignments_removed": 1, "codes_removed": 1, "codes_pq_removed": 0,
     }
 
     asg = spark.read.parquet(path + "/assignments")
@@ -245,7 +245,7 @@ def test_fully_purged_index_reads_as_empty_not_error(spark, tmp_path):
         spark, path, e.select(F.col("vec_id").alias("id"))
     )
     assert removed == {
-        "assignments_removed": 20, "codes_removed": 20, "codes_pq_removed": 20,
+        "assignments_removed": 20, "codes_removed": 20, "codes_pq_removed": 0,
     }
 
     q = _emb(spark).filter(F.col("vec_id") == 400)
@@ -277,7 +277,7 @@ def test_pq_search_lifecycle(spark, tmp_path):
     old = e.filter(F.col("vec_id") < 400)
     new = e.filter(F.col("vec_id") >= 400)
     path = str(tmp_path / "ivf_pq")
-    info = build_ivf_index(spark, old, path, k_cells=4)
+    info = build_ivf_index(spark, old, path, k_cells=4, pq_m=2)
     assert info["pq_m"] == 2 and info["pq_k"] == 4
     cb = spark.read.parquet(path + "/pq_codebook")
     assert cb.count() == 2 * 4  # M x K rows

@@ -824,7 +824,7 @@ def test_main_ann_pq_search_and_stats(spark, tmp_path, capsys):
         return str(p)
 
     assert main_ann(["--conf", conf(
-        {"action": "build", "index-path": idx,
+        {"action": "build", "index-path": idx, "pq-m": 2,
          "source": {"storage": "file", "format": "parquet", "path": emb}}
     )]) == 0
     capsys.readouterr()
