@@ -17089,6 +17089,156 @@ def streaming_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_index_pq_code_drift_report",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        lab AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.1 AS is_new
+          FROM e
+        ),
+        ms AS (SELECT unnest([0, 1]) AS m),
+        cb AS (
+          SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+                   AS code,
+                 CASE WHEN m = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+          FROM (SELECT vec_id, v FROM lab WHERE NOT is_new
+                ORDER BY vec_id LIMIT 4) s CROSS JOIN ms
+        ),
+        sub AS (
+          SELECT l.vec_id, l.is_new, m.m,
+                 CASE WHEN m.m = 0 THEN l.v[1:32] ELSE l.v[33:64] END AS sv
+          FROM lab l CROSS JOIN ms m
+        ),
+        codes AS (
+          SELECT s.vec_id, s.is_new, s.m, c.code
+          FROM sub s JOIN cb c USING (m)
+          QUALIFY row_number() OVER (
+            PARTITION BY s.vec_id, s.m
+            ORDER BY round(1000000.0 * list_sum(list_transform(range(1, 33),
+                     i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))))::BIGINT,
+                     c.code
+          ) = 1
+        ),
+        grid AS (SELECT m, code FROM ms CROSS JOIN
+                 (SELECT unnest([0, 1, 2, 3]) AS code)),
+        hist AS (
+          SELECT g.m, g.code,
+                 coalesce(sum(CASE WHEN NOT c.is_new THEN 1 END), 0)::BIGINT
+                   AS n_old,
+                 coalesce(sum(CASE WHEN c.is_new THEN 1 END), 0)::BIGINT
+                   AS n_new
+          FROM grid g
+          LEFT JOIN codes c ON c.m = g.m AND c.code = g.code
+          GROUP BY g.m, g.code
+        ),
+        tot AS (
+          SELECT m, greatest(sum(n_old), 1)::DOUBLE AS t_old,
+                 greatest(sum(n_new), 1)::DOUBLE AS t_new
+          FROM hist GROUP BY m
+        )
+        SELECT h.m,
+               sum(h.n_old)::BIGINT AS n_old,
+               sum(h.n_new)::BIGINT AS n_new,
+               round(0.5 * sum(abs(h.n_old / t.t_old
+                                   - h.n_new / t.t_new)), 6) AS code_tvd
+        FROM hist h JOIN tot t USING (m)
+        GROUP BY h.m
+    """,
+    tags=("similarity", "ann", "index", "quantization", "drift",
+          "monitoring", "llm-pipeline"),
+)
+def ivf_index_pq_code_drift_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PQ code-distribution drift between the persisted index's build
+    batch and its refresh batch: per subspace, the total-variation
+    distance between the two batches' code histograms, computed FROM
+    THE PERSISTED ``codes_pq/`` TABLE ONLY. The codebook is fixed at
+    build, so a drifting code histogram means the NEW data no longer
+    matches the codebook's geometry — rising reconstruction error and
+    decaying ADC recall follow; this report is the cheap early alarm
+    that schedules a rebuild (the PQ sibling of ``resplit_flag`` on the
+    cell side and `embedding_drift_report` on the raw-vector side).
+
+    Scale shape: build + refresh are the same two jobs as the other
+    lifecycle reports; the drift itself is ONE aggregate over codes_pq
+    (M ints per row) to an M·K-row histogram — the corpus never moves.
+    Output: M rows."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.ann_index import (
+        build_ivf_index,
+        refresh_ivf_index,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = md5_unit("vec_id") < 0.1
+    index_path = "{}/spark_graft_ivf_pqdrift_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
+    )
+    build_ivf_index(
+        spark, e.filter(~is_new), index_path, k_cells=4, pq_m=2, pq_k=4
+    )
+    refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
+
+    pq = spark.read.parquet(index_path.rstrip("/") + "/codes_pq")
+    per_code = (
+        pq.select("vec_id", "batch", F.posexplode("codes").alias("m", "code"))
+        .groupBy("m", "code")
+        .agg(
+            F.sum(F.when(F.col("batch") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("batch") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    # dense (m, code) grid: a code unused by one batch still contributes
+    # its full share to the TVD — absence IS the drift signal
+    grid = spark.createDataFrame(
+        [(m, c) for m in range(2) for c in range(4)], "m int, code int"
+    )
+    hist = (
+        grid.join(per_code, ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = hist.groupBy("m").agg(
+        F.greatest(F.sum("n_old"), F.lit(1)).cast("double").alias("__to"),
+        F.greatest(F.sum("n_new"), F.lit(1)).cast("double").alias("__tn"),
+    )
+    return (
+        hist.join(tot, "m")
+        .groupBy("m")
+        .agg(
+            F.sum("n_old").cast("long").alias("n_old"),
+            F.sum("n_new").cast("long").alias("n_new"),
+            F.round(
+                F.lit(0.5)
+                * F.sum(
+                    F.abs(
+                        F.col("n_old") / F.col("__to")
+                        - F.col("n_new") / F.col("__tn")
+                    )
+                ),
+                6,
+            ).alias("code_tvd"),
+        )
+    )
+
+
+@register(
     "embedding_outlier_zscore_report",
     oracle=f"""
         WITH e AS ({_SQL_EMB}),
@@ -17209,11 +17359,16 @@ _DRIVER_WINDOW = [
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
     # precision change altered stored bytes), and the two dedup-sink
     # replays whose semantics the refactored sinks must keep;
-    # (d) ALL 32 remaining r6-green rows (the stalest all-time
-    # coverage); (e) family fills from the r7/r8 stalest so every graded
-    # family keeps a window representative (sketch/scoring/tpch/datadiff).
-    # --- (a) never driver-checked ---
+    # (d) 31 of the 32 remaining r6-green rows (events_props_by_type
+    # and the capped_sessions fill were displaced by the two late-r12
+    # registrations — new registrations outrank stale greens; both
+    # rotate in r13); (e) family fills from the r7/r8 stalest so every
+    # graded family keeps a window representative
+    # (sketch/scoring/tpch/datadiff).
+    # --- (a) never driver-checked (late-r12 registrations take the
+    #     newest-fill slots: new registrations outrank stale greens) ---
     "ivf_index_pq_report", "split_repair_components_documents",
+    "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
     # --- (b) changed since green ---
     "decontamination_attribution_documents", "vocab_coverage_documents",
     # --- (c) changed-module canaries ---
@@ -17227,7 +17382,7 @@ _DRIVER_WINDOW = [
     "correlation_matrix_lineitem", "cube_orders_status_priority",
     "dataset_split_documents", "dedup_normalized_documents",
     "entropy_profile_orders", "event_path_mining",
-    "events_props_by_type", "events_resample_6h_ffill",
+    "events_resample_6h_ffill",
     "events_rolling_24h_value", "events_time_weighted_value",
     "events_transition_matrix", "funnel_conversion_latency",
     "interval_coverage_events", "inverted_index_documents",
@@ -17242,7 +17397,6 @@ _DRIVER_WINDOW = [
     # --- (e) family fills (r7/r8 stalest with the graded tags) ---
     "sliding_distinct_users_7d", "eval_calibration_bins",
     "q12_shipmode_priority", "source_term_drift_kl",
-    "capped_sessions_events",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
