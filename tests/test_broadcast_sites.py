@@ -62,6 +62,14 @@ _ALLOWED = {
     ("ann_index.py", "tot"): "one-row per-cell-totals aggregate",
     ("operators/packing.py", "offsets"): "per-bucket offsets: fixed bucket count",
     ("operators/packing.py", "bounds"): "one-row length-quantile bounds",
+    ("ann_index.py", "codebook"): "PQ codebook: M*K subvector rows by "
+    "build contract (trained once, fixed across refreshes)",
+    ("ann_index.py", "cb"): "PQ codebook: M*K rows (PQ search / stats "
+    "read side)",
+    ("ann_index.py", "adc"): "query ADC distance table: |queries|*M*K "
+    "rows (fixed query set by search API contract)",
+    ("ann_index.py", "q"): "fixed query set (float rerank side of the "
+    "PQ search; corpus shortlist is |queries|*k*oversample rows)",
 }
 
 _SITE_RE = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")

@@ -38,6 +38,8 @@ _NLJ_ALLOWED = {
     "joint_histogram_lineitem",  # one-row bounds broadcast
     "user_survival_curve",  # one-row total broadcast
     "global_row_number_documents",  # one-row quantile-bounds broadcast
+    "embedding_outlier_zscore_report",  # one-row moments-frame broadcast
+    "ivf_index_pq_report",  # fixed query set x k centroids (probe side)
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
@@ -345,6 +347,8 @@ _BOUNDED_HINTS = {
     "semantic_decontaminate_embeddings": "benchmark embedding set: bounded "
     "by the eval-suite contract, not the corpus",
     "rrf_fusion_search_documents": "single query vector by key equality",
+    "ivf_index_pq_report": "M*K codebook + |queries|*M*K ADC table + "
+    "fixed query set (persisted-index PQ search contract)",
 }
 
 
