@@ -32,6 +32,7 @@ __all__ = [
     "stream_quality_gate_sink",
     "stream_dedup_lsh_sink",
     "stream_semantic_dedup_sink",
+    "stream_ann_refresh_sink",
     "purge_ids_from_dedup_index",
     "purge_ids_from_semantic_index",
     "expire_index_batches",
@@ -1220,6 +1221,81 @@ def run_available_now_to_parquet(
             "the checkpoint lock"
         )
     return _try_read_parquet(df.sparkSession, out_path)
+
+
+def stream_ann_refresh_sink(
+    stream: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    available_now: bool = True,
+    checkpoint: str | None = None,
+    on_batch=None,
+):
+    """Streaming ingest into the PERSISTED IVF index (`ann_index.py`):
+    each micro-batch runs `refresh_ivf_index` with the STREAMING batch
+    id as the index batch id, so the durable ANN state grows one
+    ``batch=<n>`` directory per micro-batch — searchable between
+    batches, refresh-idempotent under foreachBatch replay (same batch
+    id → the same directory overwritten, the discipline every sink in
+    this module shares), and retirable by `expire_index_batches` /
+    `purge_ids_from_ivf_index` like the dedup indexes.
+
+    The index must already exist (one `build_ivf_index` bootstrap):
+    assignment needs centroids, and training them per-batch would make
+    assignments incomparable across the index lifetime — the same
+    fixed-centroids contract the batch refresh pins. A batch arriving
+    before the bootstrap fails loudly rather than inventing cells.
+
+    Batch-id mapping: streaming batch ids start at 0, which would
+    collide with the build's ``batch=0`` directory (a replayed stream
+    batch would then OVERWRITE the build corpus — idempotence by path
+    cuts both ways). The sink therefore persists a one-row
+    ``stream_base/`` marker on its first batch: index batch id =
+    base + streaming batch id. The marker is written before the first
+    refresh and only if absent, so crash/replay reads the same mapping
+    forever; a fresh checkpoint resets streaming ids to 0 AND reuses
+    the same base — redelivered content overwrites the stream's own
+    directories, never the build's.
+
+    ``on_batch(batch_id, skew_report_rows)`` receives the per-cell
+    growth-skew report (the resplit alarm) as collected rows — |cells|
+    rows, the deliberate driver-side scalar of this sink."""
+    from spark_pipeline_spark.ann_index import refresh_ivf_index
+
+    spark = stream.sparkSession
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        root = index_path.rstrip("/")
+        if not hadoop_path_exists(spark, root + "/centroids"):
+            raise RuntimeError(
+                "stream_ann_refresh_sink: no index at "
+                f"{index_path!r} — bootstrap with build_ivf_index first "
+                "(per-batch centroid training would make assignments "
+                "incomparable across batches)"
+            )
+        base_df = _try_read_parquet(spark, root + "/stream_base")
+        if base_df is None:
+            existing = _try_read_parquet(spark, root + "/assignments")
+            base = (
+                0 if existing is None
+                else existing.agg(F.max("batch")).first()[0] + 1
+            )
+            spark.createDataFrame([(base,)], "base int").coalesce(
+                1
+            ).write.mode("overwrite").parquet(root + "/stream_base")
+        else:
+            base = base_df.first()["base"]
+        report = refresh_ivf_index(
+            spark, batch_df, index_path, batch_id=base + batch_id,
+            id_col=id_col, vec_col=vec_col,
+        )
+        # the index writes inside refresh_ivf_index are eager actions;
+        # the returned report is only materialized when someone listens
+        if on_batch is not None:
+            on_batch(batch_id, report.collect())
+
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
 
 
 def purge_ids_from_dedup_index(

@@ -1650,3 +1650,82 @@ def test_expire_index_batches_sliding_window_dedup(spark, tmp_path):
     ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
     assert 9100 in ids  # expired doc no longer vetoes: horizon slid past
     assert 9101 not in ids  # retained doc still vetoes
+
+
+def test_stream_ann_refresh_sink_grows_searchable_index(spark, tmp_path):
+    """Streaming ANN ingest: after a build bootstrap, each micro-batch
+    lands as its own index batch dir, newly-streamed vectors become
+    retrievable between batches, the per-cell skew report reaches
+    on_batch, a replayed batch is idempotent (directory overwritten,
+    vector count unchanged), and a missing bootstrap fails loudly."""
+    import shutil
+
+    import pytest
+
+    from spark_pipeline_spark.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+    )
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_ann_refresh_sink,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "ann_src")
+    idx = str(tmp_path / "ann_idx")
+    ckpt = str(tmp_path / "ann_ckpt")
+    schema = "vec_id bigint, embedding array<float>"
+
+    # no bootstrap -> the sink refuses rather than inventing centroids
+    e.filter((F.col("vec_id") >= 290) & (F.col("vec_id") < 300)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q = stream_ann_refresh_sink(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        idx, checkpoint=ckpt,
+    )
+    with pytest.raises(Exception, match="bootstrap with build_ivf_index"):
+        q.awaitTermination(240)
+        q.processAllAvailable()
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 290), idx, k_cells=4)
+
+    reports = []
+    # two more files -> two micro-batches
+    e.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400)).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    e.filter(F.col("vec_id") >= 400).coalesce(1).write.mode("append").parquet(
+        src
+    )
+    q = stream_ann_refresh_sink(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        idx, checkpoint=ckpt,
+        on_batch=lambda b, rows: reports.append((b, rows)),
+    )
+    q.awaitTermination(240)
+
+    asg = spark.read.parquet(idx + "/assignments")
+    assert asg.count() == 500
+    batches = {r["batch"] for r in asg.select("batch").distinct().collect()}
+    assert 0 in batches and len(batches) == 4  # build + 3 stream batches
+    # the build corpus is intact: stream batch ids were offset past it
+    assert asg.filter(F.col("batch") == 0).count() == 290
+    assert reports and all(rows for _, rows in reports)
+    # a streamed vector is retrievable from the persisted state
+    got = ivf_index_search(
+        spark, idx, e.filter(F.col("vec_id") == 450), k=3, nprobe=4
+    ).collect()
+    assert {r["neighbor_id"] for r in got} >= {450}
+
+    # replay: wipe the checkpoint; the file source redelivers the same
+    # files with the same batch ids -> directories overwritten, no growth
+    shutil.rmtree(ckpt)
+    q = stream_ann_refresh_sink(
+        read_parquet_stream(spark, src, schema, max_files_per_trigger=1),
+        idx, checkpoint=ckpt,
+    )
+    q.awaitTermination(240)
+    assert spark.read.parquet(idx + "/assignments").count() == 500
