@@ -17238,6 +17238,174 @@ def ivf_index_pq_code_drift_report(
     )
 
 
+def _sql_band_select(num_hashes: int, bands: int) -> str:
+    """Banding selects over an existing ``sig`` CTE (h0..h{n-1} columns)
+    for an alternative band count — lets one oracle reuse ONE signature
+    computation across several (bands, rows) configurations."""
+    r = num_hashes // bands
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '|' || ".join(f"h{b * r + k}::VARCHAR" for k in range(r))
+        + " AS key FROM sig"
+        for b in range(bands)
+    )
+
+
+@register(
+    "lsh_band_tuning_report",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        banded2 AS ({_sql_band_select(16, 2)}),
+        banded8 AS ({_sql_band_select(16, 8)}),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / greatest(len(a.sh) + len(b.sh)
+                           - len(list_intersect(a.sh, b.sh)), 1) >= 0.7
+        ),
+        nt AS (SELECT count(*)::BIGINT AS n_true FROM truth),
+        cfg AS (
+          SELECT 2 AS bands, 8 AS rows_per_band
+          UNION ALL SELECT 4, 4 UNION ALL SELECT 8, 2
+        ),
+        allband AS (
+          SELECT 2 AS bands, * FROM banded2
+          UNION ALL SELECT 4, * FROM banded
+          UNION ALL SELECT 8, * FROM banded8
+        ),
+        cand AS (
+          SELECT DISTINCT a.bands, a.doc_id AS id_a, b.doc_id AS id_b
+          FROM allband a JOIN allband b
+            ON a.bands = b.bands AND a.band = b.band AND a.key = b.key
+           AND a.doc_id < b.doc_id
+        ),
+        ver AS (
+          SELECT c.bands, c.id_a, c.id_b
+          FROM cand c
+            JOIN nonempty sa ON sa.doc_id = c.id_a
+            JOIN nonempty sb ON sb.doc_id = c.id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        per AS (
+          SELECT g.bands, g.rows_per_band,
+                 coalesce(c.n, 0)::BIGINT AS n_candidates,
+                 coalesce(v.n, 0)::BIGINT AS n_verified
+          FROM cfg g
+          LEFT JOIN (SELECT bands, count(*) AS n FROM cand GROUP BY bands) c
+            USING (bands)
+          LEFT JOIN (SELECT bands, count(*) AS n FROM ver GROUP BY bands) v
+            USING (bands)
+        )
+        SELECT p.bands, p.rows_per_band, nt.n_true,
+               p.n_candidates, p.n_verified,
+               round(p.n_verified / greatest(p.n_candidates, 1)::DOUBLE, 6)
+                 AS precision,
+               round(p.n_verified / greatest(nt.n_true, 1)::DOUBLE, 6)
+                 AS recall
+        FROM per p, nt
+    """,
+    tags=("dedup", "minhash", "lsh", "tuning", "eval", "llm-pipeline"),
+)
+def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding KNOB, measured: for (bands, rows) ∈ {(2,8),
+    (4,4), (8,2)} over the SAME 16-hash signatures, candidate volume,
+    verified-pair volume, precision, and — the number banding theory
+    can't give you per-corpus — RECALL against the exact-truth pair set
+    from `prefix_filter_jaccard_join` (no-false-negative by lemma, so
+    its J≥0.7 output IS ground truth, no all-pairs scan on the Spark
+    side). More bands / fewer rows slides the S-curve left: recall
+    rises, precision falls; this report is the table a dedup owner
+    reads to pick the trade for THEIR corpus (companion to
+    `minhash_estimate_error_report`, which grades the estimator;
+    `lsh_recall_precision_report`, which grades one fixed config).
+
+    Scale shape: shingles and the hash array materialize once; each
+    config adds one banded equi-join on (band, key) — the dedup
+    family's standard candidate generation, never all-pairs (the truth
+    set comes from the prefix-filter join, also never all-pairs);
+    per-config counts are global aggregates crossJoined as one-row
+    frames. Output: 3 rows."""
+    from spark_pipeline_spark.functions import md5_int
+    from spark_pipeline_spark.operators.dedup import (
+        _band_keys_from_hashes,
+        jaccard_similarity,
+        prefix_filter_jaccard_join,
+        shingle_table,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    sh = query_persist(shingle_table(d, "doc_id", "text", 3))
+    hashed = query_persist(
+        sh.select(
+            "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+        )
+    )
+    n_true = (
+        prefix_filter_jaccard_join(d, "doc_id", "text", n=3, threshold=0.7)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    )
+    sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
+    sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
+    per_cfg = []
+    for bands in (2, 4, 8):
+        banded = hashed.select(
+            "__id",
+            F.posexplode(
+                _band_keys_from_hashes(F.col("__h"), 16, bands)
+            ).alias("__band", "__key"),
+        )
+        cand = (
+            banded.alias("a")
+            .join(
+                banded.alias("b"),
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.__key") == F.col("b.__key"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .distinct()
+        )
+        cand = query_persist(cand)
+        ver_n = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(jaccard_similarity("__sha", "__shb") >= 0.7)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+        )
+        per_cfg.append(
+            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+            .crossJoin(ver_n)
+            .select(
+                F.lit(bands).cast("int").alias("bands"),
+                F.lit(16 // bands).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+            )
+        )
+    out = per_cfg[0]
+    for p in per_cfg[1:]:
+        out = out.unionByName(p)
+    return out.crossJoin(F.broadcast(n_true)).select(
+        "bands",
+        "rows_per_band",
+        "n_true",
+        "n_candidates",
+        "n_verified",
+        F.round(
+            F.col("n_verified") / F.greatest(F.col("n_candidates"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("n_verified") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall"),
+    )
+
+
 @register(
     "embedding_outlier_zscore_report",
     oracle=f"""
@@ -17359,9 +17527,9 @@ _DRIVER_WINDOW = [
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
     # precision change altered stored bytes), and the two dedup-sink
     # replays whose semantics the refactored sinks must keep;
-    # (d) 31 of the 32 remaining r6-green rows (events_props_by_type
-    # and the capped_sessions fill were displaced by the two late-r12
-    # registrations — new registrations outrank stale greens; both
+    # (d) 30 of the 32 remaining r6-green rows (events_props_by_type,
+    # funnel_conversion_latency and the capped_sessions fill were
+    # displaced by the three late-r12 registrations — new registrations outrank stale greens; both
     # rotate in r13); (e) family fills from the r7/r8 stalest so every
     # graded family keeps a window representative
     # (sketch/scoring/tpch/datadiff).
@@ -17369,6 +17537,7 @@ _DRIVER_WINDOW = [
     #     newest-fill slots: new registrations outrank stale greens) ---
     "ivf_index_pq_report", "split_repair_components_documents",
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
+    "lsh_band_tuning_report",
     # --- (b) changed since green ---
     "decontamination_attribution_documents", "vocab_coverage_documents",
     # --- (c) changed-module canaries ---
@@ -17384,7 +17553,7 @@ _DRIVER_WINDOW = [
     "entropy_profile_orders", "event_path_mining",
     "events_resample_6h_ffill",
     "events_rolling_24h_value", "events_time_weighted_value",
-    "events_transition_matrix", "funnel_conversion_latency",
+    "events_transition_matrix",
     "interval_coverage_events", "inverted_index_documents",
     "kmeans_update_centroids", "length_bucket_padding_documents",
     "multimodal_frame_sample", "multimodal_media_metadata",
