@@ -177,6 +177,14 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
+        "--queries", default=None,
+        help="comma-separated subset of PROBE_QUERIES (default: all)",
+    )
+    ap.add_argument(
+        "--skip-base", action="store_true",
+        help="skip the 1x baseline pass (ratios omitted)",
+    )
+    ap.add_argument(
         "--json",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -205,14 +213,22 @@ def main() -> int:
 
     from spark_pipeline_spark.queries import REGISTRY
 
-    names = [n for n in PROBE_QUERIES if n in REGISTRY]
+    wanted = (
+        [q.strip() for q in args.queries.split(",")]
+        if args.queries
+        else PROBE_QUERIES
+    )
+    names = [n for n in wanted if n in REGISTRY]
     # warm-up
     REGISTRY[names[0]].fn(spark, args.src).count()
 
-    base = time_queries(spark, args.src, names, args.repeat)
+    base = (
+        {} if args.skip_base
+        else time_queries(spark, args.src, names, args.repeat)
+    )
     synth = time_queries(spark, args.out, names, args.repeat)
     ratios = {
-        n: round(synth[n] / base[n], 2) if base[n] > 1e-9 else None
+        n: round(synth[n] / base[n], 2) if base.get(n, 0) > 1e-9 else None
         for n in names
     }
     result = {
@@ -222,9 +238,11 @@ def main() -> int:
         "build_sec": build_sec,
         "repeat": args.repeat,
         "base_sf_dir": args.src,
-        "base_total": round(sum(base.values()), 2),
+        "base_total": round(sum(base.values()), 2) if base else None,
         "synth_total": round(sum(synth.values()), 2),
-        "total_ratio": round(sum(synth.values()) / sum(base.values()), 2),
+        "total_ratio": (
+            round(sum(synth.values()) / sum(base.values()), 2) if base else None
+        ),
         "base": base,
         "synth": synth,
         "ratio": ratios,
