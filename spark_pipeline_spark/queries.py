@@ -17238,6 +17238,61 @@ def ivf_index_pq_code_drift_report(
     )
 
 
+@register(
+    "streaming_row_gate_replay",
+    oracle="""
+        WITH d AS (
+          SELECT doc_id % 3 AS batch,
+                 coalesce(n_chars >= 120, FALSE) AS p_len,
+                 coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS p_lang
+          FROM documents
+        )
+        SELECT batch,
+               count(*)::BIGINT AS n_in,
+               sum((p_len AND p_lang)::INT)::BIGINT AS n_ok,
+               sum((NOT p_len)::INT)::BIGINT AS n_min_chars,
+               sum((NOT p_lang)::INT)::BIGINT AS n_lang_known
+        FROM d GROUP BY batch
+    """,
+    tags=("streaming", "quality", "replay", "llm-pipeline"),
+)
+def streaming_row_gate_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`stream_row_gate_sink`'s routing semantics as one driver-hashable
+    batch query: the same per-row predicates (length floor + known
+    language, NULL = violation) applied to a 3-batch split of the
+    corpus, reporting per batch the rows in, rows accepted, and the
+    per-rule violation counts — exactly the scalars the sink's
+    ``on_batch`` emits, so the pytest (sink ≡ batch routing) plus this
+    hash pin the router end to end. Stateless per row, so replay ≡
+    batch by construction — the hash proves the PREDICATE semantics
+    (null handling included) across engines.
+
+    Scale shape: one scan, one (batch)-keyed aggregate, 3 rows out."""
+    d = t(spark, sf_dir, "documents")
+    p_len = F.coalesce(F.col("n_chars") >= 120, F.lit(False))
+    p_lang = F.coalesce(F.col("lang").isin("en", "de", "fr"), F.lit(False))
+    return (
+        d.select(
+            F.pmod("doc_id", F.lit(3)).alias("batch"),
+            p_len.alias("__pl"),
+            p_lang.alias("__pg"),
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_in"),
+            F.sum((F.col("__pl") & F.col("__pg")).cast("int"))
+            .cast("long")
+            .alias("n_ok"),
+            F.sum((~F.col("__pl")).cast("int")).cast("long").alias(
+                "n_min_chars"
+            ),
+            F.sum((~F.col("__pg")).cast("int")).cast("long").alias(
+                "n_lang_known"
+            ),
+        )
+    )
+
+
 def _sql_band_select(num_hashes: int, bands: int) -> str:
     """Banding selects over an existing ``sig`` CTE (h0..h{n-1} columns)
     for an alternative band count — lets one oracle reuse ONE signature
@@ -17527,9 +17582,10 @@ _DRIVER_WINDOW = [
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
     # precision change altered stored bytes), and the two dedup-sink
     # replays whose semantics the refactored sinks must keep;
-    # (d) 30 of the 32 remaining r6-green rows (events_props_by_type,
-    # funnel_conversion_latency and the capped_sessions fill were
-    # displaced by the three late-r12 registrations — new registrations outrank stale greens; both
+    # (d) 29 of the 32 remaining r6-green rows (events_props_by_type,
+    # funnel_conversion_latency, interval_coverage_events and the
+    # capped_sessions fill were displaced by the four late-r12
+    # registrations — new registrations outrank stale greens; both
     # rotate in r13); (e) family fills from the r7/r8 stalest so every
     # graded family keeps a window representative
     # (sketch/scoring/tpch/datadiff).
@@ -17537,7 +17593,7 @@ _DRIVER_WINDOW = [
     #     newest-fill slots: new registrations outrank stale greens) ---
     "ivf_index_pq_report", "split_repair_components_documents",
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
-    "lsh_band_tuning_report",
+    "lsh_band_tuning_report", "streaming_row_gate_replay",
     # --- (b) changed since green ---
     "decontamination_attribution_documents", "vocab_coverage_documents",
     # --- (c) changed-module canaries ---
@@ -17553,8 +17609,7 @@ _DRIVER_WINDOW = [
     "entropy_profile_orders", "event_path_mining",
     "events_resample_6h_ffill",
     "events_rolling_24h_value", "events_time_weighted_value",
-    "events_transition_matrix",
-    "interval_coverage_events", "inverted_index_documents",
+    "events_transition_matrix", "inverted_index_documents",
     "kmeans_update_centroids", "length_bucket_padding_documents",
     "multimodal_frame_sample", "multimodal_media_metadata",
     "percentile_rank_orders", "pii_redact_documents",

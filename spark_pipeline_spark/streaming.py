@@ -30,6 +30,7 @@ __all__ = [
     "stream_incremental_agg_sink",
     "stream_topk_sink",
     "stream_quality_gate_sink",
+    "stream_row_gate_sink",
     "stream_dedup_lsh_sink",
     "stream_semantic_dedup_sink",
     "stream_ann_refresh_sink",
@@ -1095,6 +1096,84 @@ def stream_quality_gate_sink(
             on_batch(
                 batch_id, ok, {r["rule"]: r["violations"] for r in report}
             )
+
+    return _start_foreach_batch(stream, process, checkpoint, available_now)
+
+
+def stream_row_gate_sink(
+    stream: DataFrame,
+    target_path: str,
+    quarantine_path: str,
+    predicates: Sequence[tuple[str, Column]],
+    available_now: bool = True,
+    checkpoint: str | None = None,
+    on_batch=None,
+):
+    """Per-ROW quality routing — the row-granular sibling of
+    :func:`stream_quality_gate_sink` (which lands each batch WHOLE on
+    one side): every row satisfying ALL ``predicates`` (row-level
+    booleans) lands in ``target_path/batch=<id>``; every failing row
+    lands in ``quarantine_path/batch=<id>`` carrying a
+    ``__violations`` array naming each predicate it failed — quarantine
+    keeps the reason, so triage never re-derives it. A NULL predicate
+    result counts as a violation (unknown is not clean — the standard
+    expectation-suite posture).
+
+    Use the batch gate when a bad batch means a bad SOURCE (schema
+    drift, upstream corruption — you want the whole delivery held);
+    use this one when bad rows are routine (crawl noise) and the good
+    rows shouldn't wait.
+
+    Exactly-once: both sides write only their own ``batch=<id>``
+    directory with overwrite semantics — idempotent by path.
+    ``on_batch(batch_id, n_in, n_ok, {rule: violations})`` gets one
+    aggregate row; only |rules|+2 scalars touch the driver."""
+    preds = list(predicates)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        viol = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.coalesce(cond, F.lit(False)),
+                        F.lit(None).cast("string"),
+                    ).otherwise(F.lit(name))
+                    for name, cond in preds
+                ]
+            )
+        )
+        tagged = batch_df.withColumn("__violations", viol).persist()
+        try:
+            tagged.filter(F.size("__violations") == 0).drop(
+                "__violations"
+            ).write.mode("overwrite").parquet(f"{target_path}/batch={batch_id}")
+            tagged.filter(F.size("__violations") > 0).write.mode(
+                "overwrite"
+            ).parquet(f"{quarantine_path}/batch={batch_id}")
+            if on_batch is not None:
+                row = tagged.agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.sum(
+                        (F.size("__violations") == 0).cast("long")
+                    ).alias("__ok"),
+                    *[
+                        F.sum(
+                            F.array_contains("__violations", name).cast("long")
+                        ).alias(f"__v{i}")
+                        for i, (name, _) in enumerate(preds)
+                    ],
+                ).first()
+                on_batch(
+                    batch_id,
+                    row["__n"],
+                    row["__ok"] or 0,
+                    {
+                        name: (row[f"__v{i}"] or 0)
+                        for i, (name, _) in enumerate(preds)
+                    },
+                )
+        finally:
+            tagged.unpersist()
 
     return _start_foreach_batch(stream, process, checkpoint, available_now)
 

@@ -1729,3 +1729,79 @@ def test_stream_ann_refresh_sink_grows_searchable_index(spark, tmp_path):
     )
     q.awaitTermination(240)
     assert spark.read.parquet(idx + "/assignments").count() == 500
+
+
+def test_stream_row_gate_sink_routes_rows_with_reasons(spark, tmp_path):
+    """Per-row routing: clean rows land in target WITHOUT the helper
+    column, failing rows land in quarantine carrying __violations that
+    names EVERY failed predicate (NULL predicate = violation), the
+    union round-trips the batch exactly, per-rule counts reach
+    on_batch, and a replay overwrites idempotently."""
+    import shutil
+
+    from spark_pipeline_spark.streaming import (
+        read_parquet_stream,
+        stream_row_gate_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    src = str(tmp_path / "rg_src")
+    tgt = str(tmp_path / "rg_tgt")
+    quar = str(tmp_path / "rg_quar")
+    ckpt = str(tmp_path / "rg_ckpt")
+    d.filter(F.col("doc_id") < 200).coalesce(1).write.parquet(src)
+
+    preds = [
+        ("min_chars", F.col("n_chars") >= 120),
+        ("lang_known", F.col("lang").isin("en", "de", "fr")),
+    ]
+    reports = []
+
+    def run_once():
+        q = stream_row_gate_sink(
+            read_parquet_stream(
+                spark, src,
+                "doc_id bigint, text string, lang string, n_chars bigint",
+            ),
+            tgt, quar, preds, checkpoint=ckpt,
+            on_batch=lambda *a: reports.append(a),
+        )
+        q.awaitTermination(240)
+
+    run_once()
+    ok = spark.read.parquet(tgt).persist()
+    bad = spark.read.parquet(quar).persist()
+    n_in = d.filter(F.col("doc_id") < 200).count()
+    n_ok, n_bad = ok.count(), bad.count()
+    assert n_ok + n_bad == n_in
+    assert "__violations" not in ok.columns
+    # routing matches the batch predicates exactly
+    assert ok.filter(
+        (F.col("n_chars") < 120) | ~F.col("lang").isin("en", "de", "fr")
+    ).count() == 0
+    assert bad.filter(
+        (F.col("n_chars") >= 120) & F.col("lang").isin("en", "de", "fr")
+    ).count() == 0
+    # reasons are complete per row
+    both = bad.filter(
+        (F.col("n_chars") < 120) & ~F.col("lang").isin("en", "de", "fr")
+    )
+    if both.head(1):
+        r = both.head()
+        assert set(r["__violations"]) == {"min_chars", "lang_known"}
+    # on_batch counts line up
+    (batch_id, rep_n, rep_ok, per_rule) = reports[0]
+    assert rep_n == n_in and rep_ok == n_ok
+    assert per_rule["min_chars"] == bad.filter(
+        F.array_contains("__violations", "min_chars")
+    ).count()
+    ok.unpersist()
+    bad.unpersist()
+
+    # replay: same file redelivered under a fresh checkpoint -> same state
+    shutil.rmtree(ckpt)
+    run_once()
+    assert spark.read.parquet(tgt).count() == n_ok
+    assert spark.read.parquet(quar).count() == n_bad
