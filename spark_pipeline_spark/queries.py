@@ -17239,6 +17239,122 @@ def ivf_index_pq_code_drift_report(
 
 
 @register(
+    "corpus_filter_funnel_documents",
+    oracle=f"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 coalesce(lang IN ('en', 'de', 'fr'), FALSE) AS p_lang,
+                 ({_SQL_QUALITY}) >= 0.45 AS p_q,
+                 coalesce(n_chars >= 120, FALSE) AS p_len
+          FROM documents
+        ),
+        c AS (
+          SELECT count(*)::BIGINT AS n_raw,
+                 sum(p_lang::INT)::BIGINT AS n_lang,
+                 sum((p_lang AND p_q)::INT)::BIGINT AS n_q,
+                 sum((p_lang AND p_q AND p_len)::INT)::BIGINT AS n_len
+          FROM d
+        ),
+        dd AS (
+          SELECT count(DISTINCT md5(text))::BIGINT AS n_dedup
+          FROM d WHERE p_lang AND p_q AND p_len
+        ),
+        stages AS (
+          SELECT 1 AS stage_order, 'lang_known' AS stage,
+                 n_raw AS n_in, n_lang AS n_out FROM c
+          UNION ALL SELECT 2, 'quality_min', n_lang, n_q FROM c
+          UNION ALL SELECT 3, 'length_floor', n_q, n_len FROM c
+          UNION ALL SELECT 4, 'exact_dedup', c.n_len, dd.n_dedup FROM c, dd
+        )
+        SELECT stage_order, stage, n_in, n_out,
+               n_in - n_out AS n_dropped,
+               round((n_in - n_out) / greatest(n_in, 1)::DOUBLE, 6)
+                 AS drop_frac
+        FROM stages
+    """,
+    tags=("pipeline", "quality", "funnel", "composition", "llm-pipeline"),
+)
+def corpus_filter_funnel_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ATTRITION report for a filter cascade — what
+    `pipeline_documents_clean` doesn't say: per stage (known language →
+    quality floor → length floor → exact content dedup), how many docs
+    entered, survived, and were dropped. This is the table a corpus
+    owner reads before blaming a stage for corpus shrinkage, and the
+    one that catches a mis-tuned threshold (one stage suddenly eating
+    40% is the alarm). Stages apply SEQUENTIALLY — each measures
+    attrition among the previous stage's survivors, the funnel
+    semantics dashboards expect.
+
+    Scale shape: stages 1-3 are booleans folded into ONE scan + one
+    global aggregate (cumulative conjunctions as sums); the dedup stage
+    adds one distinct-count over the survivors' content hash — the only
+    shuffle, carrying fingerprints, not text. Output: 4 rows."""
+    from spark_pipeline_spark.operators.text import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    p_lang = F.coalesce(F.col("lang").isin("en", "de", "fr"), F.lit(False))
+    p_q = quality_score(F.col("text")) >= 0.45
+    p_len = F.coalesce(F.col("n_chars") >= 120, F.lit(False))
+    flagged = d.select(
+        "doc_id", "text",
+        p_lang.alias("__pl"),
+        (p_lang & p_q).alias("__pq"),
+        (p_lang & p_q & p_len).alias("__pn"),
+    )
+    c = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_raw"),
+        F.sum(F.col("__pl").cast("int")).cast("long").alias("n_lang"),
+        F.sum(F.col("__pq").cast("int")).cast("long").alias("n_q"),
+        F.sum(F.col("__pn").cast("int")).cast("long").alias("n_len"),
+    )
+    dd = (
+        flagged.filter("__pn")
+        .agg(F.countDistinct(F.md5("text")).cast("long").alias("n_dedup"))
+    )
+    stages = (
+        c.select(
+            F.lit(1).alias("stage_order"), F.lit("lang_known").alias("stage"),
+            F.col("n_raw").alias("n_in"), F.col("n_lang").alias("n_out"),
+        )
+        .unionByName(
+            c.select(
+                F.lit(2).alias("stage_order"),
+                F.lit("quality_min").alias("stage"),
+                F.col("n_lang").alias("n_in"), F.col("n_q").alias("n_out"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.lit(3).alias("stage_order"),
+                F.lit("length_floor").alias("stage"),
+                F.col("n_q").alias("n_in"), F.col("n_len").alias("n_out"),
+            )
+        )
+        .unionByName(
+            c.crossJoin(F.broadcast(dd)).select(
+                F.lit(4).alias("stage_order"),
+                F.lit("exact_dedup").alias("stage"),
+                F.col("n_len").alias("n_in"), F.col("n_dedup").alias("n_out"),
+            )
+        )
+    )
+    return stages.select(
+        F.col("stage_order").cast("int").alias("stage_order"),
+        "stage",
+        "n_in",
+        "n_out",
+        (F.col("n_in") - F.col("n_out")).cast("long").alias("n_dropped"),
+        F.round(
+            (F.col("n_in") - F.col("n_out"))
+            / F.greatest(F.col("n_in"), F.lit(1)),
+            6,
+        ).alias("drop_frac"),
+    )
+
+
+@register(
     "streaming_row_gate_replay",
     oracle="""
         WITH d AS (
@@ -17582,10 +17698,10 @@ _DRIVER_WINDOW = [
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
     # precision change altered stored bytes), and the two dedup-sink
     # replays whose semantics the refactored sinks must keep;
-    # (d) 29 of the 32 remaining r6-green rows (events_props_by_type,
-    # funnel_conversion_latency, interval_coverage_events and the
-    # capped_sessions fill were displaced by the four late-r12
-    # registrations — new registrations outrank stale greens; both
+    # (d) 28 of the 32 remaining r6-green rows (events_props_by_type,
+    # funnel_conversion_latency, interval_coverage_events,
+    # events_time_weighted_value and the capped_sessions fill were
+    # displaced by the five late-r12 registrations — new registrations outrank stale greens; both
     # rotate in r13); (e) family fills from the r7/r8 stalest so every
     # graded family keeps a window representative
     # (sketch/scoring/tpch/datadiff).
@@ -17607,8 +17723,7 @@ _DRIVER_WINDOW = [
     "correlation_matrix_lineitem", "cube_orders_status_priority",
     "dataset_split_documents", "dedup_normalized_documents",
     "entropy_profile_orders", "event_path_mining",
-    "events_resample_6h_ffill",
-    "events_rolling_24h_value", "events_time_weighted_value",
+    "events_resample_6h_ffill", "events_rolling_24h_value",
     "events_transition_matrix", "inverted_index_documents",
     "kmeans_update_centroids", "length_bucket_padding_documents",
     "multimodal_frame_sample", "multimodal_media_metadata",
