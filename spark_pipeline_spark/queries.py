@@ -17710,6 +17710,7 @@ _DRIVER_WINDOW = [
     "ivf_index_pq_report", "split_repair_components_documents",
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
     "lsh_band_tuning_report", "streaming_row_gate_replay",
+    "corpus_filter_funnel_documents",
     # --- (b) changed since green ---
     "decontamination_attribution_documents", "vocab_coverage_documents",
     # --- (c) changed-module canaries ---
