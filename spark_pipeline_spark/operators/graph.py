@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "connected_components",
     "connected_components_star",
+    "merge_components_incremental",
     "dedup_representatives",
     "pagerank",
 ]
@@ -310,3 +311,63 @@ def pagerank(
         _free_local_checkpoint(ranks, successor=new_ranks)  # superseded round
         ranks = new_ranks
     return ranks
+
+
+def merge_components_incremental(
+    old_labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW edges into an existing
+    component labelling — the daily-increment regime for the near-dup
+    graph: yesterday's corpus graph must not recompute, yet a new doc
+    can bridge two old components and the labels must merge.
+
+    Contract: returns ``(id, component)`` for every node in
+    ``old_labels`` or in a new edge, with component = the global
+    minimum node id — IDENTICAL to a from-scratch run over
+    (old edges ∪ new edges). Why the contraction is sound: old
+    components are closed under old edges, so replacing each new
+    edge's endpoints by their existing label (identity for nodes
+    without one) yields a contracted graph whose components correspond
+    1:1 to the merged components; and because an old label IS its
+    component's min id, the contracted min composes to the global min.
+
+    Cost: O(|new edges| + |touched components|) — star rounds run on
+    the CONTRACTED edge set only; untouched components never move.
+    (`connected_components_star` at 100× measured 51 s on the full
+    graph; an increment touches a sliver of that.)
+    """
+    e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    lu = old_labels.select(F.col("id").alias("u"), F.col("component").alias("__cu"))
+    lv = old_labels.select(F.col("id").alias("v"), F.col("component").alias("__cv"))
+    contracted = (
+        e.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            F.coalesce("__cu", F.col("u")).alias("src"),
+            F.coalesce("__cv", F.col("v")).alias("dst"),
+        )
+    )
+    sub = connected_components_star(contracted, max_iter=max_iter)
+
+    # old nodes: relabel any component whose LABEL participated in the
+    # contracted graph (it may have merged into a smaller min)
+    relabel = sub.select(
+        F.col("id").alias("component"), F.col("component").alias("__new")
+    )
+    old_out = old_labels.join(relabel, "component", "left").select(
+        "id", F.coalesce("__new", F.col("component")).alias("component")
+    )
+    # new-edge nodes without an old label: their contracted id is
+    # themselves, so sub carries their final label directly
+    nodes = (
+        e.select(F.col("u").alias("id"))
+        .union(e.select(F.col("v").alias("id")))
+        .distinct()
+        .join(old_labels.select("id"), "id", "left_anti")
+    )
+    new_out = nodes.join(sub, "id").select("id", "component")
+    return old_out.unionByName(new_out)

@@ -17239,6 +17239,71 @@ def ivf_index_pq_code_drift_report(
 
 
 @register(
+    "dedup_components_incremental_documents",
+    # The incremental path must reproduce the from-scratch transitive
+    # closure EXACTLY (same min-id labels), so the batch components
+    # oracle vouches for it verbatim — the strongest statement an
+    # incremental algorithm can make.
+    oracle=REGISTRY["dedup_components_documents"].oracle,
+    tags=("dedup", "graph", "incremental", "iterative", "llm-pipeline"),
+)
+def dedup_components_incremental_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup clusters maintained INCREMENTALLY: the 90 % "existing"
+    hash-split's components are computed once (standing in for
+    yesterday's persisted labels), then the 10 % "new" batch folds in
+    through `merge_components_incremental` — new-vs-corpus bridges from
+    `minhash_incremental_pairs` (the persisted-index increment path)
+    plus new-new pairs, contracted onto the old labels, star rounds on
+    the contracted sliver only. The oracle is the FULL-corpus
+    transitive closure, so the hash proves incremental ≡ batch, label
+    for label.
+
+    Banding makes the pair split exact: a pair collides on a band key
+    independently of every other document, so old-old ∪ new-old ∪
+    new-new candidates = the union corpus's candidates — no pair is
+    lost to the split.
+
+    Scale shape: the old graph never recomputes (its labels enter as a
+    keyed frame); the increment costs the new batch's shingling, the
+    banded joins, and star rounds over |touched components| — the
+    incremental-agg discipline applied to an iterative graph
+    algorithm."""
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_near_dup_pairs,
+    )
+    from spark_pipeline_spark.operators.graph import (
+        connected_components_star,
+        merge_components_incremental,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+
+    d = t(spark, sf_dir, "documents")
+    is_new = md5_unit("doc_id") < 0.1
+    old_d = d.filter(~is_new)
+    new_d = d.filter(is_new)
+    old_labels = query_persist(
+        connected_components_star(
+            minhash_near_dup_pairs(old_d, "doc_id", "text", threshold=0.7),
+            src="id_a",
+            dst="id_b",
+        )
+    )
+    bridges = minhash_incremental_pairs(
+        old_d, new_d, "doc_id", "text", threshold=0.7
+    ).select(F.col("corpus_id").alias("src"), F.col("new_id").alias("dst"))
+    new_new = minhash_near_dup_pairs(
+        new_d, "doc_id", "text", threshold=0.7
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    out = merge_components_incremental(
+        old_labels, bridges.unionByName(new_new)
+    )
+    return out.select(F.col("id").alias("doc_id"), "component")
+
+
+@register(
     "corpus_filter_funnel_documents",
     oracle=f"""
         WITH d AS (
@@ -17698,10 +17763,11 @@ _DRIVER_WINDOW = [
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
     # precision change altered stored bytes), and the two dedup-sink
     # replays whose semantics the refactored sinks must keep;
-    # (d) 28 of the 32 remaining r6-green rows (events_props_by_type,
+    # (d) 27 of the 32 remaining r6-green rows (events_props_by_type,
     # funnel_conversion_latency, interval_coverage_events,
-    # events_time_weighted_value and the capped_sessions fill were
-    # displaced by the five late-r12 registrations — new registrations outrank stale greens; both
+    # events_time_weighted_value, events_rolling_24h_value and the
+    # capped_sessions fill were displaced by the six late-r12
+    # registrations — new registrations outrank stale greens; both
     # rotate in r13); (e) family fills from the r7/r8 stalest so every
     # graded family keeps a window representative
     # (sketch/scoring/tpch/datadiff).
@@ -17711,6 +17777,7 @@ _DRIVER_WINDOW = [
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
     "lsh_band_tuning_report", "streaming_row_gate_replay",
     "corpus_filter_funnel_documents",
+    "dedup_components_incremental_documents",
     # --- (b) changed since green ---
     "decontamination_attribution_documents", "vocab_coverage_documents",
     # --- (c) changed-module canaries ---
@@ -17724,7 +17791,7 @@ _DRIVER_WINDOW = [
     "correlation_matrix_lineitem", "cube_orders_status_priority",
     "dataset_split_documents", "dedup_normalized_documents",
     "entropy_profile_orders", "event_path_mining",
-    "events_resample_6h_ffill", "events_rolling_24h_value",
+    "events_resample_6h_ffill",
     "events_transition_matrix", "inverted_index_documents",
     "kmeans_update_centroids", "length_bucket_padding_documents",
     "multimodal_frame_sample", "multimodal_media_metadata",

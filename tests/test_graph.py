@@ -201,3 +201,44 @@ def test_component_closure_repairs_chain_single_pass_misses(spark, tmp_path):
     comp_map, comp_x = crossings("split_repair_components_documents")
     assert comp_map == {a_id: "train", b_id: "train", c_id: "train"}
     assert comp_x == 0
+
+
+def test_merge_components_incremental_bridges_and_chains(spark):
+    """The incremental merge's hard cases on a crafted graph:
+    (a) a new node bridging TWO old components merges them under the
+    global min label; (b) a new-new chain hanging off an old component
+    adopts its label; (c) a new edge to an old node that was never in
+    any old pair (no old label) treats it as its own singleton;
+    (d) untouched old components keep their labels verbatim."""
+    from spark_pipeline_spark.operators.graph import (
+        merge_components_incremental,
+    )
+
+    old_labels = spark.createDataFrame(
+        # comp {1,2}, comp {5,6}, comp {8,9} (untouched)
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)],
+        "id long, component long",
+    )
+    new_edges = spark.createDataFrame(
+        [
+            (100, 2),    # bridge arm 1: new 100 touches comp 1
+            (100, 6),    # bridge arm 2: same new node touches comp 5
+            (101, 102),  # new-new chain...
+            (102, 5),    # ...hanging off comp 5
+            (103, 42),   # new node to an old UNLABELLED singleton
+        ],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in merge_components_incremental(old_labels, new_edges).collect()
+    }
+    # (a)+(b): comps {1,2} and {5,6} merged with 100,101,102 under min 1
+    for n in (1, 2, 5, 6, 100, 101, 102):
+        assert got[n] == 1, (n, got)
+    # (c): 42 and 103 form their own component under min 42
+    assert got[103] == 42 and got[42] == 42
+    # (d): untouched component keeps its label
+    assert got[8] == 8 and got[9] == 8
+    # every old node + every new-edge node is labelled, exactly once
+    assert len(got) == 11
