@@ -17246,6 +17246,7 @@ def ivf_index_pq_code_drift_report(
     # incremental algorithm can make.
     oracle=REGISTRY["dedup_components_documents"].oracle,
     tags=("dedup", "graph", "incremental", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def dedup_components_incremental_documents(
     spark: SparkSession, sf_dir: str
