@@ -37,6 +37,7 @@ __all__ = [
     "purge_ids_from_dedup_index",
     "purge_ids_from_semantic_index",
     "expire_index_batches",
+    "compact_index_batches",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -1479,6 +1480,73 @@ def expire_index_batches(
             # see the absent-table empty state instead of a schemaless dir
             _hadoop_delete(spark, path)
         out[name] = drop
+    return out
+
+
+def compact_index_batches(
+    spark: SparkSession,
+    index_path: str,
+    keep_last_n: int,
+    sub_dirs: Sequence[str] = ("bands", "shingles"),
+) -> dict:
+    """Compact a batch-partitioned index's HISTORY: all batches except
+    the newest ``keep_last_n`` collapse into one directory (the OLDEST
+    compacted batch's id, so future stream batch ids never collide).
+    After months of daily/streaming appends the directory count is the
+    scan cost — file listing, parquet footers, task granularity — and
+    the veto/search semantics never needed per-batch separation for
+    FROZEN history, only for batches young enough to replay.
+
+    ``keep_last_n`` must cover every batch the stream's checkpoint
+    could still redeliver (the sinks' self-batch replay exclusion
+    filters on batch id — a replayed batch whose rows were folded into
+    an older id would veto ITSELF). Newer batches are untouched.
+
+    Crash discipline (same staged order as the purge engine): combined
+    rows land in a ``__compact_staging`` copy first, the oldest batch
+    dir is rewritten from it, THEN the other compacted dirs are
+    deleted. A crash between those steps leaves duplicate rows across
+    directories — harmless to dedup semantics (vetoes are idempotent)
+    and healed by re-running: compaction DISTINCTs the non-batch
+    columns, so a rerun is idempotent. Returns
+    ``{sub_dir: [compacted batch ids]}``.
+
+    Scope: the FLAT batch-partitioned tables only (LSH ``bands``/
+    ``shingles``, the semantic sink's ``vectors``, ANN ``codes``/
+    ``codes_pq``). The ANN ``assignments`` table is ALSO partitioned by
+    ``cell`` — compacting it here would flatten the cell directories
+    and break the search's partition pruning; leave it to a rebuild."""
+    if keep_last_n < 0:
+        raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
+    root = index_path.rstrip("/")
+    out: dict = {}
+    for name in sub_dirs:
+        path = f"{root}/{name}"
+        df = _try_read_parquet(spark, path)
+        if df is None:
+            out[name] = []
+            continue
+        ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
+        cut = ids[: max(0, len(ids) - keep_last_n)]
+        if len(cut) < 2:
+            out[name] = []
+            continue
+        target = cut[0]
+        staging = f"{path}__compact_staging"
+        data_cols = [c for c in df.columns if c != "batch"]
+        combined = (
+            df.filter(F.col("batch").isin([int(b) for b in cut]))
+            .select(*data_cols)
+            .distinct()
+        )
+        combined.write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).write.mode("overwrite").parquet(
+            f"{path}/batch={target}"
+        )
+        for b in cut[1:]:
+            _hadoop_delete(spark, f"{path}/batch={b}")
+        _hadoop_delete(spark, staging)
+        out[name] = cut
     return out
 
 

@@ -1805,3 +1805,71 @@ def test_stream_row_gate_sink_routes_rows_with_reasons(spark, tmp_path):
     run_once()
     assert spark.read.parquet(tgt).count() == n_ok
     assert spark.read.parquet(quar).count() == n_bad
+
+
+def test_compact_index_batches_preserves_vetoes(spark, tmp_path):
+    """History compaction: all but the newest keep_last_n batch dirs
+    collapse into the oldest compacted id; the sink's veto semantics
+    survive (a near-copy of an old accepted doc is still rejected), a
+    rerun is a no-op (idempotent via the DISTINCT), keep_last_n larger
+    than history compacts nothing, and the newest batches stay intact
+    for replay safety."""
+    from spark_pipeline_spark.streaming import (
+        compact_index_batches,
+        read_parquet_stream,
+        stream_dedup_lsh_sink,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    src = str(tmp_path / "cp_src")
+    idx = str(tmp_path / "cp_idx")
+    acc = str(tmp_path / "cp_acc")
+    ckpt = str(tmp_path / "cp_ckpt")
+
+    def run_once():
+        q = stream_dedup_lsh_sink(
+            read_parquet_stream(
+                spark, src, "doc_id bigint, text string",
+                max_files_per_trigger=1,
+            ),
+            idx, acc, "doc_id", "text", threshold=0.9, checkpoint=ckpt,
+        )
+        q.awaitTermination(240)
+
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    run_once()
+    bands0 = spark.read.parquet(idx + "/bands")
+    rows_before = bands0.select("__id", "__band", "__key").distinct().count()
+    acc_ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    old_doc = min(i for i in acc_ids if i < 100)
+
+    # keep_last_n > history: nothing compacts
+    assert compact_index_batches(spark, idx, 5) == {
+        "bands": [], "shingles": [],
+    }
+    got = compact_index_batches(spark, idx, 1)
+    assert got == {"bands": [0, 1], "shingles": [0, 1]}
+    bands = spark.read.parquet(idx + "/bands")
+    assert {
+        r["batch"] for r in bands.select("batch").distinct().collect()
+    } == {0, 2}
+    # no rows lost or duplicated
+    assert bands.select("__id", "__band", "__key").distinct().count() == \
+        rows_before
+    assert bands.count() == rows_before
+    # idempotent rerun (only {0,2} remain; cut would be len<2)
+    assert compact_index_batches(spark, idx, 1) == {
+        "bands": [], "shingles": [],
+    }
+
+    # veto semantics survive: a near-copy of a compacted-batch doc
+    # (batch 0, now inside the merged dir) is still rejected
+    d.filter(F.col("doc_id") == old_doc).withColumn(
+        "doc_id", F.lit(9300).cast("long")
+    ).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
+    assert 9300 not in ids
