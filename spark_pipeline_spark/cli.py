@@ -365,7 +365,7 @@ def main_ann(argv: list[str] | None = None) -> int:
          "quantized": true | "pq",    # int8 or PQ-ADC scan + float rerank
          # purge:
          "ids": [1, 2, 3],             # or "ids-source": {...} one-col source
-         # expire:
+         # expire / compact (compact: flat code tables only):
          "keep-last-n": 30,
          # refresh / search / stats: optional result sink
          "sink": {...}}
@@ -375,10 +375,12 @@ def main_ann(argv: list[str] | None = None) -> int:
     conf, _ = _parse_args(argv, "ann")
     t0 = time.time()
     action = conf.get("action")
-    if action not in ("build", "refresh", "search", "purge", "expire", "stats"):
+    if action not in (
+        "build", "refresh", "search", "purge", "expire", "compact", "stats"
+    ):
         print(
             f"ann config 'action' must be build/refresh/search/purge/expire/"
-            f"stats, got {action!r}"
+            f"compact/stats, got {action!r}"
         )
         return 2
     if not conf.get("index-path"):
@@ -459,6 +461,21 @@ def main_ann(argv: list[str] | None = None) -> int:
             expire_index_batches(
                 spark, index_path, int(conf["keep-last-n"]),
                 ("assignments", "codes", "codes_pq"),
+            ),
+        )
+    elif action == "compact":
+        if conf.get("keep-last-n") is None:
+            print("ann compact requires 'keep-last-n'")
+            return 2
+        from spark_pipeline_spark.streaming import compact_index_batches
+
+        # flat batch tables only: assignments/ is cell-partitioned and
+        # must keep its pruning layout (see compact_index_batches)
+        print(
+            "compacted:",
+            compact_index_batches(
+                spark, index_path, int(conf["keep-last-n"]),
+                ("codes", "codes_pq"),
             ),
         )
     else:  # stats

@@ -847,3 +847,56 @@ def test_main_ann_pq_search_and_stats(spark, tmp_path, capsys):
         {"action": "stats", "index-path": idx, "pq": True}
     )]) == 0
     assert "mean_pq_err_micro" in capsys.readouterr().out
+
+
+def test_main_ann_compact_codes(spark, tmp_path, capsys):
+    """The `ann compact` action collapses old code batches (flat tables
+    only) and the searches still work over the compacted index."""
+    import json as _json
+
+    from spark_pipeline_spark.cli import main_ann
+
+    idx = str(tmp_path / "ann_cp_idx")
+    emb = f"{SF_SMALL}/embeddings.parquet"
+
+    def conf(d):
+        p = tmp_path / f"anncp_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    def sel(cond):
+        return {
+            "storage": "file", "format": "parquet", "path": emb,
+            "transform-sql": "SELECT vec_id, embedding FROM dataset_temp "
+                             f"WHERE {cond}",
+        }
+
+    assert main_ann(["--conf", conf(
+        {"action": "build", "index-path": idx, "pq-m": 2,
+         "source": sel("vec_id < 300")}
+    )]) == 0
+    for b, cond in ((1, "vec_id >= 300 AND vec_id < 400"),
+                    (2, "vec_id >= 400")):
+        assert main_ann(["--conf", conf(
+            {"action": "refresh", "index-path": idx, "batch-id": b,
+             "source": sel(cond)}
+        )]) == 0
+    capsys.readouterr()
+    assert main_ann(["--conf", conf(
+        {"action": "compact", "index-path": idx, "keep-last-n": 1}
+    )]) == 0
+    assert "compacted: {'codes': [0, 1], 'codes_pq': [0, 1]}" in \
+        capsys.readouterr().out
+    codes = spark.read.parquet(idx + "/codes")
+    assert {r["batch"] for r in codes.select("batch").distinct().collect()} \
+        == {0, 2}
+    assert codes.count() == 500
+    # the quantized searches read the compacted tables fine
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "source": sel("vec_id = 42"),
+         "k": 3, "nprobe": 4, "quantized": True}
+    )]) == 0
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "source": sel("vec_id = 42"),
+         "k": 3, "nprobe": 4, "quantized": "pq"}
+    )]) == 0
