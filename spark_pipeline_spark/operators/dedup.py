@@ -37,6 +37,7 @@ __all__ = [
     "shingle_table",
     "jaccard_similarity",
     "minhash_band_keys",
+    "minhash_index_tables",
     "minhash_near_dup_pairs",
     "minhash_incremental_pairs",
     "containment_near_dup_pairs",
@@ -234,6 +235,55 @@ def _band_keys_from_hashes(hashes: Column, num_hashes: int, bands: int) -> Colum
     return F.array(*keys)
 
 
+def minhash_index_tables(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One shingle+hash pass over ``df`` → the two MinHash index tables:
+    ``(shingles, bands)`` = (``(__id, __sh)``, ``(__id, __band, __key)``),
+    both persisted (memory-and-disk, session ledger).
+
+    This is THE shared prep for every MinHash consumer —
+    :func:`minhash_near_dup_pairs`, :func:`minhash_incremental_pairs`,
+    and the streaming LSH sink persist exactly these two schemas.
+    Callers composing several pair families over the same corpus (e.g.
+    old-old + old-new + new-new in an incremental components refresh)
+    should build the index ONCE on the union and slice it with filters:
+    shingling is the CPU-dominant stage, and banding makes the slice
+    exact — a pair collides on a band key independently of which slice
+    its members land in, so sliced candidates = union candidates.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    if num_hashes % bands:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    base = query_persist(
+        shingle_table(
+            ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    hashed = base.select(
+        "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
+    )
+    banded = query_persist(
+        hashed.select(
+            "__id",
+            F.posexplode(
+                _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
+            ).alias("__band", "__key"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    return base, banded
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -242,6 +292,8 @@ def minhash_near_dup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.7,
+    shingles: DataFrame | None = None,
+    bands_table: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by MinHash-LSH candidates + exact Jaccard verify.
 
@@ -262,33 +314,26 @@ def minhash_near_dup_pairs(
 
     The shingle table feeds three plan branches (banding + both verify
     sides), so it is persisted (memory-and-disk) for the job's duration —
-    shingling the corpus once instead of three times. Callers running
-    inside a larger pipeline can ``unpersist`` after the action.
+    shingling the corpus once instead of three times (see
+    :func:`minhash_index_tables`, which owns the prep; both tables are
+    persisted there because AQE does not reliably reuse the exchange
+    across the self-join's two branches). Callers that already hold the
+    index pass ``shingles``/``bands_table`` and skip the text scan
+    entirely.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    if num_hashes % bands:
-        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
-    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
-
-    # Spread the CPU-heavy shingle+hash stage: a small corpus scans as a
-    # single partition, which would serialize it (no-op at real scale,
-    # where file splits already parallelize).
-    base = query_persist(shingle_table(
-        ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
-    ), StorageLevel.MEMORY_AND_DISK)
-    hashed = base.select(
-        "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
-    )
-    # Persisted: feeds both sides of the candidate self-join, and AQE does
-    # not reliably reuse the exchange across the two branches — without it
-    # shingle-hashing and banding run twice. (id, band, key) rows only.
-    banded = query_persist(hashed.select(
-        "__id",
-        F.posexplode(
-            _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
-        ).alias("__band", "__key"),
-    ), StorageLevel.MEMORY_AND_DISK)
+    if (shingles is None) != (bands_table is None):
+        raise ValueError("shingles and bands_table come as a pair")
+    if shingles is not None:
+        if num_hashes % bands:
+            raise ValueError(
+                f"num_hashes={num_hashes} not divisible by bands={bands}"
+            )
+        base = shingles.select("__id", "__sh")
+        banded = bands_table.select("__id", "__band", "__key")
+    else:
+        base, banded = minhash_index_tables(
+            df, id_col, text_col, n, num_hashes, bands
+        )
     left = banded.alias("a")
     right = banded.alias("b")
     cand = (
@@ -326,6 +371,8 @@ def minhash_incremental_pairs(
     threshold: float = 0.7,
     corpus_bands: DataFrame | None = None,
     corpus_shingles: DataFrame | None = None,
+    new_bands: DataFrame | None = None,
+    new_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicates of NEW documents against an EXISTING corpus —
     the daily-increment regime: yesterday's corpus must not re-pair
@@ -348,35 +395,27 @@ def minhash_incremental_pairs(
     equi-join candidates, exact-Jaccard verify joining shingles back by
     candidate id only).
     """
-    from pyspark.storagelevel import StorageLevel
-
     if num_hashes % bands:
         raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     if (corpus_bands is None) != (corpus_shingles is None):
         raise ValueError("corpus_bands and corpus_shingles come as a pair")
-    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
-
-    def prep(df: DataFrame):
-        base = query_persist(shingle_table(
-            ensure_min_partitions(df.select(id_col, text_col)), id_col, text_col, n
-        ), StorageLevel.MEMORY_AND_DISK)
-        hashed = base.select(
-            "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
-        )
-        banded = hashed.select(
-            "__id",
-            F.posexplode(
-                _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
-            ).alias("__band", "__key"),
-        )
-        return base, banded
+    if (new_bands is None) != (new_shingles is None):
+        raise ValueError("new_bands and new_shingles come as a pair")
 
     if corpus_bands is not None:
         base_c = corpus_shingles.select("__id", "__sh")
         banded_c = corpus_bands.select("__id", "__band", "__key")
     else:
-        base_c, banded_c = prep(corpus)
-    base_n, banded_n = prep(new)
+        base_c, banded_c = minhash_index_tables(
+            corpus, id_col, text_col, n, num_hashes, bands
+        )
+    if new_bands is not None:
+        base_n = new_shingles.select("__id", "__sh")
+        banded_n = new_bands.select("__id", "__band", "__key")
+    else:
+        base_n, banded_n = minhash_index_tables(
+            new, id_col, text_col, n, num_hashes, bands
+        )
     cand = (
         banded_n.alias("nw")
         .join(
@@ -820,6 +859,13 @@ def prefix_filter_jaccard_join(
     on boilerplate grams); prefix selection is one df aggregate + one
     window over the posting stream keyed by document; the verify joins
     candidate ids back to the persisted shingle arrays.
+
+    The candidate join also applies the LENGTH filter (Bayardo et al.
+    2007 §3.1): J(A,B) >= t forces t*max(|A|,|B|) <= min(|A|,|B|), so
+    size-incompatible collisions are discarded AT the equi-join — an
+    8-byte column per posting row buys a candidate cut before the
+    distinct and the wide-array verify, and it is pure pruning: any
+    pair the filter drops provably fails the threshold.
     """
     import math
 
@@ -838,12 +884,23 @@ def prefix_filter_jaccard_join(
         .withColumn("__rn", F.row_number().over(w))
         # m - ceil(t*m) + 1
         .filter(F.col("__rn") <= F.col("__m") - F.ceil(threshold * F.col("__m")) + 1)
-        .select("__id", "__g")
+        .select("__id", "__g", "__m")
     )
     cand = (
-        prefix.select(F.col("__id").alias("id_a"), "__g")
-        .join(prefix.select(F.col("__id").alias("id_b"), "__g"), "__g")
-        .filter(F.col("id_a") < F.col("id_b"))
+        prefix.select(F.col("__id").alias("id_a"), "__g", F.col("__m").alias("__ma"))
+        .join(
+            prefix.select(
+                F.col("__id").alias("id_b"), "__g", F.col("__m").alias("__mb")
+            ),
+            "__g",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.greatest("__ma", "__mb") * F.lit(threshold)
+                <= F.least("__ma", "__mb")
+            )
+        )
         .select("id_a", "id_b")
         .distinct()
     )

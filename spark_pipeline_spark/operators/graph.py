@@ -36,6 +36,7 @@ __all__ = [
     "merge_components_incremental",
     "dedup_representatives",
     "pagerank",
+    "label_propagation",
 ]
 
 
@@ -371,3 +372,59 @@ def merge_components_incremental(
     )
     new_out = nodes.join(sub, "id").select("id", "component")
     return old_out.unionByName(new_out)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Fixed-iteration synchronous label propagation (LPA, Raghavan et
+    al. 2007) over an undirected edge list; returns ``(node, community)``.
+
+    Communities are FINER than connected components on dense near-dup
+    graphs: a component that chains two cliques through one bridge pair
+    splits at the bridge, because each side's mode-label vote is
+    dominated by its own clique. Components answer "transitively
+    duplicated with"; LPA answers "densely duplicated with" — the
+    distinction that matters when choosing how many representatives a
+    blob of templated text deserves.
+
+    Determinism (the property the DuckDB oracle hashes): synchronous
+    updates (round k+1 reads only round k), a SELF-vote alongside the
+    neighbor votes (the standard oscillation damper for bipartite-ish
+    structures), and ties broken by the SMALLEST label — no randomness,
+    no visit order. Fixed ``n_iter`` keeps the result a pure function
+    of the input, replayable as unrolled SQL CTEs.
+
+    Each round is one equi-join (edges × labels, shuffling on node ids)
+    + one count aggregation + one per-node top-1 window (partitioned by
+    node — never global), with ``localCheckpoint`` truncating lineage
+    between rounds, the same iterative discipline as
+    :func:`connected_components` / :func:`pagerank`.
+    """
+    from pyspark.sql import Window
+
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+    for _ in range(n_iter):
+        neighbor_votes = (
+            sym.join(labels, sym["s"] == labels["node"])
+            .select(F.col("d").alias("node"), "label")
+        )
+        ballots = neighbor_votes.unionByName(labels)  # self-vote
+        new_labels = (
+            ballots.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("votes"))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(labels, successor=new_labels)
+        labels = new_labels
+    return labels.select("node", F.col("label").alias("community"))

@@ -242,3 +242,65 @@ def test_merge_components_incremental_bridges_and_chains(spark):
     assert got[8] == 8 and got[9] == 8
     # every old node + every new-edge node is labelled, exactly once
     assert len(got) == 11
+
+
+def test_label_propagation_splits_bridged_cliques_finer_than_components(spark):
+    """Two 4-cliques joined by ONE bridge edge: components collapse the
+    whole graph to a single cluster; 3-round synchronous LPA keeps two
+    communities, because from round 2 on each clique's mode-vote is
+    dominated by its own members — the finer-than-components property
+    `lpa_communities_documents` documents. Also pins the cold-start
+    semantics: round 1's all-tied ballots reduce to min-neighbor
+    propagation, so clique B's community id is its min member's
+    round-1 label, not its min member id."""
+    from spark_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    cliq_a = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    cliq_b = [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges = spark.createDataFrame(
+        cliq_a + cliq_b + [(4, 10)], "src long, dst long"  # one bridge
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert len(set(comp.values())) == 1  # components: one blob
+
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=3).collect()
+    }
+    groups = {}
+    for n, c in comm.items():
+        groups.setdefault(c, set()).add(n)
+    assert sorted(map(sorted, groups.values())) == [
+        [1, 2, 3, 4],
+        [10, 11, 12, 13],
+    ]
+
+
+def test_label_propagation_matches_components_on_clique_forest(spark):
+    """On disjoint cliques (no bridges) LPA's partition must equal the
+    components partition — the regime the documents corpus exhibits,
+    stated honestly in the query docstring."""
+    from spark_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    cliques = [(1, 2), (2, 3), (1, 3), (20, 21), (30, 31), (31, 32), (30, 32)]
+    edges = spark.createDataFrame(cliques, "src long, dst long")
+    comp = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    comm = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, n_iter=3).collect()
+    }
+    part = lambda d: sorted(
+        sorted(k for k, v in d.items() if v == val) for val in set(d.values())
+    )
+    assert part(comp) == part(comm)

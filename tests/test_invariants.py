@@ -1013,3 +1013,68 @@ def test_prefix_filter_join_equals_bruteforce(spark):
     assert set(got) == set(want) and len(want) >= 3
     for k, j in want.items():
         assert abs(got[k] - j) < 1e-9, k
+
+
+def test_minhash_index_slice_equals_per_split_prep(spark):
+    """`minhash_index_tables` built ONCE on the union and sliced by a
+    doc predicate must reproduce the pairs of per-split from-text prep
+    for all three families (old-old, old-new, new-new): shingles and
+    band keys are per-document functions, so a filter slice of the
+    shared index IS the split's index. This is the contract
+    `dedup_components_incremental_documents` rides to shingle the
+    corpus once instead of four times."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_tables,
+        minhash_near_dup_pairs,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text")
+    is_new = md5_unit("doc_id") < 0.1
+    old_d, new_d = d.filter(~is_new), d.filter(is_new)
+
+    base, banded = minhash_index_tables(d, "doc_id", "text")
+    is_new_id = md5_unit("__id") < 0.1
+    b_old, b_new = base.filter(~is_new_id), base.filter(is_new_id)
+    k_old, k_new = banded.filter(~is_new_id), banded.filter(is_new_id)
+
+    def pairset(df, a, b):
+        return {(r[a], r[b]) for r in df.collect()}
+
+    got_oo = pairset(
+        minhash_near_dup_pairs(
+            None, "doc_id", "text", threshold=0.7,
+            shingles=b_old, bands_table=k_old,
+        ), "id_a", "id_b",
+    )
+    want_oo = pairset(
+        minhash_near_dup_pairs(old_d, "doc_id", "text", threshold=0.7),
+        "id_a", "id_b",
+    )
+    assert got_oo == want_oo and want_oo
+
+    got_on = pairset(
+        minhash_incremental_pairs(
+            None, None, "doc_id", "text", threshold=0.7,
+            corpus_bands=k_old, corpus_shingles=b_old,
+            new_bands=k_new, new_shingles=b_new,
+        ), "corpus_id", "new_id",
+    )
+    want_on = pairset(
+        minhash_incremental_pairs(old_d, new_d, "doc_id", "text", threshold=0.7),
+        "corpus_id", "new_id",
+    )
+    assert got_on == want_on
+
+    got_nn = pairset(
+        minhash_near_dup_pairs(
+            None, "doc_id", "text", threshold=0.7,
+            shingles=b_new, bands_table=k_new,
+        ), "id_a", "id_b",
+    )
+    want_nn = pairset(
+        minhash_near_dup_pairs(new_d, "doc_id", "text", threshold=0.7),
+        "id_a", "id_b",
+    )
+    assert got_nn == want_nn
