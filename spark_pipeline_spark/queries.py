@@ -17857,29 +17857,35 @@ def embedding_outlier_zscore_report(
 _DRIVER_WINDOW = [
     # Round-12 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
-    # registered 263; never-checked (2): ivf_index_pq_report,
-    # split_repair_components_documents; changed-since-green (2):
+    # registered 270; never-checked (9): the eight late-r12
+    # registrations below plus lpa_communities_documents (label-
+    # propagation communities, this session); changed-since-green (2):
     # decontamination_attribution_documents (oracle bench_ids now from
     # the hash predicate alone), vocab_coverage_documents (rewritten:
     # frequency-histogram collapse + bucket-offset prefix sums); changed
-    # operator modules: graph.py (successor assertion), streaming.py
-    # (foreachBatch sink protocol unified), ann_index.py (PQ layer,
-    # full-precision scale persist, empty-index reads).
-    # Slots: (a) 2 never-checked; (b) 2 changed-since-green; (c) 9
+    # operator modules: graph.py (successor assertion +
+    # label_propagation), streaming.py (foreachBatch sink protocol
+    # unified), dedup.py (shared minhash_index_tables prep; prefix-join
+    # length filter), ann_index.py (PQ layer, full-precision scale
+    # persist, empty-index reads).
+    # Slots: (a) 9 never-checked; (b) 2 changed-since-green; (c) 10
     # changed-module canaries — graph users (components/star/pagerank/
     # canonical/entity/savings), the IVF lifecycle (persisted-scale
-    # precision change altered stored bytes), and the two dedup-sink
-    # replays whose semantics the refactored sinks must keep;
-    # (d) 27 of the 32 remaining r6-green rows (events_props_by_type,
+    # precision change altered stored bytes), the two dedup-sink
+    # replays whose semantics the refactored sinks must keep, and
+    # dedup_prefix_filter_exact_documents (its candidate join gained
+    # the length filter);
+    # (d) 25 of the remaining r6-green rows (events_props_by_type,
     # funnel_conversion_latency, interval_coverage_events,
-    # events_time_weighted_value, events_rolling_24h_value and the
-    # capped_sessions fill were displaced by the six late-r12
-    # registrations — new registrations outrank stale greens; both
+    # events_time_weighted_value, events_rolling_24h_value, the
+    # capped_sessions fill, winsorize_orders_prices were displaced by
+    # later registrations — new registrations outrank stale greens; all
     # rotate in r13); (e) family fills from the r7/r8 stalest so every
-    # graded family keeps a window representative
-    # (sketch/scoring/tpch/datadiff).
+    # graded family keeps a window representative (q12 dropped: tpch
+    # keeps q1+q5).
     # --- (a) never driver-checked (late-r12 registrations take the
     #     newest-fill slots: new registrations outrank stale greens) ---
+    "lpa_communities_documents",
     "ivf_index_pq_report", "split_repair_components_documents",
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
     "lsh_band_tuning_report", "streaming_row_gate_replay",
@@ -17892,7 +17898,7 @@ _DRIVER_WINDOW = [
     "dedup_savings_report_documents", "pagerank_neardup_documents",
     "dedup_canonical_selection", "entity_resolution_parts",
     "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
-    "streaming_semdedup_replay",
+    "streaming_semdedup_replay", "dedup_prefix_filter_exact_documents",
     # --- (d) stalest-green fill: all 32 remaining r6 rows ---
     "ab_test_purchase_rate", "chi_square_orders_status_priority",
     "correlation_matrix_lineitem", "cube_orders_status_priority",
@@ -17907,10 +17913,10 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary", "q5_region_revenue",
     "quantile_bucket_orders", "scd2_user_purchases",
     "shard_assign_documents", "text_repetition_documents",
-    "text_unigram_nll_documents", "winsorize_orders_prices",
+    "text_unigram_nll_documents",
     # --- (e) family fills (r7/r8 stalest with the graded tags) ---
     "sliding_distinct_users_7d", "eval_calibration_bins",
-    "q12_shipmode_priority", "source_term_drift_kl",
+    "source_term_drift_kl",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
