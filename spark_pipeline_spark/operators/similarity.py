@@ -42,6 +42,7 @@ __all__ = [
     "hyperplane_coeffs",
     "hyperplane_signature",
     "hyperplane_near_dup_pairs",
+    "kcenter_select",
 ]
 
 
@@ -506,3 +507,77 @@ def ivf_topk_multiprobe(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def kcenter_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    traversal) over an embedding column — the diversity-maximizing data
+    pruning step of an LLM corpus pipeline: the selected k vectors
+    2-approximate the optimal k-center cover, so they are the
+    "spanning" exemplars a curation pass keeps (or the probe set an
+    eval pass labels) when the budget is k items.
+
+    Returns a k-row frame ``(sel_round, id, coverage_sim)``:
+    round 0 is the seed (the smallest id — deterministic, no RNG),
+    rounds 1..k-1 pick the point with the LOWEST max-similarity to the
+    centers chosen so far (cosine, rounded to 6dp before every
+    comparison so selection decisions are engine-portable; ties break
+    on the smallest id). ``coverage_sim`` is that max-similarity at
+    selection time (-1.0 for the seed): the similarity "radius" the
+    next center was outside of — monotonically non-decreasing, the
+    stopping diagnostic for choosing k.
+
+    Scale shape: the selected-set state lives in the PLAN, not in a
+    join — each round folds the newly chosen center into a running
+    per-row ``greatest(smax, cos(v, lit(center)))`` against a 64-float
+    literal, so a round is ONE corpus scan with no shuffle at all;
+    ``localCheckpoint`` truncates the k-deep expression lineage. The
+    k-1 driver round-trips fetch exactly ONE row each (the argmin) —
+    the same bounded-scalar discipline as the components convergence
+    probe; k is a fixed small budget, never data-sized. A zero-norm
+    vector has NULL similarity (see ``functions.cosine_similarity``)
+    and so is never selected past the seed round.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from spark_pipeline_spark.operators.graph import _free_local_checkpoint
+
+    e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    seed = e.orderBy("__id").limit(1).collect()
+    if not seed:
+        return e.sparkSession.createDataFrame(
+            [], "sel_round int, id long, coverage_sim double"
+        )
+    picked = [(0, seed[0]["__id"], -1.0)]
+    cvec = F.array(*[F.lit(float(x)) for x in seed[0]["__v"]])
+    state = (
+        e.filter(F.col("__id") != seed[0]["__id"])
+        .withColumn("__smax", F.round(cosine_similarity("__v", cvec), 6))
+        .localCheckpoint(eager=True)
+    )
+    for r in range(1, k):
+        top = state.orderBy(F.asc("__smax"), F.asc("__id")).limit(1).collect()
+        if not top:
+            break  # corpus exhausted before the budget
+        picked.append((r, top[0]["__id"], float(top[0]["__smax"])))
+        cvec = F.array(*[F.lit(float(x)) for x in top[0]["__v"]])
+        new_state = (
+            state.filter(F.col("__id") != top[0]["__id"])
+            .withColumn(
+                "__smax",
+                F.greatest(
+                    "__smax", F.round(cosine_similarity("__v", cvec), 6)
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _free_local_checkpoint(state, successor=new_state)
+        state = new_state
+    return e.sparkSession.createDataFrame(
+        picked, "sel_round int, id long, coverage_sim double"
+    )

@@ -17842,6 +17842,80 @@ def embedding_outlier_zscore_report(
     )
 
 
+def _sql_kcenter_round(prev: str, cen: str, nxt: str | None) -> str:
+    """One greedy k-center round as CTEs: pick the argmin-smax point
+    (ties → smallest vec_id), then fold its similarity into every
+    remaining point's running max — mirrors similarity.kcenter_select,
+    6dp-rounded before every comparison on both engines."""
+    pick = f"""{cen} AS (
+          SELECT vec_id, v, smax FROM {prev}
+          ORDER BY smax ASC, vec_id ASC LIMIT 1
+        )"""
+    if nxt is None:
+        return pick
+    return pick + f""",
+        {nxt} AS (
+          SELECT x.vec_id, x.v,
+                 greatest(x.smax,
+                          round(list_cosine_similarity(x.v, c.v), 6)) AS smax
+          FROM {prev} x CROSS JOIN {cen} c
+          WHERE x.vec_id != c.vec_id
+        )"""
+
+
+@register(
+    "kcenter_coreset_embeddings",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        s0 AS (
+          SELECT x.vec_id, x.v,
+                 round(list_cosine_similarity(x.v, c.v), 6) AS smax
+          FROM e x CROSS JOIN c0 c WHERE x.vec_id != c.vec_id
+        ),
+        {_sql_kcenter_round("s0", "c1", "s1")},
+        {_sql_kcenter_round("s1", "c2", "s2")},
+        {_sql_kcenter_round("s2", "c3", "s3")},
+        {_sql_kcenter_round("s3", "c4", "s4")},
+        {_sql_kcenter_round("s4", "c5", None)}
+        SELECT 0 AS sel_round, vec_id, CAST(-1.0 AS DOUBLE) AS coverage_sim
+        FROM c0
+        UNION ALL SELECT 1, vec_id, smax FROM c1
+        UNION ALL SELECT 2, vec_id, smax FROM c2
+        UNION ALL SELECT 3, vec_id, smax FROM c3
+        UNION ALL SELECT 4, vec_id, smax FROM c4
+        UNION ALL SELECT 5, vec_id, smax FROM c5
+    """,
+    tags=("similarity", "sampling", "coreset", "iterative", "llm-pipeline"),
+)
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (k = 6) over the embeddings table —
+    diversity-maximizing data pruning (Gonzalez 1985 farthest-point
+    traversal, the geometric core of D4/coreset-style corpus
+    selection): each round keeps the point FARTHEST (lowest rounded
+    max-cosine) from everything already kept, so the selected set
+    2-approximates the optimal k-center cover — the "spanning
+    exemplars" a curation pass retains under a k-item budget, where
+    temperature/UniMax mixtures decide proportions and SemDeDup prunes
+    redundancy, this picks the coverage skeleton.
+
+    `coverage_sim` per round (seed = smallest vec_id, -1.0 sentinel)
+    is the selection-time max-similarity — non-decreasing, the
+    choose-k diagnostic. Scale shape (similarity.kcenter_select): a
+    round is ONE full scan with NO shuffle — the chosen center rides
+    as a 64-float literal folded into a running `greatest`, lineage
+    localCheckpoint-truncated; the k-1 one-row argmin fetches are the
+    bounded driver scalars of an iterative algorithm, k fixed. The
+    oracle unrolls the identical pick/fold recurrence as CTE pairs
+    (6dp rounding before every comparison on both engines)."""
+    from spark_pipeline_spark.operators.similarity import kcenter_select
+
+    e = t(spark, sf_dir, "embeddings")
+    return kcenter_select(e, "vec_id", "embedding", k=6).select(
+        "sel_round", F.col("id").alias("vec_id"), "coverage_sim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
@@ -17884,8 +17958,10 @@ _DRIVER_WINDOW = [
     # graded family keeps a window representative (q12 dropped: tpch
     # keeps q1+q5).
     # --- (a) never driver-checked (late-r12 registrations take the
-    #     newest-fill slots: new registrations outrank stale greens) ---
-    "lpa_communities_documents",
+    #     newest-fill slots: new registrations outrank stale greens;
+    #     text_unigram_nll rotated out for kcenter — text family keeps
+    #     text_repetition + pmi + pii in the window) ---
+    "lpa_communities_documents", "kcenter_coreset_embeddings",
     "ivf_index_pq_report", "split_repair_components_documents",
     "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
     "lsh_band_tuning_report", "streaming_row_gate_replay",
@@ -17913,7 +17989,6 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary", "q5_region_revenue",
     "quantile_bucket_orders", "scd2_user_purchases",
     "shard_assign_documents", "text_repetition_documents",
-    "text_unigram_nll_documents",
     # --- (e) family fills (r7/r8 stalest with the graded tags) ---
     "sliding_distinct_users_7d", "eval_calibration_bins",
     "source_term_drift_kl",

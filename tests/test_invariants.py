@@ -1078,3 +1078,51 @@ def test_minhash_index_slice_equals_per_split_prep(spark):
         "id_a", "id_b",
     )
     assert got_nn == want_nn
+
+
+def test_kcenter_select_matches_bruteforce_greedy_and_invariants(spark):
+    """`kcenter_select` must reproduce the textbook greedy farthest-
+    point traversal computed driver-side on the collected vectors
+    (same 6dp rounding, same min-id tie-breaks), with non-decreasing
+    coverage_sim, distinct picks, and partitioning-invariance — the
+    determinism the oracle hash relies on."""
+    import math
+
+    from spark_pipeline_spark.operators.similarity import kcenter_select
+
+    e = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    vecs = {r["vec_id"]: list(r["embedding"]) for r in e.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    k = 5
+    seed = min(vecs)
+    picked = [(0, seed, -1.0)]
+    smax = {i: cos(v, vecs[seed]) for i, v in vecs.items() if i != seed}
+    for r in range(1, k):
+        nxt = min(smax, key=lambda i: (smax[i], i))
+        picked.append((r, nxt, smax.pop(nxt)))
+        for i in smax:
+            smax[i] = max(smax[i], cos(vecs[i], vecs[nxt]))
+
+    got = sorted(
+        tuple(r) for r in kcenter_select(e, "vec_id", "embedding", k).collect()
+    )
+    assert got == sorted(picked)
+
+    # non-decreasing coverage radius (selection-time max-sim grows)
+    radii = [c for _, _, c in sorted(picked)][1:]
+    assert all(radii[i] <= radii[i + 1] + 1e-12 for i in range(len(radii) - 1))
+    assert len({i for _, i, _ in got}) == k  # distinct picks
+
+    got_repart = sorted(
+        tuple(r)
+        for r in kcenter_select(
+            e.repartition(7), "vec_id", "embedding", k
+        ).collect()
+    )
+    assert got_repart == got
