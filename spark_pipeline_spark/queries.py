@@ -17381,8 +17381,13 @@ def dedup_components_incremental_documents(
     from spark_pipeline_spark.functions import md5_unit
 
     d = t(spark, sf_dir, "documents")
-    base, banded = minhash_index_tables(d, "doc_id", "text")
-    is_new_id = md5_unit("__id") < 0.1
+    # the split flag is materialized INTO the persisted index (one md5
+    # per row total); slicing re-reads filter the stored boolean —
+    # restating md5_unit here would re-hash per branch read (~8 of them)
+    base, banded = minhash_index_tables(
+        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
+    )
+    is_new_id = F.col("__tag")
     base_old, base_new = base.filter(~is_new_id), base.filter(is_new_id)
     banded_old, banded_new = banded.filter(~is_new_id), banded.filter(is_new_id)
     old_labels = query_persist(

@@ -1034,8 +1034,12 @@ def test_minhash_index_slice_equals_per_split_prep(spark):
     is_new = md5_unit("doc_id") < 0.1
     old_d, new_d = d.filter(~is_new), d.filter(is_new)
 
-    base, banded = minhash_index_tables(d, "doc_id", "text")
-    is_new_id = md5_unit("__id") < 0.1
+    # tag= materializes the split flag into the persisted index — the
+    # query's cost lever; slicing filters the stored boolean
+    base, banded = minhash_index_tables(
+        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
+    )
+    is_new_id = F.col("__tag")
     b_old, b_new = base.filter(~is_new_id), base.filter(is_new_id)
     k_old, k_new = banded.filter(~is_new_id), banded.filter(is_new_id)
 
