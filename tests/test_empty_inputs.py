@@ -339,3 +339,43 @@ def test_round9_late_queries_on_empty_tables(spark, tmp_path):
         "holt_linear_forecast_user_value",
     ):
         assert REGISTRY[q].fn(spark, str(tmp_path)).count() == 0, q
+
+
+def test_late_r12_operators_on_empty(spark):
+    """label_propagation, kcenter_select, and the shared MinHash index
+    prep on empty inputs: empty results, stable schemas, no job
+    failures (the k-center seed fetch and the LPA round loop must both
+    tolerate zero rows)."""
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_index_tables,
+        minhash_near_dup_pairs,
+    )
+    from spark_pipeline_spark.operators.graph import label_propagation
+    from spark_pipeline_spark.operators.similarity import kcenter_select
+
+    d = _empty_docs(spark)
+    base, banded = minhash_index_tables(
+        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
+    )
+    assert base.columns == ["__id", "__sh", "__tag"] and base.count() == 0
+    assert banded.columns == ["__id", "__band", "__key", "__tag"]
+    assert banded.count() == 0
+    pairs = minhash_near_dup_pairs(
+        None, "doc_id", "text", shingles=base, bands_table=banded
+    )
+    assert pairs.columns == ["id_a", "id_b", "jaccard"] and pairs.count() == 0
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    comm = label_propagation(edges, n_iter=3)
+    assert comm.columns == ["node", "community"] and comm.count() == 0
+
+    e = t(spark, SF_SMALL, "embeddings").filter(F.lit(False))
+    sel = kcenter_select(e, "vec_id", "embedding", k=4)
+    assert sel.columns == ["sel_round", "id", "coverage_sim"]
+    assert sel.count() == 0
+
+    # k larger than the corpus: picks stop when exhausted, no raise
+    tiny = t(spark, SF_SMALL, "embeddings").filter(F.col("vec_id") < 3)
+    sel3 = kcenter_select(tiny, "vec_id", "embedding", k=10)
+    assert sel3.count() == 3
