@@ -11917,6 +11917,7 @@ def _sql_lpa_round(prev: str, out: str) -> str:
         SELECT node AS doc_id, label AS community FROM l3
     """,
     tags=("graph", "communities", "dedup", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def lpa_communities_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-propagation communities (3 synchronous rounds, self-vote,
@@ -17892,6 +17893,7 @@ def _sql_kcenter_round(prev: str, cen: str, nxt: str | None) -> str:
         UNION ALL SELECT 5, vec_id, smax FROM c5
     """,
     tags=("similarity", "sampling", "coreset", "iterative", "llm-pipeline"),
+    bench=True,
 )
 def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (k = 6) over the embeddings table —
