@@ -407,7 +407,13 @@ def label_propagation(
     from pyspark.sql import Window
 
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    # persisted: every round's join rescans the edge list — without
+    # this, an expensive upstream (e.g. a MinHash candidate join +
+    # verify) re-executes once per round (connected_components makes
+    # the same call at graph.py:89)
+    sym = e.unionByName(
+        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).persist()
     nodes = sym.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
@@ -427,4 +433,5 @@ def label_propagation(
         )
         _free_local_checkpoint(labels, successor=new_labels)
         labels = new_labels
+    sym.unpersist()
     return labels.select("node", F.col("label").alias("community"))
