@@ -17985,7 +17985,7 @@ _DRIVER_WINDOW = [
     # --- (d) stalest-green fill: all 32 remaining r6 rows ---
     "ab_test_purchase_rate", "chi_square_orders_status_priority",
     "correlation_matrix_lineitem", "cube_orders_status_priority",
-    "dataset_split_documents", "dedup_normalized_documents",
+    "dataset_split_documents",
     "entropy_profile_orders", "event_path_mining",
     "events_resample_6h_ffill",
     "events_transition_matrix", "inverted_index_documents",
@@ -17996,9 +17996,12 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary", "q5_region_revenue",
     "quantile_bucket_orders", "scd2_user_purchases",
     "shard_assign_documents", "text_repetition_documents",
-    # --- (e) family fills (r7/r8 stalest with the graded tags) ---
+    # --- (e) family fills (r7/r8 stalest with the graded tags; q12 is
+    #     the window's tpch-tag representative — q1/q5 carry plan-shape
+    #     tags, not the family tag; dedup_normalized rotated out, the
+    #     dedup family keeps 6+ window reps) ---
     "sliding_distinct_users_7d", "eval_calibration_bins",
-    "source_term_drift_kl",
+    "q12_shipmode_priority", "source_term_drift_kl",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
