@@ -65,6 +65,9 @@ PROBE_QUERIES = [
     "ivf_index_pq_report",
     "ivf_probe_sweep_report",
     "ks_drift_price_halves",
+    "dedup_components_incremental_documents",
+    "lpa_communities_documents",
+    "kcenter_coreset_embeddings",
 ]
 
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events")
