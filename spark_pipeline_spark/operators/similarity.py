@@ -539,15 +539,22 @@ def kcenter_select(
     ``localCheckpoint`` truncates the k-deep expression lineage. The
     k-1 driver round-trips fetch exactly ONE row each (the argmin) —
     the same bounded-scalar discipline as the components convergence
-    probe; k is a fixed small budget, never data-sized. A zero-norm
-    vector has NULL similarity (see ``functions.cosine_similarity``)
-    and so is never selected past the seed round.
+    probe; k is a fixed small budget, never data-sized.
+
+    Zero-norm vectors are EXCLUDED up front: cosine against them is
+    NULL (``functions.cosine_similarity``), and a NULL running max
+    would otherwise win the ascending argmin on Spark (nulls-first)
+    while losing it on DuckDB (nulls-last) — the filter, not a
+    null-ordering choice, is what keeps selection engine-portable (a
+    directionless vector is meaningless as a coverage exemplar anyway).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from spark_pipeline_spark.functions import l2_norm
     from spark_pipeline_spark.operators.graph import _free_local_checkpoint
 
     e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    e = e.filter(l2_norm("__v") > 0)
     seed = e.orderBy("__id").limit(1).collect()
     if not seed:
         return e.sparkSession.createDataFrame(

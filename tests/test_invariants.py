@@ -1130,3 +1130,24 @@ def test_kcenter_select_matches_bruteforce_greedy_and_invariants(spark):
         ).collect()
     )
     assert got_repart == got
+
+
+def test_kcenter_excludes_zero_norm_vectors(spark):
+    """A zero-norm vector has NULL cosine; before the up-front norm
+    filter it won the ascending argmin on Spark (nulls-first) and
+    crashed the pick — and would have diverged from DuckDB's
+    nulls-last ordering if it hadn't. It must never be selected, and
+    farthest-first semantics must hold around it (seed 0 → antipodal 9
+    at sim −1 → orthogonal 2 at sim 0)."""
+    from spark_pipeline_spark.operators.similarity import kcenter_select
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (7, [0.0, 0.0]),  # zero-norm: excluded
+        (9, [-1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sel = [tuple(r) for r in kcenter_select(e, "vec_id", "embedding", 3).collect()]
+    assert sel == [(0, 0, -1.0), (1, 9, -1.0), (2, 2, 0.0)]
