@@ -297,7 +297,7 @@ def minhash_index_tables(
 
 
 def minhash_near_dup_pairs(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
@@ -336,13 +336,14 @@ def minhash_near_dup_pairs(
     if (shingles is None) != (bands_table is None):
         raise ValueError("shingles and bands_table come as a pair")
     if shingles is not None:
-        if num_hashes % bands:
-            raise ValueError(
-                f"num_hashes={num_hashes} not divisible by bands={bands}"
-            )
+        # num_hashes/bands are NOT validated here: the band keys were
+        # materialized when the index was built, with the builder's own
+        # parameters — these arguments are unused in this branch
         base = shingles.select("__id", "__sh")
         banded = bands_table.select("__id", "__band", "__key")
     else:
+        if df is None:
+            raise ValueError("df is required when no index tables are passed")
         base, banded = minhash_index_tables(
             df, id_col, text_col, n, num_hashes, bands
         )
@@ -373,8 +374,8 @@ def minhash_near_dup_pairs(
 
 
 def minhash_incremental_pairs(
-    corpus: DataFrame,
-    new: DataFrame,
+    corpus: DataFrame | None,
+    new: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
@@ -407,17 +408,19 @@ def minhash_incremental_pairs(
     equi-join candidates, exact-Jaccard verify joining shingles back by
     candidate id only).
     """
-    if num_hashes % bands:
-        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     if (corpus_bands is None) != (corpus_shingles is None):
         raise ValueError("corpus_bands and corpus_shingles come as a pair")
     if (new_bands is None) != (new_shingles is None):
         raise ValueError("new_bands and new_shingles come as a pair")
 
+    # num_hashes/bands are consumed only on the from-text paths; a
+    # precomputed side carries its builder's banding already
     if corpus_bands is not None:
         base_c = corpus_shingles.select("__id", "__sh")
         banded_c = corpus_bands.select("__id", "__band", "__key")
     else:
+        if corpus is None:
+            raise ValueError("corpus is required without corpus_bands/shingles")
         base_c, banded_c = minhash_index_tables(
             corpus, id_col, text_col, n, num_hashes, bands
         )
@@ -425,6 +428,8 @@ def minhash_incremental_pairs(
         base_n = new_shingles.select("__id", "__sh")
         banded_n = new_bands.select("__id", "__band", "__key")
     else:
+        if new is None:
+            raise ValueError("new is required without new_bands/shingles")
         base_n, banded_n = minhash_index_tables(
             new, id_col, text_col, n, num_hashes, bands
         )

@@ -406,14 +406,18 @@ def label_propagation(
     """
     from pyspark.sql import Window
 
-    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).distinct()
-    # persisted: every round's join rescans the edge list — without
-    # this, an expensive upstream (e.g. a MinHash candidate join +
-    # verify) re-executes once per round (connected_components makes
-    # the same call at graph.py:89)
-    sym = e.unionByName(
-        e.select(F.col("d").alias("s"), F.col("s").alias("d"))
-    ).persist()
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    # distinct AFTER symmetrizing (connected_components' order too): an
+    # input carrying both orientations of an undirected edge must not
+    # double that edge's vote weight. persisted: every round's join
+    # rescans the edge list — without this, an expensive upstream
+    # (e.g. a MinHash candidate join + verify) re-executes once per
+    # round.
+    sym = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
     nodes = sym.select(F.col("s").alias("node")).distinct()
     labels = nodes.withColumn("label", F.col("node"))
     w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))

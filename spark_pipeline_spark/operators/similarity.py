@@ -550,28 +550,41 @@ def kcenter_select(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     from spark_pipeline_spark.functions import l2_norm
     from spark_pipeline_spark.operators.graph import _free_local_checkpoint
 
     e = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     e = e.filter(l2_norm("__v") > 0)
+    # id keeps the caller's type (string keys are legal)
+    out_schema = StructType(
+        [
+            StructField("sel_round", IntegerType(), False),
+            StructField("id", e.schema["__id"].dataType, True),
+            StructField("coverage_sim", DoubleType(), True),
+        ]
+    )
     seed = e.orderBy("__id").limit(1).collect()
     if not seed:
-        return e.sparkSession.createDataFrame(
-            [], "sel_round int, id long, coverage_sim double"
-        )
+        return e.sparkSession.createDataFrame([], out_schema)
     picked = [(0, seed[0]["__id"], -1.0)]
     cvec = F.array(*[F.lit(float(x)) for x in seed[0]["__v"]])
-    state = (
-        e.filter(F.col("__id") != seed[0]["__id"])
-        .withColumn("__smax", F.round(cosine_similarity("__v", cvec), 6))
-        .localCheckpoint(eager=True)
-    )
+    state = None
+    if k > 1:  # the fold state is only needed when another pick follows
+        state = (
+            e.filter(F.col("__id") != seed[0]["__id"])
+            .withColumn("__smax", F.round(cosine_similarity("__v", cvec), 6))
+            .localCheckpoint(eager=True)
+        )
     for r in range(1, k):
         top = state.orderBy(F.asc("__smax"), F.asc("__id")).limit(1).collect()
         if not top:
             break  # corpus exhausted before the budget
         picked.append((r, top[0]["__id"], float(top[0]["__smax"])))
+        if r == k - 1:
+            break  # last pick made: folding its center in would be a
+            # full scan + checkpoint nobody ever reads
         cvec = F.array(*[F.lit(float(x)) for x in top[0]["__v"]])
         new_state = (
             state.filter(F.col("__id") != top[0]["__id"])
@@ -585,6 +598,8 @@ def kcenter_select(
         )
         _free_local_checkpoint(state, successor=new_state)
         state = new_state
-    return e.sparkSession.createDataFrame(
-        picked, "sel_round int, id long, coverage_sim double"
-    )
+    if state is not None:
+        # the final state is never read again; free its only copy
+        # (no successor to assert — the loop is over)
+        _free_local_checkpoint(state)
+    return e.sparkSession.createDataFrame(picked, out_schema)

@@ -17872,7 +17872,12 @@ def _sql_kcenter_round(prev: str, cen: str, nxt: str | None) -> str:
 @register(
     "kcenter_coreset_embeddings",
     oracle=f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          -- zero-norm exclusion mirrors kcenter_select: NULL cosines
+          -- sort nulls-first in Spark but nulls-last in DuckDB
+          WHERE list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) > 0
+        ),
         c0 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
         s0 AS (
           SELECT x.vec_id, x.v,
