@@ -280,7 +280,16 @@ def pagerank(
     their mass is dropped, the simple variant); feed symmetric edges
     for the undirected behavior, which also eliminates dangling mass.
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # persisted: each of the n_iter rounds joins the edge list, and the
+    # caller's edge plan can be an expensive join (the trade graph is
+    # orders⋈lineitem + distinct) — without this, that upstream
+    # re-executes once per round plus once each for nodes/outdeg
+    # (measured 18.8 s → 9.3 s on the customer↔supplier query at sf0.1)
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -311,6 +320,7 @@ def pagerank(
         )
         _free_local_checkpoint(ranks, successor=new_ranks)  # superseded round
         ranks = new_ranks
+    e.unpersist()
     return ranks
 
 
