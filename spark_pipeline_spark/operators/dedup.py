@@ -235,6 +235,41 @@ def _band_keys_from_hashes(hashes: Column, num_hashes: int, bands: int) -> Colum
     return F.array(*keys)
 
 
+_MINHASH_META_KEYS = ("minhash_n", "minhash_num_hashes", "minhash_bands")
+
+
+def minhash_index_params(table: DataFrame) -> tuple[int, int, int] | None:
+    """The ``(n, num_hashes, bands)`` a MinHash index table was built
+    with, read from the column metadata :func:`minhash_index_tables`
+    stamps on ``__sh`` / ``__band`` (metadata survives select, persist,
+    and parquet round-trips). ``None`` for tables from older builders —
+    consumers then cannot validate and fall back to trusting the caller.
+    """
+    for f in table.schema.fields:
+        md = f.metadata or {}
+        if all(k in md for k in _MINHASH_META_KEYS):
+            return tuple(int(md[k]) for k in _MINHASH_META_KEYS)
+    return None
+
+
+def _check_index_params(
+    expected: tuple[int, int, int], table: DataFrame, what: str
+) -> None:
+    """Raise if ``table`` carries stamped banding parameters that differ
+    from ``expected`` — band keys from mismatched builders never
+    collide, so the consumer would return a silently empty/short result
+    instead of an error (the failure mode this guard exists to close).
+    Tables without stamped metadata pass (nothing to check against).
+    """
+    got = minhash_index_params(table)
+    if got is not None and got != tuple(expected):
+        raise ValueError(
+            f"{what} was built with (n, num_hashes, bands)={got}, but this "
+            f"call uses {tuple(expected)} — band keys would never match. "
+            f"Pass the builder's parameters (or the matching index tables)."
+        )
+
+
 def minhash_index_tables(
     df: DataFrame,
     id_col: str,
@@ -279,6 +314,11 @@ def minhash_index_tables(
     if tag is not None:
         base = base.withColumn("__tag", tag)
         tag_cols = ["__tag"]
+    # builder parameters ride the tables as column metadata so consumers
+    # can refuse a mismatched (n, num_hashes, bands) instead of silently
+    # returning empty joins (see minhash_index_params)
+    meta = {"minhash_n": n, "minhash_num_hashes": num_hashes, "minhash_bands": bands}
+    base = base.select("__id", F.col("__sh").alias("__sh", metadata=meta), *tag_cols)
     base = query_persist(base, StorageLevel.MEMORY_AND_DISK)
     hashed = base.select(
         "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h"), *tag_cols
@@ -289,6 +329,11 @@ def minhash_index_tables(
             F.posexplode(
                 _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
             ).alias("__band", "__key"),
+            *tag_cols,
+        ).select(
+            "__id",
+            F.col("__band").alias("__band", metadata=meta),
+            "__key",
             *tag_cols,
         ),
         StorageLevel.MEMORY_AND_DISK,
@@ -336,9 +381,18 @@ def minhash_near_dup_pairs(
     if (shingles is None) != (bands_table is None):
         raise ValueError("shingles and bands_table come as a pair")
     if shingles is not None:
-        # num_hashes/bands are NOT validated here: the band keys were
-        # materialized when the index was built, with the builder's own
-        # parameters — these arguments are unused in this branch
+        # num_hashes/bands arguments are unused in this branch — the band
+        # keys were materialized at build time with the builder's own
+        # parameters. The two tables must come from the SAME builder:
+        # stamped metadata (minhash_index_tables) lets us refuse a
+        # mismatched pairing instead of silently verifying wrong shingles.
+        ps, pb = minhash_index_params(shingles), minhash_index_params(bands_table)
+        if ps is not None and pb is not None and ps != pb:
+            raise ValueError(
+                f"shingles index built with (n, num_hashes, bands)={ps} but "
+                f"bands_table with {pb} — these tables are from different "
+                f"index builds and cannot be consumed together."
+            )
         base = shingles.select("__id", "__sh")
         banded = bands_table.select("__id", "__band", "__key")
     else:
@@ -414,8 +468,16 @@ def minhash_incremental_pairs(
         raise ValueError("new_bands and new_shingles come as a pair")
 
     # num_hashes/bands are consumed only on the from-text paths; a
-    # precomputed side carries its builder's banding already
+    # precomputed side carries its builder's banding already. In a MIXED
+    # call (one side precomputed, the other derived from text here) the
+    # two sides MUST share (n, num_hashes, bands) or band keys never
+    # collide and the join is silently empty — when the precomputed side
+    # carries stamped metadata (minhash_index_tables), a mismatch with
+    # this call's parameters raises instead.
+    mixed = (corpus_bands is None) != (new_bands is None)
     if corpus_bands is not None:
+        if mixed:
+            _check_index_params((n, num_hashes, bands), corpus_bands, "corpus index")
         base_c = corpus_shingles.select("__id", "__sh")
         banded_c = corpus_bands.select("__id", "__band", "__key")
     else:
@@ -425,6 +487,16 @@ def minhash_incremental_pairs(
             corpus, id_col, text_col, n, num_hashes, bands
         )
     if new_bands is not None:
+        if mixed:
+            _check_index_params((n, num_hashes, bands), new_bands, "new-side index")
+        else:
+            # both precomputed: they must at least agree with each other
+            pc, pn = minhash_index_params(corpus_bands), minhash_index_params(new_bands)
+            if pc is not None and pn is not None and pc != pn:
+                raise ValueError(
+                    f"corpus index built with (n, num_hashes, bands)={pc} but "
+                    f"new-side index with {pn} — band keys would never match."
+                )
         base_n = new_shingles.select("__id", "__sh")
         banded_n = new_bands.select("__id", "__band", "__key")
     else:
@@ -848,11 +920,12 @@ def longest_shared_spans(
 
 
 def prefix_filter_jaccard_join(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.6,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold similarity self-join via prefix filtering
     (SSJoin/PPJoin, Chaudhuri et al. 2006 / Bayardo et al. 2007) — the
@@ -883,6 +956,17 @@ def prefix_filter_jaccard_join(
     8-byte column per posting row buys a candidate cut before the
     distinct and the wide-array verify, and it is pure pruning: any
     pair the filter drops provably fails the threshold.
+
+    Floating point: both bounds (prefix length and length filter)
+    compare a float product against integers, and a threshold whose
+    double representation rounds UP (0.9 is 0.9000000000000000222…)
+    could otherwise tighten a bound past its exact rational value and
+    drop a pair whose verify-stage Jaccard passes. Each comparison
+    therefore carries a 1e-9 slack in the recall-safe direction — the
+    filter can only become (immeasurably) more permissive, and the
+    exact verify stage discards any extra candidates, so the output is
+    unchanged while the no-false-negative guarantee holds for every
+    representable threshold.
     """
     import math
 
@@ -890,7 +974,21 @@ def prefix_filter_jaccard_join(
 
     if not (0 < threshold <= 1):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    sh = query_persist(shingle_table(df, id_col, text_col, n))
+    if shingles is not None:
+        # caller already holds (and persisted) the ``(__id, __sh)`` table
+        # — e.g. the shared MinHash index prep (minhash_index_tables) or a
+        # report that also bands the same corpus; skipping the text scan
+        # here removes a whole duplicate shingle pass. ``n`` must match
+        # the builder's; stamped metadata is checked when present.
+        if (p := minhash_index_params(shingles)) is not None and p[0] != n:
+            raise ValueError(
+                f"shingles were built with n={p[0]} but this call uses n={n}"
+            )
+        sh = shingles.select("__id", "__sh")
+    else:
+        if df is None:
+            raise ValueError("df is required when no shingle table is passed")
+        sh = query_persist(shingle_table(df, id_col, text_col, n))
     post = sh.select(
         "__id", F.size("__sh").alias("__m"), F.explode_outer("__sh").alias("__g")
     ).filter(F.col("__g").isNotNull())
@@ -899,8 +997,13 @@ def prefix_filter_jaccard_join(
     prefix = (
         post.join(gram_df, "__g")
         .withColumn("__rn", F.row_number().over(w))
-        # m - ceil(t*m) + 1
-        .filter(F.col("__rn") <= F.col("__m") - F.ceil(threshold * F.col("__m")) + 1)
+        # m - ceil(t*m) + 1; the 1e-9 slack keeps ceil from rounding a
+        # float-inflated t*m up past the exact rational bound (prefix
+        # can only get longer — recall-safe)
+        .filter(
+            F.col("__rn")
+            <= F.col("__m") - F.ceil(threshold * F.col("__m") - F.lit(1e-9)) + 1
+        )
         .select("__id", "__g", "__m")
     )
     cand = (
@@ -913,9 +1016,10 @@ def prefix_filter_jaccard_join(
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
+            # t*max <= min, with float slack in the keep-the-pair direction
             & (
                 F.greatest("__ma", "__mb") * F.lit(threshold)
-                <= F.least("__ma", "__mb")
+                <= F.least("__ma", "__mb") + F.lit(1e-9)
             )
         )
         .select("id_a", "id_b")

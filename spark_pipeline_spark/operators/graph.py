@@ -290,37 +290,41 @@ def pagerank(
         .distinct()
         .persist()
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    for _ in range(n_iter):
-        contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(outdeg, "src")
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("in_mass"))
+    # try/finally: an exception mid-iteration (e.g. a cancelled job) must
+    # not leak the cached edge list for the life of the session
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        new_ranks = (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
+        n = nodes.count()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        base = (1.0 - damping) / n
+        for _ in range(n_iter):
+            contribs = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(outdeg, "src")
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .localCheckpoint(eager=True)
-        )
-        _free_local_checkpoint(ranks, successor=new_ranks)  # superseded round
-        ranks = new_ranks
-    e.unpersist()
+            new_ranks = (
+                nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            _free_local_checkpoint(ranks, successor=new_ranks)  # superseded round
+            ranks = new_ranks
+    finally:
+        e.unpersist()
     return ranks
 
 
@@ -428,24 +432,28 @@ def label_propagation(
         .distinct()
         .persist()
     )
-    nodes = sym.select(F.col("s").alias("node")).distinct()
-    labels = nodes.withColumn("label", F.col("node"))
-    w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
-    for _ in range(n_iter):
-        neighbor_votes = (
-            sym.join(labels, sym["s"] == labels["node"])
-            .select(F.col("d").alias("node"), "label")
-        )
-        ballots = neighbor_votes.unionByName(labels)  # self-vote
-        new_labels = (
-            ballots.groupBy("node", "label")
-            .agg(F.count(F.lit(1)).alias("votes"))
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
-            .localCheckpoint(eager=True)
-        )
-        _free_local_checkpoint(labels, successor=new_labels)
-        labels = new_labels
-    sym.unpersist()
+    # try/finally: an exception mid-iteration must not leak the cached
+    # symmetric edge list for the life of the session
+    try:
+        nodes = sym.select(F.col("s").alias("node")).distinct()
+        labels = nodes.withColumn("label", F.col("node"))
+        w = Window.partitionBy("node").orderBy(F.desc("votes"), F.asc("label"))
+        for _ in range(n_iter):
+            neighbor_votes = (
+                sym.join(labels, sym["s"] == labels["node"])
+                .select(F.col("d").alias("node"), "label")
+            )
+            ballots = neighbor_votes.unionByName(labels)  # self-vote
+            new_labels = (
+                ballots.groupBy("node", "label")
+                .agg(F.count(F.lit(1)).alias("votes"))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .select("node", "label")
+                .localCheckpoint(eager=True)
+            )
+            _free_local_checkpoint(labels, successor=new_labels)
+            labels = new_labels
+    finally:
+        sym.unpersist()
     return labels.select("node", F.col("label").alias("community"))

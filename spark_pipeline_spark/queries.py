@@ -5642,19 +5642,25 @@ def lsh_recall_precision_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hit join. Precision is 1.0 by construction because LSH
     candidates are exact-verified."""
     from spark_pipeline_spark.operators.dedup import (
+        minhash_index_tables,
         minhash_near_dup_pairs,
         prefix_filter_jaccard_join,
     )
 
     d = t(spark, sf_dir, "documents")
+    # ONE shared shingle+hash pass feeds both the LSH pairs and the
+    # exact-truth join (r13: each used to re-shingle the corpus itself)
+    base, banded = minhash_index_tables(d, "doc_id", "text")
     lsh = query_persist(
-        minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.9).select(
-            "id_a", "id_b"
-        )
+        minhash_near_dup_pairs(
+            None, "doc_id", "text", threshold=0.9,
+            shingles=base, bands_table=banded,
+        ).select("id_a", "id_b")
     )
     truth = query_persist(
-        prefix_filter_jaccard_join(d, "doc_id", "text", n=3, threshold=0.9)
-        .select("id_a", "id_b")
+        prefix_filter_jaccard_join(
+            None, "doc_id", "text", n=3, threshold=0.9, shingles=base
+        ).select("id_a", "id_b")
     )
     n_true = truth.count()
     n_lsh = lsh.count()
@@ -7348,6 +7354,7 @@ def hard_negative_mining_embeddings(spark: SparkSession, sf_dir: str) -> DataFra
         FROM v WHERE containment >= 0.9
     """,
     tags=("dedup", "containment", "llm-pipeline"),
+    bench=True,
 )
 def dedup_containment_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment near-dup pairs (|A∩B| / min|A|,|B| ≥ 0.9 over word
@@ -15893,6 +15900,7 @@ def split_repair_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sp LEFT JOIN tgt t ON t.doc_id = sp.doc_id
     """,
     tags=("dedup", "split", "leakage", "graph", "eval", "llm-pipeline"),
+    bench=True,
 )
 def split_repair_components_documents(
     spark: SparkSession, sf_dir: str
@@ -17242,6 +17250,7 @@ def streaming_dedup_ttl_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "ann", "index", "quantization", "drift",
           "monitoring", "llm-pipeline"),
+    bench=True,
 )
 def ivf_index_pq_code_drift_report(
     spark: SparkSession, sf_dir: str
@@ -17658,6 +17667,7 @@ def _sql_band_select(num_hashes: int, bands: int) -> str:
         FROM per p, nt
     """,
     tags=("dedup", "minhash", "lsh", "tuning", "eval", "llm-pipeline"),
+    bench=True,
 )
 def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LSH banding KNOB, measured: for (bands, rows) ∈ {(2,8),
@@ -17693,8 +17703,13 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__id", F.transform("__sh", lambda s: md5_int(s)).alias("__h")
         )
     )
+    # truth set reuses the SAME persisted shingle table the banding
+    # configs read — without this the prefix-filter join re-shingled the
+    # whole corpus from raw text (one extra full text scan + gram pass)
     n_true = (
-        prefix_filter_jaccard_join(d, "doc_id", "text", n=3, threshold=0.7)
+        prefix_filter_jaccard_join(
+            None, "doc_id", "text", n=3, threshold=0.7, shingles=sh
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
     )
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))

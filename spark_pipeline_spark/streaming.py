@@ -802,6 +802,16 @@ def stream_dedup_lsh_sink(
     bands_path = index_path.rstrip("/") + "/bands"
     shingles_path = index_path.rstrip("/") + "/shingles"
 
+    # builder parameters ride the persisted index as column metadata
+    # (parquet keeps it), so dedup.minhash_incremental_pairs can refuse
+    # a mismatched (n, num_hashes, bands) instead of silently matching
+    # nothing (dedup.minhash_index_params reads this stamp)
+    _idx_meta = {
+        "minhash_n": n,
+        "minhash_num_hashes": num_hashes,
+        "minhash_bands": bands,
+    }
+
     def prepare(pin, batch_df: DataFrame, batch_id: int):
         base = pin(
             shingle_table(
@@ -809,7 +819,7 @@ def stream_dedup_lsh_sink(
                 id_col,
                 text_col,
                 n,
-            )
+            ).select("__id", F.col("__sh").alias("__sh", metadata=_idx_meta))
         )
         # materialize the hash array as its own projection before fanning
         # it into the signature slots — an inlined transform re-evaluates
@@ -823,6 +833,8 @@ def stream_dedup_lsh_sink(
                 F.posexplode(
                     _band_keys_from_hashes(F.col("__h"), num_hashes, bands)
                 ).alias("__band", "__key"),
+            ).select(
+                "__id", F.col("__band").alias("__band", metadata=_idx_meta), "__key"
             )
         )
 

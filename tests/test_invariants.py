@@ -1151,3 +1151,73 @@ def test_kcenter_excludes_zero_norm_vectors(spark):
     e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     sel = [tuple(r) for r in kcenter_select(e, "vec_id", "embedding", 3).collect()]
     assert sel == [(0, 0, -1.0), (1, 9, -1.0), (2, 2, 0.0)]
+
+
+def test_minhash_index_params_stamped_and_mismatch_raises(spark, tmp_path):
+    """ADVICE r12: a MIXED incremental call (one side a precomputed
+    index, the other derived from text) with banding parameters that
+    differ from the index builder's used to return a silently empty
+    join — band keys from different (num_hashes, bands) never collide.
+    The builder now stamps (n, num_hashes, bands) as column metadata
+    (it survives parquet) and consumers raise on a mismatch."""
+    import pytest
+
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_params,
+        minhash_index_tables,
+    )
+
+    d = t(spark, SF_SMALL, "documents").select("doc_id", "text").limit(80)
+    base, banded = minhash_index_tables(d, "doc_id", "text", num_hashes=32, bands=8)
+    assert minhash_index_params(base) == (3, 32, 8)
+    assert minhash_index_params(banded) == (3, 32, 8)
+
+    # the stamp survives a parquet round-trip (the streaming-index case)
+    p = str(tmp_path / "bands_pq")
+    banded.write.parquet(p)
+    assert minhash_index_params(spark.read.parquet(p)) == (3, 32, 8)
+
+    # mixed call, mismatched banding (defaults 16/4 vs builder 32/8): raise
+    with pytest.raises(ValueError, match="never match"):
+        minhash_incremental_pairs(
+            None, d, "doc_id", "text",
+            corpus_bands=banded, corpus_shingles=base, threshold=0.9,
+        )
+    # mixed call with the builder's parameters: accepted
+    ok = minhash_incremental_pairs(
+        None, d, "doc_id", "text", num_hashes=32, bands=8,
+        corpus_bands=banded, corpus_shingles=base, threshold=0.9,
+    )
+    assert ok.count() >= 0
+
+    # both-precomputed from DIFFERENT builds: raise
+    base2, banded2 = minhash_index_tables(d, "doc_id", "text")  # defaults 16/4
+    with pytest.raises(ValueError, match="never match"):
+        minhash_incremental_pairs(
+            None, None, "doc_id", "text",
+            corpus_bands=banded, corpus_shingles=base,
+            new_bands=banded2, new_shingles=base2,
+        )
+
+
+def test_prefix_filter_length_bound_float_boundary(spark):
+    """ADVICE r12: threshold=0.9 rounds UP in binary (0.90000000000000002…),
+    so the length filter `greatest*t <= least` evaluated 10*0.9 to
+    9.000000000000002 > 9 and dropped a subset pair with exact Jaccard
+    9/10 = 0.9 — a false negative in the operator whose whole point is
+    the no-false-negative guarantee. The 1e-9 slack keeps it."""
+    from spark_pipeline_spark.operators.dedup import prefix_filter_jaccard_join
+
+    words = " ".join(f"w{i:02d}" for i in range(12))        # 10 distinct trigrams
+    sub = " ".join(f"w{i:02d}" for i in range(11))          # 9, strict subset
+    df = spark.createDataFrame(
+        [(1, words), (2, sub)], "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6))
+        for r in prefix_filter_jaccard_join(
+            df, "doc_id", "text", threshold=0.9
+        ).collect()
+    }
+    assert got == {(1, 2, 0.9)}
