@@ -467,16 +467,14 @@ def main_ann(argv: list[str] | None = None) -> int:
         if conf.get("keep-last-n") is None:
             print("ann compact requires 'keep-last-n'")
             return 2
-        from spark_pipeline_spark.streaming import compact_index_batches
+        from spark_pipeline_spark.streaming import compact_ann_index
 
-        # flat batch tables only: assignments/ is cell-partitioned and
-        # must keep its pruning layout (see compact_index_batches)
+        # the per-family wrapper owns the sub-table list: flat code
+        # tables only — assignments/ is cell-partitioned and the engine
+        # refuses it (its layout is the search's partition pruning)
         print(
             "compacted:",
-            compact_index_batches(
-                spark, index_path, int(conf["keep-last-n"]),
-                ("codes", "codes_pq"),
-            ),
+            compact_ann_index(spark, index_path, int(conf["keep-last-n"])),
         )
     else:  # stats
         report = (

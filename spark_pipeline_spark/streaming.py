@@ -38,6 +38,9 @@ __all__ = [
     "purge_ids_from_semantic_index",
     "expire_index_batches",
     "compact_index_batches",
+    "compact_lsh_index",
+    "compact_semantic_index",
+    "compact_ann_index",
     "read_parquet_stream",
     "stream_tumbling_agg",
     "stream_session_agg",
@@ -1538,6 +1541,18 @@ def compact_index_batches(
         if df is None:
             out[name] = []
             continue
+        if any("/cell=" in f for f in df.inputFiles()):
+            # the ANN assignments table (and any other cell-PARTITIONED
+            # layout — files under cell=<k> directories; a plain `cell`
+            # DATA column like the flat codes tables' is fine):
+            # compacting would flatten the directories the search's
+            # partition pruning depends on. Refuse loudly — a silent
+            # flatten turns every probe into a full-index scan.
+            raise ValueError(
+                f"{path} is cell-partitioned (files under cell=<k> "
+                f"directories) — compaction would destroy its pruning "
+                f"layout; rebuild the index instead (ann rebuild)."
+            )
         ids = sorted(r["batch"] for r in df.select("batch").distinct().collect())
         cut = ids[: max(0, len(ids) - keep_last_n)]
         if len(cut) < 2:
@@ -1560,6 +1575,42 @@ def compact_index_batches(
         _hadoop_delete(spark, staging)
         out[name] = cut
     return out
+
+
+def compact_lsh_index(
+    spark: SparkSession, index_path: str, keep_last_n: int
+) -> dict:
+    """History compaction for the LSH dedup index
+    (:func:`stream_dedup_lsh_sink`'s ``bands/`` + ``shingles/``) — the
+    per-family front door to :func:`compact_index_batches` that knows
+    its own sub-table layout, so callers cannot compact half an index
+    or point the engine at a layout it would corrupt. ``keep_last_n``
+    must cover every batch the stream's checkpoint could redeliver."""
+    return compact_index_batches(
+        spark, index_path, keep_last_n, ("bands", "shingles")
+    )
+
+
+def compact_semantic_index(
+    spark: SparkSession, index_path: str, keep_last_n: int
+) -> dict:
+    """History compaction for the semantic dedup index
+    (:func:`stream_semantic_dedup_sink`'s ``vectors/`` table)."""
+    return compact_index_batches(spark, index_path, keep_last_n, ("vectors",))
+
+
+def compact_ann_index(
+    spark: SparkSession, index_path: str, keep_last_n: int
+) -> dict:
+    """History compaction for the persisted ANN index's FLAT code
+    tables (``codes/`` + ``codes_pq/``). The cell-partitioned
+    ``assignments/`` table is deliberately NOT in scope — the engine
+    refuses it outright (its ``cell=<k>`` directories are the search's
+    partition pruning); reshaping assignments is a rebuild, not a
+    compaction."""
+    return compact_index_batches(
+        spark, index_path, keep_last_n, ("codes", "codes_pq")
+    )
 
 
 def _purge_from_batched_tables(

@@ -1873,3 +1873,46 @@ def test_compact_index_batches_preserves_vetoes(spark, tmp_path):
     run_once()
     ids = {r["doc_id"] for r in spark.read.parquet(acc).collect()}
     assert 9300 not in ids
+
+
+def test_compaction_family_wrappers_and_cell_refusal(spark, tmp_path):
+    """VERDICT r12 item 7: the per-family wrappers own their sub-table
+    lists, and the engine REFUSES a cell-partitioned table (the ANN
+    assignments layout) — silently flattening its cell=<k> directories
+    would turn every probe into a full-index scan."""
+    import pytest
+
+    from spark_pipeline_spark.streaming import (
+        compact_ann_index,
+        compact_index_batches,
+        compact_lsh_index,
+        compact_semantic_index,
+    )
+
+    root = str(tmp_path / "fam_idx")
+    # three batches of a flat vectors table (semantic-index layout)
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + i, [float(b), float(i)]) for i in range(4)],
+            "__id long, __vec array<double>",
+        ).write.parquet(f"{root}/vectors/batch={b}")
+    got = compact_semantic_index(spark, root, 1)
+    assert got == {"vectors": [0, 1]}
+    v = spark.read.parquet(root + "/vectors")
+    assert {r["batch"] for r in v.select("batch").distinct().collect()} == {0, 2}
+    assert v.count() == 12
+
+    # LSH wrapper: absent sub-tables report empty (engine contract)
+    assert compact_lsh_index(spark, str(tmp_path / "nope"), 1) == {
+        "bands": [], "shingles": [],
+    }
+
+    # a cell-partitioned table is refused, whatever name it's given
+    for b in range(3):
+        spark.createDataFrame(
+            [(b * 10 + i, i % 2) for i in range(4)], "vec_id long, cell int"
+        ).write.partitionBy("cell").parquet(f"{root}/assignments/batch={b}")
+    with pytest.raises(ValueError, match="cell-partitioned"):
+        compact_index_batches(spark, root, 1, ("assignments",))
+    # the ANN wrapper never names assignments — codes/codes_pq only
+    assert compact_ann_index(spark, root, 1) == {"codes": [], "codes_pq": []}
