@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "build_ivf_index",
     "refresh_ivf_index",
+    "rebuild_ivf_index",
     "purge_ids_from_ivf_index",
     "ivf_index_search",
     "ivf_index_search_int8",
@@ -435,6 +436,113 @@ def refresh_ivf_index(
             "resplit_flag"
         ),
     )
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    k_cells: int | None = None,
+    iters: int = 0,
+    pq_m: int | None = None,
+    pq_k: int | None = None,
+    on_staged=None,
+) -> dict:
+    """Centroid-RETRAIN rebuild of a live index — the acted-on path for
+    the drift alarms (`ivf_index_pq_code_drift_report`, the refresh
+    skew report's ``resplit_flag``), which only observe: read the
+    current corpus out of the persisted ``assignments/`` tables (all
+    batches — i.e. exactly the vectors the index holds today, post-
+    refresh, post-purge), train fresh centroids on it, reassign,
+    re-encode int8 and PQ, and swap the WHOLE index in one staged pass.
+
+    Swap discipline (the purge engine's, upgraded from rewrite to
+    rename): the complete new index — every sub-table — is built under
+    ``<index_path>__rebuild_staging`` while the LIVE tables are never
+    touched, so in-flight searches keep reading a fully consistent old
+    index for the entire (expensive) retrain. Commit is then one
+    RENAME per sub-table (milliseconds, no data movement): live →
+    ``__old``, staged → live, delete ``__old``. A crash mid-commit
+    leaves each table either wholly old or wholly new — search stays
+    well-formed (worst case: centroids from the new build with an old
+    batch layout for one read; re-running the rebuild heals, because
+    staging is rebuilt from scratch and the renames are idempotent in
+    effect). A leftover staging directory from a crashed run is
+    clobbered on the next call.
+
+    Parameters default to "keep the index's current shape": ``k_cells``
+    None → the live centroid count (pass a larger value on persistent
+    skew — the resplit story); ``pq_m``/``pq_k`` None → inferred from
+    the live ``pq_codebook/`` (absent → rebuilt without PQ);
+    ``pq_m=0`` drops the PQ layer explicitly. ``iters`` > 0 adds Lloyd
+    refinement rounds on the fresh seeds (`kmeans_fit`). The result is
+    bit-identical to `build_ivf_index` on the same corpus and
+    parameters — the invariant the tests hash-verify. ``on_staged``
+    (optional callable, no args) runs after staging completes and
+    before the first live table is touched — the quiesce/verify hook.
+
+    Caller contract: quiesce refresh/purge writers for the swap (same
+    as compaction); searches need no quiesce. vec_ids are unique
+    across batches by the refresh/purge contract, so the corpus read
+    needs no dedup. Scale: one full-corpus scan + the standard build
+    (centroids broadcast, corpus never shuffles except the k-means
+    aggregates); the commit moves zero data bytes."""
+    from spark_pipeline_spark.streaming import (
+        _hadoop_delete,
+        _hadoop_rename,
+        hadoop_path_exists,
+    )
+
+    root = index_path.rstrip("/")
+    cen_path, asg_path, _ = _paths(root)
+    pq_cb_path, _ = _pq_paths(root)
+
+    corpus = _try_read(spark, asg_path)
+    if corpus is None:
+        raise ValueError(
+            f"rebuild_ivf_index: no assignments under {root} — nothing to "
+            f"rebuild (build_ivf_index creates a new index)"
+        )
+    corpus = corpus.select("vec_id", "embedding")
+
+    if k_cells is None:
+        k_cells = spark.read.parquet(cen_path).count()
+    codebook = _try_read(spark, pq_cb_path)
+    if pq_m is None:
+        if codebook is not None:
+            agg = codebook.agg(F.max("m"), F.max("code")).first()
+            pq_m = int(agg[0]) + 1
+            if pq_k is None:
+                pq_k = int(agg[1]) + 1
+    elif pq_m == 0:
+        pq_m = None
+    if pq_m is not None and pq_k is None:
+        pq_k = 4
+
+    staging_root = root + "__rebuild_staging"
+    _hadoop_delete(spark, staging_root)  # clobber a crashed run's leftovers
+    info = build_ivf_index(
+        spark, corpus, staging_root, k_cells=k_cells, iters=iters,
+        pq_m=pq_m, **({"pq_k": pq_k} if pq_k is not None else {}),
+    )
+
+    if on_staged is not None:
+        on_staged()
+
+    sub_tables = ("centroids", "assignments", "codes", "pq_codebook", "codes_pq")
+    swapped = []
+    for name in sub_tables:
+        live = f"{root}/{name}"
+        staged = f"{staging_root}/{name}"
+        old = live + "__old"
+        _hadoop_delete(spark, old)
+        if hadoop_path_exists(spark, live):
+            _hadoop_rename(spark, live, old)
+        if hadoop_path_exists(spark, staged):
+            _hadoop_rename(spark, staged, live)
+            swapped.append(name)
+        _hadoop_delete(spark, old)
+    _hadoop_delete(spark, staging_root)
+    return {**info, "swapped": swapped}
 
 
 def purge_ids_from_ivf_index(

@@ -351,14 +351,16 @@ def main_ann(argv: list[str] | None = None) -> int:
 
         {"index-path": "/data/ann_index",
          "action": "build" | "refresh" | "search" | "purge" | "expire"
-                   | "stats",
+                   | "rebuild" | "stats",
          # build / refresh / search:
          "source": {...},              # any load() source of vectors
          "id-col": "vec_id",           # default
          "vec-col": "embedding",       # default
-         "k-cells": 4,                 # build only
-         "pq-m": 2, "pq-k": 4,         # build only: opt-in PQ layer
-         "iters": 0,                   # build only: Lloyd rounds
+         "k-cells": 4,                 # build (default 4) / rebuild
+                                       #   (default: keep current count)
+         "pq-m": 2, "pq-k": 4,         # build: opt-in PQ layer; rebuild:
+                                       #   default keep, pq-m 0 drops it
+         "iters": 0,                   # build/rebuild: Lloyd rounds
          "batch-id": 7,                # refresh only: replay-idempotent id
          # search: source = the query vectors
          "k": 5, "nprobe": 1,
@@ -376,11 +378,12 @@ def main_ann(argv: list[str] | None = None) -> int:
     t0 = time.time()
     action = conf.get("action")
     if action not in (
-        "build", "refresh", "search", "purge", "expire", "compact", "stats"
+        "build", "refresh", "search", "purge", "expire", "compact",
+        "rebuild", "stats",
     ):
         print(
             f"ann config 'action' must be build/refresh/search/purge/expire/"
-            f"compact/stats, got {action!r}"
+            f"compact/rebuild/stats, got {action!r}"
         )
         return 2
     if not conf.get("index-path"):
@@ -463,6 +466,19 @@ def main_ann(argv: list[str] | None = None) -> int:
                 ("assignments", "codes", "codes_pq"),
             ),
         )
+    elif action == "rebuild":
+        # retrain centroids from the index's own corpus; staged
+        # whole-index swap — the acted-on path for the drift alarms
+        k_cells = conf.get("k-cells")
+        pq_m = conf.get("pq-m")
+        info = ann_index.rebuild_ivf_index(
+            spark, index_path,
+            k_cells=None if k_cells is None else int(k_cells),
+            iters=int(conf.get("iters", 0)),
+            pq_m=None if pq_m is None else int(pq_m),
+            pq_k=None if conf.get("pq-k") is None else int(conf["pq-k"]),
+        )
+        print(f"rebuilt index: {info}")
     elif action == "compact":
         if conf.get("keep-last-n") is None:
             print("ann compact requires 'keep-last-n'")

@@ -17342,6 +17342,166 @@ def ivf_index_pq_code_drift_report(
 
 
 @register(
+    "ivf_index_rebuild_recall_report",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        lab AS (
+          SELECT vec_id, v,
+                 ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.1 AS is_new
+          FROM e
+        ),
+        cen_b AS (
+          SELECT vec_id AS cell, v AS cv FROM lab
+          WHERE NOT is_new ORDER BY vec_id LIMIT 4
+        ),
+        cen_a AS (
+          SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 8
+        ),
+        ph AS (SELECT * FROM (VALUES ('before', 4), ('after', 8))
+               AS t(phase, n_cells)),
+        cen AS (
+          SELECT 'before' AS phase, cell, cv FROM cen_b
+          UNION ALL
+          SELECT 'after' AS phase, cell, cv FROM cen_a
+        ),
+        assign AS (
+          SELECT c.phase, l.vec_id, l.v, c.cell
+          FROM lab l JOIN cen c ON TRUE
+          QUALIFY row_number() OVER (
+            PARTITION BY c.phase, l.vec_id
+            ORDER BY list_cosine_similarity(l.v, c.cv) DESC, c.cell ASC
+          ) = 1
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 20),
+        exact AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id
+          FROM q JOIN e c ON q.query_id != c.vec_id
+          QUALIFY row_number() OVER (
+            PARTITION BY q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.vec_id
+          ) <= 3
+        ),
+        probes AS (
+          SELECT c.phase, q.query_id, q.qv, c.cell
+          FROM q JOIN cen c ON TRUE
+          QUALIFY row_number() OVER (
+            PARTITION BY c.phase, q.query_id
+            ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cell ASC
+          ) <= 2
+        ),
+        cands AS (
+          SELECT p.phase, p.query_id, a.vec_id AS neighbor_id
+          FROM probes p
+          JOIN assign a ON a.phase = p.phase AND a.cell = p.cell
+          WHERE a.vec_id != p.query_id
+          QUALIFY row_number() OVER (
+            PARTITION BY p.phase, p.query_id
+            ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id ASC
+          ) <= 3
+        ),
+        hits AS (
+          SELECT c.phase, count(*)::BIGINT AS n_hits
+          FROM cands c JOIN exact x ON x.query_id = c.query_id
+                                   AND x.neighbor_id = c.neighbor_id
+          GROUP BY 1
+        ),
+        nq AS (SELECT count(*)::BIGINT AS n_queries FROM q)
+        SELECT ph.phase, ph.n_cells::BIGINT AS n_cells, nq.n_queries,
+               round(coalesce(h.n_hits, 0) / (3.0 * nq.n_queries), 6)
+                 AS mean_recall_at_3
+        FROM ph CROSS JOIN nq LEFT JOIN hits h ON h.phase = ph.phase
+    """,
+    tags=("similarity", "ann", "index", "lifecycle", "rebuild", "eval",
+          "llm-pipeline"),
+    bench=True,
+)
+def ivf_index_rebuild_recall_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The drift alarms' ACTED-ON path, measured end-to-end: build the
+    persisted IVF index on the "existing" 90% (same deterministic md5
+    split as `ivf_index_lifecycle_report`), refresh the 10% increment,
+    measure search recall@3 vs the exact brute-force truth — then
+    `rebuild_ivf_index` (centroids RETRAINED from the index's own
+    corpus, here with k_cells 4→8, the resplit story) and measure
+    again. Output: one row per phase with mean recall, so the report a
+    rebuild decision quotes ("skew alarm fired; rebuild changes recall
+    from X to Y") is itself oracle-hashed. The oracle replays both
+    phases from the base table: before = seeds from the 4 lowest
+    existing ids (refresh assigns the increment to those same
+    centroids), after = seeds from the 8 lowest ids of the FULL corpus
+    (exactly what retraining from the persisted assignments sees).
+
+    Scale shape: the build is the one corpus scan; refresh touches the
+    increment; the rebuild's staged swap moves zero data bytes at
+    commit (per-table renames); each search prunes to nprobe=2 cell
+    directories; recall joins the 20-query top-k frames only. The
+    before-phase numbers are materialized (scalar counts) BEFORE the
+    swap — the lazily-read search frame would otherwise re-read the
+    post-rebuild tables."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.ann_index import (
+        build_ivf_index,
+        ivf_index_search,
+        rebuild_ivf_index,
+        refresh_ivf_index,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.similarity import cosine_topk
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_new = md5_unit("vec_id") < 0.1
+    index_path = "{}/spark_graft_ivf_rebuild_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
+    )
+    build_ivf_index(spark, e.filter(~is_new), index_path, k_cells=4)
+    refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
+
+    queries = e.filter(F.col("vec_id") < 20)
+    exact = query_persist(
+        cosine_topk(e, queries, k=3, exclude_self=True).select(
+            "query_id", F.col("neighbor_id").alias("__xn")
+        )
+    )
+    n_q = queries.count()
+
+    def n_hits() -> int:
+        topk = ivf_index_search(
+            spark, index_path, queries, k=3, nprobe=2, exclude_self=True
+        )
+        return (
+            topk.join(
+                exact,
+                (topk["query_id"] == exact["query_id"])
+                & (topk["neighbor_id"] == F.col("__xn")),
+            ).count()
+        )
+
+    hits_before = n_hits()  # materialized pre-swap (lazy reads!)
+    rebuild_ivf_index(spark, index_path, k_cells=8)
+    hits_after = n_hits()
+
+    def phase_row(name: str, cells: int, hits: int) -> DataFrame:
+        return t(spark, sf_dir, "region").limit(1).select(
+            F.lit(name).alias("phase"),
+            F.lit(cells).cast("bigint").alias("n_cells"),
+            F.lit(n_q).cast("bigint").alias("n_queries"),
+            F.round(F.lit(float(hits)) / F.lit(3.0 * n_q), 6).alias(
+                "mean_recall_at_3"
+            ),
+        )
+
+    return phase_row("before", 4, hits_before).unionByName(
+        phase_row("after", 8, hits_after)
+    )
+
+
+@register(
     "dedup_components_incremental_documents",
     # The incremental path must reproduce the from-scratch transitive
     # closure EXACTLY (same min-id labels), so the batch components

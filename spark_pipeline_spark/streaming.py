@@ -1662,3 +1662,15 @@ def _hadoop_delete(spark: SparkSession, path: str) -> None:
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(hpath, True)
+
+
+def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Directory rename via the Hadoop FS API — atomic per directory on
+    HDFS and local filesystems (NOT on S3, where rename is copy+delete;
+    an object-store deployment should front the swap with a manifest).
+    Returns the filesystem's success flag."""
+    jvm = spark._jvm
+    sp = jvm.org.apache.hadoop.fs.Path(src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.rename(sp, dp))

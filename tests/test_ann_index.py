@@ -337,3 +337,119 @@ def test_pq_search_lifecycle(spark, tmp_path):
     assert _try_read(spark, path + "/codes_pq") is None
     # and the PQ search over the de-PQ'd index is the empty state
     assert ivf_index_search_pq(spark, path, q, k=3).count() == 0
+
+
+def _index_snapshot(spark, root):
+    """Every table's content as hashable sets (None for absent tables)."""
+    from spark_pipeline_spark.streaming import _try_read_parquet
+
+    out = {}
+    for name, cols in (
+        ("centroids", ("cell", "centroid")),
+        ("assignments", ("vec_id", "cell", "batch", "embedding")),
+        ("codes", ("vec_id", "cell", "codes", "scale")),
+        ("pq_codebook", ("m", "code", "cv")),
+        ("codes_pq", ("vec_id", "cell", "codes")),
+    ):
+        df = _try_read_parquet(spark, f"{root}/{name}")
+        if df is None:
+            out[name] = None
+            continue
+        out[name] = {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.select(*cols).collect()
+        }
+    return out
+
+
+def test_rebuild_equals_fresh_build_and_serves_during_staging(spark, tmp_path):
+    """VERDICT r12 item 3. (a) rebuild ≡ build_ivf_index on the same
+    corpus and parameters — every table hash-identical; (b) while the
+    staged index is being built (on_staged hook), searches against the
+    LIVE path still return the exact pre-rebuild results — an in-flight
+    reader never sees a half-index; (c) after the swap, searches serve
+    the retrained index and no staging/__old residue remains."""
+    import os
+
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+    live = str(tmp_path / "rb_live")
+    build_ivf_index(
+        spark, e.filter(F.col("vec_id") < 400), live, k_cells=4, pq_m=2
+    )
+    refresh_ivf_index(spark, e.filter(F.col("vec_id") >= 400), live, batch_id=1)
+
+    queries = e.filter(F.col("vec_id") < 10)
+    before = sorted(
+        tuple(r) for r in ivf_index_search(
+            spark, live, queries, k=3, nprobe=2
+        ).collect()
+    )
+
+    seen_during = {}
+
+    def probe_during_staging():
+        seen_during["res"] = sorted(
+            tuple(r) for r in ivf_index_search(
+                spark, live, queries, k=3, nprobe=2
+            ).collect()
+        )
+
+    info = rebuild_ivf_index(
+        spark, live, k_cells=6, on_staged=probe_during_staging
+    )
+    # (b) mid-rebuild search saw exactly the old index
+    assert seen_during["res"] == before
+    # PQ layer inherited from the live codebook (m=2)
+    assert info["pq_m"] == 2 and info["k_cells"] == 6
+    assert set(info["swapped"]) == {
+        "centroids", "assignments", "codes", "pq_codebook", "codes_pq"
+    }
+
+    # (a) fresh build over the same corpus/params is table-identical
+    fresh = str(tmp_path / "rb_fresh")
+    build_ivf_index(
+        spark,
+        spark.read.parquet(live + "/assignments").select("vec_id", "embedding"),
+        fresh, k_cells=6, pq_m=2,
+    )
+    assert _index_snapshot(spark, live) == _index_snapshot(spark, fresh)
+
+    # (c) post-swap search works; six cells exist; no residue dirs
+    after = ivf_index_search(spark, live, queries, k=3, nprobe=2)
+    assert after.count() == queries.count() * 3
+    assert spark.read.parquet(live + "/centroids").count() == 6
+    assert not os.path.exists(live + "__rebuild_staging")
+    assert not any(p.endswith("__old") for p in os.listdir(str(tmp_path)))
+    assert not any(
+        p.endswith("__old") for p in os.listdir(live)
+    )
+
+
+def test_rebuild_defaults_keep_shape_and_pq_drop(spark, tmp_path):
+    """Defaults: k_cells keeps the live centroid count, absent PQ stays
+    absent; pq_m=0 drops a live PQ layer; rebuilding a non-index raises."""
+    import pytest
+
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+    live = str(tmp_path / "rbd_live")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live, k_cells=4)
+    info = rebuild_ivf_index(spark, live)
+    assert info["k_cells"] == 4 and info["pq_m"] is None
+    assert _index_snapshot(spark, live)["pq_codebook"] is None
+
+    # live PQ layer dropped on request
+    live2 = str(tmp_path / "rbd_live2")
+    build_ivf_index(
+        spark, e.filter(F.col("vec_id") < 300), live2, k_cells=4, pq_m=2
+    )
+    info2 = rebuild_ivf_index(spark, live2, pq_m=0)
+    assert info2["pq_m"] is None
+    snap = _index_snapshot(spark, live2)
+    assert snap["pq_codebook"] is None and snap["codes_pq"] is None
+
+    with pytest.raises(ValueError, match="no assignments"):
+        rebuild_ivf_index(spark, str(tmp_path / "not_an_index"))

@@ -900,3 +900,52 @@ def test_main_ann_compact_codes(spark, tmp_path, capsys):
         {"action": "search", "index-path": idx, "source": sel("vec_id = 42"),
          "k": 3, "nprobe": 4, "quantized": "pq"}
     )]) == 0
+
+
+def test_main_ann_rebuild(spark, tmp_path, capsys):
+    """`ann rebuild` retrains from the index's own corpus (build 300 +
+    refresh 200 collapse to one batch), honors k-cells, keeps the PQ
+    layer by default, and searches still work afterwards."""
+    import json as _json
+
+    from spark_pipeline_spark.cli import main_ann
+
+    idx = str(tmp_path / "ann_rb_idx")
+    emb = f"{SF_SMALL}/embeddings.parquet"
+
+    def conf(d):
+        p = tmp_path / f"annrb_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    def sel(cond):
+        return {
+            "storage": "file", "format": "parquet", "path": emb,
+            "transform-sql": "SELECT vec_id, embedding FROM dataset_temp "
+                             f"WHERE {cond}",
+        }
+
+    assert main_ann(["--conf", conf(
+        {"action": "build", "index-path": idx, "pq-m": 2,
+         "source": sel("vec_id < 300")}
+    )]) == 0
+    assert main_ann(["--conf", conf(
+        {"action": "refresh", "index-path": idx, "batch-id": 1,
+         "source": sel("vec_id >= 300 AND vec_id < 500")}
+    )]) == 0
+    capsys.readouterr()
+    assert main_ann(["--conf", conf(
+        {"action": "rebuild", "index-path": idx, "k-cells": 6}
+    )]) == 0
+    out = capsys.readouterr().out
+    assert "rebuilt index:" in out and "'k_cells': 6" in out \
+        and "'pq_m': 2" in out
+    asg = spark.read.parquet(idx + "/assignments")
+    assert {r["batch"] for r in asg.select("batch").distinct().collect()} == {0}
+    assert asg.count() == 500
+    assert spark.read.parquet(idx + "/centroids").count() == 6
+    capsys.readouterr()
+    assert main_ann(["--conf", conf(
+        {"action": "search", "index-path": idx, "k": 3, "nprobe": 2,
+         "source": sel("vec_id < 5")}
+    )]) == 0
