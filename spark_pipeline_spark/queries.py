@@ -11298,6 +11298,133 @@ def bpe_merge_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _sql_bpe_train_cte(n_merges: int) -> str:
+    """DuckDB replay of `operators.bpe.bpe_train`'s fixed-N merge loop,
+    unrolled — one (pair-count → top-1 → left-to-right apply) block per
+    round. The apply step uses the gaps-and-islands formulation: within
+    each maximal run of consecutive matching positions, merges land on
+    the odd ranks — provably identical to the single-pass left-to-right
+    scan the Spark fold performs (runs longer than one position only
+    arise for self-pairs like 'a a', where odd-rank selection IS the
+    non-overlapping greedy choice)."""
+    parts = [
+        f"""wc AS (
+          SELECT term, count(*)::BIGINT AS n
+          FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+          WHERE term != '' GROUP BY term
+        ),
+        s0 AS (SELECT term, n, string_split(term, '') AS s FROM wc)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(f"""p{r} AS (
+          SELECT s[i] || ' ' || s[i + 1] AS pair, sum(n)::BIGINT AS cnt
+          FROM {prev}, unnest(range(1, len(s))) AS t(i)
+          WHERE len(s) >= 2 GROUP BY 1
+        ),
+        m{r} AS (
+          SELECT pair, cnt,
+                 string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+          FROM p{r} ORDER BY cnt DESC, pair ASC LIMIT 1
+        ),
+        e{r} AS (
+          SELECT w.term, w.n, t.i, w.s[t.i] AS sym, m.a, m.b,
+                 (t.i < len(w.s) AND w.s[t.i] = m.a AND w.s[t.i + 1] = m.b)
+                   AS hit
+          FROM {prev} w, m{r} m, unnest(range(1, len(w.s) + 1)) AS t(i)
+        ),
+        e2_{r} AS (
+          SELECT *, CASE WHEN hit THEN
+            i - row_number() OVER (PARTITION BY term, hit ORDER BY i) END AS isl
+          FROM e{r}
+        ),
+        e3_{r} AS (
+          SELECT *, CASE WHEN hit THEN
+            row_number() OVER (PARTITION BY term, isl ORDER BY i) % 2 = 1
+            ELSE false END AS mstart
+          FROM e2_{r}
+        ),
+        e4_{r} AS (
+          SELECT *, coalesce(
+            lag(mstart) OVER (PARTITION BY term ORDER BY i), false) AS consumed
+          FROM e3_{r}
+        ),
+        s{r} AS (
+          SELECT term, max(n) AS n,
+                 list(CASE WHEN mstart THEN a || b ELSE sym END ORDER BY i) AS s
+          FROM e4_{r} WHERE NOT consumed GROUP BY term
+        )""")
+    return ",\n        ".join(parts)
+
+
+def _sql_bpe_train_select(n_merges: int) -> str:
+    return "\n        UNION ALL\n        ".join(
+        f"SELECT {r} AS step, pair, cnt AS n FROM m{r}"
+        for r in range(1, n_merges + 1)
+    )
+
+
+_BPE_MERGES = 8  # fixed merge rounds for the registered training query
+
+
+@register(
+    "bpe_train_n_merges_documents",
+    oracle=f"""
+        WITH {_sql_bpe_train_cte(_BPE_MERGES)}
+        {_sql_bpe_train_select(_BPE_MERGES)}
+    """,
+    tags=("text", "tokenizer", "bpe", "training", "llm-pipeline"),
+    bench=True,
+)
+def bpe_train_n_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED distributed BPE training (Sennrich et al. 2016) — the
+    loop `bpe_merge_candidates_documents` computes one round of: count
+    adjacent symbol pairs weighted by word frequency, merge the winner
+    (count desc, pair asc) everywhere via a single-pass left-to-right
+    Catalyst fold, recount, × {_BPE_MERGES} rounds. Output: the learned
+    merge table ``(step, pair, n)`` — the artifact a tokenizer trainer
+    ships. The oracle replays every round as unrolled CTEs with a
+    gaps-and-islands formulation of the same left-to-right merge.
+
+    Scale shape (see `operators/bpe.py`): ONE corpus scan builds the
+    word-frequency table; all {_BPE_MERGES} rounds run over that
+    vocabulary-sized frame (pair counts partial-combine map-side; the
+    winning merge is a 1-row driver fetch per round — the k-center
+    argmin discipline; localCheckpoint truncates lineage between
+    rounds). The learned vocab feeds `tokenizer_fertility_documents`'s
+    greedy apply path — the trained-vs-ngram fertility win is pinned by
+    `tests/test_bpe.py`."""
+    from spark_pipeline_spark.operators.bpe import bpe_train
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("term")
+        )
+        .filter(F.col("term") != "")
+    )
+    wc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    merges, _ = bpe_train(wc, _BPE_MERGES)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(m["step"]).cast("int").alias("step"),
+                F.lit(m["pair"]).alias("pair"),
+                F.lit(m["n"]).cast("long").alias("n"),
+            )
+            for m in merges
+        ]
+    )
+    return (
+        t(spark, sf_dir, "region")
+        .limit(1)
+        .select(F.explode(rows).alias("r"))
+        .select("r.step", "r.pair", "r.n")
+    )
+
+
 _TOKV = 96  # subword vocab size: top char-{2,3,4}-grams by corpus frequency
 
 
