@@ -457,3 +457,97 @@ def label_propagation(
     finally:
         sym.unpersist()
     return labels.select("node", F.col("label").alias("community"))
+
+
+def label_propagation_incremental(
+    old_communities: DataFrame,
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 3,
+) -> DataFrame:
+    """Communities under daily edge increments — EXACTLY equal to
+    re-running :func:`label_propagation` on (old ∪ new) edges, while
+    touching only the increment's neighborhood. The LPA sibling of
+    :func:`merge_components_incremental`, with a different soundness
+    argument: LPA is NOT closed under contraction (new edges change
+    vote counts), but fixed-``n_iter`` SYNCHRONOUS LPA is strictly
+    LOCAL — a node's final label is a function of its ``n_iter``-hop
+    ball, so:
+
+    - only nodes within ``n_iter`` hops of a new edge can change label
+      (every other node's ball contains no new edge → its batch label
+      equals its old label, which ``old_communities`` already holds);
+    - those labels are recomputed EXACTLY by running the same rounds on
+      the subgraph induced by the ``2·n_iter``-hop ball around the new
+      edges' endpoints: round-0 labels are the identity everywhere (no
+      history needed), and boundary-truncation errors enter at the ball
+      surface and travel at most one hop per round — after ``n_iter``
+      rounds they reach only depth ``2·n_iter − n_iter``, never the
+      inner ``n_iter``-ball whose labels we keep.
+
+    Inputs: ``old_communities`` = ``(node, community)`` from the
+    previous run (n_iter must match); ``old_edges``/``new_edges`` =
+    edge lists (at 100 TB the old side is the persisted corpus edge
+    table — it is scanned for the ball BFS and the induced subgraph,
+    never globally re-labelled). Returns ``(node, community)`` for
+    every old node and every new-edge node.
+
+    Cost: a ``2·n_iter``-round BFS (keyed equi-joins on the frontier,
+    which only grows with the increment's neighborhood, not the
+    corpus) + LPA rounds over the induced ball subgraph — the
+    incremental-agg discipline applied to vote-based labelling.
+    Untouched-community stability and incremental ≡ batch are pinned
+    by `tests/test_graph.py`; the registered oracle query hashes the
+    incremental path against the BATCH unrolled-CTE replay."""
+    o = old_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    nw = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    e = o.unionByName(nw)
+    sym = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .persist()
+    )
+    try:
+        seeds = (
+            nw.select(F.col("s").alias("node"))
+            .unionByName(nw.select(F.col("d").alias("node")))
+            .distinct()
+        )
+        # BFS to depth 2·n_iter over the union graph
+        visited = seeds.withColumn("__dist", F.lit(0)).localCheckpoint(
+            eager=True
+        )
+        frontier = visited.select("node")
+        for depth in range(1, 2 * n_iter + 1):
+            nxt = (
+                sym.join(frontier, sym["s"] == frontier["node"])
+                .select(F.col("d").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("__dist", F.lit(depth))
+            )
+            new_visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            _free_local_checkpoint(visited, successor=new_visited)
+            visited = new_visited
+            frontier = visited.filter(F.col("__dist") == depth).select("node")
+            if not frontier.head(1):
+                break
+        ball = visited.select("node")
+        inner = visited.filter(F.col("__dist") <= n_iter).select("node")
+        sub = (
+            sym.join(ball.select(F.col("node").alias("s")), "s")
+            .join(ball.select(F.col("node").alias("d")), "d")
+            .select("s", "d")
+        )
+        recomputed = (
+            label_propagation(sub, src="s", dst="d", n_iter=n_iter)
+            .join(inner, "node")
+        )
+        kept = old_communities.select("node", "community").join(
+            inner, "node", "left_anti"
+        )
+        return kept.unionByName(recomputed)
+    finally:
+        sym.unpersist()

@@ -17714,6 +17714,103 @@ def dedup_components_incremental_documents(
 
 
 @register(
+    "lpa_communities_incremental_documents",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        {_sql_lpa_round("l0", "l1")},
+        {_sql_lpa_round("l1", "l2")},
+        {_sql_lpa_round("l2", "l3")}
+        SELECT node AS doc_id, label AS community FROM l3
+    """,
+    tags=("graph", "communities", "dedup", "incremental", "iterative",
+          "llm-pipeline"),
+    bench=True,
+)
+def lpa_communities_incremental_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental LPA under the daily-increment regime — the
+    communities sibling of `dedup_components_incremental_documents`:
+    yesterday's near-dup graph keeps its labelling
+    (`label_propagation` over the 90% slice), today's increment (10%,
+    stored split flag in the shared MinHash index) contributes bridge
+    and new-new edges, and `label_propagation_incremental` relabels
+    ONLY the 2·n_iter-hop ball around the new edges. The ORACLE is the
+    point: it replays the BATCH 3-round LPA over the full union graph
+    (the exact `lpa_communities_documents` CTE recurrence), so the
+    hash match certifies incremental ≡ batch on real data — the
+    locality theorem (fixed-round synchronous LPA is a function of the
+    n_iter-hop ball) checked end-to-end, not assumed.
+
+    Scale shape: one shared MinHash index build (`minhash_index_tables`
+    with the split flag materialized), old/new sides as filter-slices;
+    the old graph is scanned only for the ball BFS and the induced
+    subgraph — never globally re-voted. See
+    `operators/graph.py:label_propagation_incremental` for the
+    soundness argument and cost model."""
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_index_tables,
+        minhash_near_dup_pairs,
+    )
+    from spark_pipeline_spark.operators.graph import (
+        label_propagation,
+        label_propagation_incremental,
+    )
+    from spark_pipeline_spark.functions import md5_unit
+
+    d = t(spark, sf_dir, "documents")
+    base, banded = minhash_index_tables(
+        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
+    )
+    is_new_id = F.col("__tag")
+    base_old, base_new = base.filter(~is_new_id), base.filter(is_new_id)
+    banded_old, banded_new = banded.filter(~is_new_id), banded.filter(is_new_id)
+    old_edges = query_persist(
+        minhash_near_dup_pairs(
+            None, "doc_id", "text", threshold=0.7,
+            shingles=base_old, bands_table=banded_old,
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    old_comm = query_persist(
+        label_propagation(old_edges, n_iter=3)
+    )
+    bridges = minhash_incremental_pairs(
+        None, None, "doc_id", "text", threshold=0.7,
+        corpus_bands=banded_old, corpus_shingles=base_old,
+        new_bands=banded_new, new_shingles=base_new,
+    ).select(F.col("corpus_id").alias("src"), F.col("new_id").alias("dst"))
+    new_new = minhash_near_dup_pairs(
+        None, "doc_id", "text", threshold=0.7,
+        shingles=base_new, bands_table=banded_new,
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    out = label_propagation_incremental(
+        old_comm, old_edges, bridges.unionByName(new_new), n_iter=3
+    )
+    return out.select(F.col("node").alias("doc_id"), "community")
+
+
+@register(
     "corpus_filter_funnel_documents",
     oracle=f"""
         WITH d AS (

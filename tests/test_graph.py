@@ -304,3 +304,74 @@ def test_label_propagation_matches_components_on_clique_forest(spark):
         sorted(k for k, v in d.items() if v == val) for val in set(d.values())
     )
     assert part(comp) == part(comm)
+
+
+def test_lpa_incremental_equals_batch_and_far_communities_stable(spark):
+    """VERDICT r12 item 5: `label_propagation_incremental` must equal a
+    from-scratch `label_propagation` on (old ∪ new) edges EXACTLY —
+    including when the increment bridges two old communities — while
+    communities farther than n_iter hops from every new edge keep
+    their old labels (locality of fixed-round synchronous LPA)."""
+    from spark_pipeline_spark.operators.graph import (
+        label_propagation,
+        label_propagation_incremental,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    # three well-separated cliques + a 7-node chain (diameter > n_iter)
+    old = (
+        clique((1, 2, 3, 4))
+        + clique((10, 11, 12, 13))
+        + clique((20, 21, 22))
+        + [(30, 31), (31, 32), (32, 33), (33, 34), (34, 35), (35, 36)]
+    )
+    # increment: bridge cliques A-B, extend the chain, add a NEW clique
+    new = [(4, 10), (36, 37)] + clique((40, 41, 42))
+    old_e = _edges(spark, old)
+    new_e = _edges(spark, new)
+
+    old_comm = label_propagation(old_e, n_iter=3)
+    inc = {
+        (r["node"], r["community"])
+        for r in label_propagation_incremental(
+            old_comm, old_e, new_e, n_iter=3
+        ).collect()
+    }
+    batch = {
+        (r["node"], r["community"])
+        for r in label_propagation(
+            old_e.unionByName(new_e), n_iter=3
+        ).collect()
+    }
+    assert inc == batch
+
+    # far community (20,21,22) is > n_iter hops from every new edge:
+    # its rows must be the OLD rows, untouched
+    old_map = {r["node"]: r["community"] for r in old_comm.collect()}
+    got = dict(inc)
+    for n in (20, 21, 22):
+        assert got[n] == old_map[n]
+    # the new clique got labelled, and the A-B bridge region re-labelled
+    assert {40, 41, 42}.issubset(got)
+
+
+def test_lpa_incremental_empty_increment_is_identity(spark):
+    """No new edges → the old labelling comes back verbatim (the BFS
+    ball is empty, nothing recomputes)."""
+    from spark_pipeline_spark.operators.graph import (
+        label_propagation,
+        label_propagation_incremental,
+    )
+
+    old_e = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    new_e = _edges(spark, []).limit(0)
+    old_comm = label_propagation(old_e, n_iter=3)
+    inc = {
+        (r["node"], r["community"])
+        for r in label_propagation_incremental(
+            old_comm, old_e, new_e, n_iter=3
+        ).collect()
+    }
+    assert inc == {(r["node"], r["community"]) for r in old_comm.collect()}
