@@ -15846,6 +15846,157 @@ def dedup_savings_report_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "dedup_pipeline_end_to_end_documents",
+    oracle=f"""
+        WITH RECURSIVE {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM sym
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+        ),
+        comp AS (
+          SELECT n.id AS doc_id, least(n.id, min(r.d)) AS component
+          FROM (SELECT DISTINCT s AS id FROM sym) n
+          JOIN reach r ON r.s = n.id
+          GROUP BY n.id
+        ),
+        tok AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{TOKEN_REGEX}'))::BIGINT AS n_tok
+          FROM documents
+        ),
+        c1 AS (SELECT count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS toks
+               FROM tok),
+        p1 AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+        d1 AS (
+          SELECT coalesce(sum(CASE WHEN c.doc_id != c.component
+                                   THEN 1 ELSE 0 END), 0)::BIGINT AS n_dupes,
+                 coalesce(sum(CASE WHEN c.doc_id != c.component
+                                   THEN t.n_tok ELSE 0 END), 0)::BIGINT
+                   AS toks_removed
+          FROM comp c JOIN tok t USING (doc_id)
+        )
+        SELECT 1 AS stage_order, 'corpus' AS stage,
+               n_docs AS n_rows, toks AS n_tokens FROM c1
+        UNION ALL
+        SELECT 2, 'verified_pairs', n_pairs, 0::BIGINT FROM p1
+        UNION ALL
+        SELECT 3, 'duplicate_docs', n_dupes, toks_removed FROM d1
+        UNION ALL
+        SELECT 4, 'canonical_corpus', c1.n_docs - d1.n_dupes,
+               c1.toks - d1.toks_removed
+        FROM c1, d1
+    """,
+    tags=("dedup", "pipeline", "composition", "graph", "llm-pipeline"),
+    bench=True,
+)
+def dedup_pipeline_end_to_end_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The WHOLE dedup pass as one query — the `corpus_prep_end_to_end`
+    analogue for the dedup family: shared MinHash index build → LSH
+    candidates → exact-Jaccard verify → star components → canonical
+    (min-id) selection → savings accounting, with the index built ONCE
+    (`minhash_index_tables`) and every stage a slice of the persisted
+    tables. Output is the 4-row pipeline ledger a dedup owner signs
+    off on: corpus size, verified pair count, duplicates to drop (and
+    the tokens they carry), and the canonical corpus that remains.
+
+    Scale shape: ONE shingle+hash pass over the corpus (the persisted
+    index feeds the banded self-join, both verify sides, and nothing
+    re-shingles); components run on the pair graph (never all-pairs);
+    token counts are one projection joined by id; each report row is a
+    map-side-combined aggregate. The A/B against per-stage index
+    rebuilds is recorded in COVERAGE.md (the r12 shared-index lesson:
+    materialize once, slice persisted bytes)."""
+    from spark_pipeline_spark.operators import text as T
+    from spark_pipeline_spark.operators.dedup import (
+        minhash_index_tables,
+        minhash_near_dup_pairs,
+    )
+    from spark_pipeline_spark.operators.graph import connected_components_star
+
+    d = t(spark, sf_dir, "documents")
+    base, banded = minhash_index_tables(d, "doc_id", "text")
+    pairs = query_persist(
+        minhash_near_dup_pairs(
+            None, "doc_id", "text", threshold=0.7,
+            shingles=base, bands_table=banded,
+        ).select("id_a", "id_b")
+    )
+    comp = connected_components_star(pairs, src="id_a", dst="id_b").select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    tok = d.select(
+        "doc_id", T.token_count_regex("text").cast("bigint").alias("n_tok")
+    )
+    c1 = tok.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("toks"),
+    )
+    p1 = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    is_dup = F.col("doc_id") != F.col("component")
+    d1 = comp.join(tok, "doc_id").agg(
+        F.coalesce(F.sum(F.when(is_dup, 1).otherwise(0)), F.lit(0))
+        .cast("long")
+        .alias("n_dupes"),
+        F.coalesce(
+            F.sum(F.when(is_dup, F.col("n_tok")).otherwise(0)), F.lit(0)
+        )
+        .cast("long")
+        .alias("toks_removed"),
+    )
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("stage_order"), F.lit("corpus").alias("stage"),
+            F.col("n_docs").alias("n_rows"), F.col("toks").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit(2).alias("stage_order"),
+            F.lit("verified_pairs").alias("stage"),
+            F.col("n_pairs").alias("n_rows"),
+            F.lit(0).cast("long").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit(3).alias("stage_order"),
+            F.lit("duplicate_docs").alias("stage"),
+            F.col("n_dupes").alias("n_rows"),
+            F.col("toks_removed").alias("n_tokens"),
+        ),
+        F.struct(
+            F.lit(4).alias("stage_order"),
+            F.lit("canonical_corpus").alias("stage"),
+            (F.col("n_docs") - F.col("n_dupes")).alias("n_rows"),
+            (F.col("toks") - F.col("toks_removed")).alias("n_tokens"),
+        ),
+    )
+    return (
+        c1.crossJoin(p1)
+        .crossJoin(d1)
+        .select(F.explode(rows).alias("r"))
+        .select("r.stage_order", "r.stage", "r.n_rows", "r.n_tokens")
+    )
+
+
+@register(
     "split_repair_documents",
     oracle=f"""
         WITH {_sql_minhash_cte(16, 4)},
