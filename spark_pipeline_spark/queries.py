@@ -11425,6 +11425,67 @@ def bpe_train_n_merges_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_train_fertility_documents",
+    oracle=f"""
+        WITH {_sql_bpe_train_cte(_BPE_MERGES)},
+        tok AS (
+          SELECT doc_id, unnest({_SQL_WORDS}) AS term FROM documents
+        ),
+        tok2 AS (SELECT doc_id, term FROM tok WHERE term != ''),
+        wp AS (SELECT term, len(s)::BIGINT AS n_pieces FROM s{_BPE_MERGES})
+        SELECT t.doc_id,
+               count(*)::BIGINT AS n_words,
+               sum(wp.n_pieces)::BIGINT AS n_pieces,
+               round(sum(wp.n_pieces)::DOUBLE / count(*), 6) AS fertility
+        FROM tok2 t JOIN wp USING (term)
+        GROUP BY t.doc_id
+    """,
+    tags=("text", "tokenizer", "bpe", "llm-pipeline"),
+)
+def bpe_train_fertility_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-APPLY for the BPE loop: the {_BPE_MERGES}-merge
+    vocabulary learned by `bpe_train_n_merges_documents` encodes the
+    corpus it was trained on, and per-document fertility (BPE pieces
+    per word) is reported — the end-to-end number a tokenizer trainer
+    actually grades (companion to `tokenizer_fertility_documents`,
+    which applies a char-n-gram vocab; this applies the TRAINED
+    merges). The encode is free at apply time: the trainer's final
+    symbol table IS the encoding of every distinct word — pieces per
+    word = the symbol-array length, joined back to the corpus token
+    stream by term (encode once per distinct word, the same
+    vocabulary-not-corpus scaling as the fertility query).
+
+    Oracle: the same unrolled {_BPE_MERGES}-round CTE replay, with the
+    final round's symbol table joined to the per-doc token stream."""
+    from spark_pipeline_spark.operators.bpe import bpe_train
+
+    toks = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    wc = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    _, sym = bpe_train(wc, _BPE_MERGES)
+    wp = sym.select("term", F.size("s").cast("long").alias("n_pieces"))
+    return (
+        toks.join(wp, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces").cast("double") / F.count(F.lit(1)), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 _TOKV = 96  # subword vocab size: top char-{2,3,4}-grams by corpus frequency
 
 
@@ -17962,6 +18023,95 @@ def lpa_communities_incremental_documents(
 
 
 @register(
+    "neardup_bridge_edges_documents",
+    oracle=f"""
+        WITH {_sql_minhash_cte(16, 4)},
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / greatest(len(sa.sh) + len(sb.sh)
+                            - len(list_intersect(sa.sh, sb.sh)), 1) AS jac
+          FROM cand
+            JOIN nonempty sa ON sa.doc_id = id_a
+            JOIN nonempty sb ON sb.doc_id = id_b
+          WHERE len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / greatest(len(sa.sh) + len(sb.sh)
+                           - len(list_intersect(sa.sh, sb.sh)), 1) >= 0.7
+        ),
+        sym AS (
+          SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        l0 AS (SELECT DISTINCT s AS node, s AS label FROM sym),
+        {_sql_lpa_round("l0", "l1")},
+        {_sql_lpa_round("l1", "l2")},
+        {_sql_lpa_round("l2", "l3")}
+        SELECT p.id_a, p.id_b, round(p.jac, 6) AS jaccard,
+               ca.label AS community_a, cb.label AS community_b,
+               (ca.label != cb.label) AS is_bridge
+        FROM pairs p
+        JOIN l3 ca ON ca.node = p.id_a
+        JOIN l3 cb ON cb.node = p.id_b
+    """,
+    tags=("graph", "dedup", "communities", "qa", "llm-pipeline"),
+)
+def neardup_bridge_edges_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Edge-level QA for the near-dup graph: every verified pair
+    annotated with both endpoints' LPA communities and an
+    ``is_bridge`` flag (endpoints in DIFFERENT communities). Bridge
+    edges are where transitive dedup goes wrong — a single chain pair
+    gluing two dense template families collapses them into one
+    component, so a dedup owner reviews exactly these edges before
+    trusting component-level canonical selection (the actionable slice
+    of `neardup_graph_stats_documents`' aggregate bridge counts). On a
+    clique-forest corpus the flag is all-false — the report then
+    CERTIFIES that components ≡ communities and chain-merging isn't
+    happening, which is the QA answer, not a vacuous result (every
+    verified pair still rows out with its communities).
+
+    Scale shape: pairs come from the banded candidate join (never
+    all-pairs) and are persisted once for the two branches (LPA
+    voting + the output join); LPA is the fixed-3-round synchronous
+    recurrence (`lpa_communities_documents`); the final annotation is
+    two keyed joins of the pair list against the |nodes|-sized label
+    frame."""
+    from spark_pipeline_spark.operators.dedup import minhash_near_dup_pairs
+    from spark_pipeline_spark.operators.graph import label_propagation
+
+    d = t(spark, sf_dir, "documents")
+    pairs = query_persist(
+        minhash_near_dup_pairs(d, "doc_id", "text", threshold=0.7)
+    )
+    comm = label_propagation(pairs, src="id_a", dst="id_b", n_iter=3)
+    ca = comm.select(
+        F.col("node").alias("id_a"), F.col("community").alias("community_a")
+    )
+    cb = comm.select(
+        F.col("node").alias("id_b"), F.col("community").alias("community_b")
+    )
+    return (
+        pairs.join(ca, "id_a")
+        .join(cb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("jaccard", 6).alias("jaccard"),
+            "community_a",
+            "community_b",
+            (F.col("community_a") != F.col("community_b")).alias("is_bridge"),
+        )
+    )
+
+
+@register(
     "corpus_filter_funnel_documents",
     oracle=f"""
         WITH d AS (
@@ -18492,75 +18642,54 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-12 rotation, derived with ``python tools/recheck_queue.py``
+    # Round-13 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
-    # registered 270; never-checked (9): the eight late-r12
-    # registrations below plus lpa_communities_documents (label-
-    # propagation communities, this session); changed-since-green (2):
-    # decontamination_attribution_documents (oracle bench_ids now from
-    # the hash predicate alone), vocab_coverage_documents (rewritten:
-    # frequency-histogram collapse + bucket-offset prefix sums); changed
-    # operator modules: graph.py (successor assertion +
-    # label_propagation), streaming.py (foreachBatch sink protocol
-    # unified), dedup.py (shared minhash_index_tables prep; prefix-join
-    # length filter), ann_index.py (PQ layer, full-precision scale
-    # persist, empty-index reads).
-    # Slots: (a) 9 never-checked; (b) 2 changed-since-green; (c) 10
-    # changed-module canaries — graph users (components/star/pagerank/
-    # canonical/entity/savings), the IVF lifecycle (persisted-scale
-    # precision change altered stored bytes), the two dedup-sink
-    # replays whose semantics the refactored sinks must keep, and
-    # dedup_prefix_filter_exact_documents (its candidate join gained
-    # the length filter);
-    # (d) 25 of the remaining r6-green rows (events_props_by_type,
-    # funnel_conversion_latency, interval_coverage_events,
-    # events_time_weighted_value, events_rolling_24h_value, the
-    # capped_sessions fill, winsorize_orders_prices were displaced by
-    # later registrations — new registrations outrank stale greens; all
-    # rotate in r13); (e) family fills from the r7/r8 stalest so every
-    # graded family keeps a window representative (q12 dropped: tpch
-    # keeps q1+q5).
-    # --- (a) never driver-checked (late-r12 registrations take the
-    #     newest-fill slots: new registrations outrank stale greens;
-    #     text_unigram_nll rotated out for kcenter — text family keeps
-    #     text_repetition + pmi + pii in the window) ---
-    "lpa_communities_documents", "kcenter_coreset_embeddings",
-    "ivf_index_pq_report", "split_repair_components_documents",
-    "ivf_index_pq_code_drift_report", "embedding_outlier_zscore_report",
-    "lsh_band_tuning_report", "streaming_row_gate_replay",
-    "corpus_filter_funnel_documents",
-    "dedup_components_incremental_documents",
-    # --- (b) changed since green (lsh_recall_precision: ground truth
-    #     switched to the exact prefix-filter join, results identical
-    #     by the no-false-negative lemma — re-proven by the gate;
-    #     events_resample rotated out to make room, r13) ---
-    "decontamination_attribution_documents", "vocab_coverage_documents",
-    "lsh_recall_precision_report",
+    # registered 276; never-checked (6): the r13 registrations below;
+    # changed-since-green (5): dedup_containment (bench=True),
+    # ivf_index_pq_code_drift (bench=True), lsh_band_tuning (bench=True
+    # + shared shingle pass), lsh_recall_precision (shared index),
+    # split_repair_components (bench=True); changed operator modules:
+    # dedup.py (metadata stamping + float-slack bounds +
+    # prefix_filter shingles=), graph.py (try/finally persist +
+    # label_propagation_incremental), ann_index.py (rebuild),
+    # streaming.py (index metadata stamp, compaction wrappers + cell
+    # refusal, _hadoop_rename).
+    # Slots: (a) 6 never-checked; (b) 5 changed-since-green; (c) 31
+    # changed-module canaries — ALL 28 imports-changed greens the tool
+    # lists (every dedup.py/graph.py consumer re-proves the float-slack
+    # and metadata changes) + ann_index lifecycle/pq + the semantic
+    # streaming replay; (d) 8 stalest greens (the r6 rows the r12
+    # window left behind).
+    # --- (a) never driver-checked (r13 registrations) ---
+    "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
+    "dedup_pipeline_end_to_end_documents", "ivf_index_rebuild_recall_report",
+    "lpa_communities_incremental_documents", "neardup_bridge_edges_documents",
+    # --- (b) changed since green ---
+    "dedup_containment_documents", "ivf_index_pq_code_drift_report",
+    "lsh_band_tuning_report", "lsh_recall_precision_report",
+    "split_repair_components_documents",
     # --- (c) changed-module canaries ---
-    "ivf_index_lifecycle_report", "dedup_components_star_documents",
-    "dedup_savings_report_documents", "pagerank_neardup_documents",
-    "dedup_canonical_selection", "entity_resolution_parts",
-    "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
-    "streaming_semdedup_replay", "dedup_prefix_filter_exact_documents",
-    # --- (d) stalest-green fill: all 32 remaining r6 rows ---
-    "ab_test_purchase_rate", "chi_square_orders_status_priority",
-    "correlation_matrix_lineitem", "cube_orders_status_priority",
-    "dataset_split_documents",
-    "entropy_profile_orders", "event_path_mining",
-    "events_transition_matrix", "inverted_index_documents",
-    "kmeans_update_centroids", "length_bucket_padding_documents",
-    "multimodal_frame_sample", "multimodal_media_metadata",
-    "percentile_rank_orders", "pii_redact_documents",
-    "pmi_term_pairs_documents", "power_iteration_pc1_embeddings",
-    "q1_pricing_summary", "q5_region_revenue",
-    "quantile_bucket_orders", "scd2_user_purchases",
-    "shard_assign_documents", "text_repetition_documents",
-    # --- (e) family fills (r7/r8 stalest with the graded tags; q12 is
-    #     the window's tpch-tag representative — q1/q5 carry plan-shape
-    #     tags, not the family tag; dedup_normalized rotated out, the
-    #     dedup family keeps 6+ window reps) ---
-    "sliding_distinct_users_7d", "eval_calibration_bins",
-    "q12_shipmode_priority", "source_term_drift_kl",
+    "dedup_exact_documents", "dedup_minhash_lsh_documents",
+    "dedup_simhash_documents", "dedup_simhash_pairs_documents",
+    "decontaminate_documents", "dedup_components_documents",
+    "boilerplate_ngrams_documents", "fuzzy_match_part_names",
+    "split_leakage_report_documents", "dedup_canonical_selection",
+    "pagerank_customer_supplier", "entity_resolution_parts",
+    "streaming_dedup_lsh_replay", "exact_span_dedup_documents",
+    "cross_source_neardup_matrix", "dedup_incremental_new_vs_corpus",
+    "lpa_communities_documents", "longest_shared_span_documents",
+    "dedup_editdistance_verify_documents", "neardup_threshold_sweep_documents",
+    "neardup_graph_stats_documents", "dedup_prefix_filter_exact_documents",
+    "dedup_components_star_documents", "dedup_savings_report_documents",
+    "split_repair_documents", "minhash_estimate_error_report",
+    "streaming_dedup_ttl_replay", "dedup_components_incremental_documents",
+    "ivf_index_lifecycle_report", "ivf_index_pq_report",
+    "streaming_semdedup_replay",
+    # --- (d) stalest-green fill (r6 rows) ---
+    "dedup_normalized_documents", "events_props_by_type",
+    "events_resample_6h_ffill", "events_rolling_24h_value",
+    "events_time_weighted_value", "funnel_conversion_latency",
+    "interval_coverage_events", "text_unigram_nll_documents",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
