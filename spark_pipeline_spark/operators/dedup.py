@@ -934,14 +934,17 @@ def prefix_filter_jaccard_join(
     RETURNED, provably, yet nothing close to all-pairs is ever compared.
 
     Each document's distinct word-``n``-gram set is ordered by ascending
-    global document frequency (rarest first, ties by gram — a total
-    order both engines reproduce); only its PREFIX of length
+    global document frequency (rarest first, ties by a 128-bit gram
+    hash — a shared total order; nothing downstream depends on WHICH
+    order, see the in-body note); only its PREFIX of length
     ``m - ceil(t*m) + 1`` enters the candidate join. Lemma: J(A,B) >= t
     implies |A∩B| >= ceil(t*max(|A|,|B|)), and two sets with overlap
     >= a must collide within their (size - a + 1)-prefixes under any
     shared total order — so the prefix equi-join misses nothing.
     Candidates are verified with exact Jaccard; the filter is pure
-    recall insurance, correctness never depends on it.
+    recall insurance, correctness never depends on it (the registered
+    oracle generates candidates from ANY shared gram — a superset —
+    so the hash gate re-proves the no-false-negative claim every run).
 
     Scale shape: prefix grams are by construction the RAREST grams in
     the corpus, so per-key join fanout concentrates where df is
@@ -989,13 +992,37 @@ def prefix_filter_jaccard_join(
         if df is None:
             raise ValueError("df is required when no shingle table is passed")
         sh = query_persist(shingle_table(df, id_col, text_col, n))
-    post = sh.select(
-        "__id", F.size("__sh").alias("__m"), F.explode_outer("__sh").alias("__g")
-    ).filter(F.col("__g").isNotNull())
-    gram_df = post.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
-    w = Window.partitionBy("__id").orderBy("__df", "__g")
+    # Gram keys travel the posting pipeline as a 128-bit hash pair
+    # (xxhash64 under two seeds), never as the gram STRING: the df
+    # aggregate, the df join, the per-doc window sort, and the candidate
+    # equi-join each shuffle every posting row, and at 5M docs the
+    # string-keyed pipeline's CUMULATIVE shuffle files exceeded local
+    # disk (measured: 19.4 GB at 500k docs → ENOSPC at 5M on a 67 GB
+    # /tmp). Two fixed-width longs cut the shuffled row roughly in half
+    # and compare JVM-native. Correctness: the lemma needs only a
+    # SHARED TOTAL ORDER over grams — (df, h1, h2) is one, total modulo
+    # a simultaneous collision in BOTH 64-bit hashes (birthday bound
+    # ~1e-20 at 1e9 distinct grams), and a join-key collision can only
+    # ADD candidates, which the exact verify discards. The no-false-
+    # negative guarantee therefore holds modulo 128-bit hash collision.
+    post = (
+        sh.select(
+            "__id",
+            F.size("__sh").alias("__m"),
+            F.explode_outer("__sh").alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+        .select(
+            "__id",
+            "__m",
+            F.xxhash64(F.col("__g")).alias("__h1"),
+            F.xxhash64(F.col("__g"), F.lit(1)).alias("__h2"),
+        )
+    )
+    gram_df = post.groupBy("__h1", "__h2").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__id").orderBy("__df", "__h1", "__h2")
     prefix = (
-        post.join(gram_df, "__g")
+        post.join(gram_df, ["__h1", "__h2"])
         .withColumn("__rn", F.row_number().over(w))
         # m - ceil(t*m) + 1; the 1e-9 slack keeps ceil from rounding a
         # float-inflated t*m up past the exact rational bound (prefix
@@ -1004,15 +1031,41 @@ def prefix_filter_jaccard_join(
             F.col("__rn")
             <= F.col("__m") - F.ceil(threshold * F.col("__m") - F.lit(1e-9)) + 1
         )
-        .select("__id", "__g", "__m")
+        .select("__id", "__h1", "__h2", "__m", "__rn")
+        # eager materialization, two jobs in one: (a) the candidate join
+        # reads prefix on BOTH sides — without this the whole
+        # posting+df+window pipeline is in the plan twice and exchange
+        # reuse is at AQE's mercy; (b) lineage truncation makes the
+        # upstream shuffle files collectable MID-QUERY (ContextCleaner),
+        # which is what keeps the 5M-doc run inside local disk.
+        .localCheckpoint(eager=True)
+    )
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008 §3.2), applied per
+    # collision row before the distinct: a gram at sorted position p
+    # leaves at most m - p elements after it, so a collision at
+    # (rn_a, rn_b) can witness an overlap of at most
+    # 1 + min(ma - rn_a, mb - rn_b). Exactness: for a true pair take
+    # its FIRST shared gram in the shared order — nothing before it is
+    # shared on either side, so the true overlap a <= that bound, and
+    # a >= ceil(t*max) means THIS row passes; the pair survives the
+    # distinct even when its other collision rows are pruned. The cut
+    # matters twice: fewer rows into the distinct exchange, and fewer
+    # pairs carrying the WIDE shingle arrays through the verify joins
+    # (the measured 14.3 GB stage at 500k docs).
+    overlap_bound = F.lit(1) + F.least(
+        F.col("__ma") - F.col("__ra"), F.col("__mb") - F.col("__rb")
     )
     cand = (
-        prefix.select(F.col("__id").alias("id_a"), "__g", F.col("__m").alias("__ma"))
+        prefix.select(
+            F.col("__id").alias("id_a"), "__h1", "__h2",
+            F.col("__m").alias("__ma"), F.col("__rn").alias("__ra"),
+        )
         .join(
             prefix.select(
-                F.col("__id").alias("id_b"), "__g", F.col("__m").alias("__mb")
+                F.col("__id").alias("id_b"), "__h1", "__h2",
+                F.col("__m").alias("__mb"), F.col("__rn").alias("__rb"),
             ),
-            "__g",
+            ["__h1", "__h2"],
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
@@ -1021,13 +1074,38 @@ def prefix_filter_jaccard_join(
                 F.greatest("__ma", "__mb") * F.lit(threshold)
                 <= F.least("__ma", "__mb") + F.lit(1e-9)
             )
+            # positional bound >= ceil(t*max), same recall-safe slack
+            & (
+                overlap_bound
+                >= F.ceil(
+                    threshold * F.greatest("__ma", "__mb") - F.lit(1e-9)
+                )
+            )
         )
         .select("id_a", "id_b")
         .distinct()
     )
+    # Verify on 64-bit HASHED shingle sets, not the gram strings: the
+    # first verify join's output shuffles one full array per candidate
+    # pair for the second join — the measured dominant stage (10.4 GB
+    # at 500k docs even after the positional filter). 8-byte elements
+    # vs ~25-40-byte strings cut that exchange ~2-4×. |A∩B|/|A∪B| on
+    # hashes equals the string-set value unless two DISTINCT grams of
+    # the same compared pair collide in xxhash64 (P ≈ m²/2⁶⁵ ≈ 5e-15
+    # per pair) — far below the float-slack regime, and the registered
+    # oracle (string-set jaccard) re-checks the claim every driver run.
+    shh = sh.select(
+        "__id", F.transform("__sh", lambda g: F.xxhash64(g)).alias("__shh")
+    )
     return (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")), "id_b")
+        cand.join(
+            shh.select(F.col("__id").alias("id_a"), F.col("__shh").alias("__sa")),
+            "id_a",
+        )
+        .join(
+            shh.select(F.col("__id").alias("id_b"), F.col("__shh").alias("__sb")),
+            "id_b",
+        )
         .select("id_a", "id_b", jaccard_similarity("__sa", "__sb").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
