@@ -16050,8 +16050,8 @@ def dedup_pipeline_end_to_end_documents(
         ),
     )
     return (
-        c1.crossJoin(p1)
-        .crossJoin(d1)
+        c1.crossJoin(F.broadcast(p1))
+        .crossJoin(F.broadcast(d1))
         .select(F.explode(rows).alias("r"))
         .select("r.stage_order", "r.stage", "r.n_rows", "r.n_tokens")
     )
@@ -18669,14 +18669,13 @@ _DRIVER_WINDOW = [
     "lsh_band_tuning_report", "lsh_recall_precision_report",
     "split_repair_components_documents",
     # --- (c) changed-module canaries ---
-    "dedup_exact_documents", "dedup_minhash_lsh_documents",
+    "dedup_minhash_lsh_documents",
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
-    "decontaminate_documents", "dedup_components_documents",
-    "boilerplate_ngrams_documents", "fuzzy_match_part_names",
+    "dedup_components_documents",
     "split_leakage_report_documents", "dedup_canonical_selection",
     "pagerank_customer_supplier", "entity_resolution_parts",
     "streaming_dedup_lsh_replay", "exact_span_dedup_documents",
-    "cross_source_neardup_matrix", "dedup_incremental_new_vs_corpus",
+    "dedup_incremental_new_vs_corpus",
     "lpa_communities_documents", "longest_shared_span_documents",
     "dedup_editdistance_verify_documents", "neardup_threshold_sweep_documents",
     "neardup_graph_stats_documents", "dedup_prefix_filter_exact_documents",
@@ -18685,7 +18684,12 @@ _DRIVER_WINDOW = [
     "streaming_dedup_ttl_replay", "dedup_components_incremental_documents",
     "ivf_index_lifecycle_report", "ivf_index_pq_report",
     "streaming_semdedup_replay",
-    # --- (d) stalest-green fill (r6 rows) ---
+    # --- (d) stalest-green fill (r6 rows) + family representatives
+    #     the tag-diversity contract requires (sketch/scoring/sample/
+    #     tpch/datadiff — all r7-r9 stale) ---
+    "sketch_rollup_distinct_users", "eval_roc_auc_binned",
+    "kfold_assignment_documents", "q16_supplier_diversity",
+    "datadiff_continuous_lineitem",
     "dedup_normalized_documents", "events_props_by_type",
     "events_resample_6h_ffill", "events_rolling_24h_value",
     "events_time_weighted_value", "funnel_conversion_latency",

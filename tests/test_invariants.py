@@ -378,21 +378,27 @@ def test_driver_window_contract():
     no_oracle = [n for n in window if REGISTRY[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
 
-    # All-time driver coverage stays N/N (closed in r10), so the r12
+    # All-time driver coverage stays N/N (closed in r10), so the r13
     # window is pure rotation: never-checked new registrations +
     # changed-since-green + changed-module canaries (enumerated by
     # `python tools/recheck_queue.py` from git history), stalest greens
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r12 never-checked commitments: the two new registrations
-        "ivf_index_pq_report", "split_repair_components_documents",
-        # changed since green (attribution oracle bench_ids fix; the
-        # vocab coverage bucket-offset rewrite)
-        "decontamination_attribution_documents", "vocab_coverage_documents",
-        # module-changed canaries (graph.py / streaming.py /
-        # ann_index.py — the persisted-scale precision change altered
-        # the lifecycle report's stored bytes)
+        # r13 never-checked commitments: the six new registrations
+        "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
+        "dedup_pipeline_end_to_end_documents",
+        "ivf_index_rebuild_recall_report",
+        "lpa_communities_incremental_documents",
+        "neardup_bridge_edges_documents",
+        # changed since green (bench=True flags; shared shingle pass)
+        "dedup_containment_documents", "lsh_band_tuning_report",
+        "lsh_recall_precision_report", "split_repair_components_documents",
+        # module-changed canaries (dedup.py — hash-keyed prefix filter,
+        # float-slack bounds, metadata stamping; graph.py — incremental
+        # LPA + try/finally persists; ann_index.py — rebuild;
+        # streaming.py — compaction wrappers + index metadata)
+        "dedup_prefix_filter_exact_documents", "lpa_communities_documents",
         "ivf_index_lifecycle_report", "dedup_components_star_documents",
         "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
         "streaming_semdedup_replay",

@@ -42,6 +42,7 @@ _NLJ_ALLOWED = {
     "ivf_index_pq_report",  # fixed query set x k centroids (probe side)
     "lsh_band_tuning_report",  # one-row count aggregates crossJoined
     "corpus_filter_funnel_documents",  # one-row stage-count aggregates
+    "dedup_pipeline_end_to_end_documents",  # one-row stage aggregates crossJoined
     "bloom_pruned_join_revenue",  # one-row bloom-bitmap broadcast
     "psi_quantile_drift_lineitem",  # one-row decile-bounds broadcast (×2 sides)
     "temperature_mixture_documents",  # one-row token-total + α-weight-sum broadcasts
