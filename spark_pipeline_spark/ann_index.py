@@ -464,10 +464,14 @@ def rebuild_ivf_index(
     ``__old``, staged → live, delete ``__old``. A crash mid-commit
     leaves each table either wholly old or wholly new — search stays
     well-formed (worst case: centroids from the new build with an old
-    batch layout for one read; re-running the rebuild heals, because
-    staging is rebuilt from scratch and the renames are idempotent in
-    effect). A leftover staging directory from a crashed run is
-    clobbered on the next call.
+    batch layout for one read; re-running the rebuild heals — a crash
+    that left no live ``assignments/`` is recovered explicitly by
+    finishing the interrupted rename from ``assignments__old`` or the
+    completed staging dir before the corpus read). A leftover staging
+    directory from a crashed run is clobbered on the next call, and
+    every commit rename's success flag is checked: a failed
+    staged→live rename rolls the live table back and raises instead of
+    deleting the only remaining copy.
 
     Parameters default to "keep the index's current shape": ``k_cells``
     None → the live centroid count (pass a larger value on persistent
@@ -498,9 +502,28 @@ def rebuild_ivf_index(
 
     corpus = _try_read(spark, asg_path)
     if corpus is None:
+        # A crash between rename(assignments -> __old) and
+        # rename(staged assignments -> live) leaves no live assignments/
+        # — the data sits wholly in __old (interrupted swap) or wholly
+        # in the completed staging dir (interrupted commit). Heal by
+        # finishing the interrupted rename BEFORE reading, so the lazy
+        # corpus scan never points at a directory this run will delete
+        # or rebuild (ADVICE r13).
+        for leftover in (asg_path + "__old", f"{root}__rebuild_staging/assignments"):
+            if hadoop_path_exists(spark, leftover):
+                if not _hadoop_rename(spark, leftover, asg_path):
+                    raise IOError(
+                        f"rebuild_ivf_index: crash-recovery rename "
+                        f"{leftover} -> {asg_path} failed — restore it "
+                        f"manually before re-running"
+                    )
+                corpus = _try_read(spark, asg_path)
+                break
+    if corpus is None:
         raise ValueError(
-            f"rebuild_ivf_index: no assignments under {root} — nothing to "
-            f"rebuild (build_ivf_index creates a new index)"
+            f"rebuild_ivf_index: no assignments under {root} (and no "
+            f"crash leftovers at assignments__old or __rebuild_staging) "
+            f"— nothing to rebuild (build_ivf_index creates a new index)"
         )
     corpus = corpus.select("vec_id", "embedding")
 
@@ -528,20 +551,15 @@ def rebuild_ivf_index(
     if on_staged is not None:
         on_staged()
 
-    sub_tables = ("centroids", "assignments", "codes", "pq_codebook", "codes_pq")
-    swapped = []
-    for name in sub_tables:
-        live = f"{root}/{name}"
-        staged = f"{staging_root}/{name}"
-        old = live + "__old"
-        _hadoop_delete(spark, old)
-        if hadoop_path_exists(spark, live):
-            _hadoop_rename(spark, live, old)
-        if hadoop_path_exists(spark, staged):
-            _hadoop_rename(spark, staged, live)
-            swapped.append(name)
-        _hadoop_delete(spark, old)
-    _hadoop_delete(spark, staging_root)
+    # Commit: checked per-table renames with rollback-on-failure
+    # (streaming.staged_swap_commit — ADVICE r13 discipline).
+    from spark_pipeline_spark.streaming import staged_swap_commit
+
+    swapped = staged_swap_commit(
+        spark, root, staging_root,
+        ("centroids", "assignments", "codes", "pq_codebook", "codes_pq"),
+        op="rebuild_ivf_index",
+    )
     return {**info, "swapped": swapped}
 
 

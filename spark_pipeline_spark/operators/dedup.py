@@ -41,6 +41,7 @@ __all__ = [
     "minhash_near_dup_pairs",
     "minhash_incremental_pairs",
     "containment_near_dup_pairs",
+    "hamming_near_dup_pairs",
     "simhash",
     "simhash_near_dup_pairs",
     "decontaminate",
@@ -662,15 +663,18 @@ def simhash(col: Column | str, bits: int = SIMHASH_BITS) -> Column:
     return F.aggregate(set_bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
 
 
-def simhash_near_dup_pairs(
-    df: DataFrame,
+def hamming_near_dup_pairs(
+    fingerprints: DataFrame,
     id_col: str,
-    text_col: str,
+    hash_col: str,
     max_hamming: int = 6,
     bits: int = SIMHASH_BITS,
     blocks: int = 4,
 ) -> DataFrame:
-    """Near-duplicate pairs by SimHash byte-block candidates + hamming verify.
+    """Near-duplicate pairs over ANY 64-bit-or-narrower fingerprint
+    column by bit-block candidates + hamming verify — the blocking
+    engine behind both SimHash text dedup (`simhash_near_dup_pairs`)
+    and perceptual media dedup (`multimodal.perceptual_hash`).
 
     Returns ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
     Blocking: split the fingerprint into ``blocks`` equal bit-blocks; by
@@ -678,7 +682,12 @@ def simhash_near_dup_pairs(
     least one exact block, so candidates are an equi-join on (block idx,
     block value) — same never-all-pairs discipline as MinHash-LSH. For
     ``max_hamming >= blocks`` the guarantee weakens to a recall heuristic
-    (standard practice; raise ``blocks`` for exact recall).
+    (standard practice; raise ``blocks`` for exact recall — Manku et
+    al. 2007 use the same block/permute trade at web scale).
+
+    Scale: the shuffled row is (id, fingerprint, block idx, block
+    value) — four fixed-width integers per document per block; the
+    verify is one xor+popcount per candidate, no wide arrays travel.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -686,24 +695,24 @@ def simhash_near_dup_pairs(
         raise ValueError(f"bits={bits} not divisible by blocks={blocks}")
     width = bits // blocks
     mask = (1 << width) - 1
-    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
 
     # Persisted: the fingerprint table feeds both sides of the self-join;
-    # without it each side re-hashes every token of the corpus. Two
-    # fixed-width columns per row — the cache is tiny relative to text.
-    # ensure_min_partitions spreads the token-vote hashing off a
-    # single-partition small-file scan (no-op when already parallel).
-    sh = query_persist(ensure_min_partitions(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
-    ), StorageLevel.MEMORY_AND_DISK)
+    # without it the (possibly expensive) fingerprint computation runs
+    # once per side. Two fixed-width columns per row — tiny cache.
+    sh = query_persist(
+        fingerprints.select(
+            F.col(id_col).alias("__id"), F.col(hash_col).alias("__fp")
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     block_vals = F.array(
         *[
-            F.shiftright(F.col("__simhash"), i * width).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col("__fp"), i * width).bitwiseAND(F.lit(mask))
             for i in range(blocks)
         ]
     )
     blocked = sh.select(
-        "__id", "__simhash", F.posexplode(block_vals).alias("__block", "__val")
+        "__id", "__fp", F.posexplode(block_vals).alias("__block", "__val")
     )
     left, right = blocked.alias("a"), blocked.alias("b")
     cand = (
@@ -716,8 +725,8 @@ def simhash_near_dup_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__simhash").alias("__h_a"),
-            F.col("b.__simhash").alias("__h_b"),
+            F.col("a.__fp").alias("__h_a"),
+            F.col("b.__fp").alias("__h_b"),
         )
         .distinct()
     )
@@ -725,6 +734,33 @@ def simhash_near_dup_pairs(
     return (
         cand.select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash byte-block candidates + hamming verify.
+
+    Returns ``(id_a, id_b, hamming)`` with ``hamming <= max_hamming``.
+    Fingerprint is `simhash` over whitespace tokens; candidate
+    generation and verify are `hamming_near_dup_pairs` (see there for
+    the pigeonhole recall guarantee and scale shape).
+    """
+    from spark_pipeline_spark.operators.partitions import ensure_min_partitions
+
+    # ensure_min_partitions spreads the token-vote hashing off a
+    # single-partition small-file scan (no-op when already parallel).
+    sh = ensure_min_partitions(df.select(id_col, text_col)).select(
+        F.col(id_col).alias("__id"), simhash(text_col, bits).alias("__simhash")
+    )
+    return hamming_near_dup_pairs(
+        sh, "__id", "__simhash", max_hamming=max_hamming, bits=bits, blocks=blocks
     )
 
 
@@ -965,11 +1001,17 @@ def prefix_filter_jaccard_join(
     double representation rounds UP (0.9 is 0.9000000000000000222…)
     could otherwise tighten a bound past its exact rational value and
     drop a pair whose verify-stage Jaccard passes. Each comparison
-    therefore carries a 1e-9 slack in the recall-safe direction — the
-    filter can only become (immeasurably) more permissive, and the
-    exact verify stage discards any extra candidates, so the output is
-    unchanged while the no-false-negative guarantee holds for every
-    representable threshold.
+    therefore carries a slack of ``m·1e-12 + 1e-9`` in the recall-safe
+    direction: the rounding error of ``t·m`` is RELATIVE (~2.3e-16·m),
+    so the slack must scale with the set size — a fixed absolute 1e-9
+    is outgrown once a document has more than ~4e6 distinct shingles
+    (ADVICE r13) — while 1e-12·m both dominates the true error by
+    three orders of magnitude and stays far below 1, so the integer
+    bound never loosens by a whole unit. The filter can only become
+    (immeasurably) more permissive, and the exact verify stage
+    discards any extra candidates, so the output is unchanged while
+    the no-false-negative guarantee holds for every representable
+    threshold at every document size.
     """
     import math
 
@@ -1024,12 +1066,22 @@ def prefix_filter_jaccard_join(
     prefix = (
         post.join(gram_df, ["__h1", "__h2"])
         .withColumn("__rn", F.row_number().over(w))
-        # m - ceil(t*m) + 1; the 1e-9 slack keeps ceil from rounding a
+        # m - ceil(t*m) + 1; the slack keeps ceil from rounding a
         # float-inflated t*m up past the exact rational bound (prefix
-        # can only get longer — recall-safe)
+        # can only get longer — recall-safe). The double rounding error
+        # of t*m is RELATIVE (~2⁻⁵²·t·m ≈ 2.3e-16·m), so a fixed
+        # absolute 1e-9 is outgrown past ~4e6 shingles per doc; scale
+        # the slack with m (1e-12·m dominates the true error by ~4000×
+        # yet stays ≪ 1, so it can never loosen the bound by a whole
+        # unit) and keep the 1e-9 floor for small m (ADVICE r13).
         .filter(
             F.col("__rn")
-            <= F.col("__m") - F.ceil(threshold * F.col("__m") - F.lit(1e-9)) + 1
+            <= F.col("__m")
+            - F.ceil(
+                threshold * F.col("__m")
+                - (F.col("__m") * F.lit(1e-12) + F.lit(1e-9))
+            )
+            + 1
         )
         .select("__id", "__h1", "__h2", "__m", "__rn")
         # eager materialization, two jobs in one: (a) the candidate join
@@ -1069,16 +1121,23 @@ def prefix_filter_jaccard_join(
         )
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            # t*max <= min, with float slack in the keep-the-pair direction
+            # t*max <= min, with m-scaled float slack in the
+            # keep-the-pair direction (see the prefix filter above)
             & (
                 F.greatest("__ma", "__mb") * F.lit(threshold)
-                <= F.least("__ma", "__mb") + F.lit(1e-9)
+                <= F.least("__ma", "__mb")
+                + F.greatest("__ma", "__mb") * F.lit(1e-12)
+                + F.lit(1e-9)
             )
             # positional bound >= ceil(t*max), same recall-safe slack
             & (
                 overlap_bound
                 >= F.ceil(
-                    threshold * F.greatest("__ma", "__mb") - F.lit(1e-9)
+                    threshold * F.greatest("__ma", "__mb")
+                    - (
+                        F.greatest("__ma", "__mb") * F.lit(1e-12)
+                        + F.lit(1e-9)
+                    )
                 )
             )
         )

@@ -47,6 +47,13 @@ __all__ = [
     "codec_decode",
     "decode_media",
     "sample_frames",
+    "PHASH_ROWS",
+    "PHASH_COLS",
+    "PHASH_BITS",
+    "fake_pixel_grid",
+    "codec_pixel_grid",
+    "dhash_from_grid",
+    "perceptual_hash",
 ]
 
 # (format, hex prefix of the file's magic bytes) — public file signatures.
@@ -148,6 +155,99 @@ def decode_media(
                     }
                 out.append({id_col: media_id, **meta})
             yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(run, schema=schema)
+
+
+# dHash grid: ROWS x COLS grayscale cells -> ROWS x (COLS-1) horizontal
+# gradient bits. The classic dHash is 8x9 -> 64 bits; we use 7x9 -> 56
+# so the fingerprint always fits a SIGNED bigint (same reason
+# SIMHASH_BITS is 60, dedup.py) — bit 63 would overflow the column type
+# on both engines.
+PHASH_ROWS, PHASH_COLS = 7, 9
+PHASH_BITS = PHASH_ROWS * (PHASH_COLS - 1)
+
+
+def fake_pixel_grid(
+    content: bytes, rows: int = PHASH_ROWS, cols: int = PHASH_COLS
+) -> list[list[int]]:
+    """DETERMINISTIC FAKE "resize to a tiny grayscale grid" (no image
+    codec in this environment): treat the payload as a 1-D signal of
+    UTF-8 code points and average-pool it into ``rows*cols`` cells —
+    cell k covers code points [k*n/cells, (k+1)*n/cells) and its pixel
+    is their sum mod 256. Only the *pixels* are fake; the contract
+    (bytes in, small grayscale grid out) and the LOCALITY property the
+    dHash needs — a local edit perturbs only nearby cells — are the
+    real ones, which is what makes the downstream near-dup behavior
+    representative (unlike an md5-derived grid, under which only
+    byte-identical payloads would ever collide)."""
+    cps = [ord(ch) for ch in content.decode("utf-8", errors="replace")]
+    n, cells = len(cps), rows * cols
+    flat = [
+        sum(cps[k * n // cells : (k + 1) * n // cells]) % 256
+        for k in range(cells)
+    ]
+    return [flat[r * cols : (r + 1) * cols] for r in range(rows)]
+
+
+def codec_pixel_grid(content: bytes) -> list[list[int]]:
+    """Production grid hook: wire Pillow here (decode -> grayscale ->
+    ``Image.resize((PHASH_COLS, PHASH_ROWS))``); this container ships no
+    image codec."""
+    raise NotImplementedError(
+        "no image codec available in this environment; pass "
+        "grid_fn=fake_pixel_grid (deterministic stand-in) or supply a "
+        "real decoder with the same bytes -> rows x cols grid contract"
+    )
+
+
+def dhash_from_grid(grid: list[list[int]]) -> int:
+    """Difference hash (dHash): bit r*(cols-1)+c is set iff
+    grid[r][c] < grid[r][c+1] — the horizontal-gradient fingerprint
+    (public pHash/dHash family; robust to uniform brightness shifts,
+    cheap to compare by xor+popcount)."""
+    fp, b = 0, 0
+    for row in grid:
+        for c in range(len(row) - 1):
+            if row[c] < row[c + 1]:
+                fp |= 1 << b
+            b += 1
+    return fp
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str,
+    content_col: str,
+    grid_fn: Callable[[bytes], list[list[int]]] = fake_pixel_grid,
+) -> DataFrame:
+    """64-bit-class perceptual fingerprints for binary media: decode each
+    payload to a tiny grayscale grid through the swappable codec hook
+    (`fake_pixel_grid` default, `codec_pixel_grid` in production), then
+    dHash it — one Arrow ``mapInPandas`` pass, output ``(id, phash
+    bigint)``.
+
+    Pair generation belongs downstream in
+    `dedup.hamming_near_dup_pairs` (bit-block candidates + popcount
+    verify — never all-pairs); this operator only fingerprints, so one
+    decode pass serves any number of threshold sweeps. Scale: output is
+    two fixed-width columns per media file; the expensive decode is
+    embarrassingly parallel — repartition upstream for balance like
+    `decode_media`."""
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, phash bigint"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = []
+            for media_id, content in zip(batch[id_col], batch[content_col]):
+                out.append(
+                    {
+                        id_col: media_id,
+                        "phash": dhash_from_grid(grid_fn(bytes(content))),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[id_col, "phash"])
 
     return df.select(id_col, content_col).mapInPandas(run, schema=schema)
 

@@ -18629,6 +18629,76 @@ def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_MAX_HAMMING = 3
+
+
+@register(
+    "multimodal_neardup_media",
+    oracle=f"""
+        WITH cell AS (
+          SELECT doc_id, k,
+                 coalesce(list_sum(list_transform(
+                   range((k * n) // 63, ((k + 1) * n) // 63),
+                   i -> ord(substr(text, (i + 1)::INT, 1))
+                 )), 0) % 256 AS px
+          FROM (SELECT doc_id, text, length(text)::BIGINT AS n FROM documents),
+               (SELECT unnest(range(0, 63)) AS k)
+        ),
+        fp AS (
+          SELECT a.doc_id,
+                 sum(CASE WHEN a.px < b.px
+                     THEN (1::BIGINT << ((a.k // 9) * 8 + (a.k % 9)))::BIGINT
+                     ELSE 0 END)::BIGINT AS phash
+          FROM cell a JOIN cell b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+          WHERE a.k % 9 < 8
+          GROUP BY a.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.phash, b.phash))::INT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_MAX_HAMMING}
+    """,
+    tags=("multimodal", "dedup", "binary", "mapInPandas", "llm-pipeline"),
+    bench=True,
+)
+def multimodal_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate pairs for binary media — the image/
+    audio twin of SimHash text dedup (VERDICT r13 item 6): each payload
+    is decoded to a tiny grayscale grid through the swappable codec
+    hook (`multimodal.fake_pixel_grid` here — a deterministic
+    average-pooling stand-in with the real locality property;
+    `codec_pixel_grid` wires Pillow in production), dHashed to a 56-bit
+    gradient fingerprint in one Arrow `mapInPandas` pass, and paired by
+    `dedup.hamming_near_dup_pairs` — bit-block equi-join candidates +
+    xor/popcount verify, NEVER all-pairs.
+
+    Exactness of the blocking: max_hamming {_PHASH_MAX_HAMMING} < 4
+    blocks, so by pigeonhole every qualifying pair shares an exact
+    14-bit block and the banded join has perfect recall — the oracle is
+    therefore the straight all-pairs SQL (fine at oracle scale; the
+    Spark plan is the one that survives 10⁹ images). Scale shape: the
+    decode is embarrassingly parallel; past the fingerprint pass only
+    (id, 8-byte phash) rows travel; candidates are equi-join buckets.
+    Content here is the utf-8 text bytes (no image codec in this
+    container), so the oracle reproduces the grid from
+    ord(substr(text, i, 1)) — verifying grid pooling, dHash bit
+    packing, Arrow transfer, blocking, and verify end-to-end."""
+    from spark_pipeline_spark.operators.dedup import hamming_near_dup_pairs
+    from spark_pipeline_spark.operators.multimodal import (
+        PHASH_BITS,
+        perceptual_hash,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    ph = perceptual_hash(d, "doc_id", "content")
+    return hamming_near_dup_pairs(
+        ph, "doc_id", "phash",
+        max_hamming=_PHASH_MAX_HAMMING, bits=PHASH_BITS, blocks=4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external

@@ -47,6 +47,7 @@ __all__ = [
     "stream_stream_interval_join",
     "run_available_now_to_memory",
     "hadoop_path_exists",
+    "staged_swap_commit",
     "committed_snapshot_exists",
     "SNAPSHOT_BATCH_COL",
 ]
@@ -1674,3 +1675,55 @@ def _hadoop_rename(spark: SparkSession, src: str, dst: str) -> bool:
     dp = jvm.org.apache.hadoop.fs.Path(dst)
     fs = sp.getFileSystem(spark._jsc.hadoopConfiguration())
     return bool(fs.rename(sp, dp))
+
+
+def staged_swap_commit(
+    spark: SparkSession, root: str, staging_root: str,
+    sub_tables: tuple[str, ...], op: str = "staged_swap_commit",
+) -> list[str]:
+    """Commit a fully-staged artifact over a live one, one rename per
+    sub-table (milliseconds, zero data bytes moved) — the shared swap
+    discipline of `ann_index.rebuild_ivf_index` and
+    `operators.bpe.retrain_bpe_vocab`.
+
+    Per table: live → ``<live>__old``, staged → live, delete ``__old``.
+    Hadoop FS reports most rename failures (dst exists, permission,
+    cross-FS) via a FALSE return, not an exception, so every rename's
+    flag is checked (ADVICE r13): a failed staged→live rename rolls the
+    live table back from ``__old`` and raises — never deletes ``__old``
+    (the only remaining copy) and never reports the table as swapped.
+    Returns the list of sub-tables actually swapped (those present in
+    staging)."""
+    swapped: list[str] = []
+    for name in sub_tables:
+        live = f"{root}/{name}"
+        staged = f"{staging_root}/{name}"
+        old = live + "__old"
+        _hadoop_delete(spark, old)
+        moved_aside = False
+        if hadoop_path_exists(spark, live):
+            if not _hadoop_rename(spark, live, old):
+                raise IOError(
+                    f"{op}: rename {live} -> {old} failed; live artifact "
+                    f"untouched, staging kept at {staging_root}"
+                )
+            moved_aside = True
+        if hadoop_path_exists(spark, staged):
+            if not _hadoop_rename(spark, staged, live):
+                # roll the live table back before raising — never delete
+                # __old here: it is the only remaining copy.
+                if moved_aside and not _hadoop_rename(spark, old, live):
+                    raise IOError(
+                        f"{op}: rename {staged} -> {live} failed AND "
+                        f"rollback {old} -> {live} failed — the sub-table "
+                        f"survives at {old}; restore it manually, staging "
+                        f"kept at {staging_root}"
+                    )
+                raise IOError(
+                    f"{op}: rename {staged} -> {live} failed; live table "
+                    f"rolled back, staging kept at {staging_root}"
+                )
+            swapped.append(name)
+        _hadoop_delete(spark, old)
+    _hadoop_delete(spark, staging_root)
+    return swapped

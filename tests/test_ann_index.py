@@ -453,3 +453,74 @@ def test_rebuild_defaults_keep_shape_and_pq_drop(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no assignments"):
         rebuild_ivf_index(spark, str(tmp_path / "not_an_index"))
+
+
+def test_rebuild_recovers_from_mid_commit_crash(spark, tmp_path):
+    """ADVICE r13: a crash between rename(assignments -> __old) and
+    rename(staged -> assignments) leaves no live assignments/. The next
+    rebuild must finish the interrupted rename and proceed — for both
+    leftover shapes (__old and a completed staging dir) — instead of
+    raising 'no assignments'."""
+    import os
+    import shutil
+
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+
+    # shape 1: assignments moved aside to __old, staged not yet renamed
+    live = str(tmp_path / "cr_live")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live, k_cells=4)
+    n_vecs = spark.read.parquet(live + "/assignments").count()
+    os.rename(live + "/assignments", live + "/assignments__old")
+    info = rebuild_ivf_index(spark, live)
+    assert info["n_vectors"] == n_vecs
+    assert spark.read.parquet(live + "/assignments").count() == n_vecs
+    assert not os.path.exists(live + "/assignments__old")
+
+    # shape 2: assignments gone, the completed staging dir holds it
+    live2 = str(tmp_path / "cr_live2")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live2, k_cells=4)
+    staging = live2 + "__rebuild_staging"
+    os.makedirs(staging)
+    shutil.move(live2 + "/assignments", staging + "/assignments")
+    info2 = rebuild_ivf_index(spark, live2)
+    assert info2["n_vectors"] == n_vecs
+    assert spark.read.parquet(live2 + "/assignments").count() == n_vecs
+    assert not os.path.exists(staging)
+
+
+def test_rebuild_failed_commit_rename_rolls_back_and_raises(spark, tmp_path, monkeypatch):
+    """ADVICE r13 (medium): Hadoop FS reports most rename failures via a
+    FALSE return. A failed staged->live rename must roll the live table
+    back from __old and raise — never delete __old (the only remaining
+    copy) or report the table as swapped."""
+    import os
+
+    import pytest
+
+    from spark_pipeline_spark import streaming as streaming_mod
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+    live = str(tmp_path / "fail_live")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live, k_cells=4)
+    before = _index_snapshot(spark, live)
+
+    real_rename = streaming_mod._hadoop_rename
+
+    def failing_rename(spark_, src, dst):
+        # fail exactly the staged->live rename of the assignments table
+        if src.endswith("__rebuild_staging/assignments"):
+            return False
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(streaming_mod, "_hadoop_rename", failing_rename)
+    with pytest.raises(IOError, match="rolled back"):
+        rebuild_ivf_index(spark, live)
+    monkeypatch.undo()
+
+    # live table survived (rolled back from __old), nothing deleted
+    assert os.path.exists(live + "/assignments")
+    assert not os.path.exists(live + "/assignments__old")
+    assert _index_snapshot(spark, live)["assignments"] == before["assignments"]

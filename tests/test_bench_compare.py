@@ -51,6 +51,33 @@ def test_added_and_removed_queries_reported(tmp_path):
     assert "removed (1): q2" in r.stdout
 
 
+def test_floor_mismatch_flags_comparison_not_queries(tmp_path):
+    """VERDICT r13: a loaded driver box (floor 0.158s vs quiet 0.078s)
+    produced 13 phantom per-query regressions. When the two runs' floors
+    differ by more than the guard factor, the COMPARISON is flagged once
+    (exit 2) and per-query flags are suppressed."""
+    quiet = _write(tmp_path, "quiet.json",
+                   {"tiny": 0.15, "big": 2.0}, 0.078)
+    loaded = _write(tmp_path, "loaded.json",
+                    {"tiny": 0.60, "big": 3.9}, 0.158)
+    r = _run(quiet, loaded)
+    assert r.returncode == 2, r.stdout
+    assert "COMPARISON FLAGGED" in r.stdout
+    assert "load-contaminated" in r.stdout
+    assert "FLAG\n" not in r.stdout  # no per-query flag markers survive
+
+    # symmetric: a loaded OLD side also trips the guard
+    r2 = _run(loaded, quiet)
+    assert r2.returncode == 2
+
+    # floors within the guard: normal per-query flagging still works
+    near = _write(tmp_path, "near.json",
+                  {"tiny": 0.16, "big": 4.5}, 0.09)
+    r3 = _run(quiet, near)
+    assert r3.returncode == 1
+    assert "big" in r3.stdout and "FLAG" in r3.stdout
+
+
 def test_adjusted_totals_use_each_files_own_floor(tmp_path):
     """raw 1.0s->1.0s with floors 0.0->0.5 must show adjusted 1.0->0.5."""
     old = _write(tmp_path, "c.json", {"q": 1.0}, 0.0)

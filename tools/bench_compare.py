@@ -36,6 +36,12 @@ def main() -> int:
         "--floor-x", type=float, default=2.0,
         help="adjusted times under this many floors are never flagged",
     )
+    ap.add_argument(
+        "--floor-guard", type=float, default=1.3,
+        help="when the two runs' measured floors differ by more than this "
+        "factor, the whole comparison is flagged as load-contaminated and "
+        "per-query flags are suppressed (exit code 2)",
+    )
     args = ap.parse_args()
 
     def load(path):
@@ -63,6 +69,17 @@ def main() -> int:
         )
     f_old = f_old or 0.0
     f_new = f_new or 0.0
+    # Load-contamination guard (VERDICT r13 What's-wrong #2): when one
+    # run's measured scheduling floor is far above the other's, the box
+    # was loaded during that run and EVERY per-query ratio is suspect —
+    # the r13 driver artifact (floor 0.158 s vs the quiet 0.078 s)
+    # produced 13 phantom per-query regressions (span_scrub "8.6×" that
+    # re-measured at 1.0×). Flag the COMPARISON once instead of emitting
+    # per-query flags that masquerade as plan regressions.
+    contaminated = (
+        f_old > 0 and f_new > 0
+        and max(f_new / f_old, f_old / f_new) > args.floor_guard
+    )
     common = sorted(set(old["queries"]) & set(new["queries"]))
     added = sorted(set(new["queries"]) - set(old["queries"]))
     removed = sorted(set(old["queries"]) - set(new["queries"]))
@@ -93,9 +110,21 @@ def main() -> int:
         print(f"removed ({len(removed)}): {', '.join(removed)}")
     print(f"\nworst adjusted ratios (top {args.top}; * = floor-bound, not flagged):")
     for ratio, q, to, tn, ao, an, fb in rows[: args.top]:
-        mark = "*" if fb else (" <-- FLAG" if q in flagged else "")
+        mark = "*" if fb else (
+            " <-- FLAG" if q in flagged and not contaminated else ""
+        )
         print(f"  {ratio:6.2f}x  {q:45s} raw {to:7.3f}->{tn:7.3f}  "
               f"adj {ao:7.3f}->{an:7.3f}{mark}")
+    if contaminated:
+        print(
+            f"\nCOMPARISON FLAGGED: measured floors differ by "
+            f"{max(f_new / f_old, f_old / f_new):.2f}x "
+            f"({f_old:.3f}s vs {f_new:.3f}s; guard {args.floor_guard}x) — "
+            f"one run is load-contaminated. Per-query flags suppressed "
+            f"({len(flagged)} would have fired); re-run the slower-floor "
+            f"side on a quiet box before trusting any ratio here."
+        )
+        return 2
     print(f"\nflagged (> {args.flag_ratio}x adjusted, not floor-bound): "
           f"{flagged or 'none'}")
     return 1 if flagged else 0
