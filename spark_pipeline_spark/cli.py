@@ -509,6 +509,104 @@ def main_ann(argv: list[str] | None = None) -> int:
     return 0
 
 
+def main_bpe(argv: list[str] | None = None) -> int:
+    """Operate a persisted BPE vocabulary (`operators/bpe.py`) from a
+    config — the tokenizer-lifecycle verb that mirrors ``ann`` for the
+    IVF index: build it, watch fertility drift, retrain on alarm.
+
+    Config shape::
+
+        {"vocab-path": "/data/bpe_vocab",
+         "action": "build" | "drift" | "retrain" | "stats",
+         # build / drift / retrain need a corpus:
+         "source": {...},              # any load() source
+         # EITHER a raw text column (word counts derived here):
+         "text-col": "text",
+         # OR a precomputed word-frequency table:
+         "term-col": "term", "count-col": "n",
+         "n-merges": 8,                # build (default 8); retrain
+                                       #   (default: keep current count)
+         "alarm-ratio": 1.02,          # drift (default 1.02)
+         "sink": {...}}                # drift: optional result sink
+
+    ``drift`` exits 3 (not 0) when the alarm fires, so a cron line can
+    chain ``bpe drift || bpe retrain`` without parsing output.
+    Missing/unknown keys exit 2 with a message, never a bare traceback.
+    """
+    from pyspark.sql import functions as F
+
+    conf, _ = _parse_args(argv, "bpe")
+    t0 = time.time()
+    action = conf.get("action")
+    if action not in ("build", "drift", "retrain", "stats"):
+        print(
+            f"bpe config 'action' must be build/drift/retrain/stats, "
+            f"got {action!r}"
+        )
+        return 2
+    if not conf.get("vocab-path"):
+        print("bpe config missing required key: vocab-path")
+        return 2
+    vocab_path = conf["vocab-path"]
+    spark = _session(conf, "bpe")
+    from spark_pipeline_spark.operators import bpe
+    from spark_pipeline_spark.io.sources import load
+
+    def word_counts():
+        df = load(spark, conf["source"])
+        text_col = conf.get("text-col")
+        if text_col:
+            return (
+                df.select(
+                    F.explode(
+                        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+                    ).alias("term")
+                )
+                .filter(F.col("term") != "")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+        return df.select(
+            F.col(conf.get("term-col", "term")).alias("term"),
+            F.col(conf.get("count-col", "n")).cast("long").alias("n"),
+        )
+
+    if action in ("build", "drift", "retrain") and not conf.get("source"):
+        print(f"bpe {action} requires 'source'")
+        return 2
+
+    rc = 0
+    if action == "build":
+        info = bpe.build_bpe_vocab(
+            spark, word_counts(), vocab_path,
+            n_merges=int(conf.get("n-merges", 8)),
+        )
+        print(f"built vocab: {info}")
+    elif action == "drift":
+        report = bpe.bpe_fertility_drift(
+            spark, vocab_path, word_counts(),
+            alarm_ratio=float(conf.get("alarm-ratio", 1.02)),
+        )
+        row = report.first().asDict()
+        if "sink" in conf:
+            from spark_pipeline_spark.io.sinks import save
+
+            save(report, conf["sink"])
+        print(f"drift: {row}")
+        rc = 3 if row["alarm"] else 0
+    elif action == "retrain":
+        n_merges = conf.get("n-merges")
+        info = bpe.retrain_bpe_vocab(
+            spark, vocab_path, word_counts(),
+            n_merges=None if n_merges is None else int(n_merges),
+        )
+        print(f"retrained vocab: {info}")
+    else:  # stats
+        print(f"vocab stats: {bpe.bpe_vocab_stats(spark, vocab_path)}")
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return rc
+
+
 def main_refresher(argv: list[str] | None = None) -> int:
     """Incrementally refresh a persisted aggregate snapshot from a delta
     source — the operational wrapper over ``operators/incremental.py``

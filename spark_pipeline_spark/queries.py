@@ -11298,7 +11298,7 @@ def bpe_merge_candidates_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
-def _sql_bpe_train_cte(n_merges: int) -> str:
+def _sql_bpe_train_cte(n_merges: int, doc_where: str = "") -> str:
     """DuckDB replay of `operators.bpe.bpe_train`'s fixed-N merge loop,
     unrolled — one (pair-count → top-1 → left-to-right apply) block per
     round. The apply step uses the gaps-and-islands formulation: within
@@ -11306,11 +11306,13 @@ def _sql_bpe_train_cte(n_merges: int) -> str:
     the odd ranks — provably identical to the single-pass left-to-right
     scan the Spark fold performs (runs longer than one position only
     arise for self-pairs like 'a a', where odd-rank selection IS the
-    non-overlapping greedy choice)."""
+    non-overlapping greedy choice). ``doc_where`` (e.g. a deterministic
+    md5 split) restricts the TRAINING corpus — the drift report trains
+    on a slice and applies corpus-wide."""
     parts = [
         f"""wc AS (
           SELECT term, count(*)::BIGINT AS n
-          FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+          FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents{doc_where})
           WHERE term != '' GROUP BY term
         ),
         s0 AS (SELECT term, n, string_split(term, '') AS s FROM wc)"""
@@ -11362,6 +11364,47 @@ def _sql_bpe_train_select(n_merges: int) -> str:
         f"SELECT {r} AS step, pair, cnt AS n FROM m{r}"
         for r in range(1, n_merges + 1)
     )
+
+
+def _sql_bpe_apply_cte(n_merges: int) -> str:
+    """DuckDB replay of `operators.bpe.bpe_encode`: apply the ALREADY-
+    TRAINED merges m1..mN (from `_sql_bpe_train_cte`'s CTEs) to a
+    separate word table ``awc (term, n)`` — same gaps-and-islands
+    left-to-right apply block per round, but the merge comes from the
+    training CTE instead of being recounted, so unseen words encode
+    exactly as the Spark-side replay does. Emits a0..a{n} stages;
+    read the final encoding from ``a{n_merges}``."""
+    parts = ["a0 AS (SELECT term, n, string_split(term, '') AS s FROM awc)"]
+    for r in range(1, n_merges + 1):
+        prev = f"a{r - 1}"
+        parts.append(f"""ae{r} AS (
+          SELECT w.term, w.n, t.i, w.s[t.i] AS sym, m.a, m.b,
+                 (t.i < len(w.s) AND w.s[t.i] = m.a AND w.s[t.i + 1] = m.b)
+                   AS hit
+          FROM {prev} w, m{r} m, unnest(range(1, len(w.s) + 1)) AS t(i)
+        ),
+        ae2_{r} AS (
+          SELECT *, CASE WHEN hit THEN
+            i - row_number() OVER (PARTITION BY term, hit ORDER BY i) END AS isl
+          FROM ae{r}
+        ),
+        ae3_{r} AS (
+          SELECT *, CASE WHEN hit THEN
+            row_number() OVER (PARTITION BY term, isl ORDER BY i) % 2 = 1
+            ELSE false END AS mstart
+          FROM ae2_{r}
+        ),
+        ae4_{r} AS (
+          SELECT *, coalesce(
+            lag(mstart) OVER (PARTITION BY term ORDER BY i), false) AS consumed
+          FROM ae3_{r}
+        ),
+        a{r} AS (
+          SELECT term, max(n) AS n,
+                 list(CASE WHEN mstart THEN a || b ELSE sym END ORDER BY i) AS s
+          FROM ae4_{r} WHERE NOT consumed GROUP BY term
+        )""")
+    return ",\n        ".join(parts)
 
 
 _BPE_MERGES = 8  # fixed merge rounds for the registered training query
@@ -18696,6 +18739,104 @@ def multimodal_neardup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(
         ph, "doc_id", "phash",
         max_hamming=_PHASH_MAX_HAMMING, bits=PHASH_BITS, blocks=4,
+    )
+
+
+_BPE_DRIFT_SPLIT_SQL = (
+    " WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    " / 4294967296.0 < 0.5"
+)
+_BPE_DRIFT_ALARM = 1.02
+
+
+@register(
+    "bpe_fertility_drift_report",
+    oracle=f"""
+        WITH {_sql_bpe_train_cte(_BPE_MERGES, doc_where=_BPE_DRIFT_SPLIT_SQL)},
+        awc AS (
+          SELECT term, count(*)::BIGINT AS n
+          FROM (SELECT unnest({_SQL_WORDS}) AS term FROM documents)
+          WHERE term != '' GROUP BY term
+        ),
+        {_sql_bpe_apply_cte(_BPE_MERGES)},
+        bstat AS (
+          SELECT sum(n)::BIGINT AS build_words,
+                 sum(n * len(s))::BIGINT AS build_pieces
+          FROM s{_BPE_MERGES}
+        ),
+        astat AS (
+          SELECT sum(n)::BIGINT AS apply_words,
+                 sum(n * len(s))::BIGINT AS apply_pieces
+          FROM a{_BPE_MERGES}
+        )
+        SELECT {_BPE_MERGES} AS n_merges,
+               round(build_pieces / build_words, 6) AS build_fertility,
+               round(apply_pieces / apply_words, 6) AS apply_fertility,
+               round((apply_pieces * build_words)::DOUBLE
+                     / (apply_words * build_pieces), 6) AS drift_ratio,
+               (round((apply_pieces * build_words)::DOUBLE
+                     / (apply_words * build_pieces), 6)
+                 > {_BPE_DRIFT_ALARM})::INT AS alarm
+        FROM bstat, astat
+    """,
+    tags=("text", "tokenizer", "bpe", "lifecycle", "drift", "llm-pipeline"),
+)
+def bpe_fertility_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-drift alarm for a PERSISTED BPE vocabulary — the
+    tokenizer mirror of `ivf_index_pq_code_drift_report` (VERDICT r13
+    item 7): train-and-persist the {_BPE_MERGES}-merge vocab on the
+    md5-deterministic HALF of the corpus (`operators.bpe.
+    build_bpe_vocab` — merges/symbols/stats sub-tables, build-time
+    fertility stamped at build because recomputing it later would use
+    the drifted corpus), then `bpe_fertility_drift` encodes the FULL
+    corpus's distinct words under the trained merges (`bpe_encode`
+    replay — covers words the trainer never saw) and compares
+    corpus-weighted fertility. One row: build vs apply fertility, the
+    exact-integer drift ratio, and the alarm bit (6dp ratio >
+    {_BPE_DRIFT_ALARM}); the alarm's acted-on path is
+    `retrain_bpe_vocab` / the `bpe retrain` CLI verb.
+
+    Scale shape: training is vocabulary-sized after one half-corpus
+    scan (see `operators/bpe.py`); the apply pass is one
+    vocabulary-sized encode (8 Catalyst folds, no Python) + one
+    aggregate; the persisted stats row rides in as a broadcast.
+    The oracle replays training via the unrolled gaps-and-islands
+    CTEs restricted to the same md5 split, then applies the SAME
+    m1..m{_BPE_MERGES} merges to the full-corpus word table."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.functions import md5_unit
+    from spark_pipeline_spark.operators.bpe import (
+        bpe_fertility_drift,
+        build_bpe_vocab,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+
+    def wc(d: DataFrame) -> DataFrame:
+        return (
+            d.select(
+                F.explode(
+                    F.split(F.lower(F.trim(F.col("text"))), "\\s+")
+                ).alias("term")
+            )
+            .filter(F.col("term") != "")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    vocab_path = "{}/spark_graft_bpe_vocab_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
+    )
+    build_bpe_vocab(
+        spark, wc(docs.filter(md5_unit("doc_id") < 0.5)),
+        vocab_path, _BPE_MERGES,
+    )
+    return bpe_fertility_drift(
+        spark, vocab_path, wc(docs), alarm_ratio=_BPE_DRIFT_ALARM
     )
 
 

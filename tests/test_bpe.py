@@ -122,3 +122,104 @@ def test_trained_vocab_beats_ngram_baseline_fertility(spark):
         assert f_direct <= f_bpe, (f_direct, f_bpe)
     finally:
         wc.unpersist()
+
+
+# --- persisted vocab lifecycle: build / encode / drift / retrain ----------
+
+
+def test_bpe_encode_matches_trainer_symbols_and_covers_unseen(spark):
+    """For words the trainer saw, replaying the merge list reproduces the
+    trainer's symbol table bit-for-bit; unseen words encode under the
+    same left-to-right semantics."""
+    from spark_pipeline_spark.operators.bpe import bpe_encode
+
+    words = _wc(spark, [("abab", 5), ("abc", 3), ("cab", 2)])
+    merges, sym = bpe_train(words, 2)
+    mlist = [m["pair"] for m in merges]
+
+    enc = bpe_encode(words, mlist)
+    assert {r["term"]: r["s"] for r in enc.collect()} == {
+        r["term"]: r["s"] for r in sym.collect()
+    }
+
+    # unseen word: 'abba' under merges learned from abab/abc/cab
+    unseen = bpe_encode(_wc(spark, [("abba", 1)]), mlist).collect()[0]["s"]
+    # replay by hand: merges are ['a b', then the round-2 winner]
+    assert unseen[0] == "ab"  # first merge applies left-to-right
+
+
+def test_build_vocab_persists_and_stats_row(spark, tmp_path):
+    from spark_pipeline_spark.operators.bpe import (
+        bpe_vocab_stats,
+        build_bpe_vocab,
+    )
+
+    path = str(tmp_path / "vocab")
+    info = build_bpe_vocab(
+        spark, _wc(spark, [("abab", 4), ("abc", 2)]), path, 2
+    )
+    assert info["n_merges"] == 2 and info["n_terms"] == 2
+    assert info["total_words"] == 6
+    # abab -> [abab] (1 piece x4), abc -> [ab, c] (2 pieces x2) = 8
+    assert info["total_pieces"] == 8
+    assert bpe_vocab_stats(spark, path) == info
+    m = spark.read.parquet(path + "/merges").orderBy("step").collect()
+    assert [r["pair"] for r in m] == ["a b", "ab ab"]
+
+
+def test_fertility_drift_alarm_fires_on_shifted_corpus(spark, tmp_path):
+    """Same corpus -> ratio 1.0, no alarm; a corpus of unseen words ->
+    fertility rises, alarm fires."""
+    from spark_pipeline_spark.operators.bpe import (
+        bpe_fertility_drift,
+        build_bpe_vocab,
+    )
+
+    path = str(tmp_path / "vocab")
+    train = _wc(spark, [("abab", 10), ("ab", 5)])
+    build_bpe_vocab(spark, train, path, 2)
+
+    same = bpe_fertility_drift(spark, path, train).first()
+    assert same["drift_ratio"] == 1.0 and same["alarm"] == 0
+
+    shifted = bpe_fertility_drift(
+        spark, path, _wc(spark, [("zzzz", 10), ("qqqq", 5)]), alarm_ratio=1.02
+    ).first()
+    assert shifted["apply_fertility"] == 4.0  # no merge applies
+    assert shifted["alarm"] == 1
+    assert shifted["drift_ratio"] > 1.02
+
+
+def test_retrain_swaps_vocab_and_defaults_keep_merge_count(spark, tmp_path):
+    """Retrain on a shifted corpus replaces all three sub-tables (staged
+    swap), keeps the live merge count by default, and equals a fresh
+    build on the same corpus."""
+    import os
+
+    from spark_pipeline_spark.operators.bpe import (
+        bpe_vocab_stats,
+        build_bpe_vocab,
+        retrain_bpe_vocab,
+    )
+
+    path = str(tmp_path / "vocab")
+    build_bpe_vocab(spark, _wc(spark, [("abab", 10)]), path, 2)
+    new_corpus = _wc(spark, [("zzzz", 8), ("zzq", 4)])
+    info = retrain_bpe_vocab(spark, path, new_corpus)
+    assert set(info["swapped"]) == {"merges", "symbols", "stats"}
+    assert info["n_merges"] == 2  # kept the live count
+
+    fresh = str(tmp_path / "fresh")
+    want = build_bpe_vocab(spark, new_corpus, fresh, 2)
+    assert bpe_vocab_stats(spark, path) == want
+    got_m = [
+        (r["step"], r["pair"], r["n"])
+        for r in spark.read.parquet(path + "/merges").orderBy("step").collect()
+    ]
+    want_m = [
+        (r["step"], r["pair"], r["n"])
+        for r in spark.read.parquet(fresh + "/merges").orderBy("step").collect()
+    ]
+    assert got_m == want_m
+    assert not os.path.exists(path + "__retrain_staging")
+    assert not any(p.endswith("__old") for p in os.listdir(path))

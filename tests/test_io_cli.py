@@ -949,3 +949,78 @@ def test_main_ann_rebuild(spark, tmp_path, capsys):
         {"action": "search", "index-path": idx, "k": 3, "nprobe": 2,
          "source": sel("vec_id < 5")}
     )]) == 0
+
+
+def test_main_bpe_lifecycle_e2e(spark, tmp_path, capsys):
+    """The `bpe` verb drives the persisted-vocab lifecycle from configs:
+    build → drift (exit 0 quiet / exit 3 on alarm, the cron-chainable
+    contract) → retrain → stats, exit-2 on malformed configs."""
+    import json as _json
+
+    from spark_pipeline_spark.cli import main_bpe
+
+    vocab = str(tmp_path / "bpe_vocab")
+    docs = f"{SF_SMALL}/documents.parquet"
+
+    def conf(d):
+        p = tmp_path / f"bpe_{len(list(tmp_path.iterdir()))}.json"
+        p.write_text(_json.dumps(d))
+        return str(p)
+
+    src_docs = {"storage": "file", "format": "parquet", "path": docs}
+
+    # bad configs exit 2 with a message, never a traceback
+    assert main_bpe(["--conf", conf({"action": "bogus", "vocab-path": vocab})]) == 2
+    assert main_bpe(["--conf", conf({"action": "build"})]) == 2
+    assert main_bpe(["--conf", conf({"action": "build", "vocab-path": vocab})]) == 2
+    capsys.readouterr()
+
+    assert main_bpe(["--conf", conf(
+        {"action": "build", "vocab-path": vocab, "source": src_docs,
+         "text-col": "text", "n-merges": 4}
+    )]) == 0
+    assert "built vocab" in capsys.readouterr().out
+    assert spark.read.parquet(vocab + "/merges").count() == 4
+
+    # drift against the training corpus itself: ratio 1.0, exit 0
+    report_out = str(tmp_path / "drift_report")
+    assert main_bpe(["--conf", conf(
+        {"action": "drift", "vocab-path": vocab, "source": src_docs,
+         "text-col": "text",
+         "sink": {"format": "parquet", "path": report_out}}
+    )]) == 0
+    rep = spark.read.parquet(report_out).first()
+    assert rep["drift_ratio"] == 1.0 and rep["alarm"] == 0
+
+    # drift against a shifted corpus (reversed text = unseen words):
+    # fertility rises, alarm fires, exit 3 — the `drift || retrain` hook
+    src_shifted = {
+        "storage": "file", "format": "parquet", "path": docs,
+        "transform-sql": "SELECT doc_id, reverse(text) AS text "
+                         "FROM dataset_temp",
+    }
+    assert main_bpe(["--conf", conf(
+        {"action": "drift", "vocab-path": vocab, "source": src_shifted,
+         "text-col": "text", "alarm-ratio": 1.0001}
+    )]) == 3
+    capsys.readouterr()
+
+    # retrain on the shifted corpus: swaps all three sub-tables
+    assert main_bpe(["--conf", conf(
+        {"action": "retrain", "vocab-path": vocab, "source": src_shifted,
+         "text-col": "text"}
+    )]) == 0
+    out = capsys.readouterr().out
+    assert "retrained vocab" in out and "swapped" in out
+    assert spark.read.parquet(vocab + "/merges").count() == 4  # kept count
+
+    # post-retrain, drift vs the shifted corpus is back to 1.0
+    assert main_bpe(["--conf", conf(
+        {"action": "drift", "vocab-path": vocab, "source": src_shifted,
+         "text-col": "text"}
+    )]) == 0
+
+    assert main_bpe(["--conf", conf(
+        {"action": "stats", "vocab-path": vocab}
+    )]) == 0
+    assert "vocab stats" in capsys.readouterr().out
