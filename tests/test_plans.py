@@ -89,6 +89,7 @@ _NLJ_ALLOWED = {
     "streaming_semdedup_replay",  # k-centroid frames broadcast (ivf_assign shape)
     "ivf_index_lifecycle_report",  # k-centroid frames broadcast (ivf_assign shape)
     "ks_drift_price_halves",  # one-row totals broadcast over |values| rows
+    "bpe_fertility_drift_report",  # one-row persisted-stats frame crossJoined
 }
 
 

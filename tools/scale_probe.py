@@ -6,13 +6,16 @@ sf0.1; this tool supplies the measured 10x row for SCALE.md).
 Synthesis (deterministic, no RNG):
 
 - ``documents``: each replica k remaps ``doc_id += k * ID_OFFSET`` and
-  suffixes EVERY whitespace token with ``_k`` (k >= 1; replica 0 is the
-  original). Suffixing all tokens preserves every within-replica shingle
-  Jaccard EXACTLY (dedup structure per replica == the sf0.1 corpus) and
-  makes cross-replica shingle matches impossible — so near-dup pairs,
-  components, and winnowing overlaps grow 10x LINEARLY instead of the
-  ~100x a naive text copy would produce (every doc would near-dup its 9
-  clones, changing the workload's character instead of its size).
+  applies a per-replica SUBSTITUTION CIPHER over [a-z]/[0-9]
+  (`_cipher_alphabet`; k >= 1; replica 0 is the original). A bijective
+  character map preserves every within-replica gram equality — word
+  n-grams AND char n-grams map isomorphically, so dedup structure per
+  replica == the sf0.1 corpus — while across replicas any gram with an
+  alphanumeric differs. Near-dup pairs, components, winnowing overlaps
+  therefore grow N× LINEARLY instead of the ~N²× a naive text copy
+  would produce. (Replaces the r12 word-suffix scheme, which left
+  stem-internal CHAR-grams shared across replicas — VERDICT r13 item 5:
+  winnowing's 1000× pair count was a synth artifact.)
 - ``embeddings``: ``vec_id += k * ID_OFFSET`` and a per-(replica, dim)
   deterministic sign flip (md5 parity). Sign flips preserve norms and
   every within-replica cosine exactly, while decorrelating replicas, so
@@ -73,16 +76,63 @@ PROBE_QUERIES = [
 COPY_TABLES = ("region", "nation", "customer", "supplier", "part", "events")
 
 
-def _signs(replica: int, dim: int) -> list[float]:
+def _signs(replica: int, dim: int, ns: str = "") -> list[float]:
     return [
         1.0
-        if int(hashlib.md5(f"{replica}|{d}".encode()).hexdigest(), 16) % 2 == 0
+        if int(hashlib.md5(f"{ns}{replica}|{d}".encode()).hexdigest(), 16) % 2
+        == 0
         else -1.0
         for d in range(dim)
     ]
 
 
-def build_synth(spark, src_dir: str, out_dir: str, replicas: int) -> None:
+_SRC_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _cipher_alphabet(replica: int, ns: str = "") -> str:
+    """Deterministic per-replica substitution cipher over the corpus
+    alphabet (letters permute among letters, digits among digits —
+    Fisher-Yates seeded by md5).
+
+    Why a CIPHER and not the r12 word-suffix scheme (VERDICT r13 item
+    5): suffixing every word with ``_k`` preserves WORD-gram structure
+    per replica but leaves stem-internal CHAR-grams byte-identical
+    across replicas, so char-gram operators (winnowing fingerprints)
+    saw cross-replica matches and their pair counts did not scale
+    linearly — the 1000× output cardinality was a synth artifact. A
+    per-replica bijective character map preserves within-replica
+    equality of EVERY gram type (words AND char-n-grams map
+    isomorphically), while across replicas any gram containing at
+    least one alphanumeric differs — so both word-level and char-level
+    pair structure replicate exactly linearly."""
+    out = []
+    for chars, tag in (
+        (list("abcdefghijklmnopqrstuvwxyz"), "L"),
+        (list("0123456789"), "D"),
+    ):
+        seed = int.from_bytes(
+            hashlib.md5(f"{ns}cipher|{tag}|{replica}".encode()).digest()
+            + hashlib.md5(f"{ns}cipher2|{tag}|{replica}".encode()).digest(),
+            "big",
+        )
+        for i in range(len(chars) - 1, 0, -1):
+            seed, j = divmod(seed, i + 1)
+            chars[i], chars[j] = chars[j], chars[i]
+        out.extend(chars)
+    return "".join(out)
+
+
+def build_synth(
+    spark, src_dir: str, out_dir: str, replicas: int,
+    ns: str = "", id_offset: int = ID_OFFSET,
+) -> None:
+    """Synthesize ``replicas`` structure-preserving copies of ``src_dir``
+    into ``out_dir``. ``src_dir`` may itself be a synth (the 1000× build
+    = 10 OUTER replicas over the 100× synth — pass a distinct ``ns`` so
+    outer cipher/sign seeds never collide with inner ones, and a larger
+    ``id_offset`` so outer id shifts clear the inner ones; composed
+    ciphers stay bijective, so per-replica isomorphism is preserved
+    through the nesting)."""
     from pyspark.sql import functions as F
 
     os.makedirs(out_dir, exist_ok=True)
@@ -96,17 +146,13 @@ def build_synth(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     doc_parts = []
     for k in range(replicas):
         part = d.withColumn(
-            "doc_id", (F.col("doc_id") + F.lit(k * ID_OFFSET)).cast("long")
+            "doc_id", (F.col("doc_id") + F.lit(k * id_offset)).cast("long")
         )
         if k > 0:
             part = part.withColumn(
                 "text",
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.split(F.col("text"), r"\s+"),
-                        lambda x: F.concat(x, F.lit(f"_{k}")),
-                    ),
+                F.translate(
+                    F.col("text"), _SRC_ALPHABET, _cipher_alphabet(k, ns)
                 ),
             )
         doc_parts.append(part)
@@ -122,10 +168,10 @@ def build_synth(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     emb_parts = []
     for k in range(replicas):
         part = e.withColumn(
-            "vec_id", (F.col("vec_id") + F.lit(k * ID_OFFSET)).cast("long")
+            "vec_id", (F.col("vec_id") + F.lit(k * id_offset)).cast("long")
         )
         if k > 0:
-            sgn = F.array(*[F.lit(s) for s in _signs(k, dim)])
+            sgn = F.array(*[F.lit(s) for s in _signs(k, dim, ns)])
             part = part.withColumn(
                 "embedding",
                 F.zip_with(
@@ -145,7 +191,7 @@ def build_synth(spark, src_dir: str, out_dir: str, replicas: int) -> None:
     for tbl, key in (("lineitem", "l_orderkey"), ("orders", "o_orderkey")):
         base = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
         parts = [
-            base.withColumn(key, (F.col(key) + F.lit(k * ID_OFFSET)).cast("long"))
+            base.withColumn(key, (F.col(key) + F.lit(k * id_offset)).cast("long"))
             for k in range(replicas)
         ]
         u = parts[0]
@@ -180,6 +226,20 @@ def main() -> int:
     ap.add_argument("--repeat", type=int, default=3)
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument(
+        "--build-only", action="store_true",
+        help="synthesize and exit (no query timing)",
+    )
+    ap.add_argument(
+        "--ns", default="",
+        help="cipher/sign seed namespace — set (e.g. 'outer|') when "
+        "nesting: building N outer replicas over an existing synth",
+    )
+    ap.add_argument(
+        "--id-offset", type=int, default=ID_OFFSET,
+        help="per-replica id shift; outer builds over a synth need one "
+        "that clears the inner shifts (e.g. 100x ID_OFFSET)",
+    )
+    ap.add_argument(
         "--queries", default=None,
         help="comma-separated subset of PROBE_QUERIES (default: all)",
     )
@@ -209,10 +269,18 @@ def main() -> int:
 
     if not args.skip_build:
         t0 = time.perf_counter()
-        build_synth(spark, args.src, args.out, args.replicas)
+        build_synth(
+            spark, args.src, args.out, args.replicas,
+            ns=args.ns, id_offset=args.id_offset,
+        )
         build_sec = round(time.perf_counter() - t0, 1)
     else:
         build_sec = None
+    if args.build_only:
+        print(json.dumps({"built": args.out, "replicas": args.replicas,
+                          "build_sec": build_sec}))
+        spark.stop()
+        return 0
 
     from spark_pipeline_spark.queries import REGISTRY
 
