@@ -18853,58 +18853,52 @@ def bpe_fertility_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-13 rotation, derived with ``python tools/recheck_queue.py``
+    # Round-14 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
-    # registered 276; never-checked (6): the r13 registrations below;
-    # changed-since-green (5): dedup_containment (bench=True),
-    # ivf_index_pq_code_drift (bench=True), lsh_band_tuning (bench=True
-    # + shared shingle pass), lsh_recall_precision (shared index),
-    # split_repair_components (bench=True); changed operator modules:
-    # dedup.py (metadata stamping + float-slack bounds +
-    # prefix_filter shingles=), graph.py (try/finally persist +
-    # label_propagation_incremental), ann_index.py (rebuild),
-    # streaming.py (index metadata stamp, compaction wrappers + cell
-    # refusal, _hadoop_rename).
-    # Slots: (a) 6 never-checked; (b) 5 changed-since-green; (c) 31
-    # changed-module canaries — ALL 28 imports-changed greens the tool
-    # lists (every dedup.py/graph.py consumer re-proves the float-slack
-    # and metadata changes) + ann_index lifecycle/pq + the semantic
-    # streaming replay; (d) 8 stalest greens (the r6 rows the r12
-    # window left behind).
-    # --- (a) never driver-checked (r13 registrations) ---
-    "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
-    "dedup_pipeline_end_to_end_documents", "ivf_index_rebuild_recall_report",
-    "lpa_communities_incremental_documents", "neardup_bridge_edges_documents",
-    # --- (b) changed since green ---
-    "dedup_containment_documents", "ivf_index_pq_code_drift_report",
-    "lsh_band_tuning_report", "lsh_recall_precision_report",
-    "split_repair_components_documents",
+    # registered 279; never-checked (2): the r14 registrations below;
+    # changed-since-green: 0; changed operator modules: dedup.py
+    # (m-scaled recall slack, generic hamming_near_dup_pairs, eager
+    # cand checkpoint + bucketed two-pass verify), multimodal.py
+    # (perceptual hash family), bpe.py (persisted vocab lifecycle),
+    # streaming.py (staged_swap_commit) — plus ann_index.py (checked
+    # commit renames + crash recovery), which the tool doesn't chase.
+    # Slots: (a) 2 never-checked; (c) 37 changed-module canaries — ALL
+    # 35 imports-changed greens the tool lists (every dedup.py consumer
+    # re-proves the slack/bucketed-verify changes; the 3 multimodal and
+    # 2 bpe consumers re-prove the new module code) + the two
+    # ann_index.py/staged-swap consumers; (d) 11 stalest greens (the
+    # r6/r7 rows) covering the family-diversity contract
+    # (sketch/scoring/sample/tpch/datadiff/quality/events).
+    # --- (a) never driver-checked (r14 registrations) ---
+    "multimodal_neardup_media", "bpe_fertility_drift_report",
     # --- (c) changed-module canaries ---
-    "dedup_minhash_lsh_documents",
+    "dedup_exact_documents", "dedup_minhash_lsh_documents",
     "dedup_simhash_documents", "dedup_simhash_pairs_documents",
-    "dedup_components_documents",
-    "split_leakage_report_documents", "dedup_canonical_selection",
-    "pagerank_customer_supplier", "entity_resolution_parts",
+    "decontaminate_documents", "dedup_components_documents",
+    "multimodal_media_metadata", "multimodal_decode_features",
+    "multimodal_frame_sample", "boilerplate_ngrams_documents",
+    "fuzzy_match_part_names", "split_leakage_report_documents",
+    "lsh_recall_precision_report", "dedup_containment_documents",
     "streaming_dedup_lsh_replay", "exact_span_dedup_documents",
-    "dedup_incremental_new_vs_corpus",
+    "cross_source_neardup_matrix", "dedup_incremental_new_vs_corpus",
+    "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
     "lpa_communities_documents", "longest_shared_span_documents",
     "dedup_editdistance_verify_documents", "neardup_threshold_sweep_documents",
     "neardup_graph_stats_documents", "dedup_prefix_filter_exact_documents",
-    "dedup_components_star_documents", "dedup_savings_report_documents",
-    "split_repair_documents", "minhash_estimate_error_report",
+    "dedup_components_star_documents", "split_repair_documents",
+    "split_repair_components_documents", "minhash_estimate_error_report",
     "streaming_dedup_ttl_replay", "dedup_components_incremental_documents",
-    "ivf_index_lifecycle_report", "ivf_index_pq_report",
-    "streaming_semdedup_replay",
-    # --- (d) stalest-green fill (r6 rows) + family representatives
-    #     the tag-diversity contract requires (sketch/scoring/sample/
-    #     tpch/datadiff — all r7-r9 stale) ---
-    "sketch_rollup_distinct_users", "eval_roc_auc_binned",
-    "kfold_assignment_documents", "q16_supplier_diversity",
-    "datadiff_continuous_lineitem",
-    "dedup_normalized_documents", "events_props_by_type",
-    "events_resample_6h_ffill", "events_rolling_24h_value",
-    "events_time_weighted_value", "funnel_conversion_latency",
-    "interval_coverage_events", "text_unigram_nll_documents",
+    "lpa_communities_incremental_documents", "neardup_bridge_edges_documents",
+    "lsh_band_tuning_report",
+    "ivf_index_rebuild_recall_report", "ivf_index_lifecycle_report",
+    # --- (d) stalest-green fill (r6/r7 rows) + family representatives
+    #     the tag-diversity contract requires ---
+    "winsorize_orders_prices", "capped_sessions_events",
+    "user_survival_curve", "null_profile_orders",
+    "eval_cv_auc_by_fold", "q2_min_cost_supplier",
+    "q20_dominant_suppliers", "sliding_p95_value_7d",
+    "score_logistic_model", "token_budget_sample_documents",
+    "benford_audit_orders",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -385,23 +385,19 @@ def test_driver_window_contract():
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r13 never-checked commitments: the six new registrations
+        # r14 never-checked commitments: the two new registrations
+        "multimodal_neardup_media", "bpe_fertility_drift_report",
+        # module-changed canaries (dedup.py — m-scaled recall slack,
+        # generic hamming engine, bucketed two-pass verify + cand
+        # checkpoint; multimodal.py — perceptual hash; bpe.py —
+        # persisted vocab lifecycle; ann_index.py/streaming.py —
+        # checked-rename staged swap)
+        "dedup_prefix_filter_exact_documents", "dedup_minhash_lsh_documents",
+        "dedup_simhash_pairs_documents", "multimodal_decode_features",
         "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
-        "dedup_pipeline_end_to_end_documents",
-        "ivf_index_rebuild_recall_report",
-        "lpa_communities_incremental_documents",
-        "neardup_bridge_edges_documents",
-        # changed since green (bench=True flags; shared shingle pass)
-        "dedup_containment_documents", "lsh_band_tuning_report",
-        "lsh_recall_precision_report", "split_repair_components_documents",
-        # module-changed canaries (dedup.py — hash-keyed prefix filter,
-        # float-slack bounds, metadata stamping; graph.py — incremental
-        # LPA + try/finally persists; ann_index.py — rebuild;
-        # streaming.py — compaction wrappers + index metadata)
-        "dedup_prefix_filter_exact_documents", "lpa_communities_documents",
-        "ivf_index_lifecycle_report", "dedup_components_star_documents",
-        "pagerank_customer_supplier", "streaming_dedup_lsh_replay",
-        "streaming_semdedup_replay",
+        "ivf_index_rebuild_recall_report", "ivf_index_lifecycle_report",
+        "streaming_dedup_lsh_replay", "lsh_band_tuning_report",
+        "dedup_containment_documents", "lsh_recall_precision_report",
     }
     missing = must_cover - set(window)
     assert not missing, f"r10 priority queries outside the window: {missing}"
