@@ -181,12 +181,19 @@ def fake_pixel_grid(
     real ones, which is what makes the downstream near-dup behavior
     representative (unlike an md5-derived grid, under which only
     byte-identical payloads would ever collide)."""
-    cps = [ord(ch) for ch in content.decode("utf-8", errors="replace")]
+    import numpy as np
+
+    # vectorized code points: utf-32-le round-trip == [ord(c) for c in s]
+    # (surrogate-free by construction of str), prefix sums give every
+    # cell's slice sum in O(n) — the scalar ord/sum loop was the hot
+    # path of the fingerprint mapInPandas pass (measured 4.9 s at sf0.1)
+    s = content.decode("utf-8", errors="replace")
+    cps = np.frombuffer(s.encode("utf-32-le"), dtype="<u4").astype(np.int64)
     n, cells = len(cps), rows * cols
-    flat = [
-        sum(cps[k * n // cells : (k + 1) * n // cells]) % 256
-        for k in range(cells)
-    ]
+    k = np.arange(cells + 1, dtype=np.int64)
+    bounds = (k * n) // cells
+    csum = np.concatenate(([0], np.cumsum(cps)))
+    flat = ((csum[bounds[1:]] - csum[bounds[:-1]]) % 256).tolist()
     return [flat[r * cols : (r + 1) * cols] for r in range(rows)]
 
 

@@ -18840,6 +18840,145 @@ def bpe_fertility_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRAME_B, _FRAME_DF_MAX = 64, 16
+
+
+@register(
+    "multimodal_shared_segment_media",
+    oracle=f"""
+        WITH ch AS (
+          SELECT doc_id, k, substr(text, (k * {_FRAME_B} + 1)::INT, {_FRAME_B}) AS c
+          FROM documents, (SELECT unnest(range(0, 80)) AS k)
+          WHERE length(text) >= (k + 1) * {_FRAME_B}
+        ),
+        cell AS (
+          SELECT doc_id, k, g,
+                 coalesce(list_sum(list_transform(
+                   range((g * n) // 63, ((g + 1) * n) // 63),
+                   i -> ord(substr(c, (i + 1)::INT, 1))
+                 )), 0) % 256 AS px
+          FROM (SELECT doc_id, k, c, length(c)::BIGINT AS n FROM ch),
+               (SELECT unnest(range(0, 63)) AS g)
+        ),
+        fp AS (
+          SELECT a.doc_id, a.k,
+                 sum(CASE WHEN a.px < b.px
+                     THEN (1::BIGINT << ((a.g // 9) * 8 + (a.g % 9)))::BIGINT
+                     ELSE 0 END)::BIGINT AS phash
+          FROM cell a JOIN cell b ON b.doc_id = a.doc_id AND b.k = a.k
+                                 AND b.g = a.g + 1
+          WHERE a.g % 9 < 8
+          GROUP BY a.doc_id, a.k
+        ),
+        kept AS (
+          SELECT phash FROM (SELECT DISTINCT phash, doc_id FROM fp)
+          GROUP BY phash HAVING count(*) BETWEEN 2 AND {_FRAME_DF_MAX}
+        ),
+        post AS (SELECT fp.* FROM fp JOIN kept USING (phash)),
+        hits AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.k - b.k AS d, a.k AS ka
+          FROM post a JOIN post b ON a.phash = b.phash
+                                 AND a.doc_id < b.doc_id
+        ),
+        runs AS (
+          SELECT id_a, id_b, d,
+                 ka - row_number() OVER (
+                   PARTITION BY id_a, id_b, d ORDER BY ka) AS grp,
+                 ka
+          FROM hits
+        ),
+        agg AS (
+          SELECT id_a, id_b, d, grp, count(*)::BIGINT AS run
+          FROM runs GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               max(run)::BIGINT AS longest_run_frames,
+               sum(run)::BIGINT AS n_matching_frames
+        FROM agg GROUP BY id_a, id_b
+    """,
+    tags=("multimodal", "video", "dedup", "mapInPandas", "llm-pipeline"),
+)
+def multimodal_shared_segment_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-SEGMENT detection for frame media — the video twin of
+    `longest_shared_span_documents` (Lee-et-al span semantics applied
+    to keyframes): sample full frames (`sample_frames`, byte-positional
+    stand-in for keyframe extraction; short tail frames dropped — a
+    partial frame's degenerate fingerprint would match everything),
+    fingerprint each frame through the perceptual-hash codec hook
+    (`perceptual_hash` over the frame binary), then find media pairs
+    whose matching-fingerprint frames form runs on an alignment
+    diagonal (frame_idx_a − frame_idx_b): consecutive matches on one
+    diagonal are ONE shared segment, and `max(run)` is its exact length
+    in frames — the copied-clip detector for a video corpus.
+
+    Scale: frame fingerprints are df-capped ({_FRAME_DF_MAX}) before
+    the pair join — a boilerplate frame (intro card, black frame)
+    shared by 10k videos belongs in a frequency report, not a 10⁸-pair
+    fanout; the islands window partitions by (pair, diagonal), bounded
+    by media length, never corpus-wide. One mapInPandas decode pass;
+    everything after is fixed-width integers. The oracle replays
+    chunking, the 63-cell grid, dHash packing, df cap, and the
+    gaps-and-islands alignment entirely in SQL."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.multimodal import (
+        perceptual_hash,
+        sample_frames,
+    )
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "content", F.encode(F.col("text"), "UTF-8")
+    )
+    frames = sample_frames(
+        d, "doc_id", "content", frame_bytes=_FRAME_B, every_n=1
+    ).filter(F.length("frame") == _FRAME_B)
+    # composite (doc_id, frame_idx) packed into one key for the
+    # fingerprint pass; unpacked right after (2^20 > any frame count)
+    fk = frames.select(
+        (F.col("doc_id") * F.lit(1048576) + F.col("frame_idx")).alias("fkey"),
+        "frame",
+    )
+    ph = query_persist(
+        perceptual_hash(fk, "fkey", "frame").select(
+            F.floor(F.col("fkey") / 1048576).cast("long").alias("doc_id"),
+            F.pmod("fkey", F.lit(1048576)).cast("long").alias("k"),
+            "phash",
+        )
+    )
+    kept = (
+        ph.select("phash", "doc_id")
+        .distinct()
+        .groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, _FRAME_DF_MAX))
+        .select("phash")
+    )
+    post = ph.join(kept, "phash")
+    hits = (
+        post.select("phash", F.col("doc_id").alias("id_a"), F.col("k").alias("ka"))
+        .join(
+            post.select(
+                "phash", F.col("doc_id").alias("id_b"), F.col("k").alias("kb")
+            ),
+            "phash",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", (F.col("ka") - F.col("kb")).alias("d"), "ka")
+        .distinct()
+    )
+    w = Window.partitionBy("id_a", "id_b", "d").orderBy("ka")
+    runs = (
+        hits.withColumn("grp", F.col("ka") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", "d", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.max("run").cast("long").alias("longest_run_frames"),
+        F.sum("run").cast("long").alias("n_matching_frames"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness window: the grading driver hash-checks only the FIRST
 # 50 registered queries, so the registration order is part of the external
