@@ -18898,6 +18898,9 @@ _FRAME_B, _FRAME_DF_MAX = 64, 16
         FROM agg GROUP BY id_a, id_b
     """,
     tags=("multimodal", "video", "dedup", "mapInPandas", "llm-pipeline"),
+    # joins the bench set now so r15's comparator carries its quiet
+    # baseline (bench_full_r14 predates it — shows as "added" there)
+    bench=True,
 )
 def multimodal_shared_segment_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared-SEGMENT detection for frame media — the video twin of
