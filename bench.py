@@ -20,6 +20,32 @@ import sys
 import time
 
 
+def compact_headline(result: dict, out_path: str, budget: int = 1500) -> str:
+    """The final stdout line: a compact headline JSON guaranteed to fit
+    the driver's 2000-char stdout-tail capture (BENCH_rN.json parses the
+    last line; the full 63-query map overflowed it every round r8-r14).
+    Includes the slowest queries up to ``budget`` serialized chars; the
+    complete map lives in the ``--out`` sidecar named by
+    ``queries_file``."""
+    timings = result["queries"]
+    headline = {
+        k: result[k]
+        for k in (
+            "metric", "value", "unit", "sf", "repeat",
+            "floor_sec", "floor_adjusted_total", "spread_median",
+        )
+    }
+    headline["n_queries"] = len(timings)
+    headline["queries_file"] = os.path.basename(out_path) if out_path else None
+    headline["queries"] = {}
+    for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
+        headline["queries"][name] = sec
+        if len(json.dumps(headline)) > budget:
+            del headline["queries"][name]
+            break
+    return json.dumps(headline)
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -111,11 +137,11 @@ def main() -> int:
             sum(max(v - floor_sec, 0.0) for v in timings.values()), 4
         ),
     }
-    print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as fh:
             json.dump(result, fh, indent=1, sort_keys=True)
             fh.write("\n")
+    print(compact_headline(result, args.out))
     spark.stop()
     return 0
 
