@@ -254,11 +254,20 @@ def build_ivf_index(
         )
     cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
 
-    # centroids: staged swap (replace-in-place table)
-    staging = cen_path + "__staging"
-    cen.coalesce(1).write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(cen_path)
-    _hadoop_delete(spark, staging)
+    # centroids: staged swap (replace-in-place table) — but only when a
+    # live copy exists to protect; a FRESH build (no cen_path yet, e.g.
+    # rebuild_ivf_index staging a whole new index root) writes directly,
+    # skipping a write+read+rewrite round-trip per table (VERDICT r14
+    # item 5: the lifecycle reports pay this 2× per rebuild)
+    from spark_pipeline_spark.streaming import hadoop_path_exists
+
+    if hadoop_path_exists(spark, cen_path):
+        staging = cen_path + "__staging"
+        cen.coalesce(1).write.mode("overwrite").parquet(staging)
+        spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(cen_path)
+        _hadoop_delete(spark, staging)
+    else:
+        cen.coalesce(1).write.parquet(cen_path)
 
     assigned = ivf_assign(
         base, spark.read.parquet(cen_path), "vec_id", "embedding",
@@ -285,12 +294,15 @@ def build_ivf_index(
                 f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
             )
         codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
-        cb_staging = pq_cb_path + "__staging"
-        codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
-        spark.read.parquet(cb_staging).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(pq_cb_path)
-        _hadoop_delete(spark, cb_staging)
+        if hadoop_path_exists(spark, pq_cb_path):
+            cb_staging = pq_cb_path + "__staging"
+            codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
+            spark.read.parquet(cb_staging).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(pq_cb_path)
+            _hadoop_delete(spark, cb_staging)
+        else:
+            codebook.coalesce(1).write.parquet(pq_cb_path)
         _pq_encode(
             spark.read.parquet(f"{asg_path}/batch=0"),
             spark.read.parquet(pq_cb_path),
@@ -500,25 +512,34 @@ def rebuild_ivf_index(
     cen_path, asg_path, _ = _paths(root)
     pq_cb_path, _ = _pq_paths(root)
 
-    corpus = _try_read(spark, asg_path)
-    if corpus is None:
-        # A crash between rename(assignments -> __old) and
-        # rename(staged assignments -> live) leaves no live assignments/
-        # — the data sits wholly in __old (interrupted swap) or wholly
-        # in the completed staging dir (interrupted commit). Heal by
-        # finishing the interrupted rename BEFORE reading, so the lazy
-        # corpus scan never points at a directory this run will delete
-        # or rebuild (ADVICE r13).
-        for leftover in (asg_path + "__old", f"{root}__rebuild_staging/assignments"):
+    def heal(live_path: str, name: str) -> bool:
+        """Finish an interrupted staged-swap rename for one sub-table.
+        A crash between rename(live -> __old) and rename(staged ->
+        live) leaves no live copy — the data sits wholly in ``__old``
+        (interrupted swap) or wholly in the completed staging dir
+        (interrupted commit). Healing happens BEFORE any read and
+        BEFORE the staging clobber below, so a lazy scan never points
+        at a directory this run will delete or rebuild (ADVICE r13;
+        extended to centroids/pq_codebook per ADVICE r14 — the
+        centroids swap runs FIRST in staged_swap_commit, so its crash
+        window used to leave ``k_cells=None`` reads with a raw
+        AnalysisException and a mid-swap codebook silently dropped the
+        PQ layer)."""
+        if hadoop_path_exists(spark, live_path):
+            return True
+        for leftover in (live_path + "__old", f"{root}__rebuild_staging/{name}"):
             if hadoop_path_exists(spark, leftover):
-                if not _hadoop_rename(spark, leftover, asg_path):
+                if not _hadoop_rename(spark, leftover, live_path):
                     raise IOError(
                         f"rebuild_ivf_index: crash-recovery rename "
-                        f"{leftover} -> {asg_path} failed — restore it "
+                        f"{leftover} -> {live_path} failed — restore it "
                         f"manually before re-running"
                     )
-                corpus = _try_read(spark, asg_path)
-                break
+                return True
+        return False
+
+    heal(asg_path, "assignments")
+    corpus = _try_read(spark, asg_path)
     if corpus is None:
         raise ValueError(
             f"rebuild_ivf_index: no assignments under {root} (and no "
@@ -528,7 +549,9 @@ def rebuild_ivf_index(
     corpus = corpus.select("vec_id", "embedding")
 
     if k_cells is None:
+        heal(cen_path, "centroids")
         k_cells = spark.read.parquet(cen_path).count()
+    heal(pq_cb_path, "pq_codebook")
     codebook = _try_read(spark, pq_cb_path)
     if pq_m is None:
         if codebook is not None:
@@ -543,10 +566,17 @@ def rebuild_ivf_index(
 
     staging_root = root + "__rebuild_staging"
     _hadoop_delete(spark, staging_root)  # clobber a crashed run's leftovers
-    info = build_ivf_index(
-        spark, corpus, staging_root, k_cells=k_cells, iters=iters,
-        pq_m=pq_m, **({"pq_k": pq_k} if pq_k is not None else {}),
-    )
+    # the corpus frame is scanned several times inside the build (seed
+    # selection, assignment, PQ codebook training) and here it is a
+    # parquet re-read of the live assignments — cache it for the build's
+    # duration instead of re-scanning per pass (VERDICT r14 item 5)
+    from spark_pipeline_spark.session import cached
+
+    with cached(corpus) as corpus_cached:
+        info = build_ivf_index(
+            spark, corpus_cached, staging_root, k_cells=k_cells, iters=iters,
+            pq_m=pq_m, **({"pq_k": pq_k} if pq_k is not None else {}),
+        )
 
     if on_staged is not None:
         on_staged()

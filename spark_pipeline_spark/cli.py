@@ -555,6 +555,22 @@ def main_bpe(argv: list[str] | None = None) -> int:
     def word_counts():
         df = load(spark, conf["source"])
         text_col = conf.get("text-col")
+        # resolved column names are validated against the source's
+        # actual schema BEFORE the plan is built: a typo'd text-col or
+        # a word-frequency table lacking term/n must exit 2 with a
+        # message, not escape as a raw AnalysisException (ADVICE r14)
+        if text_col:
+            need = [text_col]
+        else:
+            need = [conf.get("term-col", "term"), conf.get("count-col", "n")]
+        missing = [c for c in need if c not in df.columns]
+        if missing:
+            raise _BpeConfigError(
+                f"bpe source has no column(s) {missing} "
+                f"(source columns: {df.columns}; set "
+                f"{'text-col' if text_col else 'term-col/count-col'} "
+                f"to match)"
+            )
         if text_col:
             return (
                 df.select(
@@ -567,14 +583,31 @@ def main_bpe(argv: list[str] | None = None) -> int:
                 .agg(F.count(F.lit(1)).alias("n"))
             )
         return df.select(
-            F.col(conf.get("term-col", "term")).alias("term"),
-            F.col(conf.get("count-col", "n")).cast("long").alias("n"),
+            F.col(need[0]).alias("term"),
+            F.col(need[1]).cast("long").alias("n"),
         )
 
     if action in ("build", "drift", "retrain") and not conf.get("source"):
         print(f"bpe {action} requires 'source'")
         return 2
 
+    rc = 0
+    try:
+        rc = _bpe_dispatch(spark, bpe, conf, action, vocab_path, word_counts)
+    except _BpeConfigError as exc:
+        print(str(exc))
+        return 2
+    print(f"execution time: {time.time() - t0:.1f}s")
+    return rc
+
+
+class _BpeConfigError(Exception):
+    """A bpe config error detected after session startup (e.g. a column
+    name that does not exist in the resolved source) — mapped to exit 2
+    by ``main_bpe``, honoring its no-bare-traceback contract."""
+
+
+def _bpe_dispatch(spark, bpe, conf, action, vocab_path, word_counts) -> int:
     rc = 0
     if action == "build":
         info = bpe.build_bpe_vocab(
@@ -603,7 +636,6 @@ def main_bpe(argv: list[str] | None = None) -> int:
         print(f"retrained vocab: {info}")
     else:  # stats
         print(f"vocab stats: {bpe.bpe_vocab_stats(spark, vocab_path)}")
-    print(f"execution time: {time.time() - t0:.1f}s")
     return rc
 
 

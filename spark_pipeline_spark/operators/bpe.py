@@ -240,11 +240,14 @@ def bpe_fertility_drift(
     languages); the alarm's acted-on path is `retrain_bpe_vocab`.
 
     Returns ONE row: ``(n_merges, build_fertility, apply_fertility,
-    drift_ratio, alarm)``. ``drift_ratio`` is computed from the exact
-    integer aggregates (apply_pieces·build_words) /
-    (apply_words·build_pieces) so both engines of an oracle pair see
-    identical operands; ``alarm`` compares the 6dp-rounded ratio to
-    ``alarm_ratio``.
+    drift_ratio, alarm)``. ``drift_ratio`` casts each integer aggregate
+    to double BEFORE multiplying — (double(apply_pieces) ·
+    double(build_words)) / (double(apply_words) · double(build_pieces))
+    — because the int64 product overflows past ~3e9 words per side
+    (Spark would silently wrap under non-ANSI arithmetic, DuckDB would
+    error — ADVICE r14), and IEEE double ops are bit-identical across
+    both engines so the oracle pairing is unaffected; ``alarm``
+    compares the 6dp-rounded ratio to ``alarm_ratio``.
 
     Scale: ONE vocabulary-sized encode pass + one aggregate; the merge
     table and the one-row stats frame are driver-side constants (the
@@ -266,8 +269,8 @@ def bpe_fertility_drift(
         F.sum(F.col("n") * F.size("s")).cast("long").alias("apply_pieces"),
     )
     drift = F.round(
-        (F.col("apply_pieces") * F.col("total_words")).cast("double")
-        / (F.col("apply_words") * F.col("total_pieces")),
+        (F.col("apply_pieces").cast("double") * F.col("total_words").cast("double"))
+        / (F.col("apply_words").cast("double") * F.col("total_pieces").cast("double")),
         6,
     )
     return (

@@ -17883,6 +17883,25 @@ def ivf_index_rebuild_recall_report(
     )
 
 
+def _graph_index_location(sf_dir: str) -> tuple[str, str]:
+    """(artifact path, dataset fingerprint) for the persisted near-dup
+    graph index shared by the two incremental graph queries. Keyed by
+    the sf_dir (one artifact per dataset) but NOT by session — the
+    whole point is that the base state survives across runs, standing
+    in for yesterday's nightly index maintenance; the fingerprint
+    (parquet listing + GRAPH_INDEX_VERSION) invalidates it when the
+    corpus regenerates or the algorithm changes."""
+    import hashlib
+    import tempfile
+
+    from spark_pipeline_spark.graph_index import dataset_fingerprint
+
+    path = "{}/spark_graft_graph_index_{}".format(
+        tempfile.gettempdir(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    )
+    return path, dataset_fingerprint(sf_dir)
+
+
 @register(
     "dedup_components_incremental_documents",
     # The incremental path must reproduce the from-scratch transitive
@@ -17896,74 +17915,72 @@ def ivf_index_rebuild_recall_report(
 def dedup_components_incremental_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Near-dup clusters maintained INCREMENTALLY: the 90 % "existing"
-    hash-split's components are computed once (standing in for
-    yesterday's persisted labels), then the 10 % "new" batch folds in
-    through `merge_components_incremental` — new-vs-corpus bridges from
-    `minhash_incremental_pairs` (the persisted-index increment path)
-    plus new-new pairs, contracted onto the old labels, star rounds on
-    the contracted sliver only. The oracle is the FULL-corpus
+    """Near-dup clusters maintained INCREMENTALLY against a PERSISTED
+    base-state artifact (`graph_index.py` — VERDICT r14 top item): the
+    90 % "existing" slice's MinHash tables, near-dup edges and
+    component labels live in the on-disk graph index (built once per
+    corpus version, exactly like the dedup LSH index the streaming
+    sink maintains), and THIS query is the daily delta path only —
+    shingle the 10 % "new" batch, band it against the index's stored
+    band table (`minhash_incremental_pairs`), add new-new pairs, and
+    fold both into the stored labels through
+    `merge_components_incremental` (contraction onto old labels, star
+    rounds on the touched sliver only). The oracle is the FULL-corpus
     transitive closure, so the hash proves incremental ≡ batch, label
-    for label.
+    for label — the stored labels compose with the delta to the exact
+    from-scratch answer.
 
-    Banding makes the pair split exact: a pair collides on a band key
-    independently of every other document, so old-old ∪ new-old ∪
-    new-new candidates = the union corpus's candidates — no pair is
-    lost to the split. That same independence lets the three pair
-    families share ONE MinHash index: `minhash_index_tables` shingles
-    the corpus a single time and the old/new sides are filter-slices of
-    the persisted (__id, __sh) / (__id, __band, __key) tables (the
-    query formerly paid four shingle passes — old×2, new×2).
+    Banding makes the old/new split exact: a pair collides on a band
+    key independently of every other document, so stored-corpus ∪
+    new-vs-corpus ∪ new-new candidates = the union corpus's candidates
+    — no pair is lost to the split.
 
-    Scale shape: the old graph never recomputes (its labels enter as a
-    keyed frame); the increment costs the new batch's shingling, the
-    banded joins, and star rounds over |touched components| — the
-    incremental-agg discipline applied to an iterative graph
-    algorithm. (In the real daily regime the old side's tables come
-    straight off the persisted dedup index, so even the one shingle
-    pass here touches only the increment.)"""
+    Scale shape: the base graph NEVER recomputes here (first touch of
+    a corpus version builds the artifact — the amortized cost a real
+    deployment pays in its nightly index maintenance, not per query);
+    the steady-state run costs the new batch's shingling, two banded
+    joins against stored tables, and star rounds over |touched
+    components|. `SCALE.md` shows the crossover: the delta path beats
+    the full-recompute twin at every measured scale once the artifact
+    exists. Staleness: the artifact is fingerprinted against the
+    source parquet listing and rebuilt when the corpus changes."""
+    from spark_pipeline_spark.graph_index import (
+        build_neardup_graph_index,
+        dataset_fingerprint,
+        load_neardup_graph_index,
+    )
     from spark_pipeline_spark.operators.dedup import (
         minhash_incremental_pairs,
         minhash_index_tables,
         minhash_near_dup_pairs,
     )
     from spark_pipeline_spark.operators.graph import (
-        connected_components_star,
         merge_components_incremental,
     )
     from spark_pipeline_spark.functions import md5_unit
 
     d = t(spark, sf_dir, "documents")
-    # the split flag is materialized INTO the persisted index (one md5
-    # per row total); slicing re-reads filter the stored boolean —
-    # restating md5_unit here would re-hash per branch read (~8 of them)
-    base, banded = minhash_index_tables(
-        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
-    )
-    is_new_id = F.col("__tag")
-    base_old, base_new = base.filter(~is_new_id), base.filter(is_new_id)
-    banded_old, banded_new = banded.filter(~is_new_id), banded.filter(is_new_id)
-    old_labels = query_persist(
-        connected_components_star(
-            minhash_near_dup_pairs(
-                None, "doc_id", "text", threshold=0.7,
-                shingles=base_old, bands_table=banded_old,
-            ),
-            src="id_a",
-            dst="id_b",
+    idx_path, fp = _graph_index_location(sf_dir)
+    is_new = md5_unit("doc_id") < 0.1
+    idx = load_neardup_graph_index(spark, idx_path, fp)
+    if idx is None:
+        idx = build_neardup_graph_index(
+            spark, d.filter(~is_new), idx_path, fp
         )
+    base_n, banded_n = minhash_index_tables(
+        d.filter(is_new), "doc_id", "text"
     )
     bridges = minhash_incremental_pairs(
         None, None, "doc_id", "text", threshold=0.7,
-        corpus_bands=banded_old, corpus_shingles=base_old,
-        new_bands=banded_new, new_shingles=base_new,
+        corpus_bands=idx["bands"], corpus_shingles=idx["shingles"],
+        new_bands=banded_n, new_shingles=base_n,
     ).select(F.col("corpus_id").alias("src"), F.col("new_id").alias("dst"))
     new_new = minhash_near_dup_pairs(
         None, "doc_id", "text", threshold=0.7,
-        shingles=base_new, bands_table=banded_new,
+        shingles=base_n, bands_table=banded_n,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     out = merge_components_incremental(
-        old_labels, bridges.unionByName(new_new)
+        idx["components"], bridges.unionByName(new_new)
     )
     return out.select(F.col("id").alias("doc_id"), "component")
 
@@ -18005,62 +18022,66 @@ def lpa_communities_incremental_documents(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Incremental LPA under the daily-increment regime — the
-    communities sibling of `dedup_components_incremental_documents`:
-    yesterday's near-dup graph keeps its labelling
-    (`label_propagation` over the 90% slice), today's increment (10%,
-    stored split flag in the shared MinHash index) contributes bridge
-    and new-new edges, and `label_propagation_incremental` relabels
-    ONLY the 2·n_iter-hop ball around the new edges. The ORACLE is the
-    point: it replays the BATCH 3-round LPA over the full union graph
-    (the exact `lpa_communities_documents` CTE recurrence), so the
-    hash match certifies incremental ≡ batch on real data — the
-    locality theorem (fixed-round synchronous LPA is a function of the
-    n_iter-hop ball) checked end-to-end, not assumed.
+    communities sibling of `dedup_components_incremental_documents`,
+    reading the SAME persisted base-state artifact (`graph_index.py`):
+    yesterday's near-dup edges and LPA labelling come off the on-disk
+    graph index (built once per corpus version), today's increment
+    (10 % md5 slice) is shingled fresh and contributes bridge and
+    new-new edges via the stored band table, and
+    `label_propagation_incremental` relabels ONLY the 2·n_iter-hop
+    ball around the new edges. The ORACLE is the point: it replays the
+    BATCH 3-round LPA over the full union graph (the exact
+    `lpa_communities_documents` CTE recurrence), so the hash match
+    certifies incremental ≡ batch on real data — the locality theorem
+    (fixed-round synchronous LPA is a function of the n_iter-hop ball)
+    checked end-to-end against stored state, not assumed.
 
-    Scale shape: one shared MinHash index build (`minhash_index_tables`
-    with the split flag materialized), old/new sides as filter-slices;
-    the old graph is scanned only for the ball BFS and the induced
-    subgraph — never globally re-voted. See
-    `operators/graph.py:label_propagation_incremental` for the
-    soundness argument and cost model."""
+    Scale shape: the base graph is never re-voted — the stored edge
+    table is scanned only for the ball BFS and the induced subgraph;
+    the steady-state cost is the increment's shingling + two banded
+    joins + LPA rounds over the ball. First touch of a corpus version
+    builds the artifact (the nightly-maintenance cost, amortized over
+    every later run — `SCALE.md` shows the incremental-vs-full
+    crossover). See `operators/graph.py:label_propagation_incremental`
+    for the soundness argument and cost model."""
+    from spark_pipeline_spark.graph_index import (
+        build_neardup_graph_index,
+        dataset_fingerprint,
+        load_neardup_graph_index,
+    )
     from spark_pipeline_spark.operators.dedup import (
         minhash_incremental_pairs,
         minhash_index_tables,
         minhash_near_dup_pairs,
     )
     from spark_pipeline_spark.operators.graph import (
-        label_propagation,
         label_propagation_incremental,
     )
     from spark_pipeline_spark.functions import md5_unit
 
     d = t(spark, sf_dir, "documents")
-    base, banded = minhash_index_tables(
-        d, "doc_id", "text", tag=md5_unit("__id") < 0.1
-    )
-    is_new_id = F.col("__tag")
-    base_old, base_new = base.filter(~is_new_id), base.filter(is_new_id)
-    banded_old, banded_new = banded.filter(~is_new_id), banded.filter(is_new_id)
-    old_edges = query_persist(
-        minhash_near_dup_pairs(
-            None, "doc_id", "text", threshold=0.7,
-            shingles=base_old, bands_table=banded_old,
-        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    )
-    old_comm = query_persist(
-        label_propagation(old_edges, n_iter=3)
+    idx_path, fp = _graph_index_location(sf_dir)
+    is_new = md5_unit("doc_id") < 0.1
+    idx = load_neardup_graph_index(spark, idx_path, fp)
+    if idx is None:
+        idx = build_neardup_graph_index(
+            spark, d.filter(~is_new), idx_path, fp
+        )
+    base_n, banded_n = minhash_index_tables(
+        d.filter(is_new), "doc_id", "text"
     )
     bridges = minhash_incremental_pairs(
         None, None, "doc_id", "text", threshold=0.7,
-        corpus_bands=banded_old, corpus_shingles=base_old,
-        new_bands=banded_new, new_shingles=base_new,
+        corpus_bands=idx["bands"], corpus_shingles=idx["shingles"],
+        new_bands=banded_n, new_shingles=base_n,
     ).select(F.col("corpus_id").alias("src"), F.col("new_id").alias("dst"))
     new_new = minhash_near_dup_pairs(
         None, "doc_id", "text", threshold=0.7,
-        shingles=base_new, bands_table=banded_new,
+        shingles=base_n, bands_table=banded_n,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     out = label_propagation_incremental(
-        old_comm, old_edges, bridges.unionByName(new_new), n_iter=3
+        idx["communities"], idx["edges"],
+        bridges.unionByName(new_new), n_iter=3,
     )
     return out.select(F.col("node").alias("doc_id"), "community")
 
@@ -18772,10 +18793,15 @@ _BPE_DRIFT_ALARM = 1.02
         SELECT {_BPE_MERGES} AS n_merges,
                round(build_pieces / build_words, 6) AS build_fertility,
                round(apply_pieces / apply_words, 6) AS apply_fertility,
-               round((apply_pieces * build_words)::DOUBLE
-                     / (apply_words * build_pieces), 6) AS drift_ratio,
-               (round((apply_pieces * build_words)::DOUBLE
-                     / (apply_words * build_pieces), 6)
+               -- each factor to DOUBLE before multiplying: the int64
+               -- product overflows past ~3e9 words/side (Spark wraps,
+               -- DuckDB errors); IEEE double ops match bit-for-bit in
+               -- both engines (ADVICE r14)
+               round((apply_pieces::DOUBLE * build_words::DOUBLE)
+                     / (apply_words::DOUBLE * build_pieces::DOUBLE), 6)
+                 AS drift_ratio,
+               (round((apply_pieces::DOUBLE * build_words::DOUBLE)
+                     / (apply_words::DOUBLE * build_pieces::DOUBLE), 6)
                  > {_BPE_DRIFT_ALARM})::INT AS alarm
         FROM bstat, astat
     """,
@@ -18792,7 +18818,7 @@ def bpe_fertility_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus's distinct words under the trained merges (`bpe_encode`
     replay — covers words the trainer never saw) and compares
     corpus-weighted fertility. One row: build vs apply fertility, the
-    exact-integer drift ratio, and the alarm bit (6dp ratio >
+    overflow-safe double-factor drift ratio, and the alarm bit (6dp ratio >
     {_BPE_DRIFT_ALARM}); the alarm's acted-on path is
     `retrain_bpe_vocab` / the `bpe retrain` CLI verb.
 
@@ -18846,9 +18872,19 @@ _FRAME_B, _FRAME_DF_MAX = 64, 16
 @register(
     "multimodal_shared_segment_media",
     oracle=f"""
+        -- BYTE-vs-CHAR assumption: the Spark side frames the UTF-8
+        -- BYTES of text while this oracle slices CHARACTERS — identical
+        -- only for ASCII corpora (octet_length == length), which
+        -- tests/test_testdata_assumptions.py asserts for every test SF.
+        -- The frame range is DERIVED from the corpus max length (a doc
+        -- of length L fills exactly L // {_FRAME_B} full frames), not a
+        -- hard-coded cap that long documents could silently overflow
+        -- (ADVICE r14).
         WITH ch AS (
           SELECT doc_id, k, substr(text, (k * {_FRAME_B} + 1)::INT, {_FRAME_B}) AS c
-          FROM documents, (SELECT unnest(range(0, 80)) AS k)
+          FROM documents,
+               (SELECT unnest(range(0, (SELECT coalesce(
+                  max(length(text)) // {_FRAME_B}, 0) FROM documents))) AS k)
           WHERE length(text) >= (k + 1) * {_FRAME_B}
         ),
         cell AS (

@@ -524,3 +524,40 @@ def test_rebuild_failed_commit_rename_rolls_back_and_raises(spark, tmp_path, mon
     assert os.path.exists(live + "/assignments")
     assert not os.path.exists(live + "/assignments__old")
     assert _index_snapshot(spark, live)["assignments"] == before["assignments"]
+
+
+def test_rebuild_recovers_from_centroids_swap_crash(spark, tmp_path):
+    """ADVICE r14: centroids is swapped FIRST in staged_swap_commit, so
+    a crash in ITS rename window leaves no live centroids/ while
+    assignments is still the old copy. A re-run with default
+    k_cells=None must heal centroids from __old (or staging) instead of
+    dying in spark.read.parquet(cen_path) with a raw AnalysisException;
+    a mid-swap pq_codebook must likewise be healed rather than silently
+    rebuilding WITHOUT the PQ layer."""
+    import os
+
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+
+    # shape 1: centroids moved aside to __old (crash between its two
+    # renames); defaults must recover k_cells from the healed copy
+    live = str(tmp_path / "cen_live")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live, k_cells=4)
+    os.rename(live + "/centroids", live + "/centroids__old")
+    info = rebuild_ivf_index(spark, live)  # k_cells=None → healed read
+    assert info["k_cells"] == 4
+    assert not os.path.exists(live + "/centroids__old")
+    assert spark.read.parquet(live + "/centroids").count() == 4
+
+    # shape 2: pq_codebook mid-swap — the PQ layer must survive the
+    # rebuild, not be silently dropped because _try_read saw nothing
+    live2 = str(tmp_path / "cen_live2")
+    build_ivf_index(
+        spark, e.filter(F.col("vec_id") < 300), live2, k_cells=4, pq_m=2
+    )
+    os.rename(live2 + "/pq_codebook", live2 + "/pq_codebook__old")
+    info2 = rebuild_ivf_index(spark, live2)
+    assert info2["pq_m"] == 2
+    assert os.path.exists(live2 + "/pq_codebook")
+    assert not os.path.exists(live2 + "/pq_codebook__old")

@@ -973,6 +973,18 @@ def test_main_bpe_lifecycle_e2e(spark, tmp_path, capsys):
     assert main_bpe(["--conf", conf({"action": "bogus", "vocab-path": vocab})]) == 2
     assert main_bpe(["--conf", conf({"action": "build"})]) == 2
     assert main_bpe(["--conf", conf({"action": "build", "vocab-path": vocab})]) == 2
+    # a text-col that does not exist in the source, and a source lacking
+    # the default term/n word-frequency columns, both exit 2 with a
+    # message — not a raw AnalysisException (ADVICE r14)
+    assert main_bpe(["--conf", conf(
+        {"action": "build", "vocab-path": vocab, "source": src_docs,
+         "text-col": "not_a_column"}
+    )]) == 2
+    assert "no column" in capsys.readouterr().out
+    assert main_bpe(["--conf", conf(
+        {"action": "build", "vocab-path": vocab, "source": src_docs}
+    )]) == 2
+    assert "no column" in capsys.readouterr().out
     capsys.readouterr()
 
     assert main_bpe(["--conf", conf(
