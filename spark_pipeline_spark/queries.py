@@ -19031,52 +19031,55 @@ def multimodal_shared_segment_media(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # Round-14 rotation, derived with ``python tools/recheck_queue.py``
+    # Round-15 rotation, derived with ``python tools/recheck_queue.py``
     # (git-derived; regenerate, don't hand-edit). Tool output at HEAD:
-    # registered 279; never-checked (2): the r14 registrations below;
-    # changed-since-green: 0; changed operator modules: dedup.py
-    # (m-scaled recall slack, generic hamming_near_dup_pairs, eager
-    # cand checkpoint + bucketed two-pass verify), multimodal.py
-    # (perceptual hash family), bpe.py (persisted vocab lifecycle),
-    # streaming.py (staged_swap_commit) — plus ann_index.py (checked
-    # commit renames + crash recovery), which the tool doesn't chase.
-    # Slots: (a) 2 never-checked; (c) 37 changed-module canaries — ALL
-    # 35 imports-changed greens the tool lists (every dedup.py consumer
-    # re-proves the slack/bucketed-verify changes; the 3 multimodal and
-    # 2 bpe consumers re-prove the new module code) + the two
-    # ann_index.py/staged-swap consumers; (d) 11 stalest greens (the
-    # r6/r7 rows) covering the family-diversity contract
-    # (sketch/scoring/sample/tpch/datadiff/quality/events).
-    # --- (a) never driver-checked (r14 registrations) ---
-    "multimodal_neardup_media", "bpe_fertility_drift_report",
+    # registered 280; never-checked (1): multimodal_shared_segment_media
+    # (registered after the r14 window froze — VERDICT r14 item 2 says
+    # it must LEAD this window); changed-since-green (3): the
+    # double-factor drift ratio (bpe_fertility_drift_report) and the
+    # two incremental graph queries re-registered onto the persisted
+    # graph_index.py artifact; changed operator modules: bpe.py
+    # (overflow-safe drift ratio), multimodal.py (real BMP codec path)
+    # — plus ann_index.py (fresh-build direct writes, cached rebuild
+    # corpus, centroids/pq_codebook crash heal) and the new
+    # graph_index.py, which the tool doesn't chase.
+    # Slots: (a) 1 never-checked; (b) 3 changed-since-green; (c) 10
+    # changed-module canaries — all 5 imports-changed greens the tool
+    # lists, multimodal_neardup_media (multimodal+dedup consumer), and
+    # the 4 ann_index.py lifecycle consumers; (d) 36 stalest greens:
+    # every remaining r7 row (29) + the 7 stalest r8 rows — the
+    # all-time-closure maintenance rotation.
+    # --- (a) never driver-checked ---
+    "multimodal_shared_segment_media",
+    # --- (b) changed since green ---
+    "bpe_fertility_drift_report",
+    "dedup_components_incremental_documents",
+    "lpa_communities_incremental_documents",
     # --- (c) changed-module canaries ---
-    "dedup_exact_documents", "dedup_minhash_lsh_documents",
-    "dedup_simhash_documents", "dedup_simhash_pairs_documents",
-    "decontaminate_documents", "dedup_components_documents",
     "multimodal_media_metadata", "multimodal_decode_features",
-    "multimodal_frame_sample", "boilerplate_ngrams_documents",
-    "fuzzy_match_part_names", "split_leakage_report_documents",
-    "lsh_recall_precision_report", "dedup_containment_documents",
-    "streaming_dedup_lsh_replay", "exact_span_dedup_documents",
-    "cross_source_neardup_matrix", "dedup_incremental_new_vs_corpus",
+    "multimodal_frame_sample", "multimodal_neardup_media",
     "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
-    "lpa_communities_documents", "longest_shared_span_documents",
-    "dedup_editdistance_verify_documents", "neardup_threshold_sweep_documents",
-    "neardup_graph_stats_documents", "dedup_prefix_filter_exact_documents",
-    "dedup_components_star_documents", "split_repair_documents",
-    "split_repair_components_documents", "minhash_estimate_error_report",
-    "streaming_dedup_ttl_replay", "dedup_components_incremental_documents",
-    "lpa_communities_incremental_documents", "neardup_bridge_edges_documents",
-    "lsh_band_tuning_report",
     "ivf_index_rebuild_recall_report", "ivf_index_lifecycle_report",
-    # --- (d) stalest-green fill (r6/r7 rows) + family representatives
-    #     the tag-diversity contract requires ---
-    "winsorize_orders_prices", "capped_sessions_events",
-    "user_survival_curve", "null_profile_orders",
-    "eval_cv_auc_by_fold", "q2_min_cost_supplier",
-    "q20_dominant_suppliers", "sliding_p95_value_7d",
-    "score_logistic_model", "token_budget_sample_documents",
-    "benford_audit_orders",
+    "ivf_index_pq_report", "ivf_index_pq_code_drift_report",
+    # --- (d) stalest-green fill (every r7 row, then the oldest r8s) ---
+    "time_rollup_orders_multigrain", "grouped_topk_with_ties",
+    "join_skew_advisor_lineitem", "duplicate_row_profile_orders",
+    "events_hourly_seasonality", "joint_histogram_lineitem",
+    "embedding_norm_profile", "user_burstiness_profile",
+    "global_row_number_documents", "ewma_user_value",
+    "embedding_ann_ivf_nprobe2", "q7_nation_volume_shipping",
+    "q18_large_volume_customers", "user_growth_accounting",
+    "q14_promo_revenue_ratio", "pit_dimension_join_shipments",
+    "grouped_ols_lineitem", "rag_prep_end_to_end",
+    "q4_priority_late_shipping", "q6_forecast_revenue",
+    "q8_nation_market_share", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_sole_late_supplier",
+    "q22_dormant_high_balance", "hard_negative_mining_embeddings",
+    "embedding_quantize_int8", "merge_cdc_tombstones_orders",
+    "incremental_join_orders_customer", "semi_anti_join_customers",
+    "pipeline_documents_clean", "text_quality_documents",
+    "events_asof_last_purchase", "table_diff_orders_feed",
+    "corpus_prep_end_to_end", "grouping_sets_orders",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
