@@ -328,12 +328,43 @@ def pagerank(
     return ranks
 
 
+def _union_find_min_labels(pairs) -> dict:
+    """Driver-side union-find with min-id roots over an edge list of
+    (src, dst) pairs: returns {node: component_min_id} for every node
+    seen — bit-identical semantics to `connected_components_star`
+    (component id = min member id; a self-loop-only node is its own
+    singleton). Union always attaches the LARGER root under the
+    smaller, so a root is the minimum of its tree by invariant."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    nodes = set()
+    for s, d in pairs:
+        nodes.add(s)
+        nodes.add(d)
+        ra, rb = find(s), find(d)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in nodes}
+
+
 def merge_components_incremental(
     old_labels: DataFrame,
     new_edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    driver_solve_cap: int = 2_000_000,
 ) -> DataFrame:
     """Incrementally fold a batch of NEW edges into an existing
     component labelling — the daily-increment regime for the near-dup
@@ -350,10 +381,19 @@ def merge_components_incremental(
     1:1 to the merged components; and because an old label IS its
     component's min id, the contracted min composes to the global min.
 
-    Cost: O(|new edges| + |touched components|) — star rounds run on
-    the CONTRACTED edge set only; untouched components never move.
-    (`connected_components_star` at 100× measured 51 s on the full
-    graph; an increment touches a sliver of that.)
+    Cost: O(|new edges| + |touched components|) — the contracted edge
+    set has at most ONE edge per new edge (increment-sized, never
+    corpus-sized), so below ``driver_solve_cap`` edges it is solved
+    with driver-side union-find in one collect (2 Spark jobs total for
+    the closure instead of ~2 per star round — the scheduling floor of
+    3-5 distributed rounds dominated the whole query at bench scale);
+    past the cap, distributed star rounds take over unchanged. The
+    collect is bounded BY CONSTRUCTION (≤ cap rows of two ids — at the
+    default cap ≈ 32 MB driver-side), the same contract-bounded
+    pattern as MMR's candidate set; pass ``driver_solve_cap=0`` to
+    force the distributed path. Untouched components never move either
+    way. (`connected_components_star` at 100× measured 51 s on the
+    full graph; an increment touches a sliver of that.)
     """
     e = new_edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     lu = old_labels.select(F.col("id").alias("u"), F.col("component").alias("__cu"))
@@ -365,8 +405,25 @@ def merge_components_incremental(
             F.coalesce("__cu", F.col("u")).alias("src"),
             F.coalesce("__cv", F.col("v")).alias("dst"),
         )
+        .distinct()
     )
-    sub = connected_components_star(contracted, max_iter=max_iter)
+    sub = None
+    if driver_solve_cap:
+        # one eager checkpoint materializes the contraction joins once;
+        # take() then reads a handful of its partitions, and the star
+        # fallback (if the cap is exceeded) reuses the same blocks
+        # instead of re-running the joins
+        contracted = contracted.localCheckpoint(eager=True)
+        head = contracted.take(driver_solve_cap + 1)
+        if len(head) <= driver_solve_cap:
+            labels = _union_find_min_labels((r[0], r[1]) for r in head)
+            id_type = contracted.schema[0].dataType.simpleString()
+            sub = old_labels.sparkSession.createDataFrame(
+                list(labels.items()),
+                f"id {id_type}, component {id_type}",
+            )
+    if sub is None:
+        sub = connected_components_star(contracted, max_iter=max_iter)
 
     # old nodes: relabel any component whose LABEL participated in the
     # contracted graph (it may have merged into a smaller min)
@@ -459,6 +516,34 @@ def label_propagation(
     return labels.select("node", F.col("label").alias("community"))
 
 
+def _lpa_driver(pairs, n_iter: int) -> dict:
+    """Driver-side replica of :func:`label_propagation`'s exact
+    semantics (synchronous rounds, self-vote, ties to the smallest
+    label, symmetric-distinct neighbor sets) over a collected edge
+    list — used by the incremental path when the recompute subgraph is
+    increment-neighborhood-sized. Must stay bit-identical to the
+    distributed version: `tests/test_graph.py` compares them on
+    bridged cliques, chains and self-loops."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    nodes = set()
+    for s, d in pairs:
+        nodes.add(s)
+        nodes.add(d)
+        adj[s].add(d)
+        adj[d].add(s)
+    labels = {n: n for n in nodes}
+    for _ in range(n_iter):
+        new = {}
+        for n in nodes:
+            votes = Counter(labels[nb] for nb in adj[n])
+            votes[labels[n]] += 1  # self-vote
+            new[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
 def label_propagation_incremental(
     old_communities: DataFrame,
     old_edges: DataFrame,
@@ -466,15 +551,39 @@ def label_propagation_incremental(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
+    old_components: DataFrame | None = None,
+    driver_solve_cap: int = 2_000_000,
 ) -> DataFrame:
     """Communities under daily edge increments — EXACTLY equal to
     re-running :func:`label_propagation` on (old ∪ new) edges, while
     touching only the increment's neighborhood. The LPA sibling of
-    :func:`merge_components_incremental`, with a different soundness
-    argument: LPA is NOT closed under contraction (new edges change
-    vote counts), but fixed-``n_iter`` SYNCHRONOUS LPA is strictly
-    LOCAL — a node's final label is a function of its ``n_iter``-hop
-    ball, so:
+    :func:`merge_components_incremental`.
+
+    Two exactness arguments, picked by what the caller can supply:
+
+    **Partition path** (``old_components`` given — the (id, component)
+    labels over the SAME old edges, e.g. the persisted graph index's
+    components table): the union graph splits into the subgraph of
+    components TOUCHED by a delta endpoint (plus the delta edges,
+    which by definition only touch touched components) and the
+    untouched components, with NO edge between the two parts — old
+    edges never cross components, and any component incident to a
+    delta edge is touched. LPA is a per-connected-subgraph
+    computation (rounds only read neighbor labels), so batch LPA over
+    the union = LPA over the touched subgraph ⊎ old labels everywhere
+    else. No ball BFS, no locality bound: one membership semi-join
+    selects the recompute subgraph. When that subgraph fits
+    ``driver_solve_cap`` edges it is solved by `_lpa_driver` in one
+    collect (the 3 distributed rounds × per-round scheduling floor
+    dominated the bench query); bigger slivers run distributed
+    :func:`label_propagation`. The collect is bounded by the touched
+    components' edge count — near-dup components are small cliques by
+    construction (banding + verify), and the cap (default 2M edges ≈
+    32 MB) falls back to the distributed path, never truncates.
+
+    **Ball path** (no ``old_components``): fixed-``n_iter``
+    SYNCHRONOUS LPA is strictly LOCAL — a node's final label is a
+    function of its ``n_iter``-hop ball, so:
 
     - only nodes within ``n_iter`` hops of a new edge can change label
       (every other node's ball contains no new edge → its batch label
@@ -503,6 +612,45 @@ def label_propagation_incremental(
     incremental path against the BATCH unrolled-CTE replay."""
     o = old_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     nw = new_edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+
+    if old_components is not None:
+        delta_nodes = (
+            nw.select(F.col("s").alias("id"))
+            .unionByName(nw.select(F.col("d").alias("id")))
+            .distinct()
+        )
+        touched = (
+            old_components.join(delta_nodes, "id")
+            .select("component")
+            .distinct()
+        )
+        member = old_components.join(touched, "component").select("id")
+        # old edges live entirely inside one component, so src-side
+        # membership selects exactly the touched components' edges
+        sub_edges = (
+            o.join(member.withColumnRenamed("id", "s"), "s", "left_semi")
+            .unionByName(nw)
+            .localCheckpoint(eager=True)
+        )
+        relabeled = None
+        if driver_solve_cap:
+            head = sub_edges.take(driver_solve_cap + 1)
+            if len(head) <= driver_solve_cap:
+                labels = _lpa_driver(((r[0], r[1]) for r in head), n_iter)
+                id_type = sub_edges.schema[0].dataType.simpleString()
+                relabeled = old_communities.sparkSession.createDataFrame(
+                    list(labels.items()),
+                    f"node {id_type}, community {id_type}",
+                )
+        if relabeled is None:
+            relabeled = label_propagation(
+                sub_edges, src="s", dst="d", n_iter=n_iter
+            )
+        kept = old_communities.select("node", "community").join(
+            member.withColumnRenamed("id", "node"), "node", "left_anti"
+        )
+        return kept.unionByName(relabeled)
+
     e = o.unionByName(nw)
     sym = (
         e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))

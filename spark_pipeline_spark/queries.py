@@ -18082,6 +18082,11 @@ def lpa_communities_incremental_documents(
     out = label_propagation_incremental(
         idx["communities"], idx["edges"],
         bridges.unionByName(new_new), n_iter=3,
+        # the artifact's components table switches on the partition
+        # path: no ball BFS — one membership semi-join picks the
+        # touched components, and the sliver relabels via the
+        # cap-gated driver/distributed LPA (see operators/graph.py)
+        old_components=idx["components"],
     )
     return out.select(F.col("node").alias("doc_id"), "community")
 

@@ -375,3 +375,135 @@ def test_lpa_incremental_empty_increment_is_identity(spark):
         ).collect()
     }
     assert inc == {(r["node"], r["community"]) for r in old_comm.collect()}
+
+
+def test_merge_components_driver_gate_equals_star_path(spark):
+    """The driver union-find gate must be bit-identical to the
+    distributed star path on the same contracted graphs — bridges,
+    chains, unlabeled singletons, self-loops."""
+    from spark_pipeline_spark.operators.graph import (
+        merge_components_incremental,
+    )
+
+    old_labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (8, 8), (9, 8)],
+        "id long, component long",
+    )
+    new_edges = spark.createDataFrame(
+        [(100, 2), (100, 6), (101, 102), (102, 5), (103, 42), (77, 77)],
+        "src long, dst long",
+    )
+    via_driver = {
+        tuple(r)
+        for r in merge_components_incremental(old_labels, new_edges).collect()
+    }
+    via_star = {
+        tuple(r)
+        for r in merge_components_incremental(
+            old_labels, new_edges, driver_solve_cap=0
+        ).collect()
+    }
+    assert via_driver == via_star
+    got = dict(via_driver)
+    assert got[77] == 77  # self-loop-only node is its own singleton
+    for n in (1, 2, 5, 6, 100, 101, 102):
+        assert got[n] == 1
+
+
+def test_lpa_incremental_partition_path_equals_batch(spark):
+    """The old_components partition path (no BFS) must equal batch LPA
+    exactly — including when a delta edge CHAINS two old components and
+    when communities are finer than components (old edges crossing
+    communities inside one component)."""
+    from spark_pipeline_spark.operators.graph import (
+        connected_components_star,
+        label_propagation,
+        label_propagation_incremental,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    # component X: two cliques bridged by ONE old edge (communities
+    # finer than components); component Y: a clique; component Z:
+    # untouched chain
+    old = (
+        clique((1, 2, 3, 4)) + clique((10, 11, 12, 13)) + [(4, 10)]
+        + clique((20, 21, 22))
+        + [(30, 31), (31, 32), (32, 33)]
+    )
+    # delta: chain component X to component Y through a new node, and
+    # hang a brand-new clique off nothing
+    new = [(13, 200), (200, 20)] + clique((40, 41, 42))
+    old_e = _edges(spark, old)
+    new_e = _edges(spark, new)
+    old_comm = label_propagation(old_e, n_iter=3)
+    old_comp = connected_components_star(old_e)
+
+    for cap in (2_000_000, 0):  # driver gate and distributed sliver
+        inc = {
+            (r["node"], r["community"])
+            for r in label_propagation_incremental(
+                old_comm, old_e, new_e, n_iter=3,
+                old_components=old_comp, driver_solve_cap=cap,
+            ).collect()
+        }
+        batch = {
+            (r["node"], r["community"])
+            for r in label_propagation(
+                old_e.unionByName(new_e), n_iter=3
+            ).collect()
+        }
+        assert inc == batch, f"cap={cap}"
+
+    # untouched chain keeps its old rows verbatim
+    got = dict(inc)
+    old_map = {r["node"]: r["community"] for r in old_comm.collect()}
+    for n in (30, 31, 32, 33):
+        assert got[n] == old_map[n]
+
+
+def test_lpa_incremental_partition_path_empty_increment(spark):
+    from spark_pipeline_spark.operators.graph import (
+        connected_components_star,
+        label_propagation,
+        label_propagation_incremental,
+    )
+
+    old_e = _edges(spark, [(1, 2), (2, 3), (7, 8)])
+    new_e = _edges(spark, []).limit(0)
+    old_comm = label_propagation(old_e, n_iter=3)
+    inc = {
+        (r["node"], r["community"])
+        for r in label_propagation_incremental(
+            old_comm, old_e, new_e, n_iter=3,
+            old_components=connected_components_star(old_e),
+        ).collect()
+    }
+    assert inc == {(r["node"], r["community"]) for r in old_comm.collect()}
+
+
+def test_lpa_driver_replicates_distributed_semantics(spark):
+    """_lpa_driver must be bit-identical to label_propagation on the
+    shapes where tie-breaking and self-votes matter."""
+    from spark_pipeline_spark.operators.graph import (
+        _lpa_driver,
+        label_propagation,
+    )
+
+    def clique(ids):
+        return [(a, b) for a in ids for b in ids if a < b]
+
+    cases = [
+        clique((1, 2, 3, 4)) + clique((5, 6, 7, 8)) + [(4, 5)],  # bridge
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)],                # chain
+        [(9, 9), (1, 9)],                                        # self-loop
+        [(2, 1), (1, 2), (3, 1)],            # both orientations present
+    ]
+    for pairs in cases:
+        dist = {
+            (r["node"], r["community"])
+            for r in label_propagation(_edges(spark, pairs), n_iter=3).collect()
+        }
+        drv = set(_lpa_driver(pairs, 3).items())
+        assert drv == dist, pairs
