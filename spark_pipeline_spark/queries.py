@@ -17979,9 +17979,11 @@ def dedup_components_incremental_documents(
         None, "doc_id", "text", threshold=0.7,
         shingles=base_n, bands_table=banded_n,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    out = merge_components_incremental(
-        idx["components"], bridges.unionByName(new_new)
-    )
+    # the delta edge set feeds two plan branches (the contraction and
+    # the new-node labelling) — persist it or the banded joins against
+    # the corpus index run twice (measured ~2× the 100× wall)
+    delta = query_persist(bridges.unionByName(new_new))
+    out = merge_components_incremental(idx["components"], delta)
     return out.select(F.col("id").alias("doc_id"), "component")
 
 
@@ -18079,9 +18081,11 @@ def lpa_communities_incremental_documents(
         None, "doc_id", "text", threshold=0.7,
         shingles=base_n, bands_table=banded_n,
     ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # persisted: the delta edges feed the touched-membership probe AND
+    # the recompute subgraph (see the components twin)
+    delta = query_persist(bridges.unionByName(new_new))
     out = label_propagation_incremental(
-        idx["communities"], idx["edges"],
-        bridges.unionByName(new_new), n_iter=3,
+        idx["communities"], idx["edges"], delta, n_iter=3,
         # the artifact's components table switches on the partition
         # path: no ball BFS — one membership semi-join picks the
         # touched components, and the sliver relabels via the
