@@ -180,13 +180,18 @@ def _pq_train_codebook(
     )
 
 
-def _pq_encode(assigned: DataFrame, codebook: DataFrame, dim: int) -> DataFrame:
+def _pq_encode(
+    assigned: DataFrame, codebook: DataFrame, dim: int,
+    m_sub: int | None = None,
+) -> DataFrame:
     """PQ-encode ``(vec_id, cell, embedding)`` against the (broadcast)
     codebook: per subspace, the nearest sub-centroid by integer-micro
     squared L2 (tie → lower code); collapsed to one ``codes`` array
     ordered by m. The corpus never shuffles to be encoded — only the
-    M·K codebook moves."""
-    m_sub = codebook.select(F.max("m")).first()[0] + 1
+    M·K codebook moves. Callers that know ``m_sub`` pass it and skip
+    the discovery aggregate (one scheduler-floor job per encode)."""
+    if m_sub is None:
+        m_sub = codebook.select(F.max("m")).first()[0] + 1
     sub = _pq_subspaces(
         assigned.select("vec_id", "cell", "embedding"), "embedding", m_sub, dim
     )
@@ -246,12 +251,19 @@ def build_ivf_index(
     # An empty corpus must refuse loudly: a centroid-less index silently
     # drops every vector a later refresh assigns (ivf_assign against zero
     # cells keeps nothing) — the worst failure mode is the quiet one.
-    if not seeds.head(1):
+    # head(1) on BASE, not on seeds: nonempty(base) ⇔ nonempty(seeds) and
+    # the probe then skips seeds' sort-limit job; the fetched row also
+    # supplies the embedding dim the PQ layer needs (saving the
+    # read-centroids-head job a build used to pay — job-count is the
+    # dominant cost of a lifecycle pass at the scheduling floor).
+    probe = base.head(1)
+    if not probe:
         raise ValueError(
             "build_ivf_index: source has no vectors — refusing to write a "
             "centroid-less index (refreshes against it would silently drop "
             "every vector)"
         )
+    dim = len(probe[0]["embedding"])
     cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
 
     # centroids: staged swap (replace-in-place table) — but only when a
@@ -269,6 +281,12 @@ def build_ivf_index(
     else:
         cen.coalesce(1).write.parquet(cen_path)
 
+    if pq_m is not None and dim % pq_m:
+        # validate BEFORE any table is written — a failed build must not
+        # leave a half-replaced index behind
+        raise ValueError(
+            f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
+        )
     assigned = ivf_assign(
         base, spark.read.parquet(cen_path), "vec_id", "embedding",
         cell_id="cell", cell_vec="centroid",
@@ -278,7 +296,6 @@ def build_ivf_index(
     _hadoop_delete(spark, asg_path)
     _hadoop_delete(spark, code_path)
     _hadoop_delete(spark, pq_codes_path)
-    n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
 
     # PQ is an OPT-IN layer (pq_m set): the codebook trains once at
     # build (M·K subvector rows, seeded like the centroids) and stays
@@ -287,12 +304,15 @@ def build_ivf_index(
     # encode pass re-reads the committed batch and costs extra write
     # jobs a float/int8-only index never needs (it showed up as a
     # measured +75% on the lifecycle bench when it briefly defaulted on).
-    if pq_m is not None:
-        dim = len(spark.read.parquet(cen_path).head()["centroid"])
-        if dim % pq_m:
-            raise ValueError(
-                f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
-            )
+    #
+    # The codebook write depends only on `base`, the batch write only on
+    # `assigned` — independent job chains, so they run CONCURRENTLY
+    # (guide §2.6: a driver submits sequential actions only because the
+    # code calls them sequentially; overlapping lets the second chain's
+    # tasks back-fill the first's scheduling/commit tail — on a cluster
+    # it fills straggler gaps, locally it halves the floor count). The
+    # encode pass joins both completed chains afterwards.
+    def write_codebook() -> None:
         codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
         if hadoop_path_exists(spark, pq_cb_path):
             cb_staging = pq_cb_path + "__staging"
@@ -303,13 +323,26 @@ def build_ivf_index(
             _hadoop_delete(spark, cb_staging)
         else:
             codebook.coalesce(1).write.parquet(pq_cb_path)
+
+    if pq_m is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fut_batch = pool.submit(
+                _write_batch, spark, assigned, asg_path, code_path, 0
+            )
+            fut_cb = pool.submit(write_codebook)
+            n = fut_batch.result()
+            fut_cb.result()
         _pq_encode(
             spark.read.parquet(f"{asg_path}/batch=0"),
             spark.read.parquet(pq_cb_path),
             dim,
+            m_sub=pq_m,
         ).write.mode("overwrite").parquet(f"{pq_codes_path}/batch=0")
     else:
         _hadoop_delete(spark, pq_cb_path)
+        n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
     return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0,
             "pq_m": pq_m, "pq_k": pq_k if pq_m is not None else None}
 
@@ -324,20 +357,36 @@ def _write_batch(
     """Write one batch's assignment + code rows under their own
     ``batch=<id>`` directories — idempotent by path (a replay of the
     same batch overwrites the same directories and nothing else)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     assigned = assigned.persist()
     try:
+        # count materializes the persist ONCE; the two writes below then
+        # read the cached blocks and are independent of each other, so
+        # they run concurrently (guide §2.6) — each is its own job chain
+        # against the same cached frame.
         n = assigned.count()
-        assigned.write.mode("overwrite").partitionBy("cell").parquet(
-            f"{asg_path}/batch={batch_id}"
-        )
-        # scale is persisted at FULL precision: readers reconstruct
-        # x ≈ code/scale, and the parity oracles reconstruct with the
-        # unrounded 127/max|x| — rounding here would drift the 6th
-        # decimal of downstream round(avg(err),6) cells. Round only in
-        # display/report columns, never in the stored value.
-        _int8_codes(assigned, "embedding").select(
-            "vec_id", "cell", "codes", "scale"
-        ).write.mode("overwrite").parquet(f"{code_path}/batch={batch_id}")
+
+        def write_assignments() -> None:
+            assigned.write.mode("overwrite").partitionBy("cell").parquet(
+                f"{asg_path}/batch={batch_id}"
+            )
+
+        def write_codes() -> None:
+            # scale is persisted at FULL precision: readers reconstruct
+            # x ≈ code/scale, and the parity oracles reconstruct with the
+            # unrounded 127/max|x| — rounding here would drift the 6th
+            # decimal of downstream round(avg(err),6) cells. Round only
+            # in display/report columns, never in the stored value.
+            _int8_codes(assigned, "embedding").select(
+                "vec_id", "cell", "codes", "scale"
+            ).write.mode("overwrite").parquet(f"{code_path}/batch={batch_id}")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(write_assignments)
+            fb = pool.submit(write_codes)
+            fa.result()
+            fb.result()
     finally:
         assigned.unpersist()
     return n

@@ -67,11 +67,52 @@ def _apply_merge(s, a: str, b: str):
     )
 
 
+def _bpe_train_driver(
+    rows: list, n_merges: int
+) -> tuple[list[dict], list]:
+    """Driver-side replica of the distributed BPE rounds over a
+    collected ``(term, n, s)`` list — EXACT same semantics: weighted
+    adjacent-pair counts, winner by (count desc, pair asc — Python
+    string order == Spark's UTF8 binary order, both code-point), and
+    the single-pass left-to-right non-overlapping merge `_apply_merge`
+    implements as a Catalyst fold. Symbol arrays arrive ALREADY SPLIT
+    by Spark, so splitting semantics cannot drift between the paths.
+    Property-tested equal to the distributed rounds in
+    `tests/test_bpe.py`."""
+    from collections import Counter
+
+    sym = [(term, n, list(s)) for term, n, s in rows]
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        cnt: Counter = Counter()
+        for _term, n, s in sym:
+            for i in range(len(s) - 1):
+                cnt[s[i] + " " + s[i + 1]] += n
+        if not cnt:
+            break
+        pair, c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append({"step": step, "pair": pair, "n": int(c)})
+        a, b = pair.split(" ", 1)
+        merged = a + b
+        new_sym = []
+        for term, n, s in sym:
+            out = s[:1]
+            for x in s[1:]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            new_sym.append((term, n, out))
+        sym = new_sym
+    return merges, sym
+
+
 def bpe_train(
     words: DataFrame,
     n_merges: int,
     term_col: str = "term",
     count_col: str = "n",
+    driver_solve_cap: int = 200_000,
 ) -> tuple[list[dict], DataFrame]:
     """Train ``n_merges`` BPE merges over a word-frequency table.
 
@@ -99,6 +140,27 @@ def bpe_train(
         F.col(count_col).cast("long").alias("n"),
         F.split(term_col, "").alias("s"),
     ).localCheckpoint(eager=True)
+
+    # Below ``driver_solve_cap`` vocabulary rows the whole merge loop
+    # runs on the driver over ONE collect of the (already materialized,
+    # already Spark-split) symbol table: each distributed round costs a
+    # top-1 fetch + an eager checkpoint — 2 scheduler-floor jobs per
+    # merge that dominate a vocabulary-sized frame on any scheduler.
+    # The vocab table is orders of magnitude smaller than the corpus
+    # (the whole point of the trainer layout), so the cap covers real
+    # corpora far beyond bench scale; past it (or cap=0) the
+    # distributed rounds run unchanged.
+    if driver_solve_cap:
+        head = sym.take(driver_solve_cap + 1)
+        if len(head) <= driver_solve_cap:
+            merges, final_sym = _bpe_train_driver(
+                [(r["term"], r["n"], r["s"]) for r in head], n_merges
+            )
+            _free_local_checkpoint(sym)
+            symbols = words.sparkSession.createDataFrame(
+                final_sym, "term string, n bigint, s array<string>"
+            )
+            return merges, symbols
 
     merges: list[dict] = []
     for step in range(1, n_merges + 1):

@@ -78,6 +78,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     use_reliable_checkpoint: bool = False,
+    driver_solve_cap: int = 2_000_000,
 ) -> DataFrame:
     """Label every node of an undirected edge list with its component id
     (= the minimum node id in the component).
@@ -85,6 +86,14 @@ def connected_components(
     Returns ``(id, component)`` for every node that appears in an edge.
     Raises if not converged within ``max_iter`` rounds (graph diameter
     exceeded the rail — raise it for long chains).
+
+    Below ``driver_solve_cap`` distinct edges the closure is solved with
+    driver-side union-find in one collect (bit-identical labels — see
+    :func:`merge_components_incremental`, which pioneered the gate: the
+    per-round scheduling floor of O(diameter) distributed rounds
+    dominates small graphs on ANY scheduler, local or cluster). Past
+    the cap (default 2M edges ≈ 32 MB collected) the distributed rounds
+    run unchanged; pass ``driver_solve_cap=0`` to force them.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -92,6 +101,17 @@ def connected_components(
         .distinct()
         .persist()
     )
+    if driver_solve_cap:
+        head = sym.take(driver_solve_cap + 1)
+        if len(head) <= driver_solve_cap:
+            labels = _union_find_min_labels((r[0], r[1]) for r in head)
+            id_type = sym.schema[0].dataType.simpleString()
+            out = edges.sparkSession.createDataFrame(
+                sorted(labels.items()),
+                f"id {id_type}, component {id_type}",
+            )
+            sym.unpersist()
+            return out
     labels = (
         sym.select(F.col("s").alias("id")).distinct().withColumn("label", F.col("id"))
     )
@@ -170,6 +190,7 @@ def connected_components_star(
     dst: str = "dst",
     max_iter: int = 50,
     use_reliable_checkpoint: bool = False,
+    driver_solve_cap: int = 2_000_000,
 ) -> DataFrame:
     """Connected components via large-star/small-star alternation
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -191,13 +212,35 @@ def connected_components_star(
     (count + order-independent xxhash sum), the deliberate driver-side
     check of an iterative algorithm. Lineage is truncated per round
     (``localCheckpoint``; reliable ``checkpoint`` for cluster runs).
+
+    Below ``driver_solve_cap`` distinct edges (default 2M ≈ 32 MB
+    collected — bounded by construction) the closure is solved with
+    driver-side union-find in ONE collect over the already-materialized
+    distinct edge set: O(log n) star rounds each cost ~4 shuffles + a
+    convergence collect, a per-round scheduling floor that dominates
+    small graphs on any scheduler. Labels are bit-identical (min-id
+    roots, self-loop-only nodes stay singletons — property-tested
+    against the distributed rounds). Past the cap the rounds run
+    unchanged; ``driver_solve_cap=0`` forces them.
     """
-    e = (
+    e0 = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_solve_cap:
+        head = e0.take(driver_solve_cap + 1)
+        if len(head) <= driver_solve_cap:
+            labels = _union_find_min_labels((r[0], r[1]) for r in head)
+            id_type = e0.schema[0].dataType.simpleString()
+            return edges.sparkSession.createDataFrame(
+                sorted(labels.items()),
+                f"id {id_type}, component {id_type}",
+            )
+    # a plain filter over the checkpointed e0 — already materialized,
+    # no second checkpoint copy needed (round 1's _free_local_checkpoint
+    # is a no-op on a non-LogicalRDD frame)
+    e = e0.filter(F.col("u") != F.col("v"))
     singleton_free_nodes = None  # nodes all of whose edges were self-loops
     prev_sig = None
     for _ in range(max_iter):
@@ -228,9 +271,12 @@ def connected_components_star(
     labels = e.select(F.col("u").alias("id"), F.col("v").alias("component")).union(
         e.select(F.col("v").alias("id"), F.col("v").alias("component"))
     ).distinct()
+    # node list from the checkpointed distinct edge set (e0), not the
+    # caller's `edges` frame — re-scanning `edges` would re-execute the
+    # (often expensive, e.g. banded-join + verify) upstream a third time
     all_nodes = (
-        edges.select(F.col(src).alias("id"))
-        .union(edges.select(F.col(dst).alias("id")))
+        e0.select(F.col("u").alias("id"))
+        .union(e0.select(F.col("v").alias("id")))
         .distinct()
     )
     return all_nodes.join(labels, "id", "left").select(
@@ -450,6 +496,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     n_iter: int = 3,
+    driver_solve_cap: int = 2_000_000,
 ) -> DataFrame:
     """Fixed-iteration synchronous label propagation (LPA, Raghavan et
     al. 2007) over an undirected edge list; returns ``(node, community)``.
@@ -489,6 +536,24 @@ def label_propagation(
         .distinct()
         .persist()
     )
+    # Below the cap, run the EXACT same synchronous rounds on the driver
+    # over one collect of the symmetric edge set (`_lpa_driver` is
+    # property-tested bit-identical): n_iter distributed rounds each pay
+    # a join + aggregation + window + checkpoint — a per-round
+    # scheduling floor that dominates small graphs on any scheduler.
+    # The collect is bounded (cap rows of two ids, default 2M ≈ 32 MB);
+    # past it the distributed rounds run unchanged.
+    if driver_solve_cap:
+        head = sym.take(driver_solve_cap + 1)
+        if len(head) <= driver_solve_cap:
+            labels = _lpa_driver(((r[0], r[1]) for r in head), n_iter)
+            id_type = sym.schema[0].dataType.simpleString()
+            out = edges.sparkSession.createDataFrame(
+                sorted(labels.items()),
+                f"node {id_type}, community {id_type}",
+            )
+            sym.unpersist()
+            return out
     # try/finally: an exception mid-iteration must not leak the cached
     # symmetric edge list for the life of the session
     try:

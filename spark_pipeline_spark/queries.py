@@ -17883,21 +17883,28 @@ def ivf_index_rebuild_recall_report(
     )
 
 
-def _graph_index_location(sf_dir: str) -> tuple[str, str]:
+def _graph_index_location(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """(artifact path, dataset fingerprint) for the persisted near-dup
     graph index shared by the two incremental graph queries. Keyed by
-    the sf_dir (one artifact per dataset) but NOT by session — the
-    whole point is that the base state survives across runs, standing
-    in for yesterday's nightly index maintenance; the fingerprint
-    (parquet listing + GRAPH_INDEX_VERSION) invalidates it when the
-    corpus regenerates or the algorithm changes."""
+    (sf_dir, session id) — the same per-session scoping every ivf_*
+    lifecycle query uses — so EVERY process builds the base state from
+    the parquet inputs at least once (first touch), and only repeats
+    within the same session amortize it (modelling the steady-state
+    delta path the daily-increment regime actually runs; the bench's
+    best-of-N min times that path). Nothing leaks across bench/oracle
+    invocations: a new session never reads another session's artifact.
+    The fingerprint (parquet listing + GRAPH_INDEX_VERSION) additionally
+    invalidates a same-session artifact when the corpus regenerates or
+    the algorithm changes."""
     import hashlib
     import tempfile
 
     from spark_pipeline_spark.graph_index import dataset_fingerprint
 
-    path = "{}/spark_graft_graph_index_{}".format(
-        tempfile.gettempdir(), hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = "{}/spark_graft_graph_index_{}_{}".format(
+        tempfile.gettempdir(),
+        hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+        spark.sparkContext.applicationId,
     )
     return path, dataset_fingerprint(sf_dir)
 
@@ -17935,15 +17942,17 @@ def dedup_components_incremental_documents(
     new-vs-corpus ∪ new-new candidates = the union corpus's candidates
     — no pair is lost to the split.
 
-    Scale shape: the base graph NEVER recomputes here (first touch of
-    a corpus version builds the artifact — the amortized cost a real
-    deployment pays in its nightly index maintenance, not per query);
-    the steady-state run costs the new batch's shingling, two banded
-    joins against stored tables, and star rounds over |touched
-    components|. `SCALE.md` shows the crossover: the delta path beats
-    the full-recompute twin at every measured scale once the artifact
-    exists. Staleness: the artifact is fingerprinted against the
-    source parquet listing and rebuilt when the corpus changes."""
+    Scale shape: the base graph recomputes once per SESSION (first
+    touch builds the artifact from the parquet inputs — standing in
+    for the amortized cost a real deployment pays in its nightly index
+    maintenance); within a session the steady-state run costs the new
+    batch's shingling, two banded joins against stored tables, and
+    star rounds over |touched components|. `SCALE.md` shows the
+    crossover: the delta path beats the full-recompute twin at every
+    measured scale once the artifact exists. Staleness: the artifact
+    is per-session AND fingerprinted against the source parquet
+    listing, so no run ever reads another process's precomputed
+    state."""
     from spark_pipeline_spark.graph_index import (
         build_neardup_graph_index,
         dataset_fingerprint,
@@ -17960,7 +17969,7 @@ def dedup_components_incremental_documents(
     from spark_pipeline_spark.functions import md5_unit
 
     d = t(spark, sf_dir, "documents")
-    idx_path, fp = _graph_index_location(sf_dir)
+    idx_path, fp = _graph_index_location(spark, sf_dir)
     is_new = md5_unit("doc_id") < 0.1
     idx = load_neardup_graph_index(spark, idx_path, fp)
     if idx is None:
@@ -18027,8 +18036,8 @@ def lpa_communities_incremental_documents(
     communities sibling of `dedup_components_incremental_documents`,
     reading the SAME persisted base-state artifact (`graph_index.py`):
     yesterday's near-dup edges and LPA labelling come off the on-disk
-    graph index (built once per corpus version), today's increment
-    (10 % md5 slice) is shingled fresh and contributes bridge and
+    graph index (built once per session per corpus version), today's
+    increment (10 % md5 slice) is shingled fresh and contributes bridge and
     new-new edges via the stored band table, and
     `label_propagation_incremental` relabels ONLY the 2·n_iter-hop
     ball around the new edges. The ORACLE is the point: it replays the
@@ -18041,10 +18050,11 @@ def lpa_communities_incremental_documents(
     Scale shape: the base graph is never re-voted — the stored edge
     table is scanned only for the ball BFS and the induced subgraph;
     the steady-state cost is the increment's shingling + two banded
-    joins + LPA rounds over the ball. First touch of a corpus version
-    builds the artifact (the nightly-maintenance cost, amortized over
-    every later run — `SCALE.md` shows the incremental-vs-full
-    crossover). See `operators/graph.py:label_propagation_incremental`
+    joins + LPA rounds over the ball. First touch in a session builds
+    the artifact from the parquet inputs (the nightly-maintenance
+    cost, amortized over later runs in the same session — `SCALE.md`
+    shows the incremental-vs-full crossover). See
+    `operators/graph.py:label_propagation_incremental`
     for the soundness argument and cost model."""
     from spark_pipeline_spark.graph_index import (
         build_neardup_graph_index,
@@ -18062,7 +18072,7 @@ def lpa_communities_incremental_documents(
     from spark_pipeline_spark.functions import md5_unit
 
     d = t(spark, sf_dir, "documents")
-    idx_path, fp = _graph_index_location(sf_dir)
+    idx_path, fp = _graph_index_location(spark, sf_dir)
     is_new = md5_unit("doc_id") < 0.1
     idx = load_neardup_graph_index(spark, idx_path, fp)
     if idx is None:
@@ -18440,12 +18450,14 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     `minhash_estimate_error_report`, which grades the estimator;
     `lsh_recall_precision_report`, which grades one fixed config).
 
-    Scale shape: shingles and the hash array materialize once; each
-    config adds one banded equi-join on (band, key) — the dedup
-    family's standard candidate generation, never all-pairs (the truth
-    set comes from the prefix-filter join, also never all-pairs);
-    per-config counts are global aggregates crossJoined as one-row
-    frames. Output: 3 rows."""
+    Scale shape: shingles and the hash array materialize once; ALL
+    three configs ride one (cfg, band, key)-tagged posting frame
+    through ONE banded equi-join + one distinct + one wide-array
+    verify (r15: was one join per config — same total candidate
+    volume either way, but one exchange instead of three), never
+    all-pairs (the truth set comes from the prefix-filter join, also
+    never all-pairs); per-config counts are two groupBy(__cfg)
+    aggregates. Output: 3 rows."""
     from spark_pipeline_spark.functions import md5_int
     from spark_pipeline_spark.operators.dedup import (
         _band_keys_from_hashes,
@@ -18472,47 +18484,81 @@ def lsh_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha"))
     sb = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb"))
-    per_cfg = []
-    for bands in (2, 4, 8):
-        banded = hashed.select(
-            "__id",
-            F.posexplode(
-                _band_keys_from_hashes(F.col("__h"), 16, bands)
-            ).alias("__band", "__key"),
+    # ONE banded equi-join for all three configs instead of three
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange): every config's (band, key) rows carry a __cfg tag and
+    # ride one exploded posting frame, so the candidate self-join, the
+    # distinct, and the wide-array verify each run ONCE over the tagged
+    # union (same total candidate volume, one exchange instead of
+    # three, one verify join instead of three). Per-config aggregates
+    # come back out of a groupBy(__cfg).
+    banded = hashed.select(
+        "__id",
+        F.explode(
+            F.flatten(F.array(*[
+                F.transform(
+                    _band_keys_from_hashes(F.col("__h"), 16, bands),
+                    lambda k, i: F.struct(
+                        F.lit(bands).alias("__cfg"),
+                        i.alias("__band"),
+                        k.alias("__key"),
+                    ),
+                )
+                for bands in (2, 4, 8)
+            ]))
+        ).alias("__bk"),
+    ).select(
+        "__id",
+        F.col("__bk.__cfg").alias("__cfg"),
+        F.col("__bk.__band").alias("__band"),
+        F.col("__bk.__key").alias("__key"),
+    )
+    cand = query_persist(
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.__cfg") == F.col("b.__cfg"))
+            & (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
-        cand = (
-            banded.alias("a")
-            .join(
-                banded.alias("b"),
-                (F.col("a.__band") == F.col("b.__band"))
-                & (F.col("a.__key") == F.col("b.__key"))
-                & (F.col("a.__id") < F.col("b.__id")),
-            )
-            .select(
-                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
-            )
-            .distinct()
+        .select(
+            F.col("a.__cfg").alias("__cfg"),
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
         )
-        cand = query_persist(cand)
-        ver_n = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(jaccard_similarity("__sha", "__shb") >= 0.7)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+        .distinct()
+    )
+    per_cfg_counts = cand.groupBy("__cfg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    per_cfg_verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(jaccard_similarity("__sha", "__shb") >= 0.7)
+        .groupBy("__cfg")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    )
+    # dense config axis: a config with zero candidates must still emit
+    # its row (coalesce to 0), exactly as the per-config loop did
+    cfg_rows = spark.createDataFrame(
+        [(b, 16 // b) for b in (2, 4, 8)], "bands int, rows_per_band int"
+    )
+    out = (
+        cfg_rows.join(
+            per_cfg_counts.withColumnRenamed("__cfg", "bands"), "bands", "left"
         )
-        per_cfg.append(
-            cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-            .crossJoin(ver_n)
-            .select(
-                F.lit(bands).cast("int").alias("bands"),
-                F.lit(16 // bands).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-            )
+        .join(
+            per_cfg_verified.withColumnRenamed("__cfg", "bands"), "bands", "left"
         )
-    out = per_cfg[0]
-    for p in per_cfg[1:]:
-        out = out.unionByName(p)
+        .select(
+            "bands",
+            "rows_per_band",
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_verified", F.lit(0)).cast("long").alias("n_verified"),
+        )
+    )
     return out.crossJoin(F.broadcast(n_true)).select(
         "bands",
         "rows_per_band",
@@ -19056,7 +19102,12 @@ _DRIVER_WINDOW = [
     # changed-module canaries — all 5 imports-changed greens the tool
     # lists, multimodal_neardup_media (multimodal+dedup consumer), and
     # the 4 ann_index.py lifecycle consumers; (d) 36 stalest greens:
-    # every remaining r7 row (29) + the 7 stalest r8 rows — the
+    # every remaining r7 row (29) + 7 stale r8–r10 rows chosen so the
+    # window spans all nine operator families the window-contract test
+    # pins (sketch/scoring/sample/datadiff/quality coverage comes from
+    # table_sync_buckets_orders r8, eval_average_precision_binned r8,
+    # quality_filter_attrition_documents r8, stratified_fraction_
+    # documents r9, datadiff_hash_histogram_orders r10) — the
     # all-time-closure maintenance rotation.
     # --- (a) never driver-checked ---
     "multimodal_shared_segment_media",
@@ -19085,10 +19136,10 @@ _DRIVER_WINDOW = [
     "q19_disjunctive_revenue", "q21_sole_late_supplier",
     "q22_dormant_high_balance", "hard_negative_mining_embeddings",
     "embedding_quantize_int8", "merge_cdc_tombstones_orders",
-    "incremental_join_orders_customer", "semi_anti_join_customers",
-    "pipeline_documents_clean", "text_quality_documents",
-    "events_asof_last_purchase", "table_diff_orders_feed",
-    "corpus_prep_end_to_end", "grouping_sets_orders",
+    "incremental_join_orders_customer", "table_sync_buckets_orders",
+    "pipeline_documents_clean", "eval_average_precision_binned",
+    "quality_filter_attrition_documents", "stratified_fraction_documents",
+    "corpus_prep_end_to_end", "datadiff_hash_histogram_orders",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

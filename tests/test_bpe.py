@@ -223,3 +223,25 @@ def test_retrain_swaps_vocab_and_defaults_keep_merge_count(spark, tmp_path):
     assert got_m == want_m
     assert not os.path.exists(path + "__retrain_staging")
     assert not any(p.endswith("__old") for p in os.listdir(path))
+
+
+def test_bpe_driver_gate_equals_distributed_rounds(spark):
+    """The driver-side merge loop (cap gate) must be bit-identical to
+    the distributed rounds — merges (pair, count, order) AND the final
+    symbol table — on shapes where tie-breaks, early stop, and
+    non-overlapping application matter."""
+    cases = [
+        [("aaaa", 10), ("aaa", 1)],                  # overlap handling
+        [("abab", 5), ("ababab", 2)],                # composed merges
+        [("xy", 3), ("zw", 3)],                      # count tie -> pair asc
+        [("ab", 2)],                                 # early stop
+        [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)],
+    ]
+    for rows in cases:
+        wc = _wc(spark, rows)
+        m_drv, s_drv = bpe_train(wc, 4)
+        m_dist, s_dist = bpe_train(wc, 4, driver_solve_cap=0)
+        assert m_drv == m_dist, rows
+        got_drv = {r["term"]: (r["n"], list(r["s"])) for r in s_drv.collect()}
+        got_dist = {r["term"]: (r["n"], list(r["s"])) for r in s_dist.collect()}
+        assert got_drv == got_dist, rows

@@ -34,21 +34,31 @@ def test_components_long_chain_needs_iterations(spark):
 
 
 def test_components_max_iter_rail(spark):
+    # driver_solve_cap=0 forces the distributed rounds the rail guards
     e = _edges(spark, [(i, i + 1) for i in range(10)])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(e, max_iter=1)
+        connected_components(e, max_iter=1, driver_solve_cap=0)
 
 
 def test_star_equals_minlabel_on_mixed_graph(spark):
     """Interchangeability contract: large-star/small-star labels every
-    node with the same component minimum as min-label propagation."""
+    node with the same component minimum as min-label propagation —
+    checked for every combination of the driver union-find gate and
+    the distributed rounds (cap on/off per implementation)."""
     pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21),
              (30, 30), (5, 4), (21, 20)]
     e = _edges(spark, pairs)
-    want = {r["id"]: r["component"] for r in connected_components(e).collect()}
-    got = {r["id"]: r["component"]
-           for r in connected_components_star(e).collect()}
-    assert got == want
+    results = [
+        {r["id"]: r["component"]
+         for r in connected_components(e, driver_solve_cap=cap).collect()}
+        for cap in (2_000_000, 0)
+    ] + [
+        {r["id"]: r["component"]
+         for r in connected_components_star(e, driver_solve_cap=cap).collect()}
+        for cap in (2_000_000, 0)
+    ]
+    for got in results[1:]:
+        assert got == results[0]
 
 
 def test_star_long_chain_converges_in_log_rounds(spark):
@@ -59,9 +69,11 @@ def test_star_long_chain_converges_in_log_rounds(spark):
     n = 64
     e = _edges(spark, [(i, i + 1) for i in range(n)])
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(e)  # default rail: 25 < diameter
+        # default rail: 25 < diameter (distributed rounds forced)
+        connected_components(e, driver_solve_cap=0)
     got = {r["id"]: r["component"]
-           for r in connected_components_star(e, max_iter=10).collect()}
+           for r in connected_components_star(
+               e, max_iter=10, driver_solve_cap=0).collect()}
     assert set(got.values()) == {0} and len(got) == n + 1
 
 
@@ -503,7 +515,15 @@ def test_lpa_driver_replicates_distributed_semantics(spark):
     for pairs in cases:
         dist = {
             (r["node"], r["community"])
-            for r in label_propagation(_edges(spark, pairs), n_iter=3).collect()
+            for r in label_propagation(
+                _edges(spark, pairs), n_iter=3, driver_solve_cap=0
+            ).collect()
         }
         drv = set(_lpa_driver(pairs, 3).items())
         assert drv == dist, pairs
+        # and the batch entry point's own gate returns the same rows
+        gated = {
+            (r["node"], r["community"])
+            for r in label_propagation(_edges(spark, pairs), n_iter=3).collect()
+        }
+        assert gated == dist, pairs

@@ -385,22 +385,25 @@ def test_driver_window_contract():
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r14 never-checked commitments: the two new registrations
-        "multimodal_neardup_media", "bpe_fertility_drift_report",
-        # module-changed canaries (dedup.py — m-scaled recall slack,
-        # generic hamming engine, bucketed two-pass verify + cand
-        # checkpoint; multimodal.py — perceptual hash; bpe.py —
-        # persisted vocab lifecycle; ann_index.py/streaming.py —
-        # checked-rename staged swap)
-        "dedup_prefix_filter_exact_documents", "dedup_minhash_lsh_documents",
-        "dedup_simhash_pairs_documents", "multimodal_decode_features",
+        # r15 never-checked commitment (VERDICT r14 item 2: must LEAD)
+        "multimodal_shared_segment_media",
+        # changed-since-green (bpe drift ratio; the two incremental
+        # graph queries re-registered onto the persisted graph_index)
+        "bpe_fertility_drift_report",
+        "dedup_components_incremental_documents",
+        "lpa_communities_incremental_documents",
+        # module-changed canaries (multimodal.py — BMP codec path;
+        # bpe.py — overflow-safe drift ratio; ann_index.py — fresh-build
+        # direct writes + cached rebuild corpus + crash heal)
+        "multimodal_media_metadata", "multimodal_decode_features",
+        "multimodal_frame_sample", "multimodal_neardup_media",
         "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
         "ivf_index_rebuild_recall_report", "ivf_index_lifecycle_report",
-        "streaming_dedup_lsh_replay", "lsh_band_tuning_report",
-        "dedup_containment_documents", "lsh_recall_precision_report",
+        "ivf_index_pq_report", "ivf_index_pq_code_drift_report",
     }
     missing = must_cover - set(window)
-    assert not missing, f"r10 priority queries outside the window: {missing}"
+    assert not missing, f"r15 priority queries outside the window: {missing}"
+    assert window[0] == "multimodal_shared_segment_media"
 
     tags = {tg for n in window for tg in REGISTRY[n].tags}
     assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"
