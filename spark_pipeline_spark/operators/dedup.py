@@ -586,7 +586,15 @@ def containment_near_dup_pairs(
         .filter((F.col("__df") >= 2) & (F.col("__df") <= max_df))
         .select("__g")
     )
-    blocked = ex.join(rare, "__g")
+    # Persist the BLOCKED posting list (rare shingles only — bounded at
+    # max_df rows per shingle, a small fraction of the full posting
+    # stream): the self-join below consumes it twice, and without the
+    # persist each alias re-derives the whole subtree — the rare
+    # AGGREGATE (a full posting shuffle) ran twice and the gram explode
+    # four times per query (plan evidence: two identical Exchange+
+    # HashAggregate towers in plans/r15/dedup_containment_documents_
+    # before.txt). Guide §2.4: share the exchange, don't repeat it.
+    blocked = query_persist(ex.join(rare, "__g"), StorageLevel.MEMORY_AND_DISK)
     cand = (
         blocked.alias("a")
         .join(
