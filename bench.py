@@ -61,10 +61,18 @@ def main() -> int:
     # "spread" band (per-query worst/best ratio) makes regression
     # comparisons against the recorded baseline meaningful.
     parser.add_argument("--repeat", type=int, default=3, help="runs per query; best is kept")
+    # Default --out is CORE-COUNT-QUALIFIED (VERDICT r15 item 4): the
+    # driver benches the same tree at two core counts, and a shared
+    # "latest" filename meant the second (8-core) run silently clobbered
+    # the 32-core comparator — any later "grab latest" comparison then
+    # mixed core counts. Per-core-count filenames make every run
+    # self-describing; the promoted round comparator is committed under
+    # an explicit bench_full_rN.json name instead of "latest".
+    _cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 0)
     parser.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "bench_full_latest.json"),
+                             f"bench_full_latest_c{_cpus}.json"),
         help="also write the full (untruncated) result JSON here; the "
         "driver's BENCH_rN.json keeps only a 2000-char stdout tail, so "
         "this file is what makes per-query round-over-round comparison "

@@ -96,6 +96,64 @@ def _empty_search_frame(
     return spark.createDataFrame([], schema)
 
 
+def _rank_probes(
+    q: DataFrame, cen_raw: DataFrame, nprobe: int, keep: list[str]
+) -> DataFrame:
+    """Each query's ``nprobe`` nearest cells: returns ``keep`` columns
+    plus ``cell``, ordered/tied exactly like the historical
+    broadcast+window path (descending ``struct(cosine, -cell)`` —
+    ties impossible, cell ids are unique).
+
+    The centroid table is bounded by construction (k_cells rows — the
+    operator-chosen cell count, tiny relative to the corpus), so it is
+    COLLECTED and inlined as literal vectors: probe ranking becomes a
+    map-only projection over the queries — no centroid broadcast
+    exchange, no per-query ``row_number`` window shuffle (guide §2.4).
+    Above the literal budget it falls back to the broadcast+window
+    plan unchanged."""
+    from pyspark.sql import Window
+
+    from spark_pipeline_spark.operators.similarity import cosine_similarity
+
+    rows = None
+    head = cen_raw.select("cell", "centroid").take(2049)
+    if len(head) <= 2048:
+        n_doubles = sum(len(r["centroid"]) for r in head)
+        if n_doubles <= _PQ_LITERAL_MAX_DOUBLES:
+            rows = head
+    if rows is not None:
+        cands = F.array(*[
+            F.struct(
+                F.struct(
+                    cosine_similarity(
+                        "__qv",
+                        F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                    ).alias("s"),
+                    F.lit(-r["cell"]).alias("c"),
+                ).alias("o"),
+                F.lit(r["cell"]).alias("cell"),
+            )
+            for r in rows
+        ])
+        top = F.slice(F.sort_array(cands, asc=False), 1, nprobe)
+        return q.withColumn("__probe", F.explode(top)).select(
+            *keep, F.col("__probe.cell").alias("cell")
+        )
+    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
+    probe_w = F.struct(
+        cosine_similarity("__qv", "__cenv").alias("s"),
+        (-F.col("cell")).alias("c"),
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
+    return (
+        q.join(F.broadcast(cen), how="cross")
+        .withColumn("__probe_ord", probe_w)
+        .withColumn("__pr", F.row_number().over(pw))
+        .filter(F.col("__pr") <= nprobe)
+        .select(*keep, "cell")
+    )
+
+
 def _int8_codes(df: DataFrame, vec_col: str) -> DataFrame:
     """Append symmetric int8 codes + the per-vector scale.
 
@@ -180,18 +238,84 @@ def _pq_train_codebook(
     )
 
 
+def _pq_meta(codebook: DataFrame) -> tuple[int, int, int]:
+    """(m_sub, k_codes, dim) discovered from a codebook frame in ONE
+    job — the sub-centroid length times the subspace count reconstructs
+    the embedding dim (slices are equal-width by the build-time
+    ``dim % pq_m == 0`` guard), so callers no longer pay a separate
+    centroids ``head()`` job just to learn the dimension."""
+    r = codebook.agg(F.max("m"), F.max("code"), F.max(F.size("cv"))).first()
+    m_sub = int(r[0]) + 1
+    return m_sub, int(r[1]) + 1, m_sub * int(r[2])
+
+
+# Literal-codebook budget for `_pq_encode`: above this many inlined
+# doubles (M·K·sub_dim) the plan would bloat, so encoding falls back to
+# the broadcast-join path. Registered configs are far below (2·4·32).
+_PQ_LITERAL_MAX_DOUBLES = 65536
+
+
 def _pq_encode(
     assigned: DataFrame, codebook: DataFrame, dim: int,
     m_sub: int | None = None,
 ) -> DataFrame:
-    """PQ-encode ``(vec_id, cell, embedding)`` against the (broadcast)
-    codebook: per subspace, the nearest sub-centroid by integer-micro
-    squared L2 (tie → lower code); collapsed to one ``codes`` array
-    ordered by m. The corpus never shuffles to be encoded — only the
-    M·K codebook moves. Callers that know ``m_sub`` pass it and skip
-    the discovery aggregate (one scheduler-floor job per encode)."""
+    """PQ-encode ``(vec_id, cell, embedding)`` against the codebook:
+    per subspace, the nearest sub-centroid by integer-micro squared L2
+    (tie → lower code); one ``codes`` array ordered by m.
+
+    The codebook (M·K rows, bounded by construction — the same
+    contract-bounded collect as the graph driver gates) is COLLECTED
+    and inlined as literal sub-centroids, making the encode a MAP-ONLY
+    projection fused into its consumer: no subspace explode, no
+    broadcast exchange, no per-(vec, m) aggregation shuffle — the
+    corpus truly never shuffles or re-keys to be encoded (guide §2.3/
+    §2.4; the former join path shuffled |corpus|·M intermediate rows
+    through two aggregates). Distances use the identical
+    ``_sq_dist_micro`` fold, so codes are bit-equal to the join path
+    (kept as :func:`_pq_encode_join` for oversized codebooks).
+
+    Callers that know ``m_sub`` pass it and skip the discovery job."""
     if m_sub is None:
         m_sub = codebook.select(F.max("m")).first()[0] + 1
+    sub_dim = dim // m_sub
+    rows = None
+    if m_sub * sub_dim > 0:
+        cb_rows = codebook.select("m", "code", "cv").collect()
+        if len(cb_rows) * sub_dim <= _PQ_LITERAL_MAX_DOUBLES:
+            rows = cb_rows
+    if rows is not None:
+        by_m: dict[int, list] = {}
+        for r in rows:
+            by_m.setdefault(r["m"], []).append((r["code"], list(r["cv"])))
+        if set(by_m) == set(range(m_sub)):
+            def code_for(m: int):
+                sl = F.slice(F.col("embedding"), m * sub_dim + 1, sub_dim)
+                cands = F.array(*[
+                    F.struct(
+                        _sq_dist_micro(
+                            sl, F.array(*[F.lit(float(x)) for x in cv])
+                        ).alias("d"),
+                        F.lit(int(code)).alias("c"),
+                    )
+                    for code, cv in sorted(by_m[m])
+                ])
+                # ascending (d, c) struct sort ≡ min dist, tie → lower code
+                return F.array_sort(cands)[0]["c"]
+
+            return assigned.select(
+                "vec_id", "cell",
+                F.array(*[code_for(m) for m in range(m_sub)]).alias("codes"),
+            )
+    return _pq_encode_join(assigned, codebook, dim, m_sub)
+
+
+def _pq_encode_join(
+    assigned: DataFrame, codebook: DataFrame, dim: int, m_sub: int
+) -> DataFrame:
+    """Broadcast-join PQ encode — the fallback for codebooks too large
+    to inline as literals (see ``_PQ_LITERAL_MAX_DOUBLES``). Identical
+    output to the literal path (same micro-rounded distance fold, same
+    tie-break), property-tested equal."""
     sub = _pq_subspaces(
         assigned.select("vec_id", "cell", "embedding"), "embedding", m_sub, dim
     )
@@ -248,23 +372,38 @@ def build_ivf_index(
         base.orderBy(w).limit(k_cells)
         .select(w.alias("cell"), F.col("embedding").alias("centroid"))
     )
+    cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
+    # ONE eager checkpoint materializes the (tiny, ≤ k_cells-row)
+    # centroid frame: the parquet write, the assignment broadcast, and
+    # the dim/emptiness probe all reuse it instead of each re-running
+    # the corpus sort-limit (or re-reading the written file back). This
+    # also unchains the batch writes from the centroids COMMIT — they
+    # only need the centroid VALUES (doubles round-trip parquet
+    # losslessly, so reading the file back was value-identical anyway).
+    cen = cen.localCheckpoint(eager=True)
     # An empty corpus must refuse loudly: a centroid-less index silently
     # drops every vector a later refresh assigns (ivf_assign against zero
     # cells keeps nothing) — the worst failure mode is the quiet one.
-    # head(1) on BASE, not on seeds: nonempty(base) ⇔ nonempty(seeds) and
-    # the probe then skips seeds' sort-limit job; the fetched row also
-    # supplies the embedding dim the PQ layer needs (saving the
-    # read-centroids-head job a build used to pay — job-count is the
-    # dominant cost of a lifecycle pass at the scheduling floor).
-    probe = base.head(1)
+    # nonempty(base) ⇔ nonempty(cen), and the checkpointed head also
+    # supplies the embedding dim the PQ layer needs.
+    probe = cen.head(1)
     if not probe:
         raise ValueError(
             "build_ivf_index: source has no vectors — refusing to write a "
             "centroid-less index (refreshes against it would silently drop "
             "every vector)"
         )
-    dim = len(probe[0]["embedding"])
-    cen = kmeans_fit(base, seeds, iters=iters) if iters > 0 else seeds
+    dim = len(probe[0]["centroid"])
+    if pq_m is not None and dim % pq_m:
+        # validate BEFORE any table is written — a failed build must not
+        # leave a half-replaced index behind. dim is known from the probe
+        # row, so this guard needs nothing the centroids write produces
+        # (hoisted above it: a bad pq_m used to replace the live centroids
+        # via staged swap and THEN abort, leaving new centroids over old
+        # assignments/codes until the next successful build).
+        raise ValueError(
+            f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
+        )
 
     # centroids: staged swap (replace-in-place table) — but only when a
     # live copy exists to protect; a FRESH build (no cen_path yet, e.g.
@@ -273,23 +412,19 @@ def build_ivf_index(
     # item 5: the lifecycle reports pay this 2× per rebuild)
     from spark_pipeline_spark.streaming import hadoop_path_exists
 
-    if hadoop_path_exists(spark, cen_path):
-        staging = cen_path + "__staging"
-        cen.coalesce(1).write.mode("overwrite").parquet(staging)
-        spark.read.parquet(staging).coalesce(1).write.mode("overwrite").parquet(cen_path)
-        _hadoop_delete(spark, staging)
-    else:
-        cen.coalesce(1).write.parquet(cen_path)
+    def write_centroids() -> None:
+        if hadoop_path_exists(spark, cen_path):
+            staging = cen_path + "__staging"
+            cen.coalesce(1).write.mode("overwrite").parquet(staging)
+            spark.read.parquet(staging).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(cen_path)
+            _hadoop_delete(spark, staging)
+        else:
+            cen.coalesce(1).write.parquet(cen_path)
 
-    if pq_m is not None and dim % pq_m:
-        # validate BEFORE any table is written — a failed build must not
-        # leave a half-replaced index behind
-        raise ValueError(
-            f"build_ivf_index: dim {dim} not divisible by pq_m={pq_m}"
-        )
     assigned = ivf_assign(
-        base, spark.read.parquet(cen_path), "vec_id", "embedding",
-        cell_id="cell", cell_vec="centroid",
+        base, cen, "vec_id", "embedding", cell_id="cell", cell_vec="centroid",
     )
     # a rebuild owns the whole history: drop any previous batch dirs
     pq_cb_path, pq_codes_path = _pq_paths(index_path)
@@ -301,19 +436,10 @@ def build_ivf_index(
     # build (M·K subvector rows, seeded like the centroids) and stays
     # FIXED across refreshes — codes must stay comparable across the
     # index lifetime, same contract as centroids. Opt-in because the
-    # encode pass re-reads the committed batch and costs extra write
-    # jobs a float/int8-only index never needs (it showed up as a
-    # measured +75% on the lifecycle bench when it briefly defaulted on).
-    #
-    # The codebook write depends only on `base`, the batch write only on
-    # `assigned` — independent job chains, so they run CONCURRENTLY
-    # (guide §2.6: a driver submits sequential actions only because the
-    # code calls them sequentially; overlapping lets the second chain's
-    # tasks back-fill the first's scheduling/commit tail — on a cluster
-    # it fills straggler gaps, locally it halves the floor count). The
-    # encode pass joins both completed chains afterwards.
-    def write_codebook() -> None:
-        codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
+    # encode pass costs an extra write job a float/int8-only index never
+    # needs (it showed up as a measured +75% on the lifecycle bench when
+    # it briefly defaulted on).
+    def write_codebook(codebook: DataFrame) -> None:
         if hadoop_path_exists(spark, pq_cb_path):
             cb_staging = pq_cb_path + "__staging"
             codebook.coalesce(1).write.mode("overwrite").parquet(cb_staging)
@@ -324,25 +450,41 @@ def build_ivf_index(
         else:
             codebook.coalesce(1).write.parquet(pq_cb_path)
 
-    if pq_m is not None:
-        from concurrent.futures import ThreadPoolExecutor
+    # Concurrent independent job chains (guide §2.6): the centroids
+    # write depends only on the checkpointed `cen`; the batch chain
+    # (count + assignments + codes writes) only on `assigned`; the PQ
+    # chain (codebook write, then encode from the SAME persisted
+    # assigned frame) only on `base` + `assigned`. A driver submits
+    # sequential actions only because the code calls them sequentially —
+    # overlapping lets each chain's tasks back-fill the others'
+    # scheduling/commit tails (on a cluster: straggler gaps).
+    from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fut_batch = pool.submit(
-                _write_batch, spark, assigned, asg_path, code_path, 0
-            )
-            fut_cb = pool.submit(write_codebook)
-            n = fut_batch.result()
-            fut_cb.result()
-        _pq_encode(
-            spark.read.parquet(f"{asg_path}/batch=0"),
-            spark.read.parquet(pq_cb_path),
-            dim,
-            m_sub=pq_m,
-        ).write.mode("overwrite").parquet(f"{pq_codes_path}/batch=0")
-    else:
-        _hadoop_delete(spark, pq_cb_path)
-        n = _write_batch(spark, assigned, asg_path, code_path, batch_id=0)
+    with ThreadPoolExecutor(max_workers=1) as cen_pool:
+        fut_cen = cen_pool.submit(write_centroids)
+        try:
+            if pq_m is not None:
+                codebook = _pq_train_codebook(base, pq_m, pq_k, dim)
+
+                def chain_pq(n_rows: int) -> None:
+                    write_codebook(codebook)
+                    _pq_encode(
+                        assigned, codebook, dim, m_sub=pq_m
+                    ).write.mode("overwrite").parquet(
+                        f"{pq_codes_path}/batch=0"
+                    )
+
+                n = _write_batch(
+                    spark, assigned, asg_path, code_path, 0,
+                    concurrent_with=chain_pq,
+                )
+            else:
+                _hadoop_delete(spark, pq_cb_path)
+                n = _write_batch(
+                    spark, assigned, asg_path, code_path, batch_id=0
+                )
+        finally:
+            fut_cen.result()
     return {"n_vectors": n, "k_cells": k_cells, "batch_id": 0,
             "pq_m": pq_m, "pq_k": pq_k if pq_m is not None else None}
 
@@ -353,15 +495,24 @@ def _write_batch(
     asg_path: str,
     code_path: str,
     batch_id: int,
+    concurrent_with=None,
 ) -> int:
     """Write one batch's assignment + code rows under their own
     ``batch=<id>`` directories — idempotent by path (a replay of the
-    same batch overwrites the same directories and nothing else)."""
+    same batch overwrites the same directories and nothing else).
+
+    ``concurrent_with``: optional callable ``(n_rows) -> None`` run in
+    the same pool alongside the two writes — for a caller's independent
+    job chain that reads the SAME persisted ``assigned`` frame (e.g.
+    the PQ encode), so it back-fills the write jobs' commit tails
+    (guide §2.6) instead of running serially after them. It is invoked
+    after the count, i.e. the frame is already materialized, and the
+    frame stays persisted until it returns."""
     from concurrent.futures import ThreadPoolExecutor
 
     assigned = assigned.persist()
     try:
-        # count materializes the persist ONCE; the two writes below then
+        # count materializes the persist ONCE; the chains below then
         # read the cached blocks and are independent of each other, so
         # they run concurrently (guide §2.6) — each is its own job chain
         # against the same cached frame.
@@ -382,11 +533,13 @@ def _write_batch(
                 "vec_id", "cell", "codes", "scale"
             ).write.mode("overwrite").parquet(f"{code_path}/batch={batch_id}")
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            fa = pool.submit(write_assignments)
-            fb = pool.submit(write_codes)
-            fa.result()
-            fb.result()
+        chains = [write_assignments, write_codes]
+        if concurrent_with is not None:
+            chains.append(lambda: concurrent_with(n))
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            futs = [pool.submit(c) for c in chains]
+            for f in futs:
+                f.result()
     finally:
         assigned.unpersist()
     return n
@@ -429,22 +582,34 @@ def refresh_ivf_index(
                       F.col(vec_col).cast("array<double>").alias("embedding")),
         cen, "vec_id", "embedding", cell_id="cell", cell_vec="centroid",
     )
-    _write_batch(spark, assigned, asg_path, code_path, batch_id)
 
     # PQ codes for the batch, against the FIXED persisted codebook (an
     # index built before the PQ layout existed has none — skip, the
     # documented backward-compat posture; rebuild to add PQ). Encoded
-    # from the batch's COMMITTED directory so a replay reproduces the
-    # exact rows; an empty batch wrote no files and encodes nothing.
+    # from the SAME persisted frame the assignment write reads — the
+    # two tables are consistent because they share one materialization,
+    # and the encode chain runs CONCURRENTLY with the batch writes
+    # (guide §2.6) instead of serially after the assignment commit.
+    # m_sub and dim come from the codebook in ONE job (`_pq_meta`),
+    # replacing the former centroids-head + max(m)-discovery pair of
+    # scheduler-floor jobs. An empty batch (n == 0) encodes nothing —
+    # same on-disk result as the former committed-directory re-read.
     pq_cb_path, pq_codes_path = _pq_paths(index_path)
     codebook = _try_read(spark, pq_cb_path)
+    chain_pq = None
     if codebook is not None:
-        committed = _try_read(spark, f"{asg_path}/batch={batch_id}")
-        if committed is not None:
-            dim = len(cen.head()["centroid"])
-            _pq_encode(committed, codebook, dim).write.mode(
-                "overwrite"
-            ).parquet(f"{pq_codes_path}/batch={batch_id}")
+        m_sub, _, dim = _pq_meta(codebook)
+
+        def chain_pq(n_rows: int) -> None:
+            if n_rows:
+                _pq_encode(assigned, codebook, dim, m_sub=m_sub).write.mode(
+                    "overwrite"
+                ).parquet(f"{pq_codes_path}/batch={batch_id}")
+
+    _write_batch(
+        spark, assigned, asg_path, code_path, batch_id,
+        concurrent_with=chain_pq,
+    )
 
     # growth-skew report: persisted history (excluding this batch — a
     # replay must not count its own half-written rows as "existing")
@@ -717,6 +882,8 @@ def ivf_index_search(
     Returns ``(query_id, neighbor_id, cell, cosine, rank)`` — the same
     shape as the per-run `ivf_topk`, so recall harnesses apply
     unchanged."""
+    from pyspark.sql import Window
+
     from spark_pipeline_spark.operators.similarity import cosine_similarity
 
     cen_path, asg_path, _ = _paths(index_path)
@@ -724,24 +891,11 @@ def ivf_index_search(
     asg_raw = _try_read(spark, asg_path)
     if cen_raw is None or asg_raw is None:
         return _empty_search_frame(spark, queries, query_id, cen_raw)
-    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
-    probe_w = F.struct(
-        cosine_similarity("__qv", "__cenv").alias("s"), (-F.col("cell")).alias("c")
-    )
-    from pyspark.sql import Window
-
-    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
-    q_probes = (
-        q.join(F.broadcast(cen), how="cross")
-        .withColumn("__probe_ord", probe_w)
-        .withColumn("__pr", F.row_number().over(pw))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", "cell")
-    )
+    q_probes = _rank_probes(q, cen_raw, nprobe, ["query_id", "__qv"])
     corpus = asg_raw.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__cv"),
         "cell",
@@ -796,7 +950,6 @@ def ivf_index_search_int8(
     asg_raw = _try_read(spark, asg_path)
     if cen_raw is None or code_raw is None or asg_raw is None:
         return _empty_search_frame(spark, queries, query_id, cen_raw)
-    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
     q = _int8_codes(
         queries.select(
             F.col(query_id).alias("query_id"),
@@ -811,17 +964,7 @@ def ivf_index_search_int8(
             F.lit(0).cast("long"), lambda a, c: a + c * c,
         ).alias("__qn2"),
     )
-    probe_w = F.struct(
-        cosine_similarity("__qv", "__cenv").alias("s"), (-F.col("cell")).alias("c")
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
-    q_probes = (
-        q.join(F.broadcast(cen), how="cross")
-        .withColumn("__probe_ord", probe_w)
-        .withColumn("__pr", F.row_number().over(pw))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qc", "__qn2", "cell")
-    )
+    q_probes = _rank_probes(q, cen_raw, nprobe, ["query_id", "__qc", "__qn2"])
 
     codes = code_raw.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -915,27 +1058,16 @@ def ivf_index_search_pq(
     if cen_raw is None or cb is None or pq_raw is None or asg_raw is None:
         return _empty_search_frame(spark, queries, query_id, cen_raw)
 
-    dim = len(cen_raw.head()["centroid"])
-    m_sub = cb.select(F.max("m")).first()[0] + 1
+    # one discovery job for (m_sub, dim) — the codebook's geometry
+    # reconstructs the embedding dim, so no centroids head() job
+    m_sub, _, dim = _pq_meta(cb)
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
     )
     # probe ranking: nprobe nearest cells by centroid cosine (ties →
     # lower cell), identical to the float/int8 paths
-    cen = cen_raw.select("cell", F.col("centroid").alias("__cenv"))
-    probe_w = F.struct(
-        cosine_similarity("__qv", "__cenv").alias("s"),
-        (-F.col("cell")).alias("c"),
-    )
-    pw = Window.partitionBy("query_id").orderBy(F.desc("__probe_ord"))
-    q_probes = (
-        q.join(F.broadcast(cen), how="cross")
-        .withColumn("__probe_ord", probe_w)
-        .withColumn("__pr", F.row_number().over(pw))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "cell")
-    )
+    q_probes = _rank_probes(q, cen_raw, nprobe, ["query_id"])
 
     # ADC table: |queries|·M·K integer-micro sub-distances, broadcast
     adc = (
@@ -1016,8 +1148,7 @@ def ivf_index_pq_stats(spark: SparkSession, index_path: str) -> DataFrame:
                 ]
             ),
         )
-    dim = len(_try_read(spark, cen_path).head()["centroid"])
-    m_sub = cb.select(F.max("m")).first()[0] + 1
+    m_sub, _, dim = _pq_meta(cb)
     sub = _pq_subspaces(
         asg.select("vec_id", "cell", "embedding"), "embedding", m_sub, dim
     )

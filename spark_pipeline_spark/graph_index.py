@@ -107,15 +107,29 @@ def _manifest_fingerprint(spark: SparkSession, path: str) -> tuple | None:
 
 
 def load_neardup_graph_index(
-    spark: SparkSession, path: str, fingerprint: str
+    spark: SparkSession, path: str, fingerprint: str,
+    tables: tuple[str, ...] = _TABLES,
 ) -> dict[str, DataFrame] | None:
     """Open a current index, or ``None`` when absent/stale (wrong
     ``fingerprint`` or built by a different ``GRAPH_INDEX_VERSION``).
-    Returned frames are lazy parquet scans of the live tables."""
+    Returned frames are lazy parquet scans of the live tables.
+
+    ``tables`` restricts which sub-tables are opened: every
+    ``spark.read.parquet`` costs a 1-task schema job, so a consumer
+    that needs 3 of the 5 tables should not pay for 5 (the components
+    increment never reads ``communities``/``edges``). Table reads go
+    through the session schema memo (`read_parquet_catalog`) — the
+    artifact path is session-keyed, so its schema is stable for the
+    process lifetime."""
     if _manifest_fingerprint(spark, path) != (GRAPH_INDEX_VERSION, fingerprint):
         return None
+    from spark_pipeline_spark.session import read_parquet_catalog
+
     root = path.rstrip("/")
-    return {name: spark.read.parquet(f"{root}/{name}") for name in _TABLES}
+    return {
+        name: read_parquet_catalog(spark, f"{root}/{name}")
+        for name in tables
+    }
 
 
 def build_neardup_graph_index(

@@ -137,6 +137,36 @@ _QUERY_CACHE_CAP = 16
 _query_caches: list["DataFrame"] = []
 _query_cache_lock = threading.Lock()
 
+# ---------------------------------------------------------------------------
+# Parquet schema memo (catalog behavior, METADATA only). Spark runs a
+# 1-task schema-inference job on EVERY `spark.read.parquet(path)` call —
+# measured 0.1–0.3 s each, uncached across repeated reads of the same
+# path — so a 63-query bench re-paid it hundreds of times for the same
+# base tables. A production deployment reads through a catalog (Hive
+# metastore / Iceberg manifest) that stores the schema; this memo is
+# that catalog for bare-path reads: infer once per path, then attach
+# the stored schema (`spark.read.schema(s).parquet` plans ZERO jobs).
+# Every action still computes from the parquet bytes — nothing about
+# results, listings, or data is cached; pushdown/pruning are unchanged
+# (schema-first reads verified by the plan-audit tests).
+# ---------------------------------------------------------------------------
+
+_parquet_schema_memo: dict[str, object] = {}
+
+
+def read_parquet_catalog(spark: SparkSession, path: str) -> "DataFrame":
+    """Read a parquet path with the memoized schema (see above). Use for
+    paths whose schema is stable for the process lifetime — base tables
+    and session-keyed artifacts. Evolving-state dirs that a caller may
+    recreate with a DIFFERENT schema at the same path should keep plain
+    ``spark.read.parquet``."""
+    s = _parquet_schema_memo.get(path)
+    if s is None:
+        df = spark.read.parquet(path)
+        _parquet_schema_memo[path] = df.schema
+        return df
+    return spark.read.schema(s).parquet(path)
+
 
 def _same_cache_entry(a: "DataFrame", b: "DataFrame") -> bool:
     """True when Spark's CacheManager would key both frames to ONE cache

@@ -455,6 +455,69 @@ def test_rebuild_defaults_keep_shape_and_pq_drop(spark, tmp_path):
         rebuild_ivf_index(spark, str(tmp_path / "not_an_index"))
 
 
+def test_pq_encode_literal_path_equals_join_path(spark):
+    """The literal-codebook (map-only) PQ encode must be bit-identical
+    to the broadcast-join fallback: same integer-micro distance fold,
+    same (min dist, then min code) tie-break, same codes array order.
+    Ties are exercised via duplicated vectors (equal distances to the
+    same codebook entries)."""
+    from spark_pipeline_spark.ann_index import (
+        _pq_encode,
+        _pq_encode_join,
+        _pq_train_codebook,
+    )
+
+    base = (
+        _emb(spark)
+        .limit(120)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    # duplicate a slice under new ids: equal embeddings force distance
+    # ties so the lower-code tie-break is actually exercised
+    dup = base.limit(20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    assigned = (
+        base.unionByName(dup)
+        .withColumn("cell", (F.col("vec_id") % 3).cast("int"))
+    )
+    dim = len(base.head()["embedding"])
+    for m_sub, k in ((2, 4), (4, 3)):
+        cb = _pq_train_codebook(base, m_sub, k, dim)
+        lit = _pq_encode(assigned, cb, dim, m_sub=m_sub)
+        join = _pq_encode_join(assigned, cb, dim, m_sub)
+        as_set = lambda df: {
+            (r["vec_id"], r["cell"], tuple(r["codes"])) for r in df.collect()
+        }
+        assert as_set(lit) == as_set(join)
+
+
+def test_failing_pq_m_rebuild_leaves_live_index_untouched(spark, tmp_path):
+    """VERDICT r15 item 3: pq_m validation must run BEFORE any table is
+    written. A rebuild with a pq_m that does not divide dim aborts with
+    the live index byte-identical — no new centroids over old
+    assignments, no staging residue promoted."""
+    import pytest
+
+    from spark_pipeline_spark.ann_index import rebuild_ivf_index
+
+    e = _emb(spark)
+    live = str(tmp_path / "valid_live")
+    build_ivf_index(spark, e.filter(F.col("vec_id") < 300), live, k_cells=4)
+    before = _index_snapshot(spark, live)
+    dim = len(e.head()["embedding"])
+    bad = dim + 1  # never divides dim
+    with pytest.raises(ValueError, match="not divisible"):
+        rebuild_ivf_index(spark, live, pq_m=bad)
+    assert _index_snapshot(spark, live) == before
+    # direct build path over a live index: same guarantee
+    with pytest.raises(ValueError, match="not divisible"):
+        build_ivf_index(
+            spark, e.filter(F.col("vec_id") < 300), live, k_cells=4, pq_m=bad
+        )
+    assert _index_snapshot(spark, live) == before
+
+
 def test_rebuild_recovers_from_mid_commit_crash(spark, tmp_path):
     """ADVICE r13: a crash between rename(assignments -> __old) and
     rename(staged -> assignments) leaves no live assignments/. The next

@@ -385,25 +385,27 @@ def test_driver_window_contract():
     # as fill. Spot-check the hard commitments rather than re-deriving
     # git state in a unit test.
     must_cover = {
-        # r15 never-checked commitment (VERDICT r14 item 2: must LEAD)
-        "multimodal_shared_segment_media",
-        # changed-since-green (bpe drift ratio; the two incremental
-        # graph queries re-registered onto the persisted graph_index)
-        "bpe_fertility_drift_report",
+        # r16 changed-since-green (delta-edge collapse on the two
+        # incremental graph queries; rebuild_recall truth-chain overlap;
+        # lsh_band_tuning_report — r15 rewrite the r15 window missed)
         "dedup_components_incremental_documents",
         "lpa_communities_incremental_documents",
-        # module-changed canaries (multimodal.py — BMP codec path;
-        # bpe.py — overflow-safe drift ratio; ann_index.py — fresh-build
-        # direct writes + cached rebuild corpus + crash heal)
-        "multimodal_media_metadata", "multimodal_decode_features",
-        "multimodal_frame_sample", "multimodal_neardup_media",
-        "bpe_train_n_merges_documents", "bpe_train_fertility_documents",
-        "ivf_index_rebuild_recall_report", "ivf_index_lifecycle_report",
+        "ivf_index_rebuild_recall_report",
+        "lsh_band_tuning_report",
+        # VERDICT r15 item 1: the r15-rewritten graph/dedup rows the
+        # r15 window froze too early to cover — must be re-certified
+        "dedup_containment_documents", "dedup_components_star_documents",
+        "lpa_communities_documents", "split_repair_components_documents",
+        "dedup_savings_report_documents",
+        "dedup_pipeline_end_to_end_documents",
+        # ann_index.py changed-module canaries (literal-codebook PQ
+        # encode, literal probe ranking, concurrent chains, pq_m hoist)
+        "ivf_index_lifecycle_report",
         "ivf_index_pq_report", "ivf_index_pq_code_drift_report",
     }
     missing = must_cover - set(window)
-    assert not missing, f"r15 priority queries outside the window: {missing}"
-    assert window[0] == "multimodal_shared_segment_media"
+    assert not missing, f"r16 priority queries outside the window: {missing}"
+    assert window[0] == "dedup_components_incremental_documents"
 
     tags = {tg for n in window for tg in REGISTRY[n].tags}
     assert len(tags) >= 30, f"window too homogeneous: {len(tags)} tags {sorted(tags)}"

@@ -17,8 +17,7 @@ from tests.oracle import compare, register_views
 PARITY_SF = os.environ.get("SPARK_GRAFT_PARITY_SF", SF_ORACLE)
 
 
-@pytest.mark.parametrize("name", sorted(REGISTRY))
-def test_query_matches_oracle(spark, duck, name):
+def _check_parity(spark, duck, name):
     q = REGISTRY[name]
     try:
         df = q.fn(spark, PARITY_SF)
@@ -30,3 +29,43 @@ def test_query_matches_oracle(spark, duck, name):
         assert not problems, f"{name}: {problems}"
     finally:
         release_query_caches()
+
+
+# The FULL sweep is the slow tier (280 queries ≈ 40 min — it is why the
+# driver's default pytest run never finished in r15; VERDICT item 2).
+# Excluded from the default run by pyproject addopts; invoke explicitly:
+#   python -m pytest tests/test_oracle_parity.py -m oracle_full -q
+@pytest.mark.oracle_full
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(spark, duck, name):
+    _check_parity(spark, duck, name)
+
+
+# Default-tier smoke: one representative per operator family, fixed so
+# a default `pytest tests/` still exercises the Spark↔DuckDB parity
+# machinery end-to-end without the full sweep's runtime. Full coverage
+# lives in the oracle_full tier + the driver's own CORRECTNESS gate.
+PARITY_SMOKE = [
+    "q6_forecast_revenue",            # relational core
+    "grouped_topk_with_ties",         # grouped/window
+    "dedup_minhash_lsh_documents",    # dedup/similarity
+    "dedup_components_star_documents",  # graph components (r15 rewrite)
+    "lpa_communities_documents",      # LPA (r15 rewrite)
+    "dedup_containment_documents",    # containment join (r15 rewrite)
+    "lsh_band_tuning_report",         # band tuning (r15 rewrite)
+    "bpe_train_n_merges_documents",   # BPE driver gate
+    "text_bigram_backoff_nll_documents",  # text LM
+    "ivf_index_lifecycle_report",     # persisted ANN lifecycle
+    "multimodal_frame_sample",        # multimodal decode
+    "merge_cdc_tombstones_orders",    # merge/CDC
+    "stratified_fraction_documents",  # sampling
+    "datadiff_hash_histogram_orders",  # datadiff/sketches
+    "score_logistic_model",           # scoring (Arrow boundary)
+    "ewma_user_value",                # event windows
+]
+
+
+@pytest.mark.parametrize("name", PARITY_SMOKE)
+def test_query_matches_oracle_smoke(spark, duck, name):
+    assert name in REGISTRY, f"smoke list names unknown query {name}"
+    _check_parity(spark, duck, name)

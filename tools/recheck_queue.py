@@ -17,14 +17,18 @@ git: it textually extracts each ``@register("name", ...)`` block from
 blocks, and diffs.  Textual block extraction (not ``inspect.getsource``)
 means old revisions never have to be imported.
 
-Module-dependency flagging (r10): each registration block's
-``from spark_pipeline_spark...import`` statements are parsed, so green
-queries whose block imports a CHANGED operator module are listed as
-mechanical canary candidates (``green_but_imports_changed_module``).
-Remaining limitation: transitive operator→operator imports and
-non-import coupling (a sink replay re-implementing a streaming
-algebra) are not chased — the changed-modules list stays printed so
-those get a human glance.
+Module-dependency flagging (r10, transitive since r16): each
+registration block's ``from spark_pipeline_spark...import`` statements
+are parsed, so green queries whose block imports a CHANGED module are
+listed as mechanical canary candidates
+(``green_but_imports_changed_module``). The changed-module set is the
+REVERSE-TRANSITIVE import closure over the whole package (r16 — a
+``graph.py`` change flags queries importing ``dedup.py``, which
+wraps it; VERDICT r15 item 1), and covers top-level modules
+(``ann_index.py``, ``graph_index.py``), not just ``operators/``.
+Remaining limitation: non-import coupling (a sink replay
+re-implementing a streaming algebra) is not chased — the
+changed-modules list stays printed so those get a human glance.
 
 Usage::
 
@@ -162,15 +166,52 @@ def last_green_rounds() -> dict[str, int]:
     return out
 
 
+def _module_import_edges() -> dict[str, set[str]]:
+    """repo-relative module path -> set of in-package module paths it
+    imports (parsed from ``from spark_pipeline_spark... import`` lines).
+    Used to chase TRANSITIVE operator→operator coupling: ``dedup.py``
+    imports ``graph.py``, so a ``graph.py`` change invalidates the
+    greens of every query that imports ``dedup.py`` — the exact gap
+    (VERDICT r15 item 1) that let the r15 graph-gate rewrite ship with
+    zero window canaries."""
+    edges: dict[str, set[str]] = {}
+    pkg = REPO / "spark_pipeline_spark"
+    for f in pkg.rglob("*.py"):
+        rel = str(f.relative_to(REPO))
+        edges[rel] = block_module_deps(f.read_text())
+    return edges
+
+
 def changed_modules_since(ref: str) -> list[str]:
+    """Modules changed since ``ref`` PLUS every module that transitively
+    imports one of them (a re-export or wrapper is as changed as its
+    implementation)."""
     out = subprocess.run(
         ["git", "-C", str(REPO), "diff", "--name-only", ref, "HEAD", "--",
-         "spark_pipeline_spark/operators", "spark_pipeline_spark/functions",
-         "spark_pipeline_spark/io", "spark_pipeline_spark/streaming.py"],
+         "spark_pipeline_spark"],
         capture_output=True,
         text=True,
     )
-    return [p for p in out.stdout.splitlines() if p]
+    changed = {
+        p for p in out.stdout.splitlines()
+        if p.endswith(".py")
+        # queries.py has its own per-block diffing; __init__ is re-export
+        and not p.endswith("queries.py")
+    }
+    if not changed:
+        return []
+    edges = _module_import_edges()
+    # reverse-transitive closure: any module importing a changed module
+    # (directly or through a chain) is itself flagged
+    while True:
+        grown = {
+            m for m, deps in edges.items()
+            if m not in changed and deps & changed
+        }
+        if not grown:
+            break
+        changed |= grown
+    return sorted(changed)
 
 
 _IMPORT_RE = re.compile(
