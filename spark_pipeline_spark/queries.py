@@ -14409,43 +14409,73 @@ def winnowing_overlap_pairs_documents(spark: SparkSession, sf_dir: str) -> DataF
     on template text (sf0.01 → 46 pairs, sf0.1 → 61 — the fanout tracks
     true near-dups, not corpus size²).
 
-    Scale shape: the exploded (doc, fingerprint) posting list is ~1/8 of
-    the gram stream and is persisted once (it feeds the df filter, both
-    join sides, and the per-doc counts); the pair join is an equi-join
-    on fingerprint with per-key fanout capped at the df cap; per-doc
-    fingerprint counts are O(docs) (never force-broadcast — AQE
-    broadcasts the tiny surviving pair side instead)."""
+    Scale shape: the per-doc fingerprint ARRAYS (~1/8 of the gram
+    stream, already distinct) are persisted once; postings derive by a
+    map-only explode, the df cap is applied by anti-joining the TINY
+    hot-fingerprint set (boilerplate is what exceeds the cap, so the
+    build side stays small at any scale and the posting list itself is
+    never re-shuffled for the filter), and pairs are generated MAP-SIDE
+    from per-fingerprint sorted posting arrays — bounded at the df cap
+    (≤ 190 pairs/row), so the pair self-join disappears. Per-doc
+    fingerprint counts are `size(fps)` off the persisted arrays — a
+    projection, not an aggregate (the old plan paid that aggregate
+    tower twice, once per count join)."""
     from pyspark.storagelevel import StorageLevel
 
     from spark_pipeline_spark.operators import text as T
 
-    f = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
+    f = query_persist(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # explode_outer + isNotNull (not plain explode): Generate's implicit
     # size>0 filter would re-inline the winnow/gram transform below the
     # projection and evaluate it twice — the shingle_table consumer trap.
-    e = query_persist(
-        f.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
-            F.col("fp").isNotNull()
-        ),
-        StorageLevel.MEMORY_AND_DISK,
+    # (Here the replay reads the PERSISTED arrays, so the two consumers
+    # below cost one map pass each, no re-hashing.)
+    e = f.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
     )
-    keep = e.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= _WIN_MAXDF
+    # df cap as an ANTI-join: count per fingerprint (map-side combine —
+    # safe on hot keys), keep only the >cap set, which is tiny by
+    # construction (boilerplate), and anti-join it off the postings.
+    hot = (
+        e.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > _WIN_MAXDF)
+        .select("fp")
     )
-    ee = e.join(keep.select("fp"), "fp")
-    a = ee.select(F.col("doc_id").alias("id_a"), "fp")
-    b = ee.select(F.col("doc_id").alias("id_b"), "fp")
+    # Posting arrays are bounded by the df cap AFTER the anti-join, so
+    # collect_list cannot blow up on a hot key; sort makes the pair
+    # orientation (id_a < id_b) a property of array order.
+    plist = (
+        e.join(hot, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     pairs = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
+        plist.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> transform("
+                    "slice(ds, i + 2, size(ds)),"
+                    " y -> struct(x AS id_a, y AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
-    cnt = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    # fps is distinct (winnowing dedups) with no null elements for
+    # non-null text, so size(fps) == the doc's posting count; null-text
+    # docs have fps = [] and can never reach `pairs`.
+    cnt = f.select("doc_id", F.size("fps").cast("long").alias("nf"))
     return (
         pairs.join(
             cnt.select(F.col("doc_id").alias("id_a"), F.col("nf").alias("__nfa")),
@@ -14658,13 +14688,18 @@ def text_bigram_backoff_nll_documents(
     own right: templated text never backs off), mean bits/token, and
     perplexity.
 
-    Scale shape: one tokenize pass persisted once (feeds unigram
-    counts, the bigram stream built array-side with zero shuffle, and
-    the first-token probe); the LM tables are O(vocab) / O(pruned
-    bigrams) count aggregates with map-side combine; scoring is three
-    equi-joins against those model tables (AQE broadcasts them when
-    small, plain shuffle joins at 100 TB) plus a one-row total
-    broadcast. No window functions, no self-joins on the corpus."""
+    Scale shape: one tokenize pass persisted once, exploded into ONE
+    position stream covering every scored position — position 1 carries
+    w1 = NULL and an `fst` tag, positions 2..n the bigrams — so the
+    first-token branch costs no separate join/union pass; the unigram
+    table (every position is exactly one stream row's w2) is persisted
+    once at O(vocab) (it feeds the bigram denominators, the backoff
+    table, and the total — the unpersisted plan re-ran the corpus-sized
+    tokenize+count tower four times); scoring is two equi-joins against
+    the model tables (AQE broadcasts them when small, plain shuffle
+    joins at 100 TB). The first-token probability is carried as its own
+    exact `c/n` column — NOT recovered as p_uni/0.4, which would not be
+    bit-identical. No window functions, no self-joins on the corpus."""
     from pyspark.storagelevel import StorageLevel
 
     from spark_pipeline_spark.operators.partitions import ensure_min_partitions
@@ -14680,65 +14715,63 @@ def text_bigram_backoff_nll_documents(
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
-    toks = arr.select("doc_id", F.explode("a").alias("term"))
-    uni = toks.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    tot = uni.agg(F.sum("c").alias("n"))
     # Spark arrays are 0-indexed (the oracle's lists are 1-indexed);
-    # sequence(2, size(a)) needs size >= 2 or it runs DESCENDING
-    bg = (
-        arr.filter(F.size("a") >= 2)
-        .select(
+    # split() always yields >= 1 element for non-null text, so every doc
+    # contributes exactly one fst row plus size(a) - 1 bigram rows.
+    stream = (
+        arr.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(2, size(a)),"
-                    " i -> struct(a[i - 2] AS w1, a[i - 1] AS w2))"
+                    "transform(sequence(1, size(a)),"
+                    " i -> struct("
+                    "CASE WHEN i = 1 THEN NULL ELSE a[i - 2] END AS w1,"
+                    " a[i - 1] AS w2, i = 1 AS fst))"
                 )
             ).alias("b"),
         )
-        .select("doc_id", "b.w1", "b.w2")
+        .select("doc_id", "b.w1", "b.w2", "b.fst")
     )
+    # Every token position appears exactly once as `w2`, so the unigram
+    # model is an aggregate of the stream itself.
+    uni = query_persist(
+        stream.groupBy("w2").agg(F.count(F.lit(1)).cast("double").alias("c")),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    tot = uni.agg(F.sum("c").alias("n"))
     bigc = (
-        bg.groupBy("w1", "w2")
+        stream.filter(~F.col("fst"))
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("double").alias("bc"))
         .filter(F.col("bc") >= 2)
     )
     # Fold the denominators INTO the model tables (O(bigrams)/O(vocab)
-    # rows) so the corpus-sized bigram stream joins twice, not three
+    # rows) so the corpus-sized position stream joins twice, not three
     # times, and the one-row total broadcast lands on the vocab frame.
     model = bigc.join(
-        uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1"
+        uni.select(F.col("w2").alias("w1"), F.col("c").alias("c1")), "w1"
     ).select("w1", "w2", (F.col("bc") / F.col("c1")).alias("p_big"))
     backoff = (
         uni.crossJoin(F.broadcast(tot))
         .select(
-            F.col("term").alias("w2"),
+            "w2",
             (F.lit(0.4) * F.col("c") / F.col("n")).alias("p_uni"),
+            (F.col("c") / F.col("n")).alias("p_first"),
         )
     )
-    scored_bg = (
-        bg.join(model, ["w1", "w2"], "left")
+    s = (
+        stream.join(model, ["w1", "w2"], "left")
         .join(backoff, "w2")
         .select(
             "doc_id",
-            F.coalesce("p_big", "p_uni").alias("p"),
-            F.when(F.col("p_big").isNull(), F.lit(1.0))
-            .otherwise(F.lit(0.0))
+            F.when(F.col("fst"), F.col("p_first"))
+            .otherwise(F.coalesce("p_big", "p_uni"))
+            .alias("p"),
+            F.when(F.col("fst") | F.col("p_big").isNotNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0))
             .alias("backed"),
         )
     )
-    first = (
-        arr.filter(F.size("a") >= 1)
-        .select("doc_id", F.col("a").getItem(0).alias("term"))
-        .join(uni, "term")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "doc_id",
-            (F.col("c") / F.col("n")).alias("p"),
-            F.lit(0.0).alias("backed"),
-        )
-    )
-    s = scored_bg.unionByName(first)
     ln2 = F.log(F.lit(2.0))
     return s.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_scored"),
@@ -16698,42 +16731,51 @@ def winnowing_incremental_overlap_documents(
     Scale shape: per refresh, O(|new|) fingerprinting plus an equi-join
     of the new batch's postings against the df-capped corpus postings
     (fanout ≤ {_WIN_MAXDF} per fingerprint) — independent of how often
-    it has run; at 100 TB the corpus (doc_id, fp) table is the persisted
-    winnowing index (the `(__id, __band, __key)` analogue of the LSH
-    sink), and only the new batch is scanned. explode_outer barrier as
-    everywhere in the gram family."""
+    it has run; at 100 TB the corpus (fp → doc array) table is the
+    persisted winnowing index (the `(__id, __band, __key)` analogue of
+    the LSH sink), and only the new batch is scanned. The df cap is an
+    anti-join against the tiny >cap (boilerplate) fingerprint set, so
+    the corpus postings shuffle ONCE into df-capped posting arrays
+    (bounded ≤ {_WIN_MAXDF}/row) instead of aggregate-then-join-back;
+    per-doc counts are `size(fps)` off the persisted arrays (the old
+    plan paid that aggregate tower twice, once per count join).
+    explode_outer barrier as everywhere in the gram family."""
     from pyspark.storagelevel import StorageLevel
 
     from spark_pipeline_spark.operators import text as T
 
-    fps = t(spark, sf_dir, "documents").select(
-        "doc_id",
-        T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
-    )
-    e = query_persist(
-        fps.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
-            F.col("fp").isNotNull()
+    f = query_persist(
+        t(spark, sf_dir, "documents").select(
+            "doc_id",
+            T.winnow_fingerprints(T.gram_hashes("text", 8), 16).alias("fps"),
         ),
         StorageLevel.MEMORY_AND_DISK,
     )
+    e = f.select("doc_id", F.explode_outer("fps").alias("fp")).filter(
+        F.col("fp").isNotNull()
+    )
     ec = e.filter(F.col("doc_id") % 10 < 8)
     en = e.filter(F.col("doc_id") % 10 >= 8)
-    keep = ec.groupBy("fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") <= _WIN_MAXDF
+    hot = (
+        ec.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > _WIN_MAXDF)
+        .select("fp")
+    )
+    csl = (
+        ec.join(hot, "fp", "left_anti")
+        .groupBy("fp")
+        .agg(F.collect_list("doc_id").alias("cs"))
     )
     pairs = (
         en.select(F.col("doc_id").alias("new_id"), "fp")
-        .join(
-            ec.join(keep.select("fp"), "fp").select(
-                F.col("doc_id").alias("corpus_id"), "fp"
-            ),
-            "fp",
-        )
+        .join(csl, "fp")
+        .select("new_id", F.explode("cs").alias("corpus_id"))
         .groupBy("corpus_id", "new_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
-    cnt = e.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nf"))
+    cnt = f.select("doc_id", F.size("fps").cast("long").alias("nf"))
     return (
         pairs.join(
             cnt.select(F.col("doc_id").alias("corpus_id"), F.col("nf").alias("__nfc")),
