@@ -151,8 +151,10 @@ def bpe_train(
     # corpora far beyond bench scale; past it (or cap=0) the
     # distributed rounds run unchanged.
     if driver_solve_cap:
-        head = sym.take(driver_solve_cap + 1)
-        if len(head) <= driver_solve_cap:
+        from spark_pipeline_spark.operators.graph import _gate_rows
+
+        head = _gate_rows(sym, driver_solve_cap)
+        if head is not None:
             merges, final_sym = _bpe_train_driver(
                 [(r["term"], r["n"], r["s"]) for r in head], n_merges
             )

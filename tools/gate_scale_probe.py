@@ -4,8 +4,9 @@ r15 cap-gate change).
 
 Builds a deterministic random graph whose DISTINCT edge count exceeds
 ``driver_solve_cap`` (default 2M), so `connected_components_star` /
-`label_propagation` must fall through their ``take(cap+1)`` probe to
-the unchanged distributed rounds. Three runs per operator:
+`label_propagation` must fall through their gate probe (count-based,
+`_gate_rows`) to the unchanged distributed rounds. Three runs per
+operator:
 
 - 32 cores, default cap   (gate probes, then hands back)
 - 32 cores, cap=0         (distributed path forced — the control)
@@ -14,7 +15,7 @@ the unchanged distributed rounds. Three runs per operator:
 Evidence captured per run: wall, output row count, and an
 order-independent ``bit_xor(xxhash64(...))`` signature. The default-cap
 and cap=0 signatures must be EQUAL (same labels ⇒ same path semantics),
-their walls near-equal (the gate costs one bounded ``take``), and the
+their walls near-equal (the gate costs one JVM-only count), and the
 8v32 ratio on a graph this size should approach the core ratio —
 the gated families are data-bound once past the gate.
 
