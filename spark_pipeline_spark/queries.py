@@ -17047,6 +17047,8 @@ def ivf_index_pq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spark_pipeline_spark.functions import md5_unit
     from spark_pipeline_spark.operators.similarity import cosine_topk
 
+    from concurrent.futures import ThreadPoolExecutor
+
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     is_new = md5_unit("vec_id") < 0.1
     index_path = "{}/spark_graft_ivf_pq_{}_{}".format(
@@ -17054,19 +17056,30 @@ def ivf_index_pq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashlib.md5(sf_dir.encode()).hexdigest()[:8],
         spark.sparkContext.applicationId,
     )
-    build_ivf_index(
-        spark, e.filter(~is_new), index_path, k_cells=4, pq_m=2, pq_k=4
-    )
-    refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
-
     q = e.filter(F.col("vec_id") < 20)
+    # The exact brute-force truth reads ONLY the base table —
+    # independent of the index build/refresh chain, so it runs
+    # concurrently with it (guide §2.6; the same overlap as
+    # `ivf_index_rebuild_recall_report`) instead of serially after the
+    # last index commit. Persisted so the returned frame reads the
+    # materialized truth instead of recomputing it.
+    exact = query_persist(
+        cosine_topk(e, q, k=3, exclude_self=True).select(
+            "query_id", "neighbor_id"
+        )
+    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut_truth = pool.submit(exact.count)
+        build_ivf_index(
+            spark, e.filter(~is_new), index_path, k_cells=4, pq_m=2, pq_k=4
+        )
+        refresh_ivf_index(spark, e.filter(is_new), index_path, batch_id=1)
+        fut_truth.result()
+
     pq_top = ivf_index_search_pq(
         spark, index_path, q, k=3, nprobe=2, oversample=3, exclude_self=True
     ).select(
         "query_id", F.col("neighbor_id").alias("p_neighbor")
-    )
-    exact = cosine_topk(e, q, k=3, exclude_self=True).select(
-        "query_id", "neighbor_id"
     )
     return (
         exact.join(
